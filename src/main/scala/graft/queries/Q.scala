@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the operator query pack.
+  *
+  * Cross-engine determinism rules (Spark result must hash-identically to
+  * the DuckDB oracle, see VERDICT r1 + ADVICE r1):
+  *   - Money/double aggregates go through exact decimal arithmetic and a
+  *     single final cast to double. `dec`/`dsum` wrap RAW columns only;
+  *     derived money expressions cast each raw factor with `dec` first
+  *     and multiply in decimal space on BOTH sides (ADVICE r1).
+  *   - Integer aggregates are cast to BIGINT on both sides (DuckDB
+  *     sum(BIGINT) is HUGEINT, Spark's is LONG).
+  *   - No libm-dependent fns in compared values (exp/ln/pow); sqrt and
+  *     +-*÷ are IEEE-exact and deterministic across engines.
+  *   - Hashes: md5 hex (identical in both engines); numeric hash =
+  *     first 8 hex chars of md5 as BIGINT.
+  */
+object Q {
+  val D = DecimalType(12, 4)
+
+  /** Exact decimal view of a raw 2-decimal money double column. */
+  def dec(c: Column): Column = c.cast(D)
+  val one: Column = lit(1).cast(D)
+
+  /** Order-independent exact sum of a raw money column, as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent exact average of a raw money column. */
+  def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(c)).cast("double")
+
+  /** Oracle-side fragments mirroring the above. */
+  def oDec(c: String): String = s"CAST($c AS DECIMAL(12,4))"
+  def oDsum(c: String): String = s"CAST(sum(${oDec(c)}) AS DOUBLE)"
+  def oDavg(c: String): String = s"(CAST(sum(${oDec(c)}) AS DOUBLE) / count($c))"
+
+  /** Cross-engine 32-bit-ish hash: first 8 hex chars of md5 → BIGINT.
+    * Spark: conv(substring(md5(x),1,8),16,10)::long
+    * DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT)                  */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def oH32(c: String): String = s"CAST('0x' || substr(md5($c), 1, 8) AS BIGINT)"
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Registers the testdata parquet tables as temp views named like the
+    * oracle's tables, so Spark SQL and DuckDB SQL line up. */
+  def views(spark: SparkSession, dir: String): Unit = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.foreach { n =>
+      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+    }
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

