@@ -51,11 +51,15 @@ object Q {
   def views(spark: SparkSession, dir: String): Unit = {
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    names.foreach { n =>
-      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
-    }
+    names.foreach { n => t(spark, dir, n).createOrReplaceTempView(n) }
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
+      // read it as a nanos long and convert to a micros timestamp.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }

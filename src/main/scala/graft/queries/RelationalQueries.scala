@@ -88,7 +88,8 @@ object RelationalQueries {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
     "q_join_anti" -> ((s, d) => {
-      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
     }),
@@ -219,7 +220,7 @@ object RelationalQueries {
     }),
     "q_set_except" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_custkey").as("k"))
-      val o = t(s, d, "orders").filter(col("o_totalprice") > 50000.0)
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 250000.0)
         .select(col("o_custkey").as("k"))
       c.except(o)
     }),
@@ -303,7 +304,7 @@ object RelationalQueries {
     "q_subquery_scalar" -> ((s, d) => {
       views(s, d)
       s.sql("""SELECT o_orderkey, o_totalprice FROM orders
-               WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) FROM orders)""")
+               WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) FROM orders)""")
     }),
     "q_subquery_in" -> ((s, d) => {
       views(s, d)
@@ -372,7 +373,7 @@ object RelationalQueries {
          GROUP BY c_mktsegment""",
     "q_join_anti" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
          GROUP BY c_mktsegment""",
     "q_join_full" ->
       """SELECT CAST(coalesce(c.k, s.k) AS BIGINT) AS nationkey,
@@ -450,7 +451,7 @@ object RelationalQueries {
     "q_set_except" ->
       """SELECT c_custkey AS k FROM customer
          EXCEPT
-         SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000.0""",
+         SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000.0""",
     "q_union_all" ->
       """SELECT tag, count(*) AS cnt FROM (
            SELECT o_orderkey, 'p' AS tag FROM orders WHERE o_orderstatus = 'P'
@@ -504,7 +505,7 @@ object RelationalQueries {
          FROM events GROUP BY 1""",
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) FROM orders)""",
+         WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) FROM orders)""",
     "q_subquery_in" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)

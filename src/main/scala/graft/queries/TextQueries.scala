@@ -38,22 +38,31 @@ object TextQueries {
         l -> ws.map(w => occ(padded, w)).reduce(_ + _)
       }
       // argmax with deterministic lang-asc tiebreak; all-zero → 'und'
+      // (seed score 0 so a zero-marker doc keeps 'und' — strict > below)
       val best = langOrder.map(scores)
         .zip(langOrder)
-        .foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), (sc, l)) =>
+        .foldLeft((lit(0L), lit("und"))) { case ((bs, bl), (sc, l)) =>
           (when(sc > bs, sc).otherwise(bs), when(sc > bs, lit(l)).otherwise(bl))
         }
       t(s, d, "documents")
         .select(col("doc_id"), best._2.as("pred_lang"), col("lang").as("tagged_lang"))
     }),
     "q_text_quality" -> ((s, d) => {
+      // quality signals: length, word count, mean word length, punctuation
+      // ratio, stopword ratio — all literal string ops (cross-engine safe)
       val n = norm(col("text"))
+      val nWords = size(split(n, " ")).cast("long")
+      val nSpaces = occ(n, " ")
+      val punct = Seq(".", ",", "!", "?").map(w => occ(n, w)).reduce(_ + _)
+      val stop = Seq(" the ", " and ", " of ").map(w =>
+        occ(concat(lit(" "), n, lit(" ")), w)).reduce(_ + _)
       t(s, d, "documents").select(
         col("doc_id"),
         length(n).cast("long").as("len"),
-        size(split(n, " ")).cast("long").as("n_words"),
-        ((length(n) - occ(n, " ") * size(split(n, " ")).cast("long") / size(split(n, " ")).cast("long")).cast("double") / lit(0) * lit(0) + // placeholder removed below
-          lit(0)).as("_drop"),
+        nWords.as("n_words"),
+        ((length(n) - nSpaces).cast("double") / nWords.cast("double")).as("avg_word_len"),
+        (punct.cast("double") / length(n).cast("double")).as("punct_ratio"),
+        (stop.cast("double") / nWords.cast("double")).as("stop_ratio"),
         col("n_chars").cast("long").as("n_chars"))
     }),
     "q_text_tokens" -> ((s, d) => {
@@ -86,9 +95,21 @@ object TextQueries {
       val cases = langOrder.map(l => s"WHEN $mx > 0 AND ${oScores(l)} = $mx THEN '$l'")
       s"CASE ${cases.mkString(" ")} ELSE CASE WHEN $mx > 0 THEN 'und' ELSE 'und' END END"
     }
+    val oWords = s"CAST(len(string_split($oNorm, ' ')) AS BIGINT)"
+    val oPunct = Seq(".", ",", "!", "?").map(w => oOcc(oNorm, w)).mkString("(", " + ", ")")
+    val oStop = Seq(" the ", " and ", " of ").map(w => oOcc(oPadded, w)).mkString("(", " + ", ")")
     Map(
       "q_text_lang" ->
         s"SELECT doc_id, $oBest AS pred_lang, lang AS tagged_lang FROM documents",
+      "q_text_quality" ->
+        s"""SELECT doc_id,
+            CAST(length($oNorm) AS BIGINT) AS len,
+            $oWords AS n_words,
+            CAST(length($oNorm) - ${oOcc(oNorm, " ")} AS DOUBLE) / CAST($oWords AS DOUBLE) AS avg_word_len,
+            CAST($oPunct AS DOUBLE) / CAST(length($oNorm) AS DOUBLE) AS punct_ratio,
+            CAST($oStop AS DOUBLE) / CAST($oWords AS DOUBLE) AS stop_ratio,
+            CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents""",
       "q_text_tokens" ->
         s"""SELECT doc_id,
             CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n_tokens,
