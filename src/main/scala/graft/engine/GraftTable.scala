@@ -1,0 +1,273 @@
+package graft.engine
+
+import graft.engine.format._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** User-facing handle on a carbonish table — the analog of the
+  * reference's command surface (SURVEY §2.8): create/insert/load,
+  * segment lifecycle (show/delete/clean/compact), and metadata reads.
+  *
+  * All data movement is expressed as Spark jobs over DataFrames; all
+  * metadata movement is atomic tablestatus commits. Nothing here ever
+  * collects table data to the driver.
+  */
+class GraftTable private (val spark: SparkSession, val path: String) {
+  val layout = new TableLayout(path, spark.sessionState.newHadoopConf())
+
+  def meta: TableMeta = layout.readTableMeta()
+  def schema: StructType =
+    DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+  def status: TableStatus = layout.readStatus()
+  def segments: Seq[SegmentMeta] = status.segments
+
+  /** Read through the DSv2 source (segment pruning + parquet pushdown). */
+  def read: DataFrame = spark.read.format("carbonish").load(path)
+
+  /** Pinned-segment read — `insegment('0,2')` analog (CarbonEnv.scala:100). */
+  def readSegments(ids: Seq[Long]): DataFrame =
+    spark.read.format("carbonish").option("segments", ids.mkString(",")).load(path)
+
+  /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50). */
+  def countStar: Long = status.visible.map(_.rowCount).sum
+
+  // ---------------------------------------------------------------- insert
+  /** INSERT INTO / INSERT OVERWRITE: one new sorted segment per call.
+    * Two-phase commit like the reference's load: reserve the segment id
+    * as IN_PROGRESS, write data files, then flip to SUCCESS (and on
+    * overwrite, retire the previously visible segments) atomically. */
+  def insert(df: DataFrame, overwrite: Boolean = false): Long = {
+    val m = meta
+    val target = schema
+    // align column order / types to the table schema by name
+    val aligned = df.select(target.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    var id = -1L
+    layout.commit { st =>
+      id = st.nextSegmentId
+      st.copy(segments = st.segments :+ SegmentMeta(
+        id, SegmentStatus.InProgress, "parquet", Nil, -1L, 0L, Map.empty,
+        m.sortColumns, System.currentTimeMillis()))
+    }
+    val seg =
+      try SegmentWriter.write(layout, m, aligned, id)
+      catch {
+        case e: Throwable =>
+          layout.commit(st => st.copy(segments = st.segments.map(s =>
+            if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
+          throw e
+      }
+    layout.commit { st =>
+      val others =
+        if (overwrite) st.segments.map(s =>
+          if (s.id != id && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete) else s)
+        else st.segments
+      st.copy(segments = others.map(s => if (s.id == id) seg else s))
+    }
+    id
+  }
+
+  /** LOAD DATA (CSV) with bad-record handling via Spark's PERMISSIVE
+    * mode (reference CarbonLoadDataCommand.scala:50; bad-record actions
+    * docs/dml-of-carbondata.md:68-71). `badRecordsAction`:
+    * FAIL | IGNORE | REDIRECT(badRecordsPath). */
+  def loadCsv(
+      csvPath: String,
+      options: Map[String, String] = Map.empty,
+      badRecordsAction: String = "FAIL",
+      badRecordsPath: Option[String] = None): Long = {
+    val target = schema
+    val base = spark.read
+      .options(Map("header" -> "true", "delimiter" -> ",") ++ options)
+    val raw = badRecordsAction.toUpperCase match {
+      case "FAIL" =>
+        base.option("mode", "FAILFAST").schema(target).csv(csvPath)
+      case "IGNORE" =>
+        base.option("mode", "DROPMALFORMED").schema(target).csv(csvPath)
+      case "REDIRECT" =>
+        val withCorrupt = StructType(target.fields :+
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType, true))
+        val df = base.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(withCorrupt).csv(csvPath).cache()
+        badRecordsPath.foreach { p =>
+          df.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record"))
+            .write.mode("append").text(p)
+        }
+        df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      case other => throw new IllegalArgumentException(s"bad records action: $other")
+    }
+    insert(raw)
+  }
+
+  // ------------------------------------------------------ segment lifecycle
+  /** SHOW SEGMENTS (CarbonShowSegmentsCommand.scala:35). */
+  def showSegments: DataFrame = {
+    import spark.implicits._
+    segments.sortBy(-_.id)
+      .map(s => (s.id, s.status, s.format, s.rowCount, s.sizeBytes,
+        s.files.size.toLong, new java.sql.Timestamp(s.createdAt)))
+      .toDF("id", "status", "format", "row_count", "size_bytes", "file_count", "created_at")
+  }
+
+  /** DELETE SEGMENT BY ID (CarbonDeleteLoadByIdCommand). */
+  def deleteSegmentsById(ids: Seq[Long]): Unit = layout.commit { st =>
+    val unknown = ids.toSet -- st.segments.map(_.id).toSet
+    require(unknown.isEmpty, s"no such segments: ${unknown.mkString(",")}")
+    st.copy(segments = st.segments.map(s =>
+      if (ids.contains(s.id) && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete)
+      else s))
+  }
+
+  /** DELETE SEGMENT BY DATE (CarbonDeleteLoadByLoadDateCommand). */
+  def deleteSegmentsBefore(tsMillis: Long): Unit = layout.commit { st =>
+    st.copy(segments = st.segments.map(s =>
+      if (s.createdAt < tsMillis && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete)
+      else s))
+  }
+
+  /** CLEAN FILES: physically remove non-visible segments and stale tmp
+    * dirs, then drop them from the commit log (CarbonCleanFilesCommand). */
+  def cleanFiles(): Seq[Long] = {
+    var removed = Seq.empty[Long]
+    layout.commit { st =>
+      val (dead, live) = st.segments.partition(s =>
+        s.status == SegmentStatus.MarkedForDelete || s.status == SegmentStatus.Compacted ||
+          (s.status == SegmentStatus.InProgress &&
+            System.currentTimeMillis() - s.createdAt > 3600 * 1000))
+      removed = dead.map(_.id)
+      val fs = layout.fs
+      dead.filter(_.externalPath.isEmpty)
+        .foreach(s => fs.delete(layout.segmentDir(s.id), true))
+      // stale tmp dirs from crashed writes
+      if (fs.exists(layout.segmentsDir)) {
+        fs.listStatus(layout.segmentsDir)
+          .filter(st0 => st0.isDirectory && st0.getPath.getName.startsWith(".tmp-"))
+          .filter(st0 => System.currentTimeMillis() - st0.getModificationTime > 3600 * 1000)
+          .foreach(st0 => fs.delete(st0.getPath, true))
+      }
+      st.copy(segments = live)
+    }
+    removed
+  }
+
+  /** ALTER TABLE COMPACT 'MINOR'|'MAJOR'|'CUSTOM' (segment ids).
+    * Sorted rewrite of the victim segments into one new segment +
+    * atomic swap (CarbonAlterTableCompactionCommand.scala:58).
+    * MINOR: merge when ≥ `minorThreshold` small visible segments;
+    * MAJOR: merge all visible segments below `majorSizeBytes`. */
+  def compact(
+      compactionType: String,
+      customIds: Seq[Long] = Nil,
+      minorThreshold: Int = 4,
+      majorSizeBytes: Long = 1024L * 1024 * 1024): Option[Long] = {
+    val visible = status.visible.filter(_.format == "parquet")
+    val victims = compactionType.toUpperCase match {
+      case "MINOR" =>
+        val small = visible.sortBy(_.id)
+        if (small.size >= minorThreshold) small else Nil
+      case "MAJOR" => visible.filter(_.sizeBytes < majorSizeBytes).sortBy(_.id)
+      case "CUSTOM" =>
+        require(customIds.nonEmpty, "CUSTOM compaction needs segment ids")
+        visible.filter(s => customIds.contains(s.id)).sortBy(_.id)
+      case other => throw new IllegalArgumentException(s"compaction type: $other")
+    }
+    if (victims.size < 2) None
+    else {
+      val df = spark.read.parquet(victims.flatMap(layout.segmentFilePaths): _*)
+      var id = -1L
+      layout.commit { st =>
+        id = st.nextSegmentId
+        st.copy(segments = st.segments :+ SegmentMeta(
+          id, SegmentStatus.InProgress, "parquet", Nil, -1L, 0L, Map.empty,
+          meta.sortColumns, System.currentTimeMillis()))
+      }
+      val seg = SegmentWriter.write(layout, meta, df, id)
+      val victimIds = victims.map(_.id).toSet
+      layout.commit { st =>
+        st.copy(segments = st.segments.map { s =>
+          if (s.id == id) seg
+          else if (victimIds.contains(s.id)) s.copy(status = SegmentStatus.Compacted)
+          else s
+        })
+      }
+      Some(id)
+    }
+  }
+
+  /** ALTER TABLE ADD SEGMENT: register an external folder of data files
+    * as a segment without moving them (CarbonAddLoadCommand.scala:66;
+    * mixed formats per MixedFormatHandler.scala:56). */
+  def addSegment(externalPath: String, format: String = "parquet"): Long = {
+    require(Seq("parquet", "orc", "csv", "json").contains(format),
+      s"unsupported segment format: $format")
+    val fs = new org.apache.hadoop.fs.Path(externalPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(externalPath))
+      .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+      .filterNot(_.getPath.getName.startsWith("."))
+    require(files.nonEmpty, s"no data files at $externalPath")
+    val rowCount =
+      if (format == "parquet")
+        spark.read.parquet(externalPath).count()
+      else -1L
+    var id = -1L
+    layout.commit { st =>
+      id = st.nextSegmentId
+      st.copy(segments = st.segments :+ SegmentMeta(
+        id, SegmentStatus.Success, format,
+        files.map(_.getPath.getName).toSeq.sorted, rowCount,
+        files.map(_.getLen).sum, Map.empty, Nil,
+        System.currentTimeMillis(), externalPath = Some(externalPath)))
+    }
+    id
+  }
+}
+
+object GraftTable {
+  /** CREATE TABLE (CarbonCreateTableCommand.scala:38). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      sortColumns: Seq[String] = Nil,
+      sortScope: String = "GLOBAL_SORT",
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val bad = sortColumns.filterNot(c => schema.fieldNames.contains(c))
+    require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
+    require(Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT").contains(sortScope),
+      s"bad sort scope $sortScope")
+    val t = new GraftTable(spark, path)
+    require(!t.layout.exists, s"table already exists at $path")
+    t.layout.writeTableMeta(TableMeta(schema.json, sortColumns, sortScope, properties))
+    t
+  }
+
+  def at(spark: SparkSession, path: String): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(t.layout.exists, s"no carbonish table at $path")
+    t
+  }
+
+  /** CTAS (CarbonCreateTableAsSelectCommand.scala:38). */
+  def createAsSelect(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      sortColumns: Seq[String] = Nil,
+      sortScope: String = "GLOBAL_SORT",
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = create(spark, path, df.schema, sortColumns, sortScope, properties)
+    t.insert(df)
+    t
+  }
+
+  def drop(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.engine.format
+
+/** Segment-based table metadata model.
+  *
+  * Mirrors the semantics of the reference's segment/tablestatus design
+  * (reference: format/src/main/thrift/carbondata.thrift:29-33 SegmentInfo;
+  * integration/spark/.../strategy/CarbonSourceStrategy.scala:202-206
+  * TableStatusReadCommittedScope) re-expressed as plain JSON files over
+  * Parquet data. A segment is the unit of load, delete, compaction and
+  * time-scoped reads; queries see exactly the set of segments whose
+  * status is visible in the `tablestatus.json` commit log.
+  *
+  * Scale note: tablestatus holds one small record per segment (a 100 TB
+  * table at 1 GB segments is ~100k records, a few MB of JSON) and is read
+  * once per query on the driver — never shipped to executors.
+  */
+object SegmentStatus {
+  val Success = "SUCCESS"
+  val InProgress = "IN_PROGRESS"
+  val MarkedForDelete = "MARKED_FOR_DELETE"
+  val Compacted = "COMPACTED"
+  val Streaming = "STREAMING" // open row-ish segment being appended by a stream
+  /** statuses whose data participates in query scans */
+  val visible: Set[String] = Set(Success, Streaming)
+}
+
+/** Per-column min/max/null statistics, values serialized as strings in a
+  * type-independent lexical form chosen by [[StatValue]]. */
+case class ColumnStats(
+    min: Option[String],
+    max: Option[String],
+    nullCount: Long)
+
+/** One committed load/insert/compaction result. `files` are names relative
+  * to the segment directory `<table>/segments/<id>/`. */
+case class SegmentMeta(
+    id: Long,
+    status: String,
+    format: String, // "parquet" | "orc" | "csv" | "json" (ADD SEGMENT mixed formats)
+    files: Seq[String],
+    rowCount: Long,
+    sizeBytes: Long,
+    stats: Map[String, ColumnStats],
+    sortColumns: Seq[String],
+    createdAt: Long,
+    /** for ADD SEGMENT: absolute external location; None = managed layout */
+    externalPath: Option[String] = None,
+    /** event-time watermark info for streaming segments (micros) */
+    updatedAt: Option[Long] = None) {
+  def isVisible: Boolean = SegmentStatus.visible(status)
+}
+
+/** The atomic commit log: full list of segments ever created (until
+  * CLEAN FILES garbage-collects terminal ones). */
+case class TableStatus(
+    version: Long,
+    segments: Seq[SegmentMeta]) {
+  def visible: Seq[SegmentMeta] = segments.filter(_.isVisible)
+  def nextSegmentId: Long =
+    if (segments.isEmpty) 0L else segments.map(_.id).max + 1L
+}
+
+/** Table-level metadata: schema, sort columns, user properties. */
+case class TableMeta(
+    schemaJson: String,
+    sortColumns: Seq[String],
+    sortScope: String, // NO_SORT | LOCAL_SORT | GLOBAL_SORT
+    properties: Map[String, String],
+    partitionColumns: Seq[String] = Nil)

@@ -1,0 +1,123 @@
+package graft.engine.format
+
+import java.sql.{Date, Timestamp}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+/** Encoding + comparison of per-segment column min/max values.
+  *
+  * Values are stored in `segmentmeta.stats` as strings in a canonical
+  * form per type family:
+  *   - numeric (byte..double, decimal): plain decimal string
+  *   - string: the raw string
+  *   - date: epoch day as decimal string
+  *   - timestamp: epoch micros as decimal string
+  *   - boolean: "0"/"1"
+  *
+  * Comparison against filter literals (DSv2 `sources.Filter` values) is
+  * *conservative*: `None` means "don't know" and the pruner must keep the
+  * segment. A wrong prune corrupts results; a missed prune only costs IO
+  * (the reference's min/max blocklet skip has the same contract,
+  * hadoop/.../CarbonInputFormat.java:540-584).
+  */
+object StatValue {
+
+  /** Canonical string form of a value observed at write time. */
+  def encode(v: Any): Option[String] = v match {
+    case null => None
+    case b: Boolean => Some(if (b) "1" else "0")
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some(n.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.underlying.toPlainString)
+    case s: String => Some(s)
+    case t: Timestamp => Some((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString)
+    case i: Instant => Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
+    case d: Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: LocalDate => Some(d.toEpochDay.toString)
+    case d: LocalDateTime => encode(d.toInstant(ZoneOffset.UTC))
+    case _ => None // complex / binary: no stats
+  }
+
+  /** Normalize a filter literal to the same canonical space as `encode`,
+    * tagged with its comparison family. */
+  private def literal(v: Any): Option[(Char, Any)] = v match {
+    case null => None
+    case b: Boolean => Some(('n', BigDecimal(if (b) 1 else 0)))
+    case n: Byte => Some(('n', BigDecimal(n.toInt)))
+    case n: Short => Some(('n', BigDecimal(n.toInt)))
+    case n: Int => Some(('n', BigDecimal(n)))
+    case n: Long => Some(('n', BigDecimal(n)))
+    case n: Float => if (n.isNaN || n.isInfinite) None else Some(('n', BigDecimal(n.toDouble)))
+    case n: Double => if (n.isNaN || n.isInfinite) None else Some(('n', BigDecimal(n)))
+    case d: java.math.BigDecimal => Some(('n', BigDecimal(d)))
+    case d: BigDecimal => Some(('n', d))
+    case s: String => Some(('s', s))
+    case t: Timestamp => Some(('n', BigDecimal(t.getTime * 1000L + (t.getNanos / 1000) % 1000)))
+    case i: Instant => Some(('n', BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000)))
+    case d: Date => Some(('n', BigDecimal(d.toLocalDate.toEpochDay)))
+    case d: LocalDate => Some(('n', BigDecimal(d.toEpochDay)))
+    case d: LocalDateTime => // TIMESTAMP_NTZ literals
+      Some(('n', BigDecimal(d.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L +
+        d.getNano / 1000)))
+    case _ => None
+  }
+
+  private def asciiOnly(s: String): Boolean = s.forall(_ < 128)
+
+  /** compare(stored, lit) < 0 iff stored < lit; None = incomparable. */
+  def compare(stored: String, lit: Any): Option[Int] = literal(lit).flatMap {
+    case ('n', d: BigDecimal) =>
+      try Some(BigDecimal(stored).compare(d)) catch { case _: NumberFormatException => None }
+    case ('s', s: String) =>
+      // UTF8String binary order == String order only for ASCII; stay
+      // conservative outside that range.
+      if (asciiOnly(stored) && asciiOnly(s)) Some(stored.compareTo(s)) else None
+    case _ => None
+  }
+}
+
+/** Evaluates pushed-down DSv2 filters against segment-level min/max —
+  * the first rung of the pruning ladder (segment stats → parquet
+  * row-group stats → parquet page/bloom, SURVEY §7.1). */
+object SegmentPruner {
+  import org.apache.spark.sql.sources._
+
+  /** true = segment may contain matching rows (keep); false = provably
+    * disjoint (skip). Unknown anything → keep. */
+  def mayMatch(seg: SegmentMeta, filter: Filter): Boolean = {
+    if (seg.rowCount == 0) return false // committed-empty segment
+
+    def stats(attr: String): Option[ColumnStats] = seg.stats.get(attr)
+    def cmpMin(attr: String, v: Any): Option[Int] =
+      stats(attr).flatMap(_.min).flatMap(StatValue.compare(_, v))
+    def cmpMax(attr: String, v: Any): Option[Int] =
+      stats(attr).flatMap(_.max).flatMap(StatValue.compare(_, v))
+
+    filter match {
+      case EqualTo(a, v) =>
+        !(cmpMin(a, v).exists(_ > 0) || cmpMax(a, v).exists(_ < 0))
+      case EqualNullSafe(a, v) =>
+        if (v == null) stats(a).forall(_.nullCount > 0)
+        else !(cmpMin(a, v).exists(_ > 0) || cmpMax(a, v).exists(_ < 0))
+      case GreaterThan(a, v) => !cmpMax(a, v).exists(_ <= 0)
+      case GreaterThanOrEqual(a, v) => !cmpMax(a, v).exists(_ < 0)
+      case LessThan(a, v) => !cmpMin(a, v).exists(_ >= 0)
+      case LessThanOrEqual(a, v) => !cmpMin(a, v).exists(_ > 0)
+      case In(a, vs) =>
+        vs.isEmpty || vs.exists(v =>
+          !(cmpMin(a, v).exists(_ > 0) || cmpMax(a, v).exists(_ < 0)))
+      case IsNull(a) => stats(a).forall(_.nullCount > 0)
+      case IsNotNull(a) =>
+        stats(a).forall(s => seg.rowCount == 0 || s.nullCount < seg.rowCount)
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        // [min,max] must intersect [p, p + U+10FFFF...)
+        !(cmpMin(a, p + "￿").exists(_ > 0) || cmpMax(a, p).exists(_ < 0))
+      case And(l, r) => mayMatch(seg, l) && mayMatch(seg, r)
+      case Or(l, r) => mayMatch(seg, l) || mayMatch(seg, r)
+      case _ => true // Not, EndsWith, Contains, unknown: conservative keep
+    }
+  }
+
+  def prune(segments: Seq[SegmentMeta], filters: Seq[Filter]): Seq[SegmentMeta] =
+    segments.filter(seg => filters.forall(f => mayMatch(seg, f)))
+}

@@ -1,0 +1,118 @@
+package graft.engine.format
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Options, Path}
+
+import java.io.{InputStreamReader, BufferedReader}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** On-disk layout + atomic metadata IO for a carbonish table.
+  *
+  * Layout (reference semantics: Metadata/tablestatus + per-segment files;
+  * here JSON + parquet):
+  * {{{
+  *   <table>/_meta/tablemeta.json      — schema, sort columns, properties
+  *   <table>/_meta/tablestatus.json    — commit log (TableStatus)
+  *   <table>/segments/<id>/part-N.parquet — data files of segment <id>
+  * }}}
+  *
+  * Commits are atomic: metadata is written to a temp file then renamed
+  * over the target (single-file rename is atomic on HDFS and local FS).
+  * Concurrent writers serialize on a best-effort `.lock` file (the
+  * reference uses table-level lock files too, SURVEY §7.4).
+  */
+class TableLayout(val tablePath: String, conf: Configuration) {
+  val root = new Path(tablePath)
+  val metaDir = new Path(root, "_meta")
+  val segmentsDir = new Path(root, "segments")
+  private val statusPath = new Path(metaDir, "tablestatus.json")
+  private val tableMetaPath = new Path(metaDir, "tablemeta.json")
+  private val lockPath = new Path(metaDir, ".lock")
+
+  def fs: FileSystem = root.getFileSystem(conf)
+
+  def segmentDir(id: Long): Path = new Path(segmentsDir, id.toString)
+  def tmpSegmentDir(id: Long): Path =
+    new Path(segmentsDir, s".tmp-$id-${UUID.randomUUID().toString.take(8)}")
+
+  def exists: Boolean = fs.exists(tableMetaPath)
+
+  // ---- JSON (jackson-scala ships with Spark) ----
+  private def mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    // derived defs (isVisible, nextSegmentId, …) serialize as extra
+    // properties; tolerate them (and future schema additions) on read
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private def readJson[T](p: Path, clazz: Class[T]): T = {
+    val in = fs.open(p)
+    try {
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val sb = new StringBuilder
+      var line = r.readLine()
+      while (line != null) { sb.append(line).append('\n'); line = r.readLine() }
+      mapper.readValue(sb.toString, clazz)
+    } finally in.close()
+  }
+
+  private def writeJsonAtomic[T](p: Path, value: T): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(value))
+    finally out.close()
+    // FileContext.rename supports atomic OVERWRITE (plain FileSystem doesn't)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  // ---- table meta ----
+  def writeTableMeta(meta: TableMeta): Unit = {
+    fs.mkdirs(metaDir); fs.mkdirs(segmentsDir)
+    writeJsonAtomic(tableMetaPath, meta)
+  }
+  def readTableMeta(): TableMeta = readJson(tableMetaPath, classOf[TableMeta])
+
+  // ---- tablestatus commit log ----
+  def readStatus(): TableStatus =
+    if (fs.exists(statusPath)) readJson(statusPath, classOf[TableStatus])
+    else TableStatus(0L, Nil)
+
+  /** Read-modify-write of the commit log under the table lock. */
+  def commit(update: TableStatus => TableStatus): TableStatus = withLock {
+    val next0 = update(readStatus())
+    val next = next0.copy(version = next0.version + 1)
+    writeJsonAtomic(statusPath, next)
+    next
+  }
+
+  private def withLock[T](body: => T): T = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var locked = false
+    fs.mkdirs(metaDir)
+    while (!locked) {
+      try { locked = fs.createNewFile(lockPath) }
+      catch { case _: java.io.IOException => }
+      if (!locked) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire table lock $lockPath within 60s")
+        Thread.sleep(50)
+      }
+    }
+    try body
+    finally fs.delete(lockPath, false)
+  }
+
+  /** List absolute data-file paths of the given segment. */
+  def segmentFilePaths(seg: SegmentMeta): Seq[String] = {
+    val base = seg.externalPath.map(new Path(_)).getOrElse(segmentDir(seg.id))
+    seg.files.map(f => new Path(base, f).toString)
+  }
+}

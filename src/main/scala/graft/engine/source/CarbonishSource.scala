@@ -1,0 +1,207 @@
+package graft.engine.source
+
+import graft.engine.GraftTable
+import graft.engine.format._
+
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{AggregatePushDownUtils, DataSourceStrategy, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.hadoop.fs.Path
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** `format("carbonish")` — the segment-managed table source.
+  *
+  * Reference semantics: CarbonSource + CarbonScanRDD + the
+  * CarbonInputFormat pruning ladder (SURVEY §2.1, §3.1). Spark-first
+  * design: the table resolves its *visible segment* file set from the
+  * tablestatus commit log, applies segment-level min/max skip in a
+  * custom FileIndex, and then delegates the actual columnar scan to
+  * Spark's vectorized Parquet reader via ParquetScanBuilder — so filter
+  * pushdown, nested-column pruning, row-group/page skipping and
+  * whole-stage codegen are all inherited rather than re-implemented.
+  */
+class CarbonishSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "carbonish"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse {
+      val paths = Option(options.get("paths")).getOrElse(
+        throw new IllegalArgumentException("carbonish: 'path' option required"))
+      paths
+    }
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val layout = new TableLayout(tablePath(options), spark.sessionState.newHadoopConf())
+    DataType.fromJson(layout.readTableMeta().schemaJson).asInstanceOf[StructType]
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CarbonishTable(tablePath(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+class CarbonishTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"carbonish.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val layout = new TableLayout(path, spark.sessionState.newHadoopConf())
+    val status = layout.readStatus()
+    // `insegment('0,2')`-style pinned reads (reference CarbonEnv.scala:100)
+    val pinned = Option(options.get("segments")).map(_.split(",").map(_.trim.toLong).toSet)
+    val visible = status.visible.filter(s => pinned.forall(_.contains(s.id)))
+    val fileIndex = new SegmentFileIndex(spark, layout, visible, tableSchema)
+    // metadata count(*) is only sound when every visible segment carries
+    // an exact row count (external ADD SEGMENT files may not)
+    val totalRows =
+      if (visible.forall(s => s.rowCount >= 0 && s.format == "parquet"))
+        Some(visible.map(_.rowCount).sum)
+      else None
+    new CarbonishScanBuilder(spark, fileIndex, tableSchema, options, totalRows)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              GraftTable.at(data.sparkSession, path).insert(data, overwrite)
+          }
+      }
+    }
+}
+
+/** FileIndex over the visible segments' parquet files with segment-level
+  * min/max pruning — rung 1 of the ladder (rungs 2–3, row-group stats and
+  * page/bloom skip, happen inside the delegated parquet reader). */
+class SegmentFileIndex(
+    spark: SparkSession,
+    layout: TableLayout,
+    visible: Seq[SegmentMeta],
+    schema: StructType)
+  extends InMemoryFileIndex(
+    spark,
+    visible.flatMap(layout.segmentFilePaths).map(new Path(_)),
+    Map.empty[String, String],
+    Some(schema)) {
+
+  private val segmentOfFile: Map[String, SegmentMeta] =
+    visible.flatMap(s => layout.segmentFilePaths(s).map(_ -> s)).toMap
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    val filters: Seq[Filter] =
+      dataFilters.flatMap(e => org.apache.spark.sql.graft.Shims.translateFilter(e))
+    if (filters.isEmpty || visible.isEmpty) dirs
+    else {
+      val kept = SegmentPruner.prune(visible, filters).map(_.id).toSet
+      val pruned = dirs.map { d =>
+        d.copy(files = d.files.filter { f =>
+          segmentOfFile.get(f.getPath.toString).forall(s => kept(s.id))
+        })
+      }.filter(_.files.nonEmpty)
+      logInfo(s"[graft] segment min/max skip: kept ${kept.size}/${visible.size} " +
+        s"segments for filters ${filters.mkString("[", ", ", "]")}")
+      pruned
+    }
+  }
+}
+
+/** ParquetScanBuilder (delegated) + metadata-only count(*).
+  *
+  * Reference: CarbonCountStar answers `SELECT count(*)` from segment
+  * metadata without touching data (CarbonCountStar.scala:44-50). Here:
+  * if Spark pushes a bare CountStar aggregation and no filters are
+  * pushed, we answer from the tablestatus row counts with a driver-local
+  * scan — zero files opened. Everything else falls through to the
+  * built-in parquet aggregate/filter pushdown (composition, because
+  * ParquetScanBuilder.build() narrows its return type to ParquetScan).
+  */
+class CarbonishScanBuilder(
+    spark: SparkSession,
+    fileIndex: SegmentFileIndex,
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    totalRows: Option[Long])
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private val delegate = ParquetScanBuilder(spark, fileIndex, schema, schema, options)
+  private var metaCount: Option[(Long, StructType)] = None
+  // any predicate at all (pushed or residual) disables the metadata count
+  private var sawFilters = false
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    sawFilters ||= filters.nonEmpty
+    delegate.pushFilters(filters)
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  private def bareCountStar(aggregation: Aggregation): Boolean =
+    totalRows.isDefined && !sawFilters &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    bareCountStar(aggregation) || delegate.supportCompletePushDown(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (bareCountStar(aggregation)) {
+      AggregatePushDownUtils.getSchemaForPushedAggregation(
+        aggregation, schema, Set.empty[String], Seq.empty) match {
+        case Some(aggSchema) =>
+          metaCount = Some((totalRows.get, aggSchema)); true
+        case None => delegate.pushAggregation(aggregation)
+      }
+    } else delegate.pushAggregation(aggregation)
+
+  override def build(): Scan = metaCount match {
+    case Some((n, aggSchema)) => MetadataCountScan(n, aggSchema)
+    case None => delegate.build()
+  }
+}
+
+/** Driver-local one-row scan carrying the metadata count. */
+case class MetadataCountScan(count: Long, aggSchema: StructType) extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(InternalRow(count))
+  override def readSchema(): StructType = aggSchema
+  override def description(): String = s"GraftMetadataCountScan(count=$count)"
+}

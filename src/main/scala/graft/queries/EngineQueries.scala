@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.engine.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** CORRECTNESS rows that exercise the carbonish ENGINE, not raw parquet:
+  * the driver's DuckDB oracle still reads the original parquet fixtures,
+  * so these queries prove the engine's load → segment → scan path is
+  * value-identical to the source data (the reference's own differential
+  * methodology, SURVEY §5).
+  *
+  * Fixture tables are built once per (sf, table) under /tmp/graft_tables
+  * and reused across JVMs (Verify and Bench run separately).
+  */
+object EngineQueries {
+
+  private val lock = new Object
+  private def fixturePath(sfDir: String, name: String): String = {
+    val base = new java.io.File(sfDir).getName
+    s"/tmp/graft_tables/$base/$name"
+  }
+
+  /** lineitem as one GLOBAL_SORT segment sorted by (l_shipdate, l_orderkey). */
+  def lineitem(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = fixturePath(d, "lineitem")
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    if (layout.exists && layout.readStatus().visible.nonEmpty) GraftTable.at(s, p)
+    else {
+      if (layout.exists) GraftTable.drop(s, p)
+      GraftTable.createAsSelect(s, p, t(s, d, "lineitem"),
+        sortColumns = Seq("l_shipdate", "l_orderkey"))
+    }
+  }
+
+  /** orders split into 3 date-range segments (exercises segment skip). */
+  def orders3(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = fixturePath(d, "orders3")
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    if (layout.exists && layout.readStatus().visible.size == 3) GraftTable.at(s, p)
+    else {
+      if (layout.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderdate", "o_orderkey"))
+      val c1 = lit("1995-01-01").cast("timestamp")
+      val c2 = lit("1997-01-01").cast("timestamp")
+      tbl.insert(src.filter(col("o_orderdate") < c1))
+      tbl.insert(src.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2))
+      tbl.insert(src.filter(col("o_orderdate") >= c2))
+      tbl
+    }
+  }
+
+  def queries: Map[String, QFn] = Map(
+    // flagship TPC-H Q1 through the engine: sorted segment + DSv2 scan
+    "q1_agg_carbonish" -> ((s, d) => {
+      lineitem(s, d).read
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    // metadata-only count(*) (reference CarbonCountStar.scala:44-50):
+    // plans as a driver-local scan, zero files opened
+    "q_countstar_meta" -> ((s, d) =>
+      lineitem(s, d).read.agg(count(lit(1)).as("cnt"))),
+    // sort-column filter over a multi-segment table: segment min/max skip
+    // drops 2 of 3 segments before any file IO
+    "q_engine_prune" -> ((s, d) => {
+      orders3(s, d).read
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    // insegment('1')-style pinned read (reference CarbonEnv.scala:100):
+    // segment 1 holds exactly the 1995-1996 date range by construction
+    "q_engine_insegment" -> ((s, d) => {
+      orders3(s, d).readSegments(Seq(1))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg_carbonish" -> RelationalQueries.oracle("q1_agg"),
+    "q_countstar_meta" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_engine_prune" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+          GROUP BY o_orderstatus""",
+    "q_engine_insegment" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY o_orderpriority"""
+  )
+}

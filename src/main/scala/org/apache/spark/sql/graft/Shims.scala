@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+import org.apache.spark.sql.sources.Filter
+
+/** Narrow bridge to `protected[sql]` Spark internals. The reference
+  * integrates the same way — its Spark-side code lives inside the
+  * `org.apache.spark.sql` package tree (e.g. CarbonSource.scala,
+  * CarbonSourceStrategy.scala) precisely to reach these hooks. */
+object Shims {
+  /** Catalyst predicate → DSv2 source filter (for segment-stat pruning). */
+  def translateFilter(e: Expression): Option[Filter] =
+    DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
+}
