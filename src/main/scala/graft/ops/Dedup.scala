@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Everything here is shuffle-minimal by construction:
+  *   - exact dedup: one hash-groupBy on the content fingerprint;
+  *   - MinHash+LSH near-dup: per-row signature (no shuffle) → explode to
+  *     (band, key) buckets → equi-join *within* buckets. Never an
+  *     all-pairs crossJoin; at 100 TB the bucket join shuffles only
+  *     (numBands × rows), and bucket skew is bounded by the band width.
+  *   - SimHash: pure per-row fold (aggregate HOF), zero shuffle.
+  *
+  * All hashing goes through md5-derived [[h32]] so a SQL oracle
+  * (DuckDB) can reproduce signatures bit-for-bit.
+  */
+object Dedup {
+
+  /** 32-bit-ish seeded hash, cross-engine reproducible:
+    * first 8 md5 hex chars of "seed|x" as a BIGINT. */
+  def h32(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 8), 16, 10).cast("long")
+  def oH32(seed: Int, x: String): String =
+    s"CAST('0x' || substr(md5('$seed|' || $x), 1, 8) AS BIGINT)"
+
+  def normTokens(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** Word n-gram shingles of a token array (empty if fewer than n). */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)))
+  def oShingles(toks: String, n: Int): String = {
+    val gram = (0 until n).map(k => s"$toks[i+$k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toks) < $n THEN [] ELSE
+        list_transform(range(1, len($toks) - ${n - 2}), i -> $gram) END"""
+  }
+
+  /** MinHash signature: for each seed, the min h32 over the shingle set.
+    * Per-row computation — embarrassingly parallel. */
+  def minhashSig(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(sh, x => h32(j, x)))): _*)
+  def oMinhashSig(sh: String, numHashes: Int): Seq[String] =
+    (0 until numHashes).map(j => s"list_min(list_transform($sh, x -> ${oH32(j, "x")}))")
+
+  /** Banded-LSH candidate pairs: ids sharing any band of the signature.
+    * `rowsPerBand` consecutive minhashes form one band key. Returns
+    * distinct (a, b) with a < b. */
+  def lshCandidates(
+      sigDf: DataFrame, // (id: long, sig: array<long>)
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = sigDf.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .filter(!col("key").contains("null") && col("key") =!= "")
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for verifying candidates: |A∩B| / |A∪B|
+    * computed in exact integers, one final double division. */
+  def jaccard(tokA: Column, tokB: Column): Column = {
+    val da = array_distinct(tokA); val db = array_distinct(tokB)
+    val inter = size(array_intersect(da, db)).cast("long")
+    val uni = (size(da) + size(db)).cast("long") - inter
+    (inter.cast("double") / uni.cast("double"))
+  }
+
+  /** 16-bit SimHash over the distinct token set — per-row fold, no
+    * shuffle. Bit j is set iff Σ_tokens (±1 by bit j of h32(token)) ≥ 0. */
+  def simhash16(tokens: Column): Column = {
+    val toks = array_distinct(tokens)
+    (0 until 16).map { j =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, x) => acc + when(shiftright(h32(0, x), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+  def oSimhash16(toks: String): String = {
+    val dt = s"list_distinct($toks)"
+    (0 until 16).map { j =>
+      val vote = s"list_sum(list_transform($dt, x -> CASE WHEN (${oH32(0, "x")} >> $j) & 1 = 1 THEN 1 ELSE -1 END))"
+      s"CASE WHEN $vote >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+}

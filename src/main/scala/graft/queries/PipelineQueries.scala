@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.ops.{Ann, Dedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** LLM-training-data pipeline operators as CORRECTNESS rows: exact and
+  * near deduplication, SimHash fingerprints, embedding ANN, multimodal
+  * binary metadata. Each Spark query has a DuckDB oracle generated from
+  * the same constants so signatures match bit-for-bit.
+  *
+  * The documents fixture has no natural duplicates, so the dedup queries
+  * build a deterministic corpus: every doc with doc_id % 5 == 0 gets a
+  * copy (id + 1000000) — exact for the exact-dedup row, first-token-
+  * dropped for the near-dup row. Both engines construct the same corpus.
+  */
+object PipelineQueries {
+
+  private val NumHashes = 6
+  private val Bands = 3 // → 2 rows per band
+  private val ShingleN = 3
+  private val JaccThreshold = 0.5
+
+  // ---- shared corpus builders (Spark) ----
+  private def norm(c: Column): Column = lower(trim(c))
+
+  private def mutated(text: Column): Column =
+    when(locate(" ", text) > 0, expr("substring(text, locate(' ', text) + 1)"))
+      .otherwise(text)
+
+  private def exactCorpus(df: DataFrame): DataFrame =
+    df.select(col("doc_id").as("id"), norm(col("text")).as("norm"))
+      .union(df.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), norm(col("text")).as("norm")))
+
+  private def nearCorpus(df: DataFrame): DataFrame =
+    df.select(col("doc_id").as("id"), norm(col("text")).as("norm"))
+      .union(df.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), norm(mutated(col("text"))).as("norm")))
+
+  // ---- shared corpus builders (oracle SQL) ----
+  private val oMut =
+    "CASE WHEN strpos(text, ' ') > 0 THEN substr(text, strpos(text, ' ') + 1) ELSE text END"
+  private val oExactCorpus =
+    s"""SELECT doc_id AS id, lower(trim(text)) AS norm FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, lower(trim(text)) AS norm FROM documents WHERE doc_id % 5 = 0"""
+  private val oNearCorpus =
+    s"""SELECT doc_id AS id, lower(trim(text)) AS norm FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, lower(trim($oMut)) AS norm FROM documents WHERE doc_id % 5 = 0"""
+
+  def queries: Map[String, QFn] = Map(
+    // ---- exact dedup: hash-groupBy on content fingerprint ----
+    "q_dedup_exact" -> ((s, d) => {
+      exactCorpus(t(s, d, "documents"))
+        .groupBy(md5(col("norm")).as("content_md5"))
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .filter(col("n") > 1)
+    }),
+
+    // ---- near-dup: MinHash signatures → banded LSH buckets →
+    //      in-bucket pair join → exact-Jaccard verify. No crossJoin. ----
+    "q_dedup_minhash" -> ((s, d) => {
+      val toks = nearCorpus(t(s, d, "documents"))
+        .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
+        .filter(size(col("toks")) >= ShingleN)
+      val sig = toks.select(col("id"),
+        Dedup.minhashSig(Dedup.shingles(col("toks"), ShingleN), NumHashes).as("sig"))
+      val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)
+      val ta = toks.as("ta"); val tb = toks.as("tb")
+      pairs.join(ta, col("a") === col("ta.id"))
+        .join(tb, col("b") === col("tb.id"))
+        .select(col("a"), col("b"),
+          Dedup.jaccard(col("ta.toks"), col("tb.toks")).as("jacc"))
+        .filter(col("jacc") >= JaccThreshold)
+    }),
+
+    // ---- SimHash fingerprint: per-row fold, zero shuffle ----
+    "q_dedup_simhash" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Dedup.simhash16(Dedup.normTokens(norm(col("text")))).as("simhash16"))
+    }),
+
+    // ---- ANN: brute-force cosine top-5 over quantized embeddings ----
+    "q_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      val queries = emb.filter(col("id") % 50 === 0)
+      Ann.bruteForceTopK(queries, emb, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
+    // ---- multimodal: opaque binary column + typed metadata extract ----
+    "q_multimodal_meta" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        hex(substring(col("text"), 1, 4).cast("binary")).as("magic_hex"),
+        md5(col("text")).as("blob_md5"),
+        // deterministic fake "decode": pretend the first byte picks a codec
+        when(substring(col("text"), 1, 1) < "m", "codec_a")
+          .otherwise("codec_b").as("codec"))
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val oToks = "string_split(norm, ' ')"
+    val oSig = Dedup.oMinhashSig("sh", NumHashes)
+      .mkString("[", ", ", "]")
+    val rows = NumHashes / Bands
+    val oBanded = (0 until Bands).map { b =>
+      val key = (0 until rows)
+        .map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS key, toks FROM sig"
+    }.mkString(" UNION ALL ")
+    Map(
+      "q_dedup_exact" ->
+        s"""WITH corpus AS ($oExactCorpus)
+            SELECT md5(norm) AS content_md5, count(*) AS n,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM corpus GROUP BY 1 HAVING count(*) > 1""",
+      "q_dedup_minhash" ->
+        s"""WITH corpus AS ($oNearCorpus),
+            toks0 AS (SELECT id, $oToks AS toks FROM corpus),
+            toks AS (SELECT id, toks FROM toks0 WHERE len(toks) >= $ShingleN),
+            sh AS (SELECT id, toks, ${Dedup.oShingles("toks", ShingleN)} AS sh FROM toks),
+            sig AS (SELECT id, toks, $oSig AS sig FROM sh),
+            banded AS ($oBanded),
+            pairs AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+            verified AS (
+              SELECT p.a, p.b,
+                CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE)
+                / CAST(len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
+                       - len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE) AS jacc
+              FROM pairs p
+              JOIN toks ta ON p.a = ta.id
+              JOIN toks tb ON p.b = tb.id)
+            SELECT a, b, jacc FROM verified WHERE jacc >= $JaccThreshold""",
+      "q_dedup_simhash" ->
+        s"""SELECT doc_id,
+            ${Dedup.oSimhash16("string_split(lower(trim(text)), ' ')")} AS simhash16
+            FROM documents""",
+      "q_ann_topk" -> {
+        val qv = Ann.oQuantize("embedding")
+        s"""WITH emb AS (
+              SELECT vec_id AS id, $qv AS qv, ${Ann.oNormQ(qv)} AS nq
+              FROM embeddings),
+            scored AS (
+              SELECT q.id AS query_id, c.id AS neighbor_id,
+                CAST(${Ann.oDotQ("q.qv", "c.qv")} AS DOUBLE)
+                  / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos
+              FROM emb q JOIN emb c ON q.id % 50 = 0 AND q.id <> c.id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 5"""
+      },
+      "q_multimodal_meta" ->
+        """SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           hex(CAST(substring(text, 1, 4) AS BLOB)) AS magic_hex,
+           md5(text) AS blob_md5,
+           CASE WHEN substring(text, 1, 1) < 'm' THEN 'codec_a' ELSE 'codec_b' END AS codec
+           FROM documents"""
+    )
+  }
+}

