@@ -104,6 +104,31 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     insert(raw)
   }
 
+  // ----------------------------------------------------------------- IUD
+  /** DELETE FROM … WHERE (copy-on-write, affected segments only —
+    * CarbonProjectForDeleteCommand.scala:44). Returns #rows deleted. */
+  def delete(cond: org.apache.spark.sql.Column): Long = Mutation.delete(this, cond)
+
+  /** UPDATE … SET … WHERE (CarbonProjectForUpdateCommand.scala:48).
+    * Returns #rows updated. */
+  def update(cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long =
+    Mutation.update(this, cond, set)
+
+  /** Dataset merge builder (MergeDataSetBuilder.scala:39-96). Reference
+    * target columns as `t.<col>`, source columns as `s.<col>` in the
+    * condition and action expressions. */
+  def merge(source: DataFrame, condition: org.apache.spark.sql.Column): MergeBuilder =
+    new MergeBuilder(this, source, condition)
+
+  /** upsert shortcut (docs/scd-and-cdc-guide.md:30-76): update matched,
+    * insert unmatched, keyed on `key`. */
+  def upsert(source: DataFrame, key: String): Option[Long] =
+    merge(source, col(s"t.$key") === col(s"s.$key"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+
   // ------------------------------------------------------ segment lifecycle
   /** SHOW SEGMENTS (CarbonShowSegmentsCommand.scala:35). */
   def showSegments: DataFrame = {

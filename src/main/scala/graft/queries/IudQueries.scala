@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.engine.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** IUD correctness rows: build a fresh carbonish table from the fixture,
+  * mutate it through the engine, and return the post-mutation state; the
+  * DuckDB oracle performs the same mutation relationally over the
+  * original parquet (VERDICT r2 item 9). Tables are rebuilt on every
+  * invocation so the rows stay idempotent across Verify/Bench runs. */
+object IudQueries {
+
+  private val lock = new Object
+  private def freshTable(
+      s: SparkSession, d: String, name: String, src: DataFrame,
+      sortCols: Seq[String]): GraftTable = lock.synchronized {
+    val base = new java.io.File(d).getName
+    val p = s"/tmp/graft_tables/$base/iud_$name"
+    GraftTable.drop(s, p)
+    GraftTable.createAsSelect(s, p, src, sortCols)
+  }
+
+  def queries: Map[String, QFn] = Map(
+    // DELETE FROM orders WHERE o_orderstatus='F' AND o_totalprice<100000
+    "q_iud_delete" -> ((s, d) => {
+      val t0 = freshTable(s, d, "del", t(s, d, "orders"), Seq("o_orderkey"))
+      t0.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      t0.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    // UPDATE orders SET o_orderpriority='X-UPD' WHERE o_totalprice>400000
+    "q_iud_update" -> ((s, d) => {
+      val t0 = freshTable(s, d, "upd", t(s, d, "orders"), Seq("o_orderkey"))
+      t0.update(col("o_totalprice") > 400000.0,
+        Map("o_orderpriority" -> lit("X-UPD")))
+      t0.read.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    }),
+    // MERGE (upsert): halve acctbal of custkey<50, insert 10 re-keyed copies
+    "q_iud_merge" -> ((s, d) => {
+      val src = t(s, d, "customer")
+      val t0 = freshTable(s, d, "mrg", src, Seq("c_custkey"))
+      val updates = src.filter(col("c_custkey") < 50)
+        .withColumn("c_acctbal", col("c_acctbal") * 0.5)
+      val inserts = src.filter(col("c_custkey") < 10)
+        .withColumn("c_custkey", col("c_custkey") + 100000)
+      t0.upsert(updates.union(inserts), "c_custkey")
+      t0.read.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_iud_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+          GROUP BY o_orderstatus""",
+    "q_iud_update" ->
+      """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-UPD' ELSE o_orderpriority END
+           AS o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY 1""",
+    "q_iud_merge" ->
+      """WITH merged AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey < 50 THEN c_acctbal * 0.5 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 100000, c_name, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey < 10)
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM merged"""
+  )
+}

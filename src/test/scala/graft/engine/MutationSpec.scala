@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Copy-on-write IUD: every mutation must equal the same mutation
+  * expressed relationally over the source data (differential oracle). */
+class MutationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_iud_").toString + "/t"
+
+  private def checkSame(a: DataFrame, b: DataFrame): Unit = {
+    val ac = a.collect().map(_.toString).sorted
+    val bc = b.collect().map(_.toString).sorted
+    assert(ac.length == bc.length, s"row count ${ac.length} vs ${bc.length}")
+    assert(ac.sameElements(bc),
+      s"first diff: ${ac.zip(bc).find { case (x, y) => x != y }}")
+  }
+
+  private def ordersTable(segments: Int = 3): (GraftTable, DataFrame) = {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val t = GraftTable.create(spark, tmpTable(), src.schema, Seq("o_orderkey"))
+    val n = 1500 / segments
+    (0 until segments).foreach(i =>
+      t.insert(src.filter(col("o_orderkey") >= i * n &&
+        (if (i == segments - 1) lit(true) else col("o_orderkey") < (i + 1) * n))))
+    (t, src)
+  }
+
+  test("delete rewrites only affected segments") {
+    val (t, src) = ordersTable()
+    val before = t.status.visible.map(_.id).toSet
+    // predicate confined to segment 0's key range
+    val n = t.delete(col("o_orderkey") < 100)
+    assert(n == src.filter(col("o_orderkey") < 100).count())
+    checkSame(t.read, src.filter(col("o_orderkey") >= 100))
+    val after = t.status.visible.map(_.id).toSet
+    // segments 1,2 untouched; segment 0 replaced by one new segment
+    assert((before & after).size == 2, s"$before -> $after")
+  }
+
+  test("delete with no matches is a no-op") {
+    val (t, _) = ordersTable()
+    val v = t.status.version
+    assert(t.delete(col("o_orderkey") < 0) == 0)
+    assert(t.status.version == v)
+  }
+
+  test("update applies set-expressions to matching rows only") {
+    val (t, src) = ordersTable()
+    val n = t.update(col("o_totalprice") > 400000.0,
+      Map("o_orderpriority" -> lit("X-UPDATED"),
+        "o_totalprice" -> (col("o_totalprice") * 0)))
+    assert(n == src.filter(col("o_totalprice") > 400000.0).count())
+    val expected = src.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      when(col("o_totalprice") > 400000.0, lit(0.0)).otherwise(col("o_totalprice")).as("o_totalprice"),
+      col("o_orderdate"),
+      when(col("o_totalprice") > 400000.0, "X-UPDATED").otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    checkSame(t.read.select(expected.columns.map(col).toSeq: _*), expected)
+  }
+
+  test("merge: updateAll + insertAll (upsert) matches relational oracle") {
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src, Seq("c_custkey"))
+    // source: halve acctbal of customers 0..49, add 10 new customers
+    val updates = src.filter(col("c_custkey") < 50)
+      .withColumn("c_acctbal", col("c_acctbal") * 0.5)
+    val inserts = src.filter(col("c_custkey") < 10)
+      .withColumn("c_custkey", col("c_custkey") + 100000)
+    val source = updates.union(inserts)
+    t.upsert(source, "c_custkey")
+    val expected = src.filter(col("c_custkey") >= 50)
+      .union(updates).union(inserts)
+    checkSame(t.read, expected)
+  }
+
+  test("merge: conditional update + delete + insert actions") {
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src, Seq("c_custkey"))
+    val source = src.filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("k"), lit("MERGED").as("seg"))
+    t.merge(source, col("t.c_custkey") === col("s.k"))
+      .whenMatched(col("t.c_acctbal") < 0).delete()
+      .whenMatched().updateExpr(Map("c_mktsegment" -> col("s.seg")))
+      .execute()
+    val expected = src.filter(col("c_custkey") >= 100 || col("c_acctbal") >= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") < 100, "MERGED").otherwise(col("c_mktsegment")))
+    checkSame(t.read, expected)
+  }
+
+  test("merge: whenNotMatchedAndExistsOnlyOnTarget delete (full sync)") {
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src)
+    val source = src.filter(col("r_regionkey") < 3)
+      .select(col("r_regionkey").as("rk"))
+    t.merge(source, col("t.r_regionkey") === col("s.rk"))
+      .whenNotMatchedAndExistsOnlyOnTarget().delete()
+      .execute()
+    checkSame(t.read, src.filter(col("r_regionkey") < 3))
+  }
+}
