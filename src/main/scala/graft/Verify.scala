@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale dump so a failure can never be scored against
+        // an older run's output
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          dir.listFiles.foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

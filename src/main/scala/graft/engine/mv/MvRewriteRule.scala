@@ -1,0 +1,199 @@
+package graft.engine.mv
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The MV query-rewrite rule (reference MVRewriteRule.scala:44 +
+  * MVMatcher subsumption, scoped to groupby-rollup — see [[Mv]]).
+  *
+  * Matching is purely structural: the query Aggregate's child must be
+  * canonically identical to the MV's child; groupings must map into the
+  * MV's grouping outputs; each aggregate must decompose over the MV's
+  * partial results. The rewritten plan re-aggregates the MV table, so
+  * a 100 TB fact scan becomes a scan of the (tiny) MV segment.
+  */
+object MvRewriteRule {
+  private val disabled = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  /** Run `body` with rewriting off (MV create/refresh must see base data). */
+  def withoutRewrite[T](body: => T): T = {
+    disabled.set(true)
+    try body finally disabled.set(false)
+  }
+  private[mv] def isDisabled: Boolean = disabled.get()
+}
+
+class MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewriteRule.isDisabled || MvCatalog.all.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        MvCatalog.all.view
+          .flatMap { mv =>
+            // an MV must never break a query: any matching hiccup means
+            // "no rewrite", not a failure
+            try tryRewrite(agg, mv)
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          .headOption.getOrElse(agg)
+    }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _) => c
+    case other => other
+  }
+
+  /** Drop pure column-pruning Projects — the optimizer inserts different
+    * ones for the MV and for each query over the same child. Only the
+    * top-level chain is stripped: recursing into n-ary nodes (Union,
+    * Join) can change per-branch arities and break their output
+    * contracts. */
+  private def stripPruning(p: LogicalPlan): LogicalPlan = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Project(list, child)
+        if list.forall(_.isInstanceOf[AttributeReference]) =>
+      stripPruning(child)
+    case other => other
+  }
+
+  private def bareParquetScan(s: org.apache.spark.sql.connector.read.Scan): Boolean =
+    s match {
+      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        ps.pushedFilters.isEmpty && ps.partitionFilters.isEmpty && ps.dataFilters.isEmpty
+      case _ => false
+    }
+
+  /** Map query-child attributes into MV-child attributes, or None if the
+    * children don't line up. Two supported shapes:
+    *   - both children are bare scans of the same DSv2 (carbonish) table:
+    *     column pruning happens inside the relation, so map by NAME;
+    *   - otherwise the pruning-stripped plans must be canonically equal
+    *     (covers arbitrary plans over file relations) → map by position. */
+  private def childAttrMap(
+      qChild0: LogicalPlan, mChild0: LogicalPlan): Option[AttributeMap[Attribute]] = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val qChild = stripPruning(qChild0)
+    val mChild = stripPruning(mChild0)
+    (qChild, mChild) match {
+      case (q: DataSourceV2ScanRelation, m: DataSourceV2ScanRelation)
+          if bareParquetScan(q.scan) && bareParquetScan(m.scan) &&
+            q.relation.table.name == m.relation.table.name =>
+        val byName = m.output.map(a => a.name -> a).toMap
+        if (q.output.forall(a => byName.contains(a.name)))
+          Some(AttributeMap(q.output.map(a => a -> byName(a.name))))
+        else None
+      case _ if qChild.canonicalized == mChild.canonicalized =>
+        Some(AttributeMap(qChild.output.zip(mChild.output)))
+      case _ => None
+    }
+  }
+
+  private def tryRewrite(query: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val mvChild = mv.agg.child
+    val attrMap = childAttrMap(query.child, mvChild) match {
+      case Some(m) => m
+      case None => return None
+    }
+    val spark = SparkSession.active
+    def remap(e: Expression): Expression =
+      e.transform { case a: Attribute => attrMap.getOrElse(a, a) }
+
+    // the MV's stored table, already pushed down to a scan relation
+    val mvRel = MvRewriteRule.withoutRewrite {
+      spark.read.format("carbonish").load(mv.path).queryExecution.optimizedPlan
+    }
+    if (mvRel.output.size != mv.agg.aggregateExpressions.size) return None
+    val mvOut: Seq[(NamedExpression, Attribute)] =
+      mv.agg.aggregateExpressions.zip(mvRel.output)
+    val mvGroupCanon = mv.agg.groupingExpressions.map(_.canonicalized).toSet
+
+    // mv grouping outputs: canonical grouping expr → mv table column
+    def groupColFor(e: Expression): Option[Attribute] =
+      mvOut.collectFirst {
+        case (ne, attr)
+          if mvGroupCanon.contains(stripAlias(ne).canonicalized) &&
+            stripAlias(ne).canonicalized == e.canonicalized => attr
+      }
+
+    // find the mv column holding aggregate fn F(child)
+    def aggColFor(fn: AggregateFunction, distinct: Boolean): Option[Attribute] =
+      mvOut.collectFirst {
+        case (ne, attr) if (stripAlias(ne) match {
+          case ae: AggregateExpression =>
+            ae.filter.isEmpty && ae.isDistinct == distinct &&
+              ae.aggregateFunction.canonicalized == fn.canonicalized
+          case _ => false
+        }) => attr
+      }
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.filter.nonEmpty) return None
+      val rolled: Option[Expression] = ae.aggregateFunction match {
+        case s: Sum if !ae.isDistinct =>
+          aggColFor(s, distinct = false).map(m =>
+            AggregateExpression(Sum(m), ae.mode, isDistinct = false))
+        case c: Count if !ae.isDistinct =>
+          aggColFor(c, distinct = false).map(m =>
+            AggregateExpression(Sum(m), ae.mode, isDistinct = false))
+        case m: Min =>
+          aggColFor(m, distinct = false).map(x =>
+            AggregateExpression(Min(x), ae.mode, isDistinct = false))
+        case m: Max =>
+          aggColFor(m, distinct = false).map(x =>
+            AggregateExpression(Max(x), ae.mode, isDistinct = false))
+        case a @ Average(child, _) if !ae.isDistinct =>
+          // only for types where sum/count reconstruction is exact-enough
+          // (decimal avg has bespoke scale rules — stay out)
+          child.dataType match {
+            case _: DecimalType => None
+            case _ =>
+              for {
+                ms <- aggColFor(Sum(child), distinct = false)
+                mc <- aggColFor(Count(Seq(child)), distinct = false)
+              } yield Divide(
+                Cast(AggregateExpression(Sum(ms), ae.mode, isDistinct = false), DoubleType),
+                Cast(AggregateExpression(Sum(mc), ae.mode, isDistinct = false), DoubleType))
+          }
+        case _ => None
+      }
+      rolled.map(r => if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
+    }
+
+    val mvChildOutput = AttributeSet(stripPruning(mvChild).output)
+
+    def rewriteExpr(e: Expression): Option[Expression] = {
+      var ok = true
+      val step1 = remap(e).transformUp {
+        case ae: AggregateExpression =>
+          rewriteAgg(ae) match {
+            case Some(x) => x
+            case None => ok = false; ae
+          }
+      }
+      if (!ok) return None
+      val step2 = step1.transformDown {
+        case sub if groupColFor(sub).isDefined => groupColFor(sub).get
+      }
+      // anything still referencing the base child is underivable
+      if (step2.references.exists(mvChildOutput.contains)) None else Some(step2)
+    }
+
+    val newGroupings = query.groupingExpressions.map(rewriteExpr)
+    val newAggs = query.aggregateExpressions.map { ne =>
+      rewriteExpr(ne).map {
+        case a: Alias => Alias(a.child, ne.name)(exprId = ne.exprId)
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    if (newGroupings.exists(_.isEmpty) || newAggs.exists(_.isEmpty)) None
+    else {
+      logInfo(s"[graft] MV rewrite: query aggregate served by MV '${mv.name}' (${mv.path})")
+      Some(Aggregate(newGroupings.map(_.get), newAggs.map(_.get), mvRel))
+    }
+  }
+}

@@ -87,6 +87,25 @@ object EngineQueries {
       orders3(s, d).readSegments(Seq(1))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"))
+    }),
+    // MV rollup: a finer-grained MV answers a coarser aggregate; the row
+    // FAILS (exception) if the rewrite doesn't fire, so CORRECTNESS
+    // guards the rewrite rule, not just the answer
+    "q_mv_rollup" -> ((s, d) => {
+      import graft.engine.mv.Mv
+      val mvq = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pc"))
+      val base = new java.io.File(d).getName
+      Mv.drop(s, "mv_li_roll")
+      Mv.create(s, "mv_li_roll", mvq, s"/tmp/graft_tables/$base/mv_li_roll")
+      val q = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      require(plan.contains("mv_li_roll"),
+        s"MV rewrite did not fire; plan:\n$plan")
+      q
     })
   )
 
@@ -100,6 +119,10 @@ object EngineQueries {
     "q_engine_insegment" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+    "q_mv_rollup" ->
+      s"""SELECT l_returnflag, CAST(sum(${oDec("l_quantity")}) AS DOUBLE) AS sum_qty,
+          count(*) AS cnt
+          FROM lineitem GROUP BY l_returnflag"""
   )
 }

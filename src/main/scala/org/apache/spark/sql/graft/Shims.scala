@@ -12,4 +12,11 @@ object Shims {
   /** Catalyst predicate → DSv2 source filter (for segment-stat pruning). */
   def translateFilter(e: Expression): Option[Filter] =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** DataFrame from a logical plan (private[sql] Dataset.ofRows). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,120 @@
+package graft.engine
+
+import graft.engine.mv.{Mv, MvCatalog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** MV create/refresh + query rewrite: rewritten answers must equal the
+  * non-rewritten answers, and the plan must scan the MV, not the fact. */
+class MvSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft_mv_").toString
+
+  private def checkSame(a: DataFrame, b: DataFrame): Unit = {
+    val ac = a.collect().map(_.toString).sorted
+    val bc = b.collect().map(_.toString).sorted
+    assert(ac.length == bc.length, s"rows ${ac.length} vs ${bc.length}")
+    assert(ac.sameElements(bc),
+      s"first diff: ${ac.zip(bc).find { case (x, y) => x != y }}")
+  }
+
+  private def lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("exact-signature rewrite: query served from the MV table") {
+    val base = lineitem
+    val mvq = base.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    val expected = mvq.collect()
+    Mv.create(spark, "mv_exact", mvq, s"${tmp()}/mv_exact")
+    try {
+      val q = base.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_exact"), s"expected MV scan in plan:\n$plan")
+      assert(q.collect().map(_.toString).sorted
+        .sameElements(expected.map(_.toString).sorted))
+    } finally Mv.drop(spark, "mv_exact")
+  }
+
+  test("groupby-rollup rewrite: coarser grouping answered by finer MV") {
+    val base = lineitem
+    val mvq = base.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        min(col("l_extendedprice")).as("min_p"),
+        max(col("l_extendedprice")).as("max_p"))
+    Mv.create(spark, "mv_roll", mvq, s"${tmp()}/mv_roll")
+    try {
+      // coarser: group by l_returnflag only
+      val q = base.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("min_p"),
+          max(col("l_extendedprice")).as("max_p"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_roll"), s"expected MV rollup in plan:\n$plan")
+      val noMv = MvCatalog.get("mv_roll").map { d =>
+        MvCatalog.drop(d.name)
+        val r = base.groupBy("l_returnflag")
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+            count(lit(1)).as("cnt"),
+            min(col("l_extendedprice")).as("min_p"),
+            max(col("l_extendedprice")).as("max_p")).collect()
+        MvCatalog.register(d)
+        r
+      }.get
+      assert(q.collect().map(_.toString).sorted
+        .sameElements(noMv.map(_.toString).sorted))
+      // global aggregate (empty grouping) also rolls up
+      val g = base.agg(count(lit(1)).as("cnt"))
+      // (count(*) over lineitem — served by MV sum of counts)
+      assert(g.queryExecution.optimizedPlan.toString.contains("mv_roll"))
+      assert(g.collect().head.getLong(0) == base.count())
+    } finally Mv.drop(spark, "mv_roll")
+  }
+
+  test("avg rollup via auto-expanded sum/count") {
+    val base = lineitem
+    val mvq = base.groupBy("l_returnflag", "l_linestatus")
+      .agg(avg(col("l_discount")).as("avg_d"))
+    Mv.create(spark, "mv_avg", mvq, s"${tmp()}/mv_avg")
+    try {
+      val q = base.groupBy("l_returnflag").agg(avg(col("l_discount")).as("avg_d"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_avg"), s"avg rollup should hit MV:\n$plan")
+      MvCatalog.get("mv_avg").foreach { d =>
+        MvCatalog.drop(d.name)
+        val expected = base.groupBy("l_returnflag").agg(avg(col("l_discount")).as("avg_d"))
+          .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e9))).toMap
+        MvCatalog.register(d)
+        val got = q.collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e9))).toMap
+        assert(got == expected)
+      }
+    } finally Mv.drop(spark, "mv_avg")
+  }
+
+  test("non-matching queries are untouched; refresh tracks base growth") {
+    val src = lineitem
+    val path = tmp()
+    val t = GraftTable.createAsSelect(spark, s"$path/fact", src.limit(1000))
+    val mvq = t.read.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_fresh", mvq, s"$path/mv_fresh")
+    try {
+      // different child (filter) → no rewrite
+      val other = t.read.filter(col("l_orderkey") > 10)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("mv_fresh"))
+      // stale after base insert; refresh catches up
+      t.insert(src.limit(200))
+      Mv.refresh(spark, "mv_fresh")
+      val q = t.read.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_fresh"))
+      assert(q.agg(sum("cnt")).collect().head.getLong(0) == 1200)
+    } finally Mv.drop(spark, "mv_fresh")
+  }
+}
