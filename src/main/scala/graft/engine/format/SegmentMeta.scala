@@ -45,8 +45,10 @@ case class SegmentMeta(
     createdAt: Long,
     /** for ADD SEGMENT: absolute external location; None = managed layout */
     externalPath: Option[String] = None,
-    /** event-time watermark info for streaming segments (micros) */
-    updatedAt: Option[Long] = None) {
+    /** last committed micro-batch id for STREAMING segments (idempotent
+      * replay guard); plain Long — Option[Long] would round-trip through
+      * JSON as Option[Integer] due to erasure */
+    lastBatchId: Long = -1L) {
   def isVisible: Boolean = SegmentStatus.visible(status)
 }
 

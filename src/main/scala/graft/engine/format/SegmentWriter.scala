@@ -20,7 +20,7 @@ import org.apache.hadoop.fs.{Options, Path}
   */
 object SegmentWriter {
 
-  private def statsSupported(dt: DataType): Boolean = dt match {
+  private[engine] def statsSupported(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | TimestampType |
          TimestampNTZType | BooleanType => true
     case _ => false

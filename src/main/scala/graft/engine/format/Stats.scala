@@ -64,6 +64,18 @@ object StatValue {
 
   private def asciiOnly(s: String): Boolean = s.forall(_ < 128)
 
+  /** Compare two *stored* canonical values of the same column. Strings
+    * compare lexically (ASCII only); every other supported type's
+    * canonical form is a decimal string. None = don't know. */
+  def compareStored(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Option[Int] =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        if (asciiOnly(a) && asciiOnly(b)) Some(a.compareTo(b)) else None
+      case _ =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+    }
+
   /** compare(stored, lit) < 0 iff stored < lit; None = incomparable. */
   def compare(stored: String, lit: Any): Option[Int] = literal(lit).flatMap {
     case ('n', d: BigDecimal) =>
