@@ -30,6 +30,14 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def readSegments(ids: Seq[Long]): DataFrame =
     spark.read.format("carbonish").option("segments", ids.mkString(",")).load(path)
 
+  /** Read with a stable per-row address column (getTupleId analog) —
+    * goes through the v1 file path, which exposes `_metadata`. */
+  def readWithTupleId(idCol: String = "tuple_id"): DataFrame = {
+    val vis = status.visible
+    spark.read.schema(schema).parquet(vis.flatMap(layout.segmentFilePaths): _*)
+      .withColumn(idCol, graft.functions.GraftFunctions.tupleId)
+  }
+
   /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50). */
   def countStar: Long = status.visible.map(_.rowCount).sum
 
@@ -128,6 +136,86 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       .whenMatched().updateAll()
       .whenNotMatched().insertAll()
       .execute()
+
+  // ------------------------------------------------------ schema evolution
+  /** ALTER TABLE ADD COLUMNS (CarbonAlterTableAddColumnCommand.scala:36).
+    * Metadata-only: old segments read the new column as null (parquet
+    * fills missing columns), like the reference's restructure fill. */
+  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val cur = schema
+    val dup = cols.map(_.name).filter(cur.fieldNames.contains)
+    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    val m = meta
+    layout.writeTableMeta(m.copy(
+      schemaJson = StructType(cur.fields ++ cols).json))
+  }
+
+  /** ALTER TABLE DROP COLUMNS (CarbonAlterTableDropColumnCommand.scala:40).
+    * Metadata-only: extra columns in old files are simply not read. */
+  def dropColumns(names: Seq[String]): Unit = {
+    val cur = schema
+    val missing = names.filterNot(cur.fieldNames.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
+    val m = meta
+    val inSort = names.filter(m.sortColumns.contains)
+    require(inSort.isEmpty, s"cannot drop sort columns: ${inSort.mkString(",")}")
+    require(names.size < cur.fields.length, "cannot drop every column")
+    layout.writeTableMeta(m.copy(
+      schemaJson = StructType(cur.fields.filterNot(f => names.contains(f.name))).json))
+  }
+
+  /** ALTER TABLE RENAME COLUMN / CHANGE DATATYPE
+    * (CarbonAlterTableColRenameDataTypeChangeCommand.scala:76). The
+    * reference does this metadata-only via column ids; parquet matches
+    * by name, so here the visible data is rewritten once (a single
+    * sorted job) and swapped atomically. */
+  def renameColumn(from: String, to: String): Unit = {
+    val cur = schema
+    require(cur.fieldNames.contains(from), s"no such column $from")
+    require(!cur.fieldNames.contains(to), s"column $to already exists")
+    rewriteAll(df => df.withColumnRenamed(from, to)) { m =>
+      m.copy(
+        schemaJson = StructType(cur.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).json,
+        sortColumns = m.sortColumns.map(c => if (c == from) to else c))
+    }
+  }
+
+  def changeColumnType(name: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    val cur = schema
+    require(cur.fieldNames.contains(name), s"no such column $name")
+    rewriteAll(df => df.withColumn(name, col(name).cast(dt))) { m =>
+      m.copy(schemaJson = StructType(cur.fields.map(f =>
+        if (f.name == name) f.copy(dataType = dt) else f)).json)
+    }
+  }
+
+  /** Rewrite all visible data as one new segment under the NEW meta,
+    * committing data + schema together. */
+  private def rewriteAll(f: DataFrame => DataFrame)(updateMeta: TableMeta => TableMeta): Unit = {
+    val vis = status.visible
+    val newMeta = updateMeta(meta)
+    if (vis.isEmpty) { layout.writeTableMeta(newMeta); return }
+    val df = f(spark.read.schema(schema).parquet(vis.flatMap(layout.segmentFilePaths): _*))
+    var id = -1L
+    layout.commit { st =>
+      id = st.nextSegmentId
+      st.copy(segments = st.segments :+ SegmentMeta(
+        id, SegmentStatus.InProgress, "parquet", Nil, -1L, 0L, Map.empty,
+        newMeta.sortColumns, System.currentTimeMillis()))
+    }
+    val seg = SegmentWriter.write(layout, newMeta, df, id)
+    val victims = vis.map(_.id).toSet
+    layout.writeTableMeta(newMeta)
+    layout.commit { st =>
+      st.copy(segments = st.segments.map { s =>
+        if (s.id == id) seg
+        else if (victims.contains(s.id) && s.isVisible)
+          s.copy(status = SegmentStatus.MarkedForDelete)
+        else s
+      })
+    }
+  }
 
   // ------------------------------------------------------ segment lifecycle
   /** SHOW SEGMENTS (CarbonShowSegmentsCommand.scala:35). */

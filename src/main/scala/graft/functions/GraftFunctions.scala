@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's registered UDF surface (SURVEY §2.6 / CarbonEnv
+  * .scala:83-113), Spark-first: wherever possible the "UDF" is expanded
+  * into native codegen'd functions instead of a black-box lambda, so
+  * predicates stay pushdown-eligible.
+  */
+object GraftFunctions {
+
+  /** `text_match(column, query)` — lucene-lite full-text predicate
+    * (reference TextMatchUDF.scala:23-30 backed by the lucene FG index;
+    * here: native contains-conjunctions, SURVEY §4.2 "text_match-lite").
+    *
+    * Query grammar: `OR`-separated clauses; each clause is whitespace-
+    * separated terms that must ALL occur (case-insensitive substring).
+    * e.g. "big data OR carbon" = (contains big AND contains data) OR
+    * contains carbon.
+    */
+  def textMatch(c: Column, query: String): Column = {
+    val clauses = parseQuery(query)
+    require(clauses.nonEmpty, "empty text_match query")
+    val lc = lower(c)
+    clauses.map(_.map(t => lc.contains(t)).reduce(_ && _)).reduce(_ || _)
+  }
+
+  private[functions] def parseQuery(query: String): Seq[Seq[String]] =
+    query.split("(?i) OR ").toSeq
+      .map(_.trim.split("\\s+").toSeq.map(_.toLowerCase).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+
+  /** DuckDB oracle fragment with identical semantics. */
+  def oTextMatch(cSql: String, query: String): String =
+    parseQuery(query)
+      .map(_.map(t => s"contains(lower($cSql), '$t')").mkString("(", " AND ", ")"))
+      .mkString("(", " OR ", ")")
+
+  /** `text_match_with_limit` — reference caps hits at the index layer;
+    * without an FG index the limit composes as a plain limit. */
+  def textMatchWithLimit(c: Column, query: String, limit: Int): (Column, Int) =
+    (textMatch(c, query), limit)
+
+  /** `getTupleId()` analog: stable row address = file + row ordinal
+    * (reference addresses IUD rows the same way; CarbonEnv.scala:83).
+    * Valid on v1 file-source reads (`_metadata` column); for carbonish
+    * tables use `GraftTable.readWithTupleId`. */
+  def tupleId: Column =
+    concat_ws("/", col("_metadata.file_path"), col("_metadata.row_index"))
+
+  /** `getPositionId()` — file-path + row ordinal, split form. */
+  def positionId: Column = col("_metadata.row_index")
+
+  /** `timeseries(col, granularity)` (reference TimeSeriesUDF.java:79-142)
+    * = date_trunc with the carbon granularity names. */
+  def timeseries(c: Column, granularity: String): Column = {
+    val g = granularity.trim.toLowerCase match {
+      case "second" => "second"; case "minute" => "minute"
+      case "hour" => "hour"; case "day" => "day"
+      case "week" => "week"; case "month" => "month"; case "year" => "year"
+      case other => throw new IllegalArgumentException(s"granularity: $other")
+    }
+    date_trunc(g, c)
+  }
+
+  /** SQL registration for the UDF-shaped surface (SQL queries can't call
+    * the Column builders directly). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("text_match", (text: String, query: String) => {
+      if (text == null) false
+      else {
+        val lc = text.toLowerCase
+        parseQuery(query).exists(_.forall(lc.contains))
+      }
+    })
+  }
+}

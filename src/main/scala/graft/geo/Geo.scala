@@ -1,0 +1,132 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial pack (reference geo/ module, SURVEY §2.6):
+  * a Z-order (morton) geoId over quantized lat/lng — the same index
+  * family as the reference's geohash (GeoHashUtils.java) — plus the
+  * polygon predicate and the range-list pruning path.
+  *
+  * Scale design: `in_polygon` as a bare UDF would force a full scan; the
+  * range-list form (`bboxRanges` → `geoIdInRanges`) turns the spatial
+  * predicate into BETWEEN disjunctions on the geoId column, which push
+  * down to parquet min/max and our segment stats — the reference's
+  * `IN_POLYGON_RANGE_LIST` pruning (PolygonRangeListExpression).
+  */
+object Geo {
+  val Bits = 20 // per-axis resolution: ~1e-4 deg ≈ 10 m
+  private val MaxCell = (1L << Bits) - 1
+
+  private def quantLat(lat: Double): Long =
+    math.min(MaxCell, math.max(0L, ((lat + 90.0) / 180.0 * (1L << Bits)).toLong))
+  private def quantLng(lng: Double): Long =
+    math.min(MaxCell, math.max(0L, ((lng + 180.0) / 360.0 * (1L << Bits)).toLong))
+
+  private def interleave(x: Long, y: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < Bits) {
+      r |= ((x >> i) & 1L) << (2 * i)
+      r |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    r
+  }
+  private def deinterleave(z: Long): (Long, Long) = {
+    var x = 0L; var y = 0L; var i = 0
+    while (i < Bits) {
+      x |= ((z >> (2 * i)) & 1L) << i
+      y |= ((z >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (x, y)
+  }
+
+  // ---- scalar engines (exposed for tests + UDF registration) ----
+  def latLngToGeoIdScalar(lat: Double, lng: Double): Long =
+    interleave(quantLng(lng), quantLat(lat))
+
+  def geoIdToLatLngScalar(id: Long): (Double, Double) = {
+    val (x, y) = deinterleave(id)
+    (y.toDouble / (1L << Bits) * 180.0 - 90.0,
+      x.toDouble / (1L << Bits) * 360.0 - 180.0)
+  }
+
+  /** parent cell at `levels` coarser resolution (ToUpperLayerGeoId). */
+  def toUpperLayerScalar(id: Long, levels: Int): Long = id >> (2 * levels)
+
+  /** ray-casting point-in-polygon (reference InPolygonUDF.scala:37). */
+  def pointInPolygon(lat: Double, lng: Double, poly: Seq[(Double, Double)]): Boolean = {
+    var inside = false
+    var i = 0
+    val n = poly.size
+    while (i < n) {
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % n)
+      if (((y1 > lat) != (y2 > lat)) &&
+        (lng < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)) inside = !inside
+      i += 1
+    }
+    inside
+  }
+
+  // ---- Column API ----
+  private val geoIdUdf = udf(latLngToGeoIdScalar _)
+  def latLngToGeoId(lat: Column, lng: Column): Column = geoIdUdf(lat, lng)
+
+  def inPolygon(lat: Column, lng: Column, poly: Seq[(Double, Double)]): Column = {
+    val f = udf((la: Double, ln: Double) => pointInPolygon(la, ln, poly))
+    f(lat, lng)
+  }
+
+  /** morton ranges covering a [latMin,latMax]×[lngMin,lngMax] box at a
+    * coarsened level: one contiguous run per quantized row. Pushdown-
+    * friendly: OR of BETWEENs on the geoId column. */
+  def bboxRanges(latMin: Double, latMax: Double, lngMin: Double, lngMax: Double,
+      coarsen: Int = 10): Seq[(Long, Long)] = {
+    val shift = coarsen
+    val y0 = quantLat(latMin) >> shift; val y1 = quantLat(latMax) >> shift
+    val x0 = quantLng(lngMin) >> shift; val x1 = quantLng(lngMax) >> shift
+    (y0 to y1).flatMap { y =>
+      (x0 to x1).map { x =>
+        val base = interleave(x, y) << (2 * shift)
+        (base, base | ((1L << (2 * shift)) - 1))
+      }
+    }.sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+      acc.lastOption match {
+        case Some((plo, phi)) if lo <= phi + 1 =>
+          acc.init :+ (plo, math.max(phi, hi))
+        case _ => acc :+ (lo, hi)
+      }
+    }
+  }
+
+  /** geoId ∈ ranges as BETWEEN disjunctions (IN_POLYGON_RANGE_LIST). */
+  def geoIdInRanges(geoId: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) => geoId.between(lo, hi) }.reduce(_ || _)
+
+  /** Broadcast polygon join (BroadCastPolygonFilterPushJoin analog):
+    * each left row joins polygons whose bbox ranges cover its geoId cell,
+    * verified by the exact polygon test. `polys`: (name, Seq[(lat,lng)]). */
+  def polygonJoin(df: DataFrame, lat: String, lng: String,
+      polys: Seq[(String, Seq[(Double, Double)])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val polyDf = polys.map { case (n, pts) =>
+      (n, pts.map(_._1), pts.map(_._2))
+    }.toDF("poly_name", "lats", "lngs")
+    val verify = udf((la: Double, ln: Double, lats: Seq[Double], lngs: Seq[Double]) =>
+      pointInPolygon(la, ln, lats.zip(lngs)))
+    df.join(broadcast(polyDf),
+      verify(col(lat), col(lng), col("lats"), col("lngs")))
+      .drop("lats", "lngs")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("lat_lng_to_geo_id", latLngToGeoIdScalar _)
+    spark.udf.register("geo_id_to_lat", (id: Long) => geoIdToLatLngScalar(id)._1)
+    spark.udf.register("geo_id_to_lng", (id: Long) => geoIdToLatLngScalar(id)._2)
+    spark.udf.register("to_upper_layer_geo_id", toUpperLayerScalar _)
+  }
+}

@@ -96,6 +96,27 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- text_match-lite full-text predicate (native contains tree) ----
+    "q_text_match" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(graft.functions.GraftFunctions.textMatch(col("text"), "row data OR the end"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- geo: bbox range-list pruning path vs exact residual ----
+    "q_geo_bbox" -> ((s, d) => {
+      import graft.geo.Geo
+      val pts = t(s, d, "events").select(
+        col("event_type"),
+        ((col("user_id") % 120) - 60 + 0.5).as("lat"),
+        (((col("event_id") * 7) % 360) - 180 + 0.5).as("lng"))
+      val ranges = Geo.bboxRanges(10, 20, 30, 40)
+      pts.withColumn("geo_id", Geo.latLngToGeoId(col("lat"), col("lng")))
+        .filter(Geo.geoIdInRanges(col("geo_id"), ranges))     // pushdown path
+        .filter(col("lat").between(10, 20) && col("lng").between(30, 40)) // exact
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- multimodal: opaque binary column + typed metadata extract ----
     "q_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents").select(
@@ -167,6 +188,18 @@ object PipelineQueries {
               FROM scored)
             SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 5"""
       },
+      "q_text_match" ->
+        s"""SELECT lang, count(*) AS cnt FROM documents
+            WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "row data OR the end")}
+            GROUP BY lang""",
+      "q_geo_bbox" ->
+        """SELECT event_type, count(*) AS cnt FROM (
+             SELECT event_type,
+               (user_id % 120) - 60 + 0.5 AS lat,
+               ((event_id * 7) % 360) - 180 + 0.5 AS lng
+             FROM events)
+           WHERE lat BETWEEN 10 AND 20 AND lng BETWEEN 30 AND 40
+           GROUP BY event_type""",
       "q_multimodal_meta" ->
         """SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.engine.{GraftTable, TestSpark}
+import graft.geo.Geo
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_match: AND terms, OR clauses, SQL registration agrees") {
+    import spark.implicits._
+    val df = Seq("Big Data engine", "carbon rocks", "plain text", null)
+      .toDF("t")
+    val got = df.filter(GraftFunctions.textMatch(col("t"), "big data OR carbon"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("Big Data engine", "carbon rocks"))
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("tm_t")
+    val sqlGot = spark.sql(
+      "SELECT t FROM tm_t WHERE text_match(t, 'big data OR carbon')")
+      .collect().map(_.getString(0)).toSet
+    assert(sqlGot == got)
+  }
+
+  test("tupleId addresses rows stably on a carbonish table") {
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val path = Files.createTempDirectory("graft_fn_").toString + "/t"
+    val t = GraftTable.createAsSelect(spark, path, src)
+    val ids = t.readWithTupleId("tid").select("tid").collect().map(_.getString(0))
+    assert(ids.length == 5 && ids.distinct.length == 5)
+    assert(ids.forall(_.contains("/segments/0/")))
+  }
+
+  test("timeseries granularities bucket like date_trunc") {
+    import spark.implicits._
+    val df = Seq("2024-03-15 10:23:45").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val r = df.select(
+      GraftFunctions.timeseries(col("ts"), "HOUR").cast("string"),
+      GraftFunctions.timeseries(col("ts"), "month").cast("string"),
+      GraftFunctions.timeseries(col("ts"), "year").cast("string")).collect().head
+    assert(r.getString(0) == "2024-03-15 10:00:00")
+    assert(r.getString(1) == "2024-03-01 00:00:00")
+    assert(r.getString(2) == "2024-01-01 00:00:00")
+    intercept[IllegalArgumentException](
+      GraftFunctions.timeseries(col("ts"), "fortnight"))
+  }
+
+  test("geo: geoId roundtrip, upper layer, polygon, bbox ranges") {
+    val pts = Seq((37.77, -122.42), (0.0, 0.0), (-33.86, 151.21), (89.99, 179.99))
+    pts.foreach { case (lat, lng) =>
+      val id = Geo.latLngToGeoIdScalar(lat, lng)
+      val (la, ln) = Geo.geoIdToLatLngScalar(id)
+      assert(math.abs(la - lat) < 0.001 && math.abs(ln - lng) < 0.001,
+        s"roundtrip $lat,$lng -> $la,$ln")
+      assert(Geo.toUpperLayerScalar(id, 2) == (id >> 4))
+    }
+    // unit square polygon
+    val sq = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    assert(Geo.pointInPolygon(5, 5, sq))
+    assert(!Geo.pointInPolygon(15, 5, sq))
+    assert(!Geo.pointInPolygon(-1, 5, sq))
+    // every point in the box has its geoId inside some bbox range
+    val ranges = Geo.bboxRanges(10, 20, 30, 40)
+    val inside = Seq((10.5, 30.5), (19.9, 39.9), (15.0, 35.0))
+      .map { case (a, b) => Geo.latLngToGeoIdScalar(a, b) }
+    assert(inside.forall(id => ranges.exists(r => id >= r._1 && id <= r._2)))
+    val outside = Geo.latLngToGeoIdScalar(25.0, 35.0)
+    assert(!ranges.exists(r => outside >= r._1 && outside <= r._2))
+  }
+
+  test("geo: range-list filter + polygon join agree with direct predicate") {
+    import spark.implicits._
+    // deterministic synthetic points
+    val pts = (0 until 2000).map { i =>
+      (i.toLong, (i % 180) - 90 + 0.25, ((i * 7) % 360) - 180 + 0.25)
+    }.toDF("id", "lat", "lng")
+    val withGeo = pts.withColumn("geo_id", Geo.latLngToGeoId(col("lat"), col("lng")))
+    val direct = pts.filter(col("lat").between(10, 20) && col("lng").between(30, 40))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ranged = withGeo
+      .filter(Geo.geoIdInRanges(col("geo_id"), Geo.bboxRanges(10, 20, 30, 40)))
+      .filter(col("lat").between(10, 20) && col("lng").between(30, 40)) // exact residual
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ranged == direct)
+    val sq = Seq((10.0, 30.0), (10.0, 40.0), (20.0, 40.0), (20.0, 30.0))
+    val joined = Geo.polygonJoin(pts, "lat", "lng", Seq("box" -> sq))
+    val jIds = joined.select("id").collect().map(_.getLong(0)).toSet
+    // ray casting excludes some boundary points; interior must agree
+    val interior = pts.filter(col("lat") > 10 && col("lat") < 20 &&
+      col("lng") > 30 && col("lng") < 40).select("id").collect().map(_.getLong(0)).toSet
+    assert(interior.subsetOf(jIds) && jIds.subsetOf(direct))
+  }
+}
