@@ -23,8 +23,33 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def status: TableStatus = layout.readStatus()
   def segments: Seq[SegmentMeta] = status.segments
 
-  /** Read through the DSv2 source (segment pruning + parquet pushdown). */
-  def read: DataFrame = spark.read.format("carbonish").load(path)
+  /** Read through the DSv2 source (segment pruning + parquet pushdown).
+    * Mixed-format tables (ADD SEGMENT csv/json/orc —
+    * MixedFormatHandler.scala:56) plan a union: the parquet segments go
+    * through the pruned DSv2 scan, each foreign-format segment through
+    * its own reader. */
+  def read: DataFrame = {
+    val vis = status.visible
+    val foreign = vis.filter(_.format != "parquet")
+    if (foreign.isEmpty) spark.read.format("carbonish").load(path)
+    else {
+      val parquetIds = vis.filter(_.format == "parquet").map(_.id)
+      val base =
+        if (parquetIds.isEmpty) None
+        else Some(readSegments(parquetIds))
+      val others = foreign.map { s =>
+        val files = layout.segmentFilePaths(s)
+        s.format match {
+          case "orc" => spark.read.schema(schema).orc(files: _*)
+          case "csv" => spark.read.schema(schema)
+            .option("header", "true").csv(files: _*)
+          case "json" => spark.read.schema(schema).json(files: _*)
+          case other => throw new IllegalStateException(s"segment format $other")
+        }
+      }
+      (base.toSeq ++ others).reduce(_ unionByName _)
+    }
+  }
 
   /** Pinned-segment read — `insegment('0,2')` analog (CarbonEnv.scala:100). */
   def readSegments(ids: Seq[Long]): DataFrame =
@@ -218,6 +243,30 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   // ------------------------------------------------------ segment lifecycle
+  /** TRUNCATE TABLE (CarbonTruncateCommand.scala:31): retire all visible
+    * segments in one atomic commit; CLEAN FILES reclaims the space. */
+  def truncate(): Unit = layout.commit { st =>
+    st.copy(segments = st.segments.map(s =>
+      if (s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete) else s))
+  }
+
+  /** DESCRIBE FORMATTED (CarbonDescribeFormattedCommand analog). */
+  def describe: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val st = status
+    val rows = schema.fields.map(f => (f.name, f.dataType.simpleString, "column")) ++
+      Seq(
+        ("sort_columns", m.sortColumns.mkString(","), "property"),
+        ("sort_scope", m.sortScope, "property"),
+        ("location", path, "property"),
+        ("visible_segments", st.visible.size.toString, "metric"),
+        ("total_rows", st.visible.map(_.rowCount).sum.toString, "metric"),
+        ("total_bytes", st.visible.map(_.sizeBytes).sum.toString, "metric")) ++
+      m.properties.map { case (k, v) => (k, v, "property") }
+    rows.toSeq.toDF("name", "value", "kind")
+  }
+
   /** SHOW SEGMENTS (CarbonShowSegmentsCommand.scala:35). */
   def showSegments: DataFrame = {
     import spark.implicits._

@@ -53,7 +53,14 @@ object SegmentWriter {
     val observed = sorted.observe(obs, aggs.head, aggs.tail: _*)
 
     val tmp = layout.tmpSegmentDir(id)
-    observed.write.mode("overwrite").parquet(tmp.toString)
+    // CREATE INDEX … AS 'bloomfilter' analog: table property
+    // bloom_columns=c1,c2 turns on parquet bloom filters for those
+    // columns (the reference's bloom CG index collapses onto parquet's)
+    val bloomCols = meta.properties.get("bloom_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    bloomCols.foldLeft(observed.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(tmp.toString)
 
     val m = obs.get
     val rowCount = m("__n").asInstanceOf[Long]

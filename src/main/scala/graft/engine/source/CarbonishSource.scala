@@ -74,14 +74,18 @@ class CarbonishTable(path: String, tableSchema: StructType)
     // `insegment('0,2')`-style pinned reads (reference CarbonEnv.scala:100)
     val pinned = Option(options.get("segments")).map(_.split(",").map(_.trim.toLong).toSet)
     val visible = status.visible.filter(s => pinned.forall(_.contains(s.id)))
-    val fileIndex = new SegmentFileIndex(spark, layout, visible, tableSchema)
+    // the DSv2 scan delegates to the parquet reader; mixed-format tables
+    // must be read through GraftTable.read (union plan)
+    val foreign = visible.filter(_.format != "parquet")
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"table has non-parquet segments ${foreign.map(s => s"${s.id}(${s.format})").mkString(",")}; " +
+        "read it via GraftTable.read, which plans the mixed-format union")
     // metadata count(*) is only sound when every visible segment carries
     // an exact row count (external ADD SEGMENT files may not)
     val totalRows =
-      if (visible.forall(s => s.rowCount >= 0 && s.format == "parquet"))
-        Some(visible.map(_.rowCount).sum)
+      if (visible.forall(_.rowCount >= 0)) Some(visible.map(_.rowCount).sum)
       else None
-    new CarbonishScanBuilder(spark, fileIndex, tableSchema, options, totalRows)
+    new CarbonishScanBuilder(spark, layout, visible, tableSchema, options, totalRows)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -149,19 +153,25 @@ class SegmentFileIndex(
   */
 class CarbonishScanBuilder(
     spark: SparkSession,
-    fileIndex: SegmentFileIndex,
+    layout: TableLayout,
+    visible: Seq[SegmentMeta],
     schema: StructType,
     options: CaseInsensitiveStringMap,
     totalRows: Option[Long])
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.internal.Logging {
 
+  private val fileIndex = new SegmentFileIndex(spark, layout, visible, schema)
   private val delegate = ParquetScanBuilder(spark, fileIndex, schema, schema, options)
   private var metaCount: Option[(Long, StructType)] = None
   // any predicate at all (pushed or residual) disables the metadata count
   private var sawFilters = false
+  private var requiredSchema: Option[StructType] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -171,8 +181,19 @@ class CarbonishScanBuilder(
   }
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+  override def pruneColumns(requested: StructType): Unit = {
+    requiredSchema = Some(requested)
+    delegate.pruneColumns(requested)
+  }
+
+  /** Unordered LIMIT: scan only a prefix of segments whose committed row
+    * counts already cover the limit (the reference's head-read idea,
+    * CarbonTakeOrderedAndProjectExec.scala:86, for the no-sort case).
+    * Returns false = partial: Spark still applies the limit exactly. */
+  override def pushLimit(n: Int): Boolean = {
+    if (!sawFilters && visible.nonEmpty && visible.forall(_.rowCount >= 0)) limit = Some(n)
+    false
+  }
 
   private def bareCountStar(aggregation: Aggregation): Boolean =
     totalRows.isDefined && !sawFilters &&
@@ -195,7 +216,25 @@ class CarbonishScanBuilder(
 
   override def build(): Scan = metaCount match {
     case Some((n, aggSchema)) => MetadataCountScan(n, aggSchema)
-    case None => delegate.build()
+    case None =>
+      limit match {
+        case Some(n) =>
+          // minimal segment prefix covering n rows
+          var acc = 0L
+          val prefix = visible.sortBy(_.id).takeWhile { s =>
+            val need = acc < n; acc += s.rowCount; need
+          }
+          if (prefix.size >= visible.size) delegate.build()
+          else {
+            val limited = ParquetScanBuilder(
+              spark, new SegmentFileIndex(spark, layout, prefix, schema),
+              schema, schema, options)
+            requiredSchema.foreach(limited.pruneColumns)
+            logInfo(s"[graft] limit pushdown: scanning ${prefix.size}/${visible.size} segments for LIMIT $n")
+            limited.build()
+          }
+        case None => delegate.build()
+      }
   }
 }
 

@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class DdlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_ddl_").toString + "/t"
+
+  test("truncate retires all segments; describe reports metadata") {
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src,
+      properties = Map("owner" -> "graft"))
+    assert(t.read.count() == 5)
+    val desc = t.describe.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("visible_segments") == "1" && desc("owner") == "graft")
+    t.truncate()
+    assert(t.read.count() == 0)
+    assert(t.countStar == 0)
+    t.cleanFiles()
+    assert(t.segments.isEmpty)
+    t.insert(src) // usable after truncate
+    assert(t.read.count() == 5)
+  }
+
+  test("plain LIMIT scans only a prefix of segments") {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val t = GraftTable.create(spark, tmpTable(), src.schema, Seq("o_orderkey"))
+    t.insert(src.filter(col("o_orderkey") < 500))
+    t.insert(src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000))
+    t.insert(src.filter(col("o_orderkey") >= 1000))
+    val q = t.read.limit(7)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    val files = scans.head match {
+      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        ps.fileIndex.inputFiles.length
+      case other => fail(s"unexpected scan $other")
+    }
+    val seg0Files = t.status.visible.minBy(_.id).files.size
+    assert(files == seg0Files, s"limit should scan only segment 0 ($seg0Files files), got $files")
+    assert(q.count() == 7)
+  }
+
+  test("mixed-format table: csv segment unions into reads; DSv2 scan refuses") {
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src.filter(col("n_nationkey") < 10))
+    val ext = Files.createTempDirectory("graft_csv_").toString
+    src.filter(col("n_nationkey") >= 10)
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(ext)
+    t.addSegment(ext, "csv")
+    assert(t.read.count() == 25)
+    assert(t.read.agg(sum("n_nationkey")).collect().head.getLong(0) == (0 until 25).sum)
+    val e = intercept[Exception](
+      spark.read.format("carbonish").load(t.path).count())
+    assert(e.getMessage.contains("non-parquet") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-parquet")))
+  }
+
+  test("bloom_columns property writes parquet bloom filters") {
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t = GraftTable.create(spark, tmpTable(), src.schema,
+      properties = Map("bloom_columns" -> "c_custkey"))
+    t.insert(src)
+    val seg = t.status.visible.head
+    val file = t.layout.segmentFilePaths(seg).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val custkey = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "c_custkey").get
+      assert(custkey.getBloomFilterOffset > 0, "bloom filter missing for c_custkey")
+    } finally reader.close()
+  }
+}
