@@ -14,6 +14,12 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
       case c if c < ' ' => " "; case c => c.toString
     }
+    // Warm the JVM + parquet footers once so the first timed query isn't
+    // charged for session/codegen init.
+    try graft.queries.Q.views(spark, sfDir)
+    catch { case _: Throwable => }
+    try spark.sql("SELECT count(*) FROM lineitem").collect()
+    catch { case _: Throwable => }
     // Materialize every column via a noop-format write (count() would let
     // Spark prune the projection and bench an empty scan — VERDICT r2).
     var errors = List.empty[(String, String)]

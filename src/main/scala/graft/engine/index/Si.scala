@@ -1,0 +1,85 @@
+package graft.engine.index
+
+import graft.engine.GraftTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Secondary index (reference index/secondary-index + the SI filter→join
+  * rewrite, CarbonSITransformationRule / BroadCastSIFilterPushJoin,
+  * SURVEY §2.3 #15).
+  *
+  * Spark-first shape: the SI is itself a carbonish table mapping indexed
+  * value → segment id, sorted by value (so SI lookups prune via segment
+  * stats). A query filtering on the indexed column first consults the SI
+  * (a tiny scan), then reads only the main-table segments that contain
+  * the value — the reference pushes matched blocklets the same way, we
+  * push matched segments. At 100 TB the SI is ~|distinct values ×
+  * segments| rows — negligible next to the fact table.
+  */
+object Si {
+
+  private def siPathsKey(column: String) = s"si.$column"
+
+  private val segIdFromPath: Column =
+    regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1).cast("long")
+
+  /** CREATE INDEX … AS 'carbondata' (SI) on `column`, stored at `siPath`. */
+  def create(t: GraftTable, column: String, siPath: String): GraftTable = {
+    require(t.schema.fieldNames.contains(column), s"no such column $column")
+    val si = buildRows(t, column) match { case df =>
+      GraftTable.drop(t.spark, siPath)
+      GraftTable.createAsSelect(t.spark, siPath, df, sortColumns = Seq("v"))
+    }
+    t.layout.writeTableMeta(t.meta.copy(
+      properties = t.meta.properties + (siPathsKey(column) -> siPath)))
+    si
+  }
+
+  private def buildRows(t: GraftTable, column: String): DataFrame = {
+    val vis = t.status.visible
+    val files = vis.flatMap(t.layout.segmentFilePaths)
+    t.spark.read.schema(t.schema).parquet(files: _*)
+      .select(col(column).as("v"), segIdFromPath.as("seg_id"))
+      .distinct()
+  }
+
+  /** REFRESH INDEX: full rebuild against the current segment set. */
+  def refresh(t: GraftTable, column: String): Unit = {
+    val siPath = t.meta.properties.getOrElse(siPathsKey(column),
+      throw new IllegalArgumentException(s"no SI on $column"))
+    GraftTable.at(t.spark, siPath).insert(buildRows(t, column), overwrite = true)
+  }
+
+  /** SHOW INDEXES. */
+  def show(t: GraftTable): Seq[(String, String)] =
+    t.meta.properties.collect {
+      case (k, v) if k.startsWith("si.") => (k.stripPrefix("si."), v)
+    }.toSeq
+
+  /** DROP INDEX. */
+  def drop(t: GraftTable, column: String): Unit = {
+    t.meta.properties.get(siPathsKey(column)).foreach(p => GraftTable.drop(t.spark, p))
+    t.layout.writeTableMeta(t.meta.copy(
+      properties = t.meta.properties - siPathsKey(column)))
+  }
+
+  /** SI-accelerated equality/IN read: consult the index for the segment
+    * set containing any of `values`, then scan only those segments with
+    * the exact predicate applied (residual, like the reference's
+    * position-filter join). Falls back to a plain filtered read when no
+    * SI exists on the column. */
+  def readWhereIn(t: GraftTable, column: String, values: Seq[Any]): DataFrame = {
+    val pred = col(column).isin(values: _*)
+    t.meta.properties.get(siPathsKey(column)) match {
+      case None => t.read.filter(pred)
+      case Some(siPath) =>
+        val ids = GraftTable.at(t.spark, siPath).read
+          .filter(col("v").isin(values: _*))
+          .select("seg_id").distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (ids.isEmpty)
+          t.read.filter(pred).limit(0) // provably empty
+        else t.readSegments(ids).filter(pred)
+    }
+  }
+}

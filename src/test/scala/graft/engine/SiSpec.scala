@@ -1,0 +1,50 @@
+package graft.engine
+
+import graft.engine.index.Si
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("SI lookup prunes to the segments containing the value") {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val root = Files.createTempDirectory("graft_si_").toString
+    val t = GraftTable.create(spark, s"$root/t", src.schema, Seq("o_orderkey"))
+    // one segment per status: the SI can prove which segments hold a value
+    Seq("O", "F", "P").foreach(s0 =>
+      t.insert(src.filter(col("o_orderstatus") === s0)))
+
+    Si.create(t, "o_orderstatus", s"$root/si_status")
+    assert(Si.show(t).map(_._1) == Seq("o_orderstatus"))
+
+    val q = Si.readWhereIn(t, "o_orderstatus", Seq("P"))
+    // correctness: equals the direct filter
+    val expected = src.filter(col("o_orderstatus") === "P").count()
+    assert(q.count() == expected && expected > 0)
+    // pruning: the scan reads only segment 2's files
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head match {
+      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        ps.fileIndex.inputFiles.toSeq
+    }
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/segments/2/")),
+      s"expected only segment 2, scanned: $scanned")
+
+    // stale after a new load; refresh catches it
+    t.insert(src.filter(col("o_orderstatus") === "P").limit(10))
+    Si.refresh(t, "o_orderstatus")
+    assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10)
+
+    // no matching segments → empty without scanning
+    assert(Si.readWhereIn(t, "o_orderstatus", Seq("ZZ")).count() == 0)
+
+    Si.drop(t, "o_orderstatus")
+    assert(Si.show(t).isEmpty)
+    // falls back to plain filtered read
+    assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10)
+  }
+}
