@@ -134,6 +134,16 @@ class MergeBuilder private[engine] (
   private var onlyTarget = Vector.empty[MergeAction]
   private var pendingKind = 0 // 1=matched 2=notMatched 3=onlyTarget
   private var pendingCond: Option[Column] = None
+  private var history: Option[(GraftTable, Long)] = None
+
+  /** SCD2: before rows are updated/deleted, their previous versions are
+    * appended to `historyTable` with `__op` and `__merge_ts` columns
+    * (reference InsertInHistoryTableAction / HistoryTableLoadHelper).
+    * `historyTable` schema = target schema + __op string + __merge_ts
+    * long. `ts` is caller-supplied for determinism. */
+  def withHistory(historyTable: GraftTable, ts: Long): MergeBuilder = {
+    history = Some((historyTable, ts)); this
+  }
 
   def whenMatched(cond: Column = null): MergeBuilder = {
     pendingKind = 1; pendingCond = Option(cond); this
@@ -235,6 +245,26 @@ class MergeBuilder private[engine] (
     val keepTarget: Seq[Column] = schema.fields.map(f => col(s"t.${f.name}").as(f.name)).toSeq
 
     val withAct = joined.withColumn("__act", act)
+
+    // SCD2 history: archive the pre-image of updated/deleted target rows
+    history.foreach { case (h, ts) =>
+      val ops = matched.zipWithIndex.collect {
+        case (_: UpdateAction, i) => (i + 1, "UPDATE")
+        case (DeleteAction(_), i) => (i + 1, "DELETE")
+      } ++ onlyTarget.zipWithIndex.collect {
+        case (_: UpdateAction, i) => (i + 201, "UPDATE")
+        case (DeleteAction(_), i) => (i + 201, "DELETE")
+      }
+      if (ops.nonEmpty) {
+        val opCol = ops.foldLeft(lit(null).cast("string")) {
+          case (acc, (i, op)) => when(col("__act") === i, op).otherwise(acc)
+        }
+        h.insert(withAct
+          .filter(col("__act").isin(ops.map(_._1): _*))
+          .select((schema.fields.map(f => col(s"t.${f.name}").as(f.name)).toSeq :+
+            opCol.as("__op") :+ lit(ts).as("__merge_ts")): _*))
+      }
+    }
     val pieces: Seq[DataFrame] =
       // untouched target rows of affected segments (act 0, target present)
       Seq(withAct.filter(col("__act") === 0 && col("__t").isNotNull).select(keepTarget: _*)) ++

@@ -64,9 +64,13 @@ object PipelineQueries {
     // ---- near-dup: MinHash signatures → banded LSH buckets →
     //      in-bucket pair join → exact-Jaccard verify. No crossJoin. ----
     "q_dedup_minhash" -> ((s, d) => {
+      // tokenization is reused 3× (signature + both sides of the verify
+      // join) — persist it instead of re-reading + re-splitting; at
+      // cluster scale this would be a checkpoint/persist(DISK) as well
       val toks = nearCorpus(t(s, d, "documents"))
         .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
         .filter(size(col("toks")) >= ShingleN)
+        .persist()
       val sig = toks.select(col("id"),
         Dedup.minhashSig(Dedup.shingles(col("toks"), ShingleN), NumHashes).as("sig"))
       val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)

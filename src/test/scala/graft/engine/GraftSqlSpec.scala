@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class GraftSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("MERGE INTO SQL: update, conditional delete, insert *") {
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val root = Files.createTempDirectory("graft_msql_").toString
+    val t = GraftTable.createAsSelect(spark, s"$root/t", src, Seq("c_custkey"))
+    src.filter(col("c_custkey") < 60)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .createOrReplaceTempView("cust_updates")
+    GraftSql.mergeInto(spark,
+      """MERGE INTO cust AS a USING cust_updates AS b
+         ON a.c_custkey = b.c_custkey
+         WHEN MATCHED AND a.c_acctbal < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET c_acctbal = b.c_acctbal, c_mktsegment = concat(a.c_mktsegment, '!')
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("cust" -> t))
+    val expected = src
+      .filter(col("c_custkey") >= 60 || col("c_acctbal") >= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        when(col("c_custkey") < 60, col("c_acctbal") + 1000.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") < 60, concat(col("c_mktsegment"), lit("!")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val got = t.read.select(expected.columns.map(col).toSeq: _*)
+    assert(got.collect().map(_.toString).sorted
+      .sameElements(expected.collect().map(_.toString).sorted))
+  }
+
+  test("MERGE INTO SQL: explicit INSERT (cols) VALUES (exprs)") {
+    val root = Files.createTempDirectory("graft_msql2_").toString
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, s"$root/t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Seq((2L, "B"), (3L, "C")).toDF("k", "v").createOrReplaceTempView("msrc")
+    GraftSql.mergeInto(spark,
+      """MERGE INTO tt USING msrc ON tt.k = msrc.k
+         WHEN MATCHED THEN UPDATE SET v = upper(msrc.v)
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (msrc.k, concat('new_', msrc.v))""",
+      Map("tt" -> t))
+    val got = t.read.as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "new_C")))
+  }
+
+  test("SCD2 history action archives pre-images of updated/deleted rows") {
+    val root = Files.createTempDirectory("graft_scd2_").toString
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, s"$root/t",
+      Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 7.0)).toDF("k", "v", "bal"))
+    val histSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("bal", DoubleType), StructField("__op", StringType),
+      StructField("__merge_ts", LongType)))
+    val hist = GraftTable.create(spark, s"$root/hist", histSchema)
+    val srcDf = Seq((1L, "A"), (2L, "B")).toDF("k", "nv")
+    t.merge(srcDf, col("t.k") === col("s.k"))
+      .withHistory(hist, ts = 12345L)
+      .whenMatched(col("t.bal") < 0).delete()
+      .whenMatched().updateExpr(Map("v" -> col("s.nv")))
+      .execute()
+    assert(t.read.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "A", 10.0), (3L, "c", 7.0)))
+    val h = hist.read.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3), r.getLong(4))).toSet
+    assert(h == Set((1L, "a", "UPDATE", 12345L), (2L, "b", "DELETE", 12345L)))
+  }
+}
