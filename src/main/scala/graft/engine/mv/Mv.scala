@@ -31,10 +31,14 @@ case class MvDef(
 
 object MvCatalog {
   private val views = scala.collection.mutable.LinkedHashMap.empty[String, MvDef]
+  // base-table segment ids already folded into each MV (incremental refresh)
+  private val refreshed = scala.collection.mutable.HashMap.empty[String, Set[Long]]
   def register(d: MvDef): Unit = synchronized { views(d.name) = d }
-  def drop(name: String): Unit = synchronized { views.remove(name) }
+  def drop(name: String): Unit = synchronized { views.remove(name); refreshed.remove(name) }
   def all: Seq[MvDef] = synchronized { views.values.toSeq }
   def get(name: String): Option[MvDef] = synchronized { views.get(name) }
+  def refreshedSegments(name: String): Set[Long] = synchronized { refreshed.getOrElse(name, Set.empty) }
+  def setRefreshedSegments(name: String, s: Set[Long]): Unit = synchronized { refreshed(name) = s }
 }
 
 object Mv {
@@ -60,12 +64,28 @@ object Mv {
     val mvDf = MvRewriteRule.withoutRewrite {
       org.apache.spark.sql.graft.Shims.ofRows(spark, buildPlan)
     }
+    val snapshot = baseSegmentSnapshot(spark, buildPlan) // before materializing
     GraftTable.drop(spark, path)
     GraftTable.createAsSelect(spark, path, mvDf, sortColumns)
     val d = MvDef(name, matchPlan, buildPlan, path)
     MvCatalog.register(d)
+    snapshot.foreach(s => MvCatalog.setRefreshedSegments(name, s))
     install(spark)
     d
+  }
+
+  /** Visible base-segment ids when the MV base is one carbonish table. */
+  private def baseSegmentSnapshot(
+      spark: SparkSession, build: LogicalPlan): Option[Set[Long]] = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    build.collectLeaves().collect { case r: DataSourceV2Relation => r } match {
+      case Seq(r) => r.table match {
+        case t: graft.engine.source.CarbonishTable =>
+          Some(GraftTable.at(spark, t.tablePath).status.visible.map(_.id).toSet)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** REFRESH MATERIALIZED VIEW: full rebuild (reference supports
@@ -74,17 +94,115 @@ object Mv {
     val d = MvCatalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"no MV $name"))
     val t = GraftTable.at(spark, d.path)
+    val snapshot = baseSegmentSnapshot(spark, d.build)
     MvRewriteRule.withoutRewrite {
       // the guard stops the rule from rewriting the refresh query into a
       // read of the (stale) MV itself; `build` re-resolves base segments
       t.insert(org.apache.spark.sql.graft.Shims.ofRows(spark, d.build),
         overwrite = true)
     }
+    snapshot.foreach(s => MvCatalog.setRefreshedSegments(name, s))
   }
 
   def drop(spark: SparkSession, name: String): Unit = {
     MvCatalog.get(name).foreach(d => GraftTable.drop(spark, d.path))
     MvCatalog.drop(name)
+  }
+
+  /** SHOW MATERIALIZED VIEWS. */
+  def show: Seq[(String, String)] = MvCatalog.all.map(d => (d.name, d.path))
+
+  /** Incremental refresh (reference mv-guide "incremental refresh"):
+    * when the MV's base is a single carbonish table that has only grown
+    * since the last refresh, fold ONLY the new segments' delta aggregate
+    * into the stored MV (sum→sum, count→sum, min/max→min/max) instead of
+    * re-scanning the whole base. Falls back to a full refresh otherwise.
+    * Returns true if the incremental path was taken. */
+  def refreshIncremental(spark: SparkSession, name: String): Boolean = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.functions.{col, count => _, _}
+    val d = MvCatalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no MV $name"))
+
+    def fullRefresh(): Boolean = { refresh(spark, name); false }
+
+    // base = exactly one carbonish relation in the build plan
+    val rels = d.build.collectLeaves().collect { case r: DataSourceV2Relation => r }
+    val basePath = rels match {
+      case Seq(r) => r.table match {
+        case t: graft.engine.source.CarbonishTable => Some((r, t.tablePath))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (basePath.isEmpty) return fullRefresh()
+    val (oldRel, path) = basePath.get
+
+    // every output must be a grouping column or a self-decomposable agg
+    val groupCanon = d.agg.groupingExpressions.map(_.canonicalized).toSet
+    sealed trait Kind
+    case object G extends Kind; case object S extends Kind
+    case object Mn extends Kind; case object Mx extends Kind
+    val kinds: Seq[Option[(String, Kind)]] = d.agg.aggregateExpressions.map { ne =>
+      val core = ne match { case Alias(c, _) => c; case other => other }
+      if (groupCanon.contains(core.canonicalized)) Some(ne.name -> G)
+      else core match {
+        case AggregateExpression(_: Sum, _, false, None, _) => Some(ne.name -> S)
+        case AggregateExpression(_: Count, _, false, None, _) => Some(ne.name -> S)
+        case AggregateExpression(_: Min, _, false, None, _) => Some(ne.name -> Mn)
+        case AggregateExpression(_: Max, _, false, None, _) => Some(ne.name -> Mx)
+        case _ => None // avg and composite expressions: not mergeable
+      }
+    }
+    if (kinds.exists(_.isEmpty)) return fullRefresh()
+
+    val base = GraftTable.at(spark, path)
+    val vis = base.status.visible.map(_.id).toSet
+    val done = MvCatalog.refreshedSegments(name)
+    if (!done.subsetOf(vis)) return fullRefresh() // deletes/compaction happened
+    val fresh = vis -- done
+    if (fresh.isEmpty) return true
+
+    // delta aggregate over only the new segments
+    val pinned = spark.read.format("carbonish")
+      .option("segments", fresh.toSeq.sorted.mkString(","))
+      .load(path).queryExecution.analyzed.asInstanceOf[DataSourceV2Relation]
+    val amap = oldRel.output.map(a =>
+      a.exprId -> pinned.output.find(_.name == a.name).getOrElse(return fullRefresh())).toMap
+    val deltaPlan = d.build.transformUp {
+      case r: DataSourceV2Relation if r.eq(oldRel) => pinned
+    }.transformAllExpressions {
+      case a: AttributeReference => amap.getOrElse(a.exprId, a)
+    }
+    val deltaDf = MvRewriteRule.withoutRewrite {
+      org.apache.spark.sql.graft.Shims.ofRows(spark, deltaPlan)
+    }
+
+    // merge stored MV + delta by group, combining partials
+    val mvT = GraftTable.at(spark, d.path)
+    val names = kinds.flatten
+    val groupNames = names.collect { case (n, G) => n }
+    val combined = MvRewriteRule.withoutRewrite {
+      mvT.read.unionByName(deltaDf)
+        .groupBy(groupNames.map(col): _*)
+        .agg(
+          names.collect {
+            case (n, S) => sum(col(n)).as(n)
+            case (n, Mn) => min(col(n)).as(n)
+            case (n, Mx) => max(col(n)).as(n)
+          }.head,
+          names.collect {
+            case (n, S) => sum(col(n)).as(n)
+            case (n, Mn) => min(col(n)).as(n)
+            case (n, Mx) => max(col(n)).as(n)
+          }.tail: _*)
+        .select(names.map { case (n, _) => col(n) }: _*)
+    }
+    // the write ACTION must also run with rewriting off — the rule fires
+    // at optimization time, not DataFrame-construction time
+    MvRewriteRule.withoutRewrite { mvT.insert(combined, overwrite = true) }
+    MvCatalog.setRefreshedSegments(name, vis)
+    true
   }
 
   /** Replace every Average with Sum+Count pairs (keeping one column per

@@ -79,10 +79,16 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val qChild = stripPruning(qChild0)
     val mChild = stripPruning(mChild0)
+    // a pinned-segment read (insegment) is NOT the same relation as the
+    // full table — matching across different pins would serve stale or
+    // partial data
+    def pin(r: DataSourceV2ScanRelation): String =
+      Option(r.relation.options.get("segments")).getOrElse("")
     (qChild, mChild) match {
       case (q: DataSourceV2ScanRelation, m: DataSourceV2ScanRelation)
           if bareParquetScan(q.scan) && bareParquetScan(m.scan) &&
-            q.relation.table.name == m.relation.table.name =>
+            q.relation.table.name == m.relation.table.name &&
+            pin(q) == pin(m) =>
         val byName = m.output.map(a => a.name -> a).toMap
         if (q.output.forall(a => byName.contains(a.name)))
           Some(AttributeMap(q.output.map(a => a -> byName(a.name))))

@@ -61,6 +61,7 @@ class CarbonishSource extends TableProvider with DataSourceRegister {
 class CarbonishTable(path: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite {
 
+  def tablePath: String = path
   override def name(): String = s"carbonish.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

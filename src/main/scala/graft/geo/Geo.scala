@@ -72,8 +72,20 @@ object Geo {
   }
 
   // ---- Column API ----
-  private val geoIdUdf = udf(latLngToGeoIdScalar _)
-  def latLngToGeoId(lat: Column, lng: Column): Column = geoIdUdf(lat, lng)
+  /** Native (codegen'd) geoId — same bit-for-bit result as the scalar
+    * engine, but stays inside whole-stage codegen instead of a UDF
+    * call per row (the hot path of geo filters at scale). */
+  def latLngToGeoId(lat: Column, lng: Column): Column = {
+    def quant(c: Column, offset: Double, span: Double): Column =
+      least(lit(MaxCell), greatest(lit(0L),
+        floor((c + offset) / span * (1L << Bits)).cast("long")))
+    val x = quant(lng, 180.0, 360.0)
+    val y = quant(lat, 90.0, 180.0)
+    (0 until Bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 
   def inPolygon(lat: Column, lng: Column, poly: Seq[(Double, Double)]): Column = {
     val f = udf((la: Double, ln: Double) => pointInPolygon(la, ln, poly))

@@ -71,6 +71,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!ranges.exists(r => outside >= r._1 && outside <= r._2))
   }
 
+  test("geo: native geoId column equals the scalar engine bit-for-bit") {
+    import spark.implicits._
+    val pts = (0 until 3000).map { i =>
+      ((i % 180) - 90 + 0.125, ((i * 11) % 360) - 180 + 0.125)
+    }.toDF("lat", "lng")
+    val both = pts.select(
+      Geo.latLngToGeoId(col("lat"), col("lng")).as("native"),
+      udf(Geo.latLngToGeoIdScalar _).apply(col("lat"), col("lng")).as("scalar"))
+    assert(both.filter(col("native") =!= col("scalar")).count() == 0)
+  }
+
   test("geo: range-list filter + polygon join agree with direct predicate") {
     import spark.implicits._
     // deterministic synthetic points
