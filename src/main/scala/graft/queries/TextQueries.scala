@@ -66,13 +66,22 @@ object TextQueries {
         col("n_chars").cast("long").as("n_chars"))
     }),
     "q_text_tokens" -> ((s, d) => {
-      val toks = split(norm(col("text")), " ")
+      val n = norm(col("text"))
+      val toks = split(n, " ")
+      // BPE-ish tokenizer: one token per alnum run + one per punct char
+      // (runs collapsed to \u0001 then counted with the literal trick)
+      val collapsed = regexp_replace(n, "[a-z0-9]+", "\u0001")
+      val runs = (length(collapsed) -
+        length(regexp_replace(collapsed, "\u0001", ""))).cast("long")
+      val alnumChars = length(regexp_replace(n, "[^a-z0-9]", "")).cast("long")
+      val punct = length(n).cast("long") - occ(n, " ") - alnumChars
       t(s, d, "documents").select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
+        (runs + punct).as("n_subtok"),
         (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
-        (length(norm(col("text"))).cast("double") / size(toks).cast("double")).as("avg_tok_len_incl_sep"))
+        (length(n).cast("double") / size(toks).cast("double")).as("avg_tok_len_incl_sep"))
     }),
     "q_text_fingerprint" -> ((s, d) => {
       val toks = split(norm(col("text")), " ")
@@ -110,13 +119,19 @@ object TextQueries {
             CAST($oStop AS DOUBLE) / CAST($oWords AS DOUBLE) AS stop_ratio,
             CAST(n_chars AS BIGINT) AS n_chars
             FROM documents""",
-      "q_text_tokens" ->
+      "q_text_tokens" -> {
+        val oCollapsed = s"regexp_replace($oNorm, '[a-z0-9]+', chr(1), 'g')"
+        val oRuns = s"CAST(length($oCollapsed) - length(replace($oCollapsed, chr(1), '')) AS BIGINT)"
+        val oAlnum = s"CAST(length(regexp_replace($oNorm, '[^a-z0-9]', '', 'g')) AS BIGINT)"
+        val oPunct = s"(CAST(length($oNorm) AS BIGINT) - ${oOcc(oNorm, " ")} - $oAlnum)"
         s"""SELECT doc_id,
             CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n_tokens,
             CAST(len(list_distinct(string_split($oNorm, ' '))) AS BIGINT) AS n_distinct,
+            ($oRuns + $oPunct) AS n_subtok,
             CAST(len(list_distinct(string_split($oNorm, ' '))) AS DOUBLE) / CAST(len(string_split($oNorm, ' ')) AS DOUBLE) AS ttr,
             CAST(length($oNorm) AS DOUBLE) / CAST(len(string_split($oNorm, ' ')) AS DOUBLE) AS avg_tok_len_incl_sep
-            FROM documents""",
+            FROM documents"""
+      },
       "q_text_fingerprint" ->
         s"""SELECT doc_id, md5($oNorm) AS content_md5,
             ${oH32(s"array_to_string(list_sort(list_distinct(string_split($oNorm, ' '))), ' ')")} AS bow_fp
