@@ -93,26 +93,42 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   }
 
   private def withLock[T](body: => T): T = {
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    var locked = false
-    fs.mkdirs(metaDir)
-    while (!locked) {
-      try { locked = fs.createNewFile(lockPath) }
-      catch { case _: java.io.IOException => }
-      if (!locked) {
-        if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
-            s"could not acquire table lock $lockPath within 60s")
-        Thread.sleep(50)
+    // two layers: a JVM-wide monitor per table path (FileSystem
+    // .createNewFile is check-then-create on the local FS, so it can't
+    // arbitrate same-process writers), then the lock FILE for
+    // cross-process writers (HDFS create(overwrite=false) is atomic at
+    // the namenode — the reference's table-level lock, SURVEY §7.4).
+    val monitor = TableLayout.jvmLocks.computeIfAbsent(
+      root.toString, _ => new Object)
+    monitor.synchronized {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var locked = false
+      fs.mkdirs(metaDir)
+      while (!locked) {
+        try { locked = fs.createNewFile(lockPath) }
+        catch { case _: java.io.IOException => }
+        if (!locked) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire table lock $lockPath within 60s")
+          Thread.sleep(50)
+        }
       }
+      try body
+      finally fs.delete(lockPath, false)
     }
-    try body
-    finally fs.delete(lockPath, false)
   }
 
   /** List absolute data-file paths of the given segment. */
+  // (companion holds the JVM-wide lock registry — see withLock)
   def segmentFilePaths(seg: SegmentMeta): Seq[String] = {
     val base = seg.externalPath.map(new Path(_)).getOrElse(segmentDir(seg.id))
     seg.files.map(f => new Path(base, f).toString)
   }
+}
+
+object TableLayout {
+  /** JVM-wide per-table-path monitors backing withLock's first layer. */
+  private[format] val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
