@@ -92,26 +92,35 @@ object Geo {
     f(lat, lng)
   }
 
-  /** morton ranges covering a [latMin,latMax]×[lngMin,lngMax] box at a
-    * coarsened level: one contiguous run per quantized row. Pushdown-
-    * friendly: OR of BETWEENs on the geoId column. */
+  /** morton ranges covering a [latMin,latMax]×[lngMin,lngMax] box.
+    * Pushdown-friendly: OR of BETWEENs on the geoId column. The cell
+    * level adapts so at most `maxRanges` ranges come back — each range
+    * predicate re-evaluates the (inlined) geoId expression, so an
+    * unbounded range list turns a cheap filter into a per-row expression
+    * explosion; a coarser covering superset + the exact residual filter
+    * is always the better trade. */
   def bboxRanges(latMin: Double, latMax: Double, lngMin: Double, lngMax: Double,
-      coarsen: Int = 10): Seq[(Long, Long)] = {
-    val shift = coarsen
-    val y0 = quantLat(latMin) >> shift; val y1 = quantLat(latMax) >> shift
-    val x0 = quantLng(lngMin) >> shift; val x1 = quantLng(lngMax) >> shift
-    (y0 to y1).flatMap { y =>
-      (x0 to x1).map { x =>
-        val base = interleave(x, y) << (2 * shift)
-        (base, base | ((1L << (2 * shift)) - 1))
-      }
-    }.sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
-      acc.lastOption match {
-        case Some((plo, phi)) if lo <= phi + 1 =>
-          acc.init :+ (plo, math.max(phi, hi))
-        case _ => acc :+ (lo, hi)
+      maxRanges: Int = 64): Seq[(Long, Long)] = {
+    def at(shift: Int): Seq[(Long, Long)] = {
+      val y0 = quantLat(latMin) >> shift; val y1 = quantLat(latMax) >> shift
+      val x0 = quantLng(lngMin) >> shift; val x1 = quantLng(lngMax) >> shift
+      (y0 to y1).flatMap { y =>
+        (x0 to x1).map { x =>
+          val base = interleave(x, y) << (2 * shift)
+          (base, base | ((1L << (2 * shift)) - 1))
+        }
+      }.sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+        acc.lastOption match {
+          case Some((plo, phi)) if lo <= phi + 1 =>
+            acc.init :+ (plo, math.max(phi, hi))
+          case _ => acc :+ (lo, hi)
+        }
       }
     }
+    var shift = 6
+    var r = at(shift)
+    while (r.size > maxRanges && shift < Bits) { shift += 2; r = at(shift) }
+    r
   }
 
   /** geoId ∈ ranges as BETWEEN disjunctions (IN_POLYGON_RANGE_LIST). */

@@ -62,13 +62,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Geo.pointInPolygon(5, 5, sq))
     assert(!Geo.pointInPolygon(15, 5, sq))
     assert(!Geo.pointInPolygon(-1, 5, sq))
-    // every point in the box has its geoId inside some bbox range
+    // every point in the box has its geoId inside some bbox range; the
+    // covering is a bounded-size superset, so only far-outside points
+    // are guaranteed excluded
     val ranges = Geo.bboxRanges(10, 20, 30, 40)
+    assert(ranges.size <= 64, s"range budget exceeded: ${ranges.size}")
     val inside = Seq((10.5, 30.5), (19.9, 39.9), (15.0, 35.0))
       .map { case (a, b) => Geo.latLngToGeoIdScalar(a, b) }
     assert(inside.forall(id => ranges.exists(r => id >= r._1 && id <= r._2)))
-    val outside = Geo.latLngToGeoIdScalar(25.0, 35.0)
-    assert(!ranges.exists(r => outside >= r._1 && outside <= r._2))
+    val farOutside = Geo.latLngToGeoIdScalar(60.0, 120.0)
+    assert(!ranges.exists(r => farOutside >= r._1 && farOutside <= r._2))
   }
 
   test("geo: native geoId column equals the scalar engine bit-for-bit") {
