@@ -123,9 +123,30 @@ object Geo {
     r
   }
 
-  /** geoId ∈ ranges as BETWEEN disjunctions (IN_POLYGON_RANGE_LIST). */
+  /** geoId ∈ ranges as BETWEEN disjunctions (IN_POLYGON_RANGE_LIST).
+    * Use on a STORED geoId column: the BETWEENs push down to parquet
+    * min/max and segment stats. On a computed-on-the-fly geoId use
+    * [[geoIdInRangesSearch]] — the optimizer inlines the geoId
+    * expression into every disjunct, which explodes per-row cost. */
   def geoIdInRanges(geoId: Column, ranges: Seq[(Long, Long)]): Column =
     ranges.map { case (lo, hi) => geoId.between(lo, hi) }.reduce(_ || _)
+
+  /** geoId ∈ ranges via one binary search per row (single evaluation of
+    * the geoId expression; ranges ship to executors in the closure). */
+  def geoIdInRangesSearch(geoId: Column, ranges: Seq[(Long, Long)]): Column = {
+    val sorted = ranges.sortBy(_._1)
+    val los = sorted.map(_._1).toArray
+    val his = sorted.map(_._2).toArray
+    val f = udf { (g: Long) =>
+      var lo = 0; var hi = los.length - 1; var idx = -1
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        if (los(m) <= g) { idx = m; lo = m + 1 } else hi = m - 1
+      }
+      idx >= 0 && g <= his(idx)
+    }
+    f(geoId)
+  }
 
   /** Broadcast polygon join (BroadCastPolygonFilterPushJoin analog):
     * each left row joins polygons whose bbox ranges cover its geoId cell,

@@ -114,9 +114,11 @@ object PipelineQueries {
         col("event_type"),
         ((col("user_id") % 120) - 60 + 0.5).as("lat"),
         (((col("event_id") * 7) % 360) - 180 + 0.5).as("lng"))
-      val ranges = Geo.bboxRanges(10, 20, 30, 40)
+      val ranges = Geo.bboxRanges(10, 20, 30, 40, maxRanges = 1024)
       pts.withColumn("geo_id", Geo.latLngToGeoId(col("lat"), col("lng")))
-        .filter(Geo.geoIdInRanges(col("geo_id"), ranges))     // pushdown path
+        // computed geoId → single-eval binary search; a STORED geoId
+        // column would use geoIdInRanges for parquet/segment pushdown
+        .filter(Geo.geoIdInRangesSearch(col("geo_id"), ranges))
         .filter(col("lat").between(10, 20) && col("lng").between(30, 40)) // exact
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     }),
