@@ -39,13 +39,44 @@ object Dedup {
         list_transform(range(1, len($toks) - ${n - 2}), i -> $gram) END"""
   }
 
-  /** MinHash signature: for each seed, the min h32 over the shingle set.
-    * Per-row computation — embarrassingly parallel. */
-  def minhashSig(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(sh, x => h32(j, x)))): _*)
-  def oMinhashSig(sh: String, numHashes: Int): Seq[String] =
-    (0 until numHashes).map(j => s"list_min(list_transform($sh, x -> ${oH32(j, "x")}))")
+  // One md5 per shingle; the per-seed hash family is derived by linear
+  // transforms of two 32-bit halves (classic (a·p1 + b·p2 + j) mod M) —
+  // 6× less hashing than an md5 per seed, same LSH guarantees.
+  private val P1 = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 98765431L)
+  private val P2 = Seq(11L, 101L, 1009L, 10007L, 100003L, 1000003L)
+  private val M = 2147483647L
+  require(P1.size >= 6 && P2.size >= 6)
+
+  /** MinHash signatures via explode → partial-aggregated min per seed.
+    * The explode/combine shape keeps the shuffle at (id × numHashes)
+    * longs regardless of document size — the scalable form at 100 TB.
+    * Input: (id, toks); output: (id, sig array<long>). */
+  def minhashSignatures(toks: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= P1.size, s"at most ${P1.size} hash functions")
+    val ex = toks.select(col("id"),
+      explode(shingles(col("toks"), shingleN)).as("s"))
+    val h = md5(col("s"))
+    val ab = ex.select(col("id"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("a"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("b"))
+    ab.groupBy("id").agg(
+      array((0 until numHashes).map(j =>
+        min((col("a") * P1(j) + col("b") * P2(j) + j) % M)): _*).as("sig"))
+  }
+
+  /** DuckDB oracle mirror of [[minhashSignatures]]: emits (id, sig) SQL
+    * given a CTE named `toksRel(id, toks)`. */
+  def oMinhashSignatures(toksRel: String, shingleN: Int, numHashes: Int): String = {
+    val sh = oShingles("toks", shingleN)
+    val mins = (0 until numHashes).map(j =>
+      s"min((a * ${P1(j)} + b * ${P2(j)} + $j) % $M)").mkString("[", ", ", "]")
+    s"""SELECT id, $mins AS sig FROM (
+          SELECT id,
+            CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+            CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+          FROM (SELECT id, unnest($sh) AS s FROM $toksRel))
+        GROUP BY id"""
+  }
 
   /** Banded-LSH candidate pairs: ids sharing any band of the signature.
     * `rowsPerBand` consecutive minhashes form one band key. Returns

@@ -71,8 +71,7 @@ object PipelineQueries {
         .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
         .filter(size(col("toks")) >= ShingleN)
         .persist()
-      val sig = toks.select(col("id"),
-        Dedup.minhashSig(Dedup.shingles(col("toks"), ShingleN), NumHashes).as("sig"))
+      val sig = Dedup.minhashSignatures(toks, ShingleN, NumHashes)
       val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)
       val ta = toks.as("ta"); val tb = toks.as("tb")
       pairs.join(ta, col("a") === col("ta.id"))
@@ -138,8 +137,6 @@ object PipelineQueries {
 
   def oracle: Map[String, String] = {
     val oToks = "string_split(norm, ' ')"
-    val oSig = Dedup.oMinhashSig("sh", NumHashes)
-      .mkString("[", ", ", "]")
     val rows = NumHashes / Bands
     val oBanded = (0 until Bands).map { b =>
       val key = (0 until rows)
@@ -157,8 +154,8 @@ object PipelineQueries {
         s"""WITH corpus AS ($oNearCorpus),
             toks0 AS (SELECT id, $oToks AS toks FROM corpus),
             toks AS (SELECT id, toks FROM toks0 WHERE len(toks) >= $ShingleN),
-            sh AS (SELECT id, toks, ${Dedup.oShingles("toks", ShingleN)} AS sh FROM toks),
-            sig AS (SELECT id, toks, $oSig AS sig FROM sh),
+            sig0 AS (${Dedup.oMinhashSignatures("toks", ShingleN, NumHashes)}),
+            sig AS (SELECT s.id, s.sig, t.toks FROM sig0 s JOIN toks t ON s.id = t.id),
             banded AS ($oBanded),
             pairs AS (
               SELECT DISTINCT l.id AS a, r.id AS b

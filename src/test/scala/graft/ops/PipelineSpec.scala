@@ -21,8 +21,7 @@ class PipelineSpec extends AnyFunSuite {
     val corpus = base.union(copies)
     val toks = corpus.select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
       .filter(size(col("toks")) >= 3)
-    val sig = toks.select(col("id"),
-      Dedup.minhashSig(Dedup.shingles(col("toks"), 3), 6).as("sig"))
+    val sig = Dedup.minhashSignatures(toks, 3, 6)
     val cand = Dedup.lshCandidates(sig, 6, 3)
     assert(!cand.queryExecution.executedPlan.toString.contains("Cartesian"),
       "LSH candidates must be an equi-join on bucket keys")
