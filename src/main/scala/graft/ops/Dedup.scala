@@ -111,15 +111,26 @@ object Dedup {
     (inter.cast("double") / uni.cast("double"))
   }
 
-  /** 16-bit SimHash over the distinct token set — per-row fold, no
-    * shuffle. Bit j is set iff Σ_tokens (±1 by bit j of h32(token)) ≥ 0. */
-  def simhash16(tokens: Column): Column = {
-    val toks = array_distinct(tokens)
-    (0 until 16).map { j =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, x) => acc + when(shiftright(h32(0, x), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** 16-bit SimHash fingerprints: bit j is set iff
+    * Σ_distinct-tokens (±1 by bit j of h32(token)) ≥ 0.
+    *
+    * Shape: explode → one md5 per token → 16 partially-aggregated bit
+    * votes → final bit-combine over the agg RESULT columns. Expression-
+    * level folds re-evaluate the hash once per bit (HOF lambdas have no
+    * let-binding), so the explode/combine form is both the cheap and the
+    * 100 TB-safe one — the shuffle carries (id × 16) longs.
+    * Input: (id, toks); output: (id, simhash16). */
+  def simhashSignatures(toks: DataFrame): DataFrame = {
+    val ex = toks.select(col("id"),
+      explode(array_distinct(col("toks"))).as("tok"))
+    val hashed = ex.select(col("id"), h32(0, col("tok")).as("h"))
+    val votes = hashed.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
+      (1 until 16).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")): _*)
+    votes.select(col("id"),
+      (0 until 16).map(j =>
+        when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash16"))
   }
   def oSimhash16(toks: String): String = {
     val dt = s"list_distinct($toks)"

@@ -81,11 +81,12 @@ object PipelineQueries {
         .filter(col("jacc") >= JaccThreshold)
     }),
 
-    // ---- SimHash fingerprint: per-row fold, zero shuffle ----
+    // ---- SimHash fingerprint: explode → bit votes → combine ----
     "q_dedup_simhash" -> ((s, d) => {
-      t(s, d, "documents").select(
-        col("doc_id"),
-        Dedup.simhash16(Dedup.normTokens(norm(col("text")))).as("simhash16"))
+      val toks = t(s, d, "documents").select(
+        col("doc_id").as("id"), Dedup.normTokens(norm(col("text"))).as("toks"))
+      Dedup.simhashSignatures(toks)
+        .select(col("id").as("doc_id"), col("simhash16"))
     }),
 
     // ---- ANN: brute-force cosine top-5 over quantized embeddings ----

@@ -13,9 +13,10 @@ import Q._
 object TextQueries {
 
   /** #occurrences of literal `w` in `c` via the replace-length trick —
-    * identical semantics in Spark and DuckDB (no regex dialect risk). */
+    * identical semantics in Spark and DuckDB (no regex dialect risk).
+    * Literal `replace` (StringReplace), not a regex pass. */
   private def occ(c: Column, w: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), ""))) / lit(w.length)).cast("long")
+    ((length(c) - length(replace(c, lit(w), lit("")))) / lit(w.length)).cast("long")
   private def oOcc(c: String, w: String): String =
     s"CAST((length($c) - length(replace($c, '$w', ''))) / ${w.length} AS BIGINT)"
 

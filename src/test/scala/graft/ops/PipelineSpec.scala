@@ -33,11 +33,11 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("simhash of identical docs is identical, near-dup differs little") {
-    val fp = docs.limit(50).select(col("doc_id"),
-      Dedup.simhash16(Dedup.normTokens(lower(trim(col("text"))))).as("s"))
-    val fp2 = docs.limit(50).select(col("doc_id"),
-      Dedup.simhash16(Dedup.normTokens(lower(trim(col("text"))))).as("s"))
-    assert(fp.collect().toSet == fp2.collect().toSet) // deterministic
+    def fp = Dedup.simhashSignatures(docs.limit(50).select(
+      col("doc_id").as("id"),
+      Dedup.normTokens(lower(trim(col("text")))).as("toks")))
+    assert(fp.collect().toSet == fp.collect().toSet) // deterministic
+    assert(fp.count() == 50)
   }
 
   test("SRP-bucketed ANN is an equi-join and overlaps brute-force top-5") {
