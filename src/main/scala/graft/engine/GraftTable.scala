@@ -99,6 +99,13 @@ class GraftTable private (val spark: SparkSession, val path: String) {
         else st.segments
       st.copy(segments = others.map(s => if (s.id == id) seg else s))
     }
+    // auto load merge (reference auto-compaction, docs/usecases.md:91-93):
+    // when the visible segment count reaches the threshold, run a MINOR
+    // compaction so read amplification stays bounded under many small loads
+    m.properties.get("auto_compact_threshold").map(_.toInt).foreach { th =>
+      if (status.visible.count(_.format == "parquet") >= th)
+        compact("MINOR", minorThreshold = th)
+    }
     id
   }
 

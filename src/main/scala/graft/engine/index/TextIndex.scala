@@ -1,0 +1,93 @@
+package graft.engine.index
+
+import graft.engine.GraftTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Term-posting text index (the reference's lucene fine-grain index,
+  * LuceneFineGrainIndex.java:63, collapsed to segment grain like the
+  * rest of the pruning ladder).
+  *
+  * The index is a carbonish table (term, seg_id) holding the distinct
+  * whole tokens per segment, sorted by term so lookups prune via
+  * segment stats. `readMatching` evaluates a text query of
+  * OR-separated clauses of AND-terms: each clause's candidate segments
+  * are the intersection of its terms' posting sets; the union over
+  * clauses bounds the scan, and an exact token-membership residual
+  * filter runs on the survivors.
+  *
+  * Semantics note: like lucene, this matches whole TOKENS —
+  * `GraftFunctions.textMatch` (substring contains) is the unindexed
+  * row-level variant.
+  */
+object TextIndex {
+
+  private def key(column: String) = s"textindex.$column"
+
+  private def tokensOf(c: Column): Column =
+    array_distinct(split(lower(trim(c)), " "))
+
+  private def postings(t: GraftTable, column: String): DataFrame = {
+    val files = t.status.visible.flatMap(t.layout.segmentFilePaths)
+    val segId = regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1)
+      .cast("long")
+    t.spark.read.schema(t.schema).parquet(files: _*)
+      .select(explode(tokensOf(col(column))).as("term"), segId.as("seg_id"))
+      .distinct()
+  }
+
+  /** CREATE INDEX … AS 'lucene'-analog on a text column. */
+  def create(t: GraftTable, column: String, path: String): GraftTable = {
+    require(t.schema.fieldNames.contains(column), s"no such column $column")
+    GraftTable.drop(t.spark, path)
+    val idx = GraftTable.createAsSelect(t.spark, path, postings(t, column),
+      sortColumns = Seq("term"))
+    t.layout.writeTableMeta(t.meta.copy(
+      properties = t.meta.properties + (key(column) -> path)))
+    idx
+  }
+
+  def refresh(t: GraftTable, column: String): Unit = {
+    val p = t.meta.properties.getOrElse(key(column),
+      throw new IllegalArgumentException(s"no text index on $column"))
+    GraftTable.at(t.spark, p).insert(postings(t, column), overwrite = true)
+  }
+
+  def drop(t: GraftTable, column: String): Unit = {
+    t.meta.properties.get(key(column)).foreach(p => GraftTable.drop(t.spark, p))
+    t.layout.writeTableMeta(t.meta.copy(properties = t.meta.properties - key(column)))
+  }
+
+  /** Token-membership residual predicate matching the index semantics. */
+  def tokenMatch(c: Column, query: String): Column = {
+    val toks = tokensOf(c)
+    graft.functions.GraftFunctions.parseQuery(query)
+      .map(_.map(term => array_contains(toks, term)).reduce(_ && _))
+      .reduce(_ || _)
+  }
+
+  /** text_match-accelerated read: consult the posting index for the
+    * candidate segment set, scan only those, apply the exact residual.
+    * Falls back to a full filtered read without an index. */
+  def readMatching(t: GraftTable, column: String, query: String): DataFrame = {
+    val clauses = graft.functions.GraftFunctions.parseQuery(query)
+    t.meta.properties.get(key(column)) match {
+      case None => t.read.filter(tokenMatch(col(column), query))
+      case Some(p) =>
+        val idx = GraftTable.at(t.spark, p)
+        val allTerms = clauses.flatten.distinct
+        val found: Map[String, Set[Long]] = idx.read
+          .filter(col("term").isin(allTerms: _*))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val candidates = clauses.map { terms =>
+          terms.map(tm => found.getOrElse(tm, Set.empty[Long]))
+            .reduce(_ intersect _)
+        }.reduce(_ union _)
+        if (candidates.isEmpty)
+          t.read.filter(tokenMatch(col(column), query)).limit(0)
+        else t.readSegments(candidates.toSeq.sorted)
+          .filter(tokenMatch(col(column), query))
+    }
+  }
+}

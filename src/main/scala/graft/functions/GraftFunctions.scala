@@ -26,7 +26,7 @@ object GraftFunctions {
     clauses.map(_.map(t => lc.contains(t)).reduce(_ && _)).reduce(_ || _)
   }
 
-  private[functions] def parseQuery(query: String): Seq[Seq[String]] =
+  private[graft] def parseQuery(query: String): Seq[Seq[String]] =
     query.split("(?i) OR ").toSeq
       .map(_.trim.split("\\s+").toSeq.map(_.toLowerCase).filter(_.nonEmpty))
       .filter(_.nonEmpty)

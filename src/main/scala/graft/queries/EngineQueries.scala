@@ -52,6 +52,27 @@ object EngineQueries {
     }
   }
 
+  /** documents split into 3 doc_id-range segments with a text posting
+    * index on `text` (TextIndex pruning exercised end-to-end). */
+  def docs3(s: SparkSession, d: String): graft.engine.GraftTable = lock.synchronized {
+    val p = fixturePath(d, "docs3")
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    val existing =
+      if (layout.exists && layout.readStatus().visible.size == 3) Some(GraftTable.at(s, p))
+      else None
+    existing.getOrElse {
+      if (layout.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "documents")
+      val n = src.agg(max("doc_id")).collect().head.getLong(0) + 1
+      val tbl = GraftTable.create(s, p, src.schema, Seq("doc_id"))
+      tbl.insert(src.filter(col("doc_id") < n / 3))
+      tbl.insert(src.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
+      tbl.insert(src.filter(col("doc_id") >= 2 * n / 3))
+      graft.engine.index.TextIndex.create(tbl, "text", s"${p}_textindex")
+      tbl
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     // flagship TPC-H Q1 through the engine: sorted segment + DSv2 scan
     "q1_agg_carbonish" -> ((s, d) => {
@@ -88,6 +109,13 @@ object EngineQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"))
     }),
+    // text posting index: candidate segments from term postings, exact
+    // token-membership residual (lucene-FG analog, TextIndex)
+    "q_text_index" -> ((s, d) => {
+      import graft.engine.index.TextIndex
+      TextIndex.readMatching(docs3(s, d), "text", "row data OR und")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
     // MV rollup: a finer-grained MV answers a coarser aggregate; the row
     // FAILS (exception) if the rewrite doesn't fire, so CORRECTNESS
     // guards the rewrite rule, not just the answer
@@ -120,6 +148,13 @@ object EngineQueries {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY o_orderpriority""",
+    "q_text_index" -> {
+      val toks = "string_split(lower(trim(text)), ' ')"
+      s"""SELECT lang, count(*) AS cnt FROM documents
+          WHERE (list_contains($toks, 'row') AND list_contains($toks, 'data'))
+             OR list_contains($toks, 'und')
+          GROUP BY lang"""
+    },
     "q_mv_rollup" ->
       s"""SELECT l_returnflag, CAST(sum(${oDec("l_quantity")}) AS DOUBLE) AS sum_qty,
           count(*) AS cnt

@@ -63,6 +63,17 @@ class DdlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("non-parquet")))
   }
 
+  test("auto_compact_threshold merges small loads automatically") {
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t = GraftTable.create(spark, tmpTable(), src.schema,
+      properties = Map("auto_compact_threshold" -> "3"))
+    t.insert(src); t.insert(src)
+    assert(t.status.visible.size == 2) // below threshold: untouched
+    t.insert(src)
+    assert(t.status.visible.size == 1, "3rd load should trigger MINOR compaction")
+    assert(t.read.count() == 15)
+  }
+
   test("bloom_columns property writes parquet bloom filters") {
     val src = spark.read.parquet(s"$sf/customer.parquet")
     val t = GraftTable.create(spark, tmpTable(), src.schema,

@@ -1,0 +1,60 @@
+package graft.engine
+
+import graft.engine.index.TextIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class TextIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("posting index prunes to segments containing the query terms") {
+    val root = Files.createTempDirectory("graft_ti_").toString
+    import spark.implicits._
+    // three segments with disjoint vocabularies + one shared term
+    val seg0 = Seq((0L, "alpha shared kilo"), (1L, "alpha bravo"))
+    val seg1 = Seq((10L, "charlie shared"), (11L, "charlie delta"))
+    val seg2 = Seq((20L, "echo foxtrot"), (21L, "echo shared golf"))
+    val t = GraftTable.create(spark, s"$root/t",
+      seg0.toDF("id", "body").schema)
+    Seq(seg0, seg1, seg2).foreach(s0 => t.insert(s0.toDF("id", "body")))
+
+    TextIndex.create(t, "body", s"$root/ti_body")
+
+    def scannedSegments(q: org.apache.spark.sql.DataFrame): Seq[String] =
+      q.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collectFirst {
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.inputFiles.toSeq.flatMap(
+              "/segments/([0-9]+)/".r.findFirstMatchIn(_).map(_.group(1))).distinct.sorted
+        }.getOrElse(Nil)
+
+    // single term confined to one segment
+    val q1 = TextIndex.readMatching(t, "body", "charlie")
+    assert(q1.select("id").collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    assert(scannedSegments(q1) == Seq("1"))
+
+    // AND across terms: 'echo shared' only co-occurs in segment 2
+    val q2 = TextIndex.readMatching(t, "body", "echo shared")
+    assert(q2.select("id").collect().map(_.getLong(0)).toSet == Set(21L))
+    assert(scannedSegments(q2) == Seq("2"))
+
+    // OR across clauses unions posting sets
+    val q3 = TextIndex.readMatching(t, "body", "bravo OR delta")
+    assert(q3.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 11L))
+    assert(scannedSegments(q3) == Seq("0", "1"))
+
+    // unknown term: provably empty, no scan needed
+    assert(TextIndex.readMatching(t, "body", "zulu").count() == 0)
+
+    // stale after insert; refresh catches up
+    t.insert(Seq((30L, "zulu shared")).toDF("id", "body"))
+    TextIndex.refresh(t, "body")
+    assert(TextIndex.readMatching(t, "body", "zulu").count() == 1)
+
+    TextIndex.drop(t, "body")
+    // fallback still answers correctly without the index
+    assert(TextIndex.readMatching(t, "body", "charlie").count() == 2)
+  }
+}
