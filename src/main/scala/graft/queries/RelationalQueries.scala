@@ -294,6 +294,15 @@ object RelationalQueries {
             x => floor(x.cast("double") * 10000).cast("long")),
           lit(0L), (acc, x) => acc + x).as("qsum8"))
     }),
+    "q_fn_posexplode" -> ((s, d) => {
+      // generator functions (explode/posexplode — Spark-delegated like
+      // the reference, SURVEY §2.10)
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy((col("pos") % 8).cast("long").as("bucket"))
+        .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("qsum"),
+          count(lit(1)).as("cnt"))
+    }),
     "q_fn_json" -> ((s, d) => {
       t(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -500,6 +509,12 @@ object RelationalQueries {
          CAST(list_sum(list_transform(embedding[1:8],
            x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT) AS qsum8
          FROM embeddings""",
+    "q_fn_posexplode" ->
+      """SELECT CAST((i - 1) % 8 AS BIGINT) AS bucket,
+         CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS qsum,
+         count(*) AS cnt
+         FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+         GROUP BY 1""",
     "q_fn_json" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k, count(*) AS cnt
          FROM events GROUP BY 1""",
