@@ -3,9 +3,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{EngineQueries, IudQueries, PipelineQueries, RelationalQueries, TextQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs TPC-H Q1 through the ENGINE: carbonish table (sorted segment
+    * load) → DSv2 scan with pushdown. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    EngineQueries.queries("q1_agg_carbonish")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
