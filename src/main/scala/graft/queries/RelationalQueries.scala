@@ -309,6 +309,15 @@ object RelationalQueries {
         .groupBy("k").agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_agg_pivot" -> ((s, d) => {
+      // pivot (orderstatus → columns); oracle = FILTERed aggregates
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .withColumnsRenamed(Map("F" -> "f_sum", "O" -> "o_sum", "P" -> "p_sum"))
+    }),
+
     // ---- subqueries ----
     "q_subquery_scalar" -> ((s, d) => {
       views(s, d)
@@ -518,6 +527,12 @@ object RelationalQueries {
     "q_fn_json" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k, count(*) AS cnt
          FROM events GROUP BY 1""",
+    "q_agg_pivot" ->
+      s"""SELECT o_orderpriority,
+          CAST(sum(${oDec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_sum,
+          CAST(sum(${oDec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_sum,
+          CAST(sum(${oDec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_sum
+          FROM orders GROUP BY o_orderpriority""",
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) FROM orders)""",
