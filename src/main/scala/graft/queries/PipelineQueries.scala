@@ -133,6 +133,25 @@ object PipelineQueries {
         // deterministic fake "decode": pretend the first byte picks a codec
         when(substring(col("text"), 1, 1) < "m", "codec_a")
           .otherwise("codec_b").as("codec"))
+    }),
+
+    // ---- multimodal frame-sampling plumbing: N evenly spaced chunks of
+    //      the blob → per-frame rows with a deterministic fake feature
+    //      (a real decoder slots into the chunk→feature step; schema,
+    //      partitioning and the explode shape are the real pipeline) ----
+    "q_multimodal_frames" -> ((s, d) => {
+      val frames = 4; val frameLen = 8
+      val blobLen = length(col("text"))
+      val idx = sequence(lit(0), lit(frames - 1))
+      val chunks = transform(idx, i =>
+        col("text").substr(
+          (floor(i * (blobLen - lit(frameLen)) / lit(frames - 1)) + 1).cast("int"),
+          lit(frameLen)))
+      t(s, d, "documents")
+        .filter(blobLen >= frames * frameLen)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("frame_idx", "chunk")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          h32(col("chunk")).as("feature"))
     })
   )
 
@@ -204,6 +223,11 @@ object PipelineQueries {
              FROM events)
            WHERE lat BETWEEN 10 AND 20 AND lng BETWEEN 30 AND 40
            GROUP BY event_type""",
+      "q_multimodal_frames" ->
+        s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+            ${oH32("substring(text, CAST(floor(i * (length(text) - 8) / 3) AS INT) + 1, 8)")} AS feature
+            FROM (SELECT doc_id, text, unnest(range(0, 4)) AS i
+                  FROM documents WHERE length(text) >= 32)""",
       "q_multimodal_meta" ->
         """SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
