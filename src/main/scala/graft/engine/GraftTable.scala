@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * metadata movement is atomic tablestatus commits. Nothing here ever
   * collects table data to the driver.
   */
-class GraftTable private (val spark: SparkSession, val path: String) {
+class GraftTable private (val spark: SparkSession, val path: String)
+    extends org.apache.spark.internal.Logging {
   val layout = new TableLayout(path, spark.sessionState.newHadoopConf())
 
   def meta: TableMeta = layout.readTableMeta()
@@ -334,7 +335,12 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       customIds: Seq[Long] = Nil,
       minorThreshold: Int = 4,
       majorSizeBytes: Long = 1024L * 1024 * 1024): Option[Long] = {
-    val visible = status.visible.filter(_.format == "parquet")
+    // never compact an open STREAMING segment: the stream may still be
+    // appending files/batches to it (the reference excludes streaming
+    // segments until handoff). CUSTOM ids naming one is rejected below
+    // by the visible-filter.
+    val visible = status.visible.filter(s =>
+      s.format == "parquet" && s.status == SegmentStatus.Success)
     val victims = compactionType.toUpperCase match {
       case "MINOR" =>
         val small = visible.sortBy(_.id)
@@ -357,12 +363,26 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       }
       val seg = SegmentWriter.write(layout, meta, df, id)
       val victimIds = victims.map(_.id).toSet
-      layout.commit { st =>
+      // optimistic publish: if a concurrent mutation retired any victim
+      // between selection and commit, publishing the compacted copy would
+      // resurrect its pre-mutation rows — abort instead (the compaction
+      // can simply be retried).
+      try layout.commit { st =>
+        val vis = st.segments.filter(_.isVisible).map(_.id).toSet
+        val lost = victimIds -- vis
+        if (lost.nonEmpty) throw new ConcurrentMutationException(
+          s"segments ${lost.mkString(",")} were retired during compaction")
         st.copy(segments = st.segments.map { s =>
           if (s.id == id) seg
           else if (victimIds.contains(s.id)) s.copy(status = SegmentStatus.Compacted)
           else s
         })
+      } catch {
+        case e: ConcurrentMutationException =>
+          layout.commit(st => st.copy(segments = st.segments.map(s =>
+            if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
+          logWarning(s"[graft] compaction aborted: ${e.getMessage}")
+          return None
       }
       Some(id)
     }

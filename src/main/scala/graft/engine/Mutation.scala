@@ -18,11 +18,30 @@ import org.apache.spark.sql.functions._
   * are never read or written, so a point-update of one segment on a
   * 100 TB table rewrites ~1 segment, not the table.
   */
+/** Thrown when a concurrent writer retired a copy-on-write victim between
+  * selection and commit; update/delete retry transparently, merge and
+  * compaction surface it (their re-run is not side-effect-free). */
+class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
+
 object Mutation {
 
-  /** Visible parquet segments and their file lists. */
-  private def visibleFiles(t: GraftTable): Seq[(SegmentMeta, Seq[String])] =
-    t.status.visible.map(s => s -> t.layout.segmentFilePaths(s))
+  /** Visible parquet segments and their file lists. Mutations are
+    * rejected while a STREAMING segment is open (its files are still
+    * being appended — the reference likewise requires handoff first)
+    * and on mixed-format tables (foreign segments can't be rewritten
+    * through the parquet path). */
+  private[engine] def visibleFiles(t: GraftTable): Seq[(SegmentMeta, Seq[String])] = {
+    val vis = t.status.visible
+    val streaming = vis.filter(_.status == SegmentStatus.Streaming)
+    require(streaming.isEmpty,
+      s"cannot mutate ${t.path}: open streaming segment(s) " +
+        s"${streaming.map(_.id).mkString(",")} — FINISH STREAMING first")
+    val foreign = vis.filter(_.format != "parquet")
+    require(foreign.isEmpty,
+      s"cannot mutate ${t.path}: non-parquet segment(s) " +
+        s"${foreign.map(s => s"${s.id}(${s.format})").mkString(",")}")
+    vis.map(s => s -> t.layout.segmentFilePaths(s))
+  }
 
   /** Which visible segments contain rows matching `cond`? One Spark job
     * over (pruned) candidate files; returns matched segment ids. */
@@ -44,19 +63,35 @@ object Mutation {
     }.map(_._1.id).toSet
   }
 
-  /** Atomic swap: retire `victims`, publish `replacement`. */
-  private def swap(t: GraftTable, victims: Set[Long], replacement: Option[SegmentMeta]): Unit =
-    t.layout.commit { st =>
+  /** Atomic swap: retire `victims`, publish `replacement`. Optimistic
+    * concurrency: inside the commit (under the table lock) every victim
+    * must still be visible — if a concurrent mutation/compaction retired
+    * one, publishing our replacement would resurrect its pre-image rows,
+    * so the swap aborts with [[ConcurrentMutationException]] instead. */
+  private[engine] def swap(
+      t: GraftTable, victims: Set[Long], replacement: Option[SegmentMeta]): Unit =
+    try t.layout.commit { st =>
+      val vis = st.segments.filter(_.isVisible).map(_.id).toSet
+      val lost = victims -- vis
+      if (lost.nonEmpty) throw new ConcurrentMutationException(
+        s"segments ${lost.toSeq.sorted.mkString(",")} were retired concurrently")
       st.copy(segments = st.segments.map { s =>
         if (replacement.exists(_.id == s.id)) replacement.get
         else if (victims.contains(s.id) && s.isVisible)
           s.copy(status = SegmentStatus.MarkedForDelete)
         else s
       })
+    } catch {
+      case e: ConcurrentMutationException =>
+        // the orphan replacement is unreachable; retire it for CLEAN FILES
+        replacement.foreach(r => t.layout.commit(st => st.copy(
+          segments = st.segments.map(s =>
+            if (s.id == r.id) s.copy(status = SegmentStatus.MarkedForDelete) else s))))
+        throw e
     }
 
   /** Reserve a segment id as IN_PROGRESS (two-phase commit, like load). */
-  private def reserve(t: GraftTable): Long = {
+  private[engine] def reserve(t: GraftTable): Long = {
     var id = -1L
     t.layout.commit { st =>
       id = st.nextSegmentId
@@ -67,9 +102,30 @@ object Mutation {
     id
   }
 
+  /** Retire a reserved/orphaned segment record (no visibility check). */
+  private def retire(t: GraftTable, id: Long): Unit =
+    t.layout.commit(st => st.copy(segments = st.segments.map(s =>
+      if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
+
   /** Rewrite the affected segments with `rewrite(rows)` and swap. Returns
-    * (#rows before, #rows after) over the affected set. */
+    * (#rows before, #rows after) over the affected set. On a concurrency
+    * conflict the whole select→rewrite→swap retries against the fresh
+    * tablestatus (the rewrite is deterministic, so a retry is safe). */
   private def rewriteAffected(
+      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long) = {
+    var attempts = 0
+    while (true) {
+      try return rewriteAffectedOnce(t, cond, rewrite)
+      catch {
+        case e: ConcurrentMutationException =>
+          attempts += 1
+          if (attempts >= 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rewriteAffectedOnce(
       t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long) = {
     val segs = visibleFiles(t)
     val affected = affectedSegments(t, segs, cond)
@@ -80,7 +136,7 @@ object Mutation {
     val id = reserve(t)
     val seg =
       try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id)
-      catch { case e: Throwable => swap(t, Set(id), None); throw e }
+      catch { case e: Throwable => retire(t, id); throw e }
     swap(t, affected, Some(seg))
     (before, seg.rowCount)
   }
@@ -92,22 +148,28 @@ object Mutation {
     before - after
   }
 
-  /** UPDATE t SET (k→expr…) WHERE cond. Returns #rows updated. */
+  /** UPDATE t SET (k→expr…) WHERE cond. Returns #rows updated. The count
+    * rides the rewrite job via observe() — no separate counting scan
+    * (same trick as the write-path stats, SegmentWriter.scala:44-53). */
   def update(t: GraftTable, cond: Column, set: Map[String, Column]): Long = {
     val schema = t.schema
     val bad = set.keySet.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(",")}")
-    val updated = t.read.filter(cond).count() // prunes via segment stats
-    if (updated > 0) rewriteAffected(t, cond, { rows =>
+    // fresh Observation per attempt: one Observation binds to one Dataset
+    var obs: org.apache.spark.sql.Observation = null
+    val (before, _) = rewriteAffected(t, cond, { rows =>
       val c = coalesce(cond, lit(false))
-      rows.select(schema.fields.map { f =>
-        set.get(f.name) match {
-          case Some(e) => when(c, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toSeq: _*)
+      obs = org.apache.spark.sql.Observation()
+      rows.observe(obs, sum(when(c, 1L).otherwise(0L)).as("updated"))
+        .select(schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(c, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
     })
-    updated
+    if (before == 0L) 0L
+    else Option(obs.get("updated")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 }
 
