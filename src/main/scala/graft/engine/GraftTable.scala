@@ -337,9 +337,10 @@ class GraftTable private (val spark: SparkSession, val path: String)
       majorSizeBytes: Long = 1024L * 1024 * 1024): Option[Long] = {
     // never compact an open STREAMING segment: the stream may still be
     // appending files/batches to it (the reference excludes streaming
-    // segments until handoff). CUSTOM ids naming one is rejected below
-    // by the visible-filter.
-    val visible = status.visible.filter(s =>
+    // segments until handoff). MINOR/MAJOR skip them silently; CUSTOM
+    // ids naming an ineligible segment are an explicit error.
+    val allVisible = status.visible
+    val visible = allVisible.filter(s =>
       s.format == "parquet" && s.status == SegmentStatus.Success)
     val victims = compactionType.toUpperCase match {
       case "MINOR" =>
@@ -348,6 +349,20 @@ class GraftTable private (val spark: SparkSession, val path: String)
       case "MAJOR" => visible.filter(_.sizeBytes < majorSizeBytes).sortBy(_.id)
       case "CUSTOM" =>
         require(customIds.nonEmpty, "CUSTOM compaction needs segment ids")
+        val eligible = visible.map(_.id).toSet
+        val bad = customIds.filterNot(eligible.contains)
+        require(bad.isEmpty, {
+          val why = bad.map { id =>
+            allVisible.find(_.id == id) match {
+              case Some(s) if s.status == SegmentStatus.Streaming =>
+                s"$id(streaming — FINISH STREAMING first)"
+              case Some(s) if s.format != "parquet" => s"$id(${s.format})"
+              case Some(_) => s"$id(not compactable)"
+              case None => s"$id(not visible)"
+            }
+          }
+          s"CUSTOM compaction: ineligible segment(s) ${why.mkString(", ")}"
+        })
         visible.filter(s => customIds.contains(s.id)).sortBy(_.id)
       case other => throw new IllegalArgumentException(s"compaction type: $other")
     }

@@ -43,24 +43,31 @@ object Mutation {
     vis.map(s => s -> t.layout.segmentFilePaths(s))
   }
 
-  /** Which visible segments contain rows matching `cond`? One Spark job
-    * over (pruned) candidate files; returns matched segment ids. */
+  /** Which visible segments contain rows matching `cond`, and how many
+    * matching rows each holds? One Spark job over (pruned) candidate
+    * files — the per-file count rides the same scan that finds the
+    * affected files, so callers that need the matched-row count (UPDATE's
+    * return value) pay no second pass. An `observe()` on the rewrite job
+    * is NOT equivalent: GLOBAL_SORT's range-partition sampling executes
+    * the plan twice and double-counts the metric. */
   private def affectedSegments(
-      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column): Set[Long] = {
-    if (segs.isEmpty) return Set.empty
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column): Map[Long, Long] = {
+    if (segs.isEmpty) return Map.empty
     val spark = t.spark
     val files = segs.flatMap(_._2)
     val hit = spark.read.parquet(files: _*)
       .filter(cond)
-      .select(col("_metadata.file_path").as("fp"))
-      .distinct()
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .count()
       .collect()
-      .map(_.getString(0))
-      .toSet
+      .map(r => r.getString(0) -> r.getLong(1))
     // _metadata.file_path is file:///-qualified; match on suffix
-    segs.filter { case (_, fs) =>
-      fs.exists(f => hit.exists(h => h.endsWith(f) || f.endsWith(h)))
-    }.map(_._1.id).toSet
+    segs.flatMap { case (m, fs) =>
+      val n = hit.collect {
+        case (h, c) if fs.exists(f => h.endsWith(f) || f.endsWith(h)) => c
+      }.sum
+      if (n > 0) Some(m.id -> n) else None
+    }.toMap
   }
 
   /** Atomic swap: retire `victims`, publish `replacement`. Optimistic
@@ -83,10 +90,15 @@ object Mutation {
       })
     } catch {
       case e: ConcurrentMutationException =>
-        // the orphan replacement is unreachable; retire it for CLEAN FILES
-        replacement.foreach(r => t.layout.commit(st => st.copy(
+        // the orphan replacement is unreachable; retire it for CLEAN FILES.
+        // The cleanup commit itself may fail (e.g. lock timeout) — never
+        // let that replace the ConcurrentMutationException, or the caller's
+        // retry loop can no longer engage (the orphan stays IN_PROGRESS
+        // and is reclaimed by CLEAN FILES' staleness sweep).
+        try replacement.foreach(r => t.layout.commit(st => st.copy(
           segments = st.segments.map(s =>
             if (s.id == r.id) s.copy(status = SegmentStatus.MarkedForDelete) else s))))
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw e
     }
 
@@ -103,21 +115,22 @@ object Mutation {
   }
 
   /** Retire a reserved/orphaned segment record (no visibility check). */
-  private def retire(t: GraftTable, id: Long): Unit =
+  private[engine] def retire(t: GraftTable, id: Long): Unit =
     t.layout.commit(st => st.copy(segments = st.segments.map(s =>
       if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
 
   /** Rewrite the affected segments with `rewrite(rows)` and swap. Returns
-    * (#rows before, #rows after) over the affected set. On a concurrency
-    * conflict the whole select→rewrite→swap retries against the fresh
-    * tablestatus (the rewrite is deterministic, so a retry is safe). */
+    * (#rows before, #rows after, #rows matching cond) over the affected
+    * set. On a concurrency conflict the whole select→rewrite→swap retries
+    * against the fresh tablestatus (the rewrite is deterministic, so a
+    * retry is safe). */
   private def rewriteAffected(
-      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long) = {
+      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
     var attempts = 0
     while (true) {
       try return rewriteAffectedOnce(t, cond, rewrite)
       catch {
-        case e: ConcurrentMutationException =>
+        case e: Throwable if isRetryableConflict(e) =>
           attempts += 1
           if (attempts >= 3) throw e
       }
@@ -125,11 +138,27 @@ object Mutation {
     throw new IllegalStateException("unreachable")
   }
 
+  /** A conflict worth retrying: the optimistic-swap abort, or a victim
+    * file physically removed mid-job (a concurrent retire + CLEAN FILES
+    * between our selection and the rewrite's parquet read — surfaces as
+    * FileNotFoundException buried in a SparkException cause chain). */
+  private def isRetryableConflict(e: Throwable): Boolean = {
+    var cur = e
+    while (cur != null) {
+      cur match {
+        case _: ConcurrentMutationException => return true
+        case _: java.io.FileNotFoundException => return true
+        case _ => cur = cur.getCause
+      }
+    }
+    false
+  }
+
   private def rewriteAffectedOnce(
-      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long) = {
+      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
     val segs = visibleFiles(t)
     val affected = affectedSegments(t, segs, cond)
-    if (affected.isEmpty) return (0L, 0L)
+    if (affected.isEmpty) return (0L, 0L, 0L)
     val victimFiles = segs.filter(p => affected.contains(p._1.id)).flatMap(_._2)
     val before = segs.filter(p => affected.contains(p._1.id)).map(_._1.rowCount).sum
     val rows = t.spark.read.schema(t.schema).parquet(victimFiles: _*)
@@ -137,39 +166,34 @@ object Mutation {
     val seg =
       try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id)
       catch { case e: Throwable => retire(t, id); throw e }
-    swap(t, affected, Some(seg))
-    (before, seg.rowCount)
+    swap(t, affected.keySet, Some(seg))
+    (before, seg.rowCount, affected.values.sum)
   }
 
   /** DELETE FROM t WHERE cond. Returns #rows deleted. */
   def delete(t: GraftTable, cond: Column): Long = {
-    val (before, after) =
+    val (before, after, _) =
       rewriteAffected(t, cond, rows => rows.filter(!coalesce(cond, lit(false))))
     before - after
   }
 
   /** UPDATE t SET (k→expr…) WHERE cond. Returns #rows updated. The count
-    * rides the rewrite job via observe() — no separate counting scan
-    * (same trick as the write-path stats, SegmentWriter.scala:44-53). */
+    * comes from the affected-segment scan (which already filters on
+    * `cond`) — no separate counting pass. */
   def update(t: GraftTable, cond: Column, set: Map[String, Column]): Long = {
     val schema = t.schema
     val bad = set.keySet.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(",")}")
-    // fresh Observation per attempt: one Observation binds to one Dataset
-    var obs: org.apache.spark.sql.Observation = null
-    val (before, _) = rewriteAffected(t, cond, { rows =>
+    val (_, _, matched) = rewriteAffected(t, cond, { rows =>
       val c = coalesce(cond, lit(false))
-      obs = org.apache.spark.sql.Observation()
-      rows.observe(obs, sum(when(c, 1L).otherwise(0L)).as("updated"))
-        .select(schema.fields.map { f =>
-          set.get(f.name) match {
-            case Some(e) => when(c, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }.toSeq: _*)
+      rows.select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(c, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
     })
-    if (before == 0L) 0L
-    else Option(obs.get("updated")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    matched
   }
 }
 
@@ -237,11 +261,16 @@ class MergeBuilder private[engine] (
     this
   }
 
-  /** Run the merge. Returns the new segment id (None = no-op). */
+  /** Run the merge. Returns the new segment id (None = no-op). Surfaces
+    * [[ConcurrentMutationException]] if a concurrent writer retired an
+    * affected segment mid-merge (re-running a merge is not guaranteed
+    * side-effect-free, so no automatic retry here). */
   def execute(): Option[Long] = {
     val spark = target.spark
     val schema = target.schema
-    val segs = target.status.visible.map(s => s -> target.layout.segmentFilePaths(s))
+    // visibleFiles applies the open-streaming-segment and non-parquet
+    // guards — merge must not retire a segment a stream is appending to
+    val segs = Mutation.visibleFiles(target)
     if (segs.isEmpty && notMatched.isEmpty) return None
 
     // Scope of rewrite: segments with matched rows — unless an
@@ -291,22 +320,21 @@ class MergeBuilder private[engine] (
     val oAct = caseNo(tgtOnly, onlyTarget.zipWithIndex.map { case (a, i) => (a, i + 201) })
     val act = mAct + nAct + oAct // regions are mutually exclusive
 
-    def project(a: MergeAction): Seq[Column] = a match {
-      case UpdateAction(_, set, all) => schema.fields.map { f =>
-        if (all) col(s"s.${f.name}").cast(f.dataType).as(f.name)
-        else set.get(f.name).map(_.cast(f.dataType).as(f.name))
-          .getOrElse(col(s"t.${f.name}").as(f.name))
-      }.toSeq
-      case InsertAction(_, values, all) => schema.fields.map { f =>
-        if (all) col(s"s.${f.name}").cast(f.dataType).as(f.name)
-        else values.get(f.name).map(_.cast(f.dataType).as(f.name))
-          .getOrElse(lit(null).cast(f.dataType).as(f.name))
-      }.toSeq
-      case DeleteAction(_) => Seq.empty
+    // per-(action, field) output expression for the single-projection plan
+    def fieldExpr(a: MergeAction, f: org.apache.spark.sql.types.StructField): Column = a match {
+      case UpdateAction(_, set, all) =>
+        if (all) col(s"s.${f.name}").cast(f.dataType)
+        else set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      case InsertAction(_, values, all) =>
+        if (all) col(s"s.${f.name}").cast(f.dataType)
+        else values.get(f.name).map(_.cast(f.dataType)).getOrElse(lit(null).cast(f.dataType))
+      case DeleteAction(_) => lit(null).cast(f.dataType) // never emitted
     }
-    val keepTarget: Seq[Column] = schema.fields.map(f => col(s"t.${f.name}").as(f.name)).toSeq
 
     val withAct = joined.withColumn("__act", act)
+    // history needs a second pass over the join — cache it for that case
+    // so the target-scan + source-scan + join run once, not twice
+    if (history.nonEmpty) withAct.persist()
 
     // SCD2 history: archive the pre-image of updated/deleted target rows
     history.foreach { case (h, ts) =>
@@ -327,37 +355,35 @@ class MergeBuilder private[engine] (
             opCol.as("__op") :+ lit(ts).as("__merge_ts")): _*))
       }
     }
-    val pieces: Seq[DataFrame] =
-      // untouched target rows of affected segments (act 0, target present)
-      Seq(withAct.filter(col("__act") === 0 && col("__t").isNotNull).select(keepTarget: _*)) ++
-      (matched.zipWithIndex.collect { case (a: UpdateAction, i) =>
-        withAct.filter(col("__act") === (i + 1)).select(project(a): _*)
-      }) ++
-      (notMatched.zipWithIndex.map { case (a, i) =>
-        withAct.filter(col("__act") === (i + 101)).select(project(a): _*)
-      }) ++
-      (onlyTarget.zipWithIndex.collect { case (a: UpdateAction, i) =>
-        withAct.filter(col("__act") === (i + 201)).select(project(a): _*)
-      })
-    // DeleteAction rows are simply not emitted.
-    val merged = pieces.reduce(_ union _)
+    // Single-projection plan: every input row emits at most one output
+    // row, so one filter + one per-column `when` chain replaces the old
+    // one-union-branch-per-action shape (which re-executed the join once
+    // per action). Non-emitting rows: delete-action hits, and act-0
+    // source-only rows (unmatched source with no insert clause).
+    val emitting: Seq[(Int, MergeAction)] =
+      matched.zipWithIndex.collect { case (a: UpdateAction, i) => (i + 1, a: MergeAction) } ++
+      notMatched.zipWithIndex.map { case (a, i) => (i + 101, a: MergeAction) } ++
+      onlyTarget.zipWithIndex.collect { case (a: UpdateAction, i) => (i + 201, a: MergeAction) }
+    val keep = emitting.foldLeft(col("__act") === 0 && col("__t").isNotNull) {
+      case (acc, (i, _)) => acc || col("__act") === i
+    }
+    val outCols = schema.fields.map { f =>
+      emitting.foldRight(col(s"t.${f.name}")) { case ((i, a), els) =>
+        when(col("__act") === i, fieldExpr(a, f)).otherwise(els)
+      }.as(f.name)
+    }
+    val merged = withAct.filter(keep).select(outCols.toSeq: _*)
 
-    var id = -1L
-    target.layout.commit { st =>
-      id = st.nextSegmentId
-      st.copy(segments = st.segments :+ SegmentMeta(
-        id, SegmentStatus.InProgress, "parquet", Nil, -1L, 0L, Map.empty,
-        target.meta.sortColumns, System.currentTimeMillis()))
-    }
-    val seg = SegmentWriter.write(target.layout, target.meta, merged, id)
-    target.layout.commit { st =>
-      st.copy(segments = st.segments.map { s =>
-        if (s.id == id) seg
-        else if (affectedIds.contains(s.id) && s.isVisible)
-          s.copy(status = SegmentStatus.MarkedForDelete)
-        else s
-      })
-    }
+    val id = Mutation.reserve(target)
+    val seg =
+      try SegmentWriter.write(target.layout, target.meta, merged, id)
+      catch { case e: Throwable => Mutation.retire(target, id); throw e }
+      finally if (history.nonEmpty) withAct.unpersist()
+    // swap enforces victim visibility under the lock: a concurrent
+    // update/delete/compaction that retired an affected segment mid-merge
+    // aborts the publish (and retires this orphan) instead of silently
+    // resurrecting the victim's pre-image rows
+    Mutation.swap(target, affectedIds, Some(seg))
     Some(id)
   }
 }
