@@ -29,6 +29,11 @@ case class MvDef(
                         // table state at materialization time
     path: String)
 
+/** In-memory session catalog. Persistence lives in [[MvStore]]: every
+  * create/refresh ALSO writes `<mvPath>/_meta/mvdef.bin`, and
+  * [[Mv.load]] / [[Mv.install]] re-hydrate defs after a JVM restart
+  * (the reference keeps MV schemas in its metastore for the same
+  * reason, CarbonCreateMVCommand.scala:60). */
 object MvCatalog {
   private val views = scala.collection.mutable.LinkedHashMap.empty[String, MvDef]
   // base-table segment ids already folded into each MV (incremental refresh)
@@ -70,9 +75,27 @@ object Mv {
     val d = MvDef(name, matchPlan, buildPlan, path)
     MvCatalog.register(d)
     snapshot.foreach(s => MvCatalog.setRefreshedSegments(name, s))
+    persist(spark, d)
     install(spark)
     d
   }
+
+  /** Best-effort def persistence: an MV over an un-stubbable relation
+    * (e.g. an in-memory DataFrame) stays session-only rather than
+    * failing CREATE. */
+  private def persist(spark: SparkSession, d: MvDef): Unit =
+    try MvStore.save(spark, d)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Re-register an MV persisted at `mvPath` by a previous session.
+    * Returns None if no (readable) def is stored there. */
+  def load(spark: SparkSession, mvPath: String): Option[MvDef] =
+    MvStore.load(spark, mvPath).map { case (d, refreshed) =>
+      MvCatalog.register(d)
+      refreshed.foreach(s => MvCatalog.setRefreshedSegments(d.name, s))
+      install(spark)
+      d
+    }
 
   /** Visible base-segment ids when the MV base is one carbonish table. */
   private def baseSegmentSnapshot(
@@ -102,6 +125,7 @@ object Mv {
         overwrite = true)
     }
     snapshot.foreach(s => MvCatalog.setRefreshedSegments(name, s))
+    persist(spark, d) // refresh watermark rides the def file
   }
 
   def drop(spark: SparkSession, name: String): Unit = {
@@ -202,6 +226,7 @@ object Mv {
     // at optimization time, not DataFrame-construction time
     MvRewriteRule.withoutRewrite { mvT.insert(combined, overwrite = true) }
     MvCatalog.setRefreshedSegments(name, vis)
+    persist(spark, d)
     true
   }
 

@@ -1,0 +1,162 @@
+package graft.engine.mv
+
+import graft.engine.format.TableLayout
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.hadoop.fs.Path
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import scala.jdk.CollectionConverters._
+
+/** Serializable placeholder for a scan leaf inside a persisted MV build
+  * plan. Scan relations hold live, non-serializable state (file indexes,
+  * Hadoop conf, a transient SparkSession), so the stub records only what
+  * is needed to re-plan the scan in a fresh session: format, paths,
+  * reader options, and the original output attributes (for exprId
+  * remapping after the leaf is rebuilt). */
+private[mv] case class MvLeafStub(
+    format: String,
+    paths: Seq[String],
+    options: Map[String, String],
+    stubOutput: Seq[Attribute]) extends LeafNode {
+  override def output: Seq[Attribute] = stubOutput
+}
+
+/** On-disk MV definition: everything needed to re-register the MV in a
+  * new JVM. `buildStubbed` is the avg-expanded ANALYZED plan with scan
+  * leaves replaced by [[MvLeafStub]]s; the optimized match plan is
+  * recomputed at load time (its scan leaves can't be persisted, and
+  * re-optimizing reproduces exactly what a fresh query session plans
+  * against). */
+private[mv] case class MvPersisted(
+    name: String,
+    path: String,
+    buildStubbed: LogicalPlan,
+    refreshedSegments: Option[Set[Long]])
+
+/** Persistence for [[MvDef]]s: one `_meta/mvdef.bin` per MV table, so
+  * the MV (and its incremental-refresh watermark) survives the session
+  * JVM. Reference keeps MV metadata in its metastore
+  * (CarbonCreateMVCommand.scala:60, docs/mv-guide.md). */
+object MvStore {
+
+  private def defPath(layout: TableLayout): Path =
+    new Path(layout.metaDir, "mvdef.bin")
+
+  /** Replace every scan leaf with a serializable [[MvLeafStub]].
+    * Throws if a leaf is not a recognized file/carbonish relation —
+    * such an MV is memory-only (create still succeeds; persist is
+    * best-effort at the caller). */
+  private def stubLeaves(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.engine.source.CarbonishTable =>
+        // options are kept VERBATIM (including "path"): relation equality
+        // — and with it the rewrite's canonical child match against a
+        // fresh user query — is sensitive to the exact option strings
+        MvLeafStub("carbonish", Seq(t.tablePath), r.options.asScala.toMap, r.output)
+      case other => throw new IllegalArgumentException(
+        s"cannot persist MV over non-carbonish DSv2 table ${other.name()}")
+    }
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val fmt = fs.fileFormat match {
+            case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat => "parquet"
+            case _: org.apache.spark.sql.execution.datasources.csv.CSVFileFormat => "csv"
+            case _: org.apache.spark.sql.execution.datasources.json.JsonFileFormat => "json"
+            case _: org.apache.spark.sql.execution.datasources.orc.OrcFileFormat => "orc"
+            case other => throw new IllegalArgumentException(
+              s"cannot persist MV over file format ${other.getClass.getName}")
+          }
+          MvLeafStub(fmt, fs.location.rootPaths.map(_.toString), fs.options, lr.output)
+        case other => throw new IllegalArgumentException(
+          s"cannot persist MV over relation ${other.getClass.getName}")
+      }
+  }
+
+  /** Rebuild every stub as a live scan and remap attribute ids so the
+    * plan above keeps resolving. Mapping is by column NAME — the fresh
+    * scan allocates new exprIds. */
+  private def reconstruct(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val amap = scala.collection.mutable.HashMap.empty[ExprId, Attribute]
+    val replaced = plan.transformUp {
+      case s: MvLeafStub =>
+        // re-plan with the ORIGINAL option strings: a "path" option that
+        // differs even by a file:/ prefix makes the rebuilt relation
+        // unequal to a fresh user scan, and the rewrite's canonical
+        // child match silently stops firing
+        val reader = spark.read.format(s.format)
+          .options(s.options -- Seq("path", "paths"))
+        val fresh = (s.options.get("path") match {
+          case Some(p) => reader.load(p)
+          case None => reader.load(s.paths: _*)
+        }).queryExecution.analyzed
+        val byName = fresh.output.map(a => a.name -> a).toMap
+        s.stubOutput.foreach { a =>
+          amap += a.exprId -> byName.getOrElse(a.name, throw new IllegalStateException(
+            s"MV base at ${s.paths.mkString(",")} no longer has column ${a.name}"))
+        }
+        fresh
+    }
+    replaced.transformAllExpressions {
+      case a: AttributeReference => amap.getOrElse(a.exprId, a)
+    }
+  }
+
+  /** Write the def beside the MV table's own metadata (atomic rename,
+    * same pattern as tablestatus). */
+  def save(spark: SparkSession, d: MvDef): Unit = {
+    val persisted = MvPersisted(
+      d.name, d.path, stubLeaves(d.build),
+      Some(MvCatalog.refreshedSegments(d.name)).filter(_.nonEmpty))
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(persisted); oos.close()
+    val layout = new TableLayout(d.path, spark.sessionState.newHadoopConf())
+    val fs = layout.fs
+    fs.mkdirs(layout.metaDir)
+    val target = defPath(layout)
+    val tmp = new Path(layout.metaDir, s".mvdef.bin.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bos.toByteArray) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(tmp, target)
+  }
+
+  /** Load the def stored at `mvPath` (None if absent/unreadable) and
+    * recompute the optimized match plan. Does NOT register it. */
+  def load(spark: SparkSession, mvPath: String): Option[(MvDef, Option[Set[Long]])] = {
+    val layout = new TableLayout(mvPath, spark.sessionState.newHadoopConf())
+    val p = defPath(layout)
+    if (!layout.fs.exists(p)) return None
+    try {
+      val in = layout.fs.open(p)
+      val bytes = try {
+        val b = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { b.write(buf, 0, n); n = in.read(buf) }
+        b.toByteArray
+      } finally in.close()
+      val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+      val persisted = ois.readObject().asInstanceOf[MvPersisted]
+      val build = reconstruct(spark, persisted.buildStubbed)
+      // the match plan is what the optimizer would plan for the same
+      // query today — recompute rather than persist scan internals
+      val agg = MvRewriteRule.withoutRewrite {
+        org.apache.spark.sql.graft.Shims.ofRows(spark, build)
+          .queryExecution.optimizedPlan
+      } match {
+        case a: Aggregate => a
+        case other => throw new IllegalStateException(
+          s"persisted MV ${persisted.name} no longer optimizes to an Aggregate: ${other.nodeName}")
+      }
+      Some((MvDef(persisted.name, agg, build, persisted.path), persisted.refreshedSegments))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+}

@@ -120,16 +120,29 @@ object EngineQueries {
     // FAILS (exception) if the rewrite doesn't fire, so CORRECTNESS
     // guards the rewrite rule, not just the answer
     "q_mv_rollup" -> ((s, d) => {
-      import graft.engine.mv.Mv
-      val mvq = t(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pc"))
+      import graft.engine.mv.{Mv, MvCatalog}
       val base = new java.io.File(d).getName
-      Mv.drop(s, "mv_li_roll")
-      Mv.create(s, "mv_li_roll", mvq, s"/tmp/graft_tables/$base/mv_li_roll")
-      val q = t(s, d, "lineitem").groupBy("l_returnflag")
+      val mvPath = s"/tmp/graft_tables/$base/mv_li_roll"
+      def query = t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("cnt"))
+      def rewrites: Boolean = {
+        Mv.install(s)
+        query.queryExecution.optimizedPlan.toString.contains("mv_li_roll")
+      }
+      // reuse a persisted def (possibly from a previous JVM — the base
+      // parquet fixture is immutable, so a loadable MV is fresh); any
+      // doubt (no def, plan drift) → rebuild from scratch
+      val ready =
+        (MvCatalog.get("mv_li_roll").isDefined || Mv.load(s, mvPath).isDefined) && rewrites
+      if (!ready) {
+        val mvq = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pc"))
+        Mv.drop(s, "mv_li_roll")
+        Mv.create(s, "mv_li_roll", mvq, mvPath)
+      }
+      val q = query
       val plan = q.queryExecution.optimizedPlan.toString
       require(plan.contains("mv_li_roll"),
         s"MV rewrite did not fire; plan:\n$plan")

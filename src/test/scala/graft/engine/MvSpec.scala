@@ -134,6 +134,58 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_inc")
   }
 
+  test("persisted def survives a catalog wipe (JVM-restart analog)") {
+    val base = lineitem
+    val path = tmp()
+    val mvq = base.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"),
+        count(lit(1)).as("cnt"),
+        avg(col("l_discount")).as("ad"))
+    Mv.create(spark, "mv_persist", mvq, s"$path/mv_persist")
+    try {
+      def q = base.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"),
+          avg(col("l_discount")).as("ad"))
+      val expected = MvCatalog.get("mv_persist").map { d =>
+        MvCatalog.drop(d.name); val r = q.collect(); MvCatalog.register(d); r
+      }.get
+      // wipe the in-memory catalog — what a JVM restart does
+      MvCatalog.drop("mv_persist")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("mv_persist"))
+      // re-hydrate from the on-disk def
+      assert(Mv.load(spark, s"$path/mv_persist").isDefined, "mvdef.bin should load")
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_persist"), s"reloaded MV should rewrite:\n$plan")
+      val got = q.collect().map(r => (r.getString(0),
+        r.getDecimal(1).toString, math.round(r.getDouble(2) * 1e9)))
+      val exp = expected.map(r => (r.getString(0),
+        r.getDecimal(1).toString, math.round(r.getDouble(2) * 1e9)))
+      assert(got.sorted.sameElements(exp.sorted))
+    } finally Mv.drop(spark, "mv_persist")
+  }
+
+  test("persisted def over a carbonish base keeps the refresh watermark") {
+    val src = lineitem
+    val path = tmp()
+    val t = GraftTable.createAsSelect(spark, s"$path/fact", src.limit(1000))
+    val mvq = t.read.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"), count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_wm", mvq, s"$path/mv_wm")
+    try {
+      MvCatalog.drop("mv_wm")
+      assert(Mv.load(spark, s"$path/mv_wm").isDefined)
+      // the reloaded watermark must cover the already-folded segment, so
+      // a no-growth incremental refresh is a no-op success
+      assert(Mv.refreshIncremental(spark, "mv_wm"))
+      // growth after reload folds only the delta
+      t.insert(src.limit(1200).except(src.limit(1000)))
+      assert(Mv.refreshIncremental(spark, "mv_wm"))
+      val total = GraftTable.at(spark, s"$path/mv_wm").read
+        .agg(sum("cnt")).collect().head.getLong(0)
+      assert(total == 1200, s"MV should cover 1200 rows, got $total")
+    } finally Mv.drop(spark, "mv_wm")
+  }
+
   test("non-matching queries are untouched; refresh tracks base growth") {
     val src = lineitem
     val path = tmp()
