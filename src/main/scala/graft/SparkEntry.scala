@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{EngineQueries, IudQueries, PipelineQueries, RelationalQueries, TextQueries}
+import graft.queries.{CatalogQueries, EngineQueries, IudQueries, PipelineQueries, RelationalQueries, TextQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -11,10 +11,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      EngineQueries.queries ++ PipelineQueries.queries ++ IudQueries.queries
+      EngineQueries.queries ++ PipelineQueries.queries ++ IudQueries.queries ++
+      CatalogQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
-      EngineQueries.oracle ++ PipelineQueries.oracle ++ IudQueries.oracle
+      EngineQueries.oracle ++ PipelineQueries.oracle ++ IudQueries.oracle ++
+      CatalogQueries.oracle
 }

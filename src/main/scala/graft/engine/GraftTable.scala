@@ -223,6 +223,16 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only. */
+  def setProperties(props: Map[String, String]): Unit = {
+    val m = meta
+    layout.writeTableMeta(m.copy(properties = m.properties ++ props))
+  }
+  def unsetProperties(keys: Seq[String]): Unit = {
+    val m = meta
+    layout.writeTableMeta(m.copy(properties = m.properties -- keys))
+  }
+
   /** Rewrite all visible data as one new segment under the NEW meta,
     * committing data + schema together. */
   private def rewriteAll(f: DataFrame => DataFrame)(updateMeta: TableMeta => TableMeta): Unit = {

@@ -1,0 +1,191 @@
+package graft.engine.catalog
+
+import graft.engine.GraftTable
+import graft.engine.format.TableLayout
+import graft.engine.source.CarbonishTable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Name-based SQL surface for carbonish tables (the reference's primary
+  * user surface is its metastore-backed catalog + parser,
+  * CarbonSource.scala / CarbonSpark2SqlParser.scala:75-788).
+  *
+  * Register with
+  * {{{
+  * spark.sql.catalog.graft           = graft.engine.catalog.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * after which `CREATE TABLE graft.ns.t (...) USING carbonish`,
+  * CTAS, `INSERT INTO graft.ns.t`, `SELECT ... FROM graft.ns.t` and
+  * `DELETE FROM graft.ns.t WHERE ...` all work by name through
+  * `spark.sql`. Layout: `<warehouse>/<namespace...>/<table>` — each
+  * table directory is a normal carbonish table (usable by path too).
+  *
+  * Scale note: the catalog itself holds no data state — table metadata
+  * stays in each table's own `_meta/` commit log, so catalog calls are
+  * O(1) filesystem probes and every reader/writer still goes through
+  * the same tablestatus protocol as path-addressed access.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def conf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+  private def fs: FileSystem = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog requires spark.sql.catalog.$name.warehouse"))
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, n) => new Path(p, n))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_meta/tablemeta.json"))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val layout = new TableLayout(p.toString, conf)
+    val schema = DataType.fromJson(layout.readTableMeta().schemaJson).asInstanceOf[StructType]
+    new CarbonishTable(p.toString, schema)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "carbonish tables use segment stats + sort_columns instead of " +
+        "partition transforms; set TBLPROPERTIES('sort_columns'='a,b')")
+    val props = properties.asScala.toMap
+    val sortCols = props.get("sort_columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val sortScope = props.getOrElse("sort_scope", "GLOBAL_SORT").toUpperCase
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val userProps = props --
+      Seq("sort_columns", "sort_scope", "provider", "owner", "location", "comment")
+    GraftTable.create(SparkSession.active, tablePath(ident).toString, schema,
+      sortCols, sortScope, userProps)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.at(SparkSession.active, tablePath(ident).toString)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested ADD COLUMN is not supported")
+        t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+        t.dropColumns(Seq(d.fieldNames.head))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested ALTER COLUMN is not supported")
+        t.changeColumnType(u.fieldNames.head, u.newDataType)
+      case p: TableChange.SetProperty =>
+        t.setProperties(Map(p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(p.property))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    GraftTable.drop(SparkSession.active, tablePath(ident).toString)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val dst = tablePath(newIdent)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tablePath(oldIdent), dst))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      fs.exists(p) && !isTableDir(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) return false
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(p, true)
+  }
+}

@@ -59,7 +59,8 @@ class CarbonishSource extends TableProvider with DataSourceRegister {
 }
 
 class CarbonishTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   def tablePath: String = path
   override def name(): String = s"carbonish.`$path`"
@@ -67,6 +68,50 @@ class CarbonishTable(path: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** `DELETE FROM <catalog table> WHERE <cond>` through Spark's own
+    * DeleteFromTable plan (the analyzer translates the condition to
+    * source filters and calls back here). Routed to the copy-on-write
+    * mutation path — only segments containing matching rows are
+    * rewritten; at 100 TB a point delete touches ~1 segment. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.foldLeft(org.apache.spark.sql.functions.lit(true)) {
+      (acc, f) => acc && filterToColumn(f)
+    }
+    GraftTable.at(spark, path).delete(cond)
+  }
+
+  override def truncateTable(): Boolean = {
+    GraftTable.at(SparkSession.active, path).truncate()
+    true
+  }
+
+  private def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit => l}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === l(v)
+      case EqualNullSafe(a, v) => col(a) <=> l(v)
+      case GreaterThan(a, v) => col(a) > l(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= l(v)
+      case LessThan(a, v) => col(a) < l(v)
+      case LessThanOrEqual(a, v) => col(a) <= l(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(x, y) => filterToColumn(x) && filterToColumn(y)
+      case Or(x, y) => filterToColumn(x) || filterToColumn(y)
+      case Not(x) => !filterToColumn(x)
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case AlwaysTrue() => l(true)
+      case AlwaysFalse() => l(false)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE condition not translatable: $other")
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.engine.GraftTable
+import graft.engine.catalog.GraftDml
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Q._
+
+/** SQL-by-name correctness rows: the whole statement — resolution,
+  * mutation, and the verifying read — goes through `spark.sql` against a
+  * catalog-registered table name (reference: the metastore-backed
+  * CarbonSource + CarbonSpark2SqlParser surface, SURVEY §2.7/§2.8).
+  * The DuckDB oracle performs the same mutation relationally over the
+  * original parquet, as in IudQueries. */
+object CatalogQueries {
+
+  private val lock = new Object
+
+  /** Register the graft catalog on this session (idempotent) and return
+    * the warehouse dir for the given sf fixture dir. */
+  private def warehouse(s: SparkSession, d: String): String = {
+    val base = new java.io.File(d).getName
+    val w = s"/tmp/graft_tables/$base/warehouse"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.engine.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", w)
+    GraftDml.enable(s)
+    w
+  }
+
+  /** Fresh catalog table `graft.default.<name>` cloned from a pristine
+    * build of `src` (same reuse-or-rebuild pattern as IudQueries: the
+    * load is built once per sf, the per-run cost is a file copy, so the
+    * mutation is what the bench measures). */
+  private def freshCatalogTable(
+      s: SparkSession, d: String, name: String, src: DataFrame,
+      sortCols: Seq[String]): Unit = lock.synchronized {
+    val w = warehouse(s, d)
+    val base = new java.io.File(d).getName
+    val pristine = s"/tmp/graft_tables/$base/sql_${name}_pristine"
+    val p = s"$w/default/$name"
+    val conf = s.sessionState.newHadoopConf()
+    val pl = new graft.engine.format.TableLayout(pristine, conf)
+    if (!(pl.exists && pl.readStatus().visible.nonEmpty)) {
+      GraftTable.drop(s, pristine)
+      GraftTable.createAsSelect(s, pristine, src, sortCols)
+    }
+    GraftTable.drop(s, p)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$w/default"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(pristine),
+      fs, new org.apache.hadoop.fs.Path(p), false, conf)
+    // drop any cached resolution of the previous incarnation
+    s.catalog.clearCache()
+  }
+
+  def queries: Map[String, QFn] = Map(
+    // UPDATE ... SET ... WHERE through spark.sql on a catalog table name
+    "q_sql_update" -> ((s, d) => {
+      freshCatalogTable(s, d, "sqlupd", t(s, d, "orders"), Seq("o_orderkey"))
+      s.sql("UPDATE graft.default.sqlupd SET o_orderpriority = 'X-SQL' " +
+        "WHERE o_totalprice > 400000.0")
+      s.sql("SELECT o_orderpriority, count(*) AS cnt " +
+        "FROM graft.default.sqlupd GROUP BY o_orderpriority")
+    }),
+    // DELETE FROM through spark.sql (DSv2 SupportsDelete path)
+    "q_sql_delete" -> ((s, d) => {
+      freshCatalogTable(s, d, "sqldel", t(s, d, "orders"), Seq("o_orderkey"))
+      s.sql("DELETE FROM graft.default.sqldel " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
+      s.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price " +
+        "FROM graft.default.sqldel GROUP BY o_orderstatus")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_sql_update" ->
+      """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-SQL' ELSE o_orderpriority END
+           AS o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY 1""",
+    "q_sql_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+          GROUP BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,122 @@
+package graft.engine
+
+import graft.engine.catalog.GraftDml
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Name-based SQL surface: CREATE/CTAS/INSERT/SELECT/ALTER/RENAME/DROP
+  * plus UPDATE/DELETE DML, all through `spark.sql` on `graft.<ns>.<t>`
+  * identifiers (reference surface: CarbonSource + CarbonSpark2SqlParser,
+  * SURVEY §2.7/§2.8). */
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val w = Files.createTempDirectory("graft_wh_").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.engine.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    GraftDml.enable(spark)
+    w
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT by name") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns1")
+    spark.sql("CREATE TABLE graft.ns1.t1 (k INT, v STRING) USING carbonish " +
+      "TBLPROPERTIES ('sort_columns'='k')")
+    spark.sql("INSERT INTO graft.ns1.t1 VALUES (3, 'c'), (1, 'a'), (2, 'b')")
+    val rows = spark.sql("SELECT k, v FROM graft.ns1.t1 ORDER BY k").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // the catalog table is a normal carbonish table by path too
+    val t = GraftTable.at(spark, s"$wh/ns1/t1")
+    assert(t.meta.sortColumns == Seq("k"))
+    assert(t.read.count() == 3)
+  }
+
+  test("CTAS, SHOW TABLES, DROP TABLE") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns2")
+    spark.sql("CREATE TABLE graft.ns2.ctas USING carbonish AS SELECT 1 AS a, 'x' AS b")
+    assert(spark.sql("SELECT * FROM graft.ns2.ctas").count() == 1)
+    val names = spark.sql("SHOW TABLES IN graft.ns2").collect().map(_.getString(1)).toSet
+    assert(names.contains("ctas"))
+    spark.sql("DROP TABLE graft.ns2.ctas")
+    assert(spark.sql("SHOW TABLES IN graft.ns2").collect().isEmpty)
+  }
+
+  test("INSERT OVERWRITE replaces table contents") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns3")
+    spark.sql("CREATE TABLE graft.ns3.ow (k INT) USING carbonish")
+    spark.sql("INSERT INTO graft.ns3.ow VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE graft.ns3.ow VALUES (9)")
+    assert(spark.sql("SELECT * FROM graft.ns3.ow").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("SQL UPDATE routes through copy-on-write mutation") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.u (k INT, p STRING, x DOUBLE) USING carbonish " +
+      "TBLPROPERTIES ('sort_columns'='k')")
+    spark.sql("INSERT INTO graft.dml.u VALUES (1,'a',10.0), (2,'b',20.0), (3,'c',30.0)")
+    spark.sql("UPDATE graft.dml.u SET p = 'upd', x = x * 2 WHERE k >= 2")
+    val got = spark.sql("SELECT k, p, x FROM graft.dml.u ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "a", 10.0), (2, "upd", 40.0), (3, "upd", 60.0)))
+  }
+
+  test("SQL DELETE via DSv2 SupportsDelete") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.d (k INT, v STRING) USING carbonish")
+    spark.sql("INSERT INTO graft.dml.d VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("DELETE FROM graft.dml.d WHERE k IN (2, 4)")
+    assert(spark.sql("SELECT k FROM graft.dml.d ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // TRUNCATE TABLE goes through truncateTable()
+    spark.sql("TRUNCATE TABLE graft.dml.d")
+    assert(spark.sql("SELECT * FROM graft.dml.d").count() == 0)
+  }
+
+  test("ALTER TABLE add/rename/drop column + properties, RENAME table") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    spark.sql("CREATE TABLE graft.ddl.a (k INT, v STRING) USING carbonish")
+    spark.sql("INSERT INTO graft.ddl.a VALUES (1,'a')")
+    spark.sql("ALTER TABLE graft.ddl.a ADD COLUMN extra INT")
+    spark.sql("ALTER TABLE graft.ddl.a RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT k, w, extra FROM graft.ddl.a").collect().length == 1)
+    spark.sql("ALTER TABLE graft.ddl.a DROP COLUMN extra")
+    spark.sql("ALTER TABLE graft.ddl.a SET TBLPROPERTIES ('note'='hi')")
+    assert(GraftTable.at(spark, s"$wh/ddl/a").meta.properties.get("note").contains("hi"))
+    spark.sql("ALTER TABLE graft.ddl.a UNSET TBLPROPERTIES ('note')")
+    assert(!GraftTable.at(spark, s"$wh/ddl/a").meta.properties.contains("note"))
+    // v2 RENAME TO resolves the new name inside the same catalog
+    spark.sql("ALTER TABLE graft.ddl.a RENAME TO ddl.b")
+    assert(spark.sql("SELECT * FROM graft.ddl.b").count() == 1)
+  }
+
+  test("catalog read keeps segment pruning (filters reach the DSv2 scan)") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scan")
+    spark.sql("CREATE TABLE graft.scan.s (k INT, v STRING) USING carbonish " +
+      "TBLPROPERTIES ('sort_columns'='k')")
+    // two segments with disjoint k ranges
+    spark.range(0, 100).selectExpr("CAST(id AS INT) k", "CAST(id AS STRING) v")
+      .createOrReplaceTempView("lo")
+    spark.range(1000, 1100).selectExpr("CAST(id AS INT) k", "CAST(id AS STRING) v")
+      .createOrReplaceTempView("hi")
+    spark.sql("INSERT INTO graft.scan.s SELECT * FROM lo")
+    spark.sql("INSERT INTO graft.scan.s SELECT * FROM hi")
+    val df = spark.sql("SELECT k FROM graft.scan.s WHERE k >= 1000")
+    assert(df.count() == 100)
+    // segment min/max skip: the lo segment must not survive the pruner
+    val t = GraftTable.at(spark, s"$wh/scan/s")
+    import graft.engine.format.SegmentPruner
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val kept = SegmentPruner.prune(t.status.visible,
+      Seq(GreaterThanOrEqual("k", 1000)))
+    assert(t.status.visible.size == 2 && kept.size == 1, s"kept ${kept.map(_.id)}")
+  }
+}
