@@ -122,8 +122,16 @@ object SegmentPruner {
       case IsNotNull(a) =>
         stats(a).forall(s => seg.rowCount == 0 || s.nullCount < seg.rowCount)
       case StringStartsWith(a, p) if p.nonEmpty =>
-        // [min,max] must intersect [p, p + U+10FFFF...)
-        !(cmpMin(a, p + "￿").exists(_ > 0) || cmpMax(a, p).exists(_ < 0))
+        // p-prefixed strings live in [p, succ(p)) with succ = last char
+        // incremented — stays ASCII-comparable, unlike appending U+FFFF
+        // (which compare rejects, silently disabling this bound). A
+        // prefix ending in 0x7F would need a carry; keep conservatively.
+        val minBeyond =
+          if (p.last < '\u007f') {
+            val succ = p.init + (p.last + 1).toChar
+            cmpMin(a, succ).exists(_ >= 0)
+          } else false
+        !(minBeyond || cmpMax(a, p).exists(_ < 0))
       case And(l, r) => mayMatch(seg, l) && mayMatch(seg, r)
       case Or(l, r) => mayMatch(seg, l) || mayMatch(seg, r)
       case _ => true // Not, EndsWith, Contains, unknown: conservative keep

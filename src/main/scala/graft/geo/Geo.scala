@@ -148,21 +148,84 @@ object Geo {
     f(geoId)
   }
 
-  /** Broadcast polygon join (BroadCastPolygonFilterPushJoin analog):
-    * each left row joins polygons whose bbox ranges cover its geoId cell,
-    * verified by the exact polygon test. `polys`: (name, Seq[(lat,lng)]). */
+  /** Broadcast polygon join (BroadCastPolygonFilterPushJoin analog,
+    * reference DMLStrategy.scala:77-171): polygons explode into their
+    * bbox's covering cells at a shared coarse morton level, rows compute
+    * the same coarse cell from their geoId, and a broadcast *equi-join*
+    * on the cell collapses the pair space; the exact ray-casting test
+    * runs only on cell-colliding pairs as a residual filter. At 100 TB ×
+    * 10k polygons this is rows×(polygons per cell) UDF calls instead of
+    * a rows×polygons nested loop. Each row lands in exactly one cell, so
+    * no (row, polygon) pair can match twice — no post-join dedup needed.
+    * `polys`: (name, Seq[(lat,lng)]). */
   def polygonJoin(df: DataFrame, lat: String, lng: String,
-      polys: Seq[(String, Seq[(Double, Double)])]): DataFrame = {
+      polys: Seq[(String, Seq[(Double, Double)])],
+      maxCellsPerPoly: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val polyDf = polys.map { case (n, pts) =>
-      (n, pts.map(_._1), pts.map(_._2))
-    }.toDF("poly_name", "lats", "lngs")
+    require(polys.nonEmpty, "polygonJoin needs at least one polygon")
+    // finest shared level where every polygon's bbox is ≤ maxCellsPerPoly
+    // cells (one level for all: the equi-join key must align)
+    def spanCells(pts: Seq[(Double, Double)], s: Int): Long = {
+      val ys = pts.map(p => quantLat(p._1)); val xs = pts.map(p => quantLng(p._2))
+      ((ys.max >> s) - (ys.min >> s) + 1) * ((xs.max >> s) - (xs.min >> s) + 1)
+    }
+    var shift = 2
+    while (shift < Bits && polys.exists(p => spanCells(p._2, shift) > maxCellsPerPoly))
+      shift += 2
+    val sh = shift
+    val polyCells = polys.flatMap { case (n, pts) =>
+      val ys = pts.map(p => quantLat(p._1)); val xs = pts.map(p => quantLng(p._2))
+      for {
+        y <- (ys.min >> sh) to (ys.max >> sh)
+        x <- (xs.min >> sh) to (xs.max >> sh)
+      } yield (interleave(x, y), n, pts.map(_._1), pts.map(_._2))
+    }.toDF("__cell", "poly_name", "lats", "lngs")
     val verify = udf((la: Double, ln: Double, lats: Seq[Double], lngs: Seq[Double]) =>
       pointInPolygon(la, ln, lats.zip(lngs)))
-    df.join(broadcast(polyDf),
-      verify(col(lat), col(lng), col("lats"), col("lngs")))
-      .drop("lats", "lngs")
+    // morton property: geoId >> 2s == interleave(x >> s, y >> s)
+    df.withColumn("__cell", shiftright(latLngToGeoId(col(lat), col(lng)), 2 * sh))
+      .join(broadcast(polyCells), "__cell")
+      .filter(verify(col(lat), col(lng), col("lats"), col("lngs")))
+      .drop("__cell", "lats", "lngs")
+  }
+
+  /** IN_POLYGON_LIST (reference InPolygonListUDF.scala:29): membership in
+    * the union ("OR") or intersection ("AND") of several polygons. */
+  def inPolygonList(lat: Column, lng: Column,
+      polys: Seq[Seq[(Double, Double)]], opType: String = "OR"): Column = {
+    val op = opType.toUpperCase
+    require(op == "OR" || op == "AND", s"opType must be OR or AND, got $opType")
+    val f = udf((la: Double, ln: Double) =>
+      if (op == "OR") polys.exists(p => pointInPolygon(la, ln, p))
+      else polys.forall(p => pointInPolygon(la, ln, p)))
+    f(lat, lng)
+  }
+
+  /** distance from point P to segment AB, in degrees (flat-earth). */
+  def pointToSegment(pLat: Double, pLng: Double,
+      aLat: Double, aLng: Double, bLat: Double, bLng: Double): Double = {
+    val dx = bLng - aLng; val dy = bLat - aLat
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0,
+        ((pLng - aLng) * dx + (pLat - aLat) * dy) / len2))
+    val cx = aLng + t * dx; val cy = aLat + t * dy
+    math.sqrt((pLng - cx) * (pLng - cx) + (pLat - cy) * (pLat - cy))
+  }
+
+  /** IN_POLYLINE_LIST (reference InPolylineListUDF.scala:29): true when
+    * the point lies within `bufferDeg` of any of the polylines. */
+  def inPolylineList(lat: Column, lng: Column,
+      lines: Seq[Seq[(Double, Double)]], bufferDeg: Double): Column = {
+    val f = udf((la: Double, ln: Double) =>
+      lines.exists(line => line.size >= 2 && line.sliding(2).exists {
+        case Seq((ay, ax), (by, bx)) =>
+          pointToSegment(la, ln, ay, ax, by, bx) <= bufferDeg
+        case _ => false
+      }))
+    f(lat, lng)
   }
 
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.engine.TestSpark
+import graft.geo.Geo
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape asserts for the geo pack: the polygon join must be a
+  * broadcast equi-join on covering cells (not a nested loop over every
+  * (row, polygon) pair), and a range-list filter on a stored geoId must
+  * skip segments via min/max stats. */
+class GeoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val tri = Seq((12.3, 32.1), (18.7, 35.6), (14.2, 44.9))
+  private val quad = Seq((-5.2, -60.3), (2.8, -55.1), (6.4, -40.7), (-3.9, -38.2))
+
+  private def pts = {
+    import spark.implicits._
+    spark.range(0, 5000).select(
+      col("id"),
+      ((col("id") % 120) - 60 + 0.5).as("lat"),
+      (((col("id") * 7) % 360) - 180 + 0.5).as("lng"))
+  }
+
+  test("polygonJoin is a broadcast hash equi-join, not a nested loop") {
+    val joined = Geo.polygonJoin(pts, "lat", "lng", Seq("tri" -> tri, "quad" -> quad))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast equi-join:\n$plan")
+  }
+
+  test("polygonJoin equals brute-force membership") {
+    val fast = Geo.polygonJoin(pts, "lat", "lng", Seq("tri" -> tri, "quad" -> quad))
+      .select("id", "poly_name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val brute = (for {
+      (n, poly) <- Seq("tri" -> tri, "quad" -> quad)
+      r <- pts.collect()
+      if Geo.pointInPolygon(r.getDouble(1), r.getDouble(2), poly)
+    } yield (r.getLong(0), n)).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+  }
+
+  test("inPolygonList OR/AND and inPolylineList agree with scalar engines") {
+    val p = pts.limit(500)
+    val got = p.filter(Geo.inPolygonList(col("lat"), col("lng"), Seq(tri, quad), "OR"))
+      .count()
+    val want = p.collect().count(r =>
+      Geo.pointInPolygon(r.getDouble(1), r.getDouble(2), tri) ||
+        Geo.pointInPolygon(r.getDouble(1), r.getDouble(2), quad))
+    assert(got == want)
+    val line = Seq((20.5, -100.3), (25.7, -90.2))
+    val gotL = p.filter(Geo.inPolylineList(col("lat"), col("lng"), Seq(line), 3.0)).count()
+    val wantL = p.collect().count(r => Geo.pointToSegment(
+      r.getDouble(1), r.getDouble(2), 20.5, -100.3, 25.7, -90.2) <= 3.0)
+    assert(gotL == wantL)
+  }
+
+  test("stored geoId range-list filter skips segments") {
+    val t = graft.queries.GeoQueries.geopts(spark, sf)
+    assert(t.status.visible.size == 3)
+    val ranges = Geo.bboxRanges(10, 20, 30, 40, maxRanges = 64)
+    // translate the BETWEEN disjunction the query pushes into source
+    // filters and check the segment pruner drops at least one segment
+    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual, LessThanOrEqual, Or => SOr}
+    val filters = ranges.map { case (lo, hi) =>
+      SAnd(GreaterThanOrEqual("geo_id", lo), LessThanOrEqual("geo_id", hi))
+    }.reduce[org.apache.spark.sql.sources.Filter](SOr(_, _))
+    val kept = graft.engine.format.SegmentPruner.prune(t.status.visible, Seq(filters))
+    assert(kept.size < 3, s"kept ${kept.map(_.id)} of 3 segments")
+    // end-to-end equality with the raw recompute
+    val viaTable = t.read.filter(Geo.geoIdInRanges(col("geo_id"), ranges))
+      .filter(col("lat").between(10, 20) && col("lng").between(30, 40)).count()
+    val viaRaw = graft.queries.Q.t(spark, sf, "events").select(
+      ((col("user_id") % 120) - 60 + 0.5).as("lat"),
+      (((col("event_id") * 7) % 360) - 180 + 0.5).as("lng"))
+      .filter(col("lat").between(10, 20) && col("lng").between(30, 40)).count()
+    assert(viaTable == viaRaw)
+  }
+}
