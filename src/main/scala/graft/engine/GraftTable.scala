@@ -57,10 +57,19 @@ class GraftTable private (val spark: SparkSession, val path: String)
     spark.read.format("carbonish").option("segments", ids.mkString(",")).load(path)
 
   /** Read with a stable per-row address column (getTupleId analog) —
-    * goes through the v1 file path, which exposes `_metadata`. */
+    * a v1 parquet relation over the segment-pruning file index: the
+    * `_metadata` columns tupleId needs only exist on the v1 path (DSv2
+    * FileTable has no metadata columns), and routing the index through
+    * [[graft.engine.source.SegmentFileIndex]] keeps segment min/max skip
+    * on tupleId-bearing queries. */
   def readWithTupleId(idCol: String = "tuple_id"): DataFrame = {
     val vis = status.visible
-    spark.read.schema(schema).parquet(vis.flatMap(layout.segmentFilePaths): _*)
+    val foreign = vis.filter(_.format != "parquet")
+    require(foreign.isEmpty,
+      s"tupleId read needs parquet segments; found ${foreign.map(_.id).mkString(",")}")
+    val idx = new graft.engine.source.SegmentFileIndex(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], layout, vis, schema)
+    org.apache.spark.sql.graft.Shims.parquetRelationDf(spark, idx, schema)
       .withColumn(idCol, graft.functions.GraftFunctions.tupleId)
   }
 
@@ -149,6 +158,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
   /** DELETE FROM … WHERE (copy-on-write, affected segments only —
     * CarbonProjectForDeleteCommand.scala:44). Returns #rows deleted. */
   def delete(cond: org.apache.spark.sql.Column): Long = Mutation.delete(this, cond)
+
+  /** INSERT OVERWRITE ... WHERE — replace rows matching `cond` with `df`
+    * (partition-overwrite equivalent; see [[Mutation.insertOverwriteWhere]]). */
+  def insertOverwriteWhere(cond: org.apache.spark.sql.Column, df: DataFrame): Long =
+    Mutation.insertOverwriteWhere(this, cond, df)
 
   /** UPDATE … SET … WHERE (CarbonProjectForUpdateCommand.scala:48).
     * Returns #rows updated. */

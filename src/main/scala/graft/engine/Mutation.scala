@@ -177,6 +177,28 @@ object Mutation {
     before - after
   }
 
+  /** INSERT OVERWRITE ... WHERE cond — the partition-overwrite
+    * equivalent (reference INSERT OVERWRITE PARTITION,
+    * docs/ddl-of-carbondata.md:62-67; segments subsume hive partitions
+    * here, so the overwrite scope is a predicate, not a directory):
+    * atomically replace every row matching `cond` with `df`. Only
+    * segments containing matching rows are rewritten — survivors and the
+    * new data land in one new segment, untouched segments stay as-is —
+    * so overwriting one day of a 100 TB table rewrites ~that day's
+    * segments. Returns #rows replaced. */
+  def insertOverwriteWhere(t: GraftTable, cond: Column, df: DataFrame): Long = {
+    val aligned = df.select(t.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val (before, after, matched) = rewriteAffected(t, cond,
+      rows => rows.filter(!coalesce(cond, lit(false))).unionByName(aligned))
+    if (before == 0L && after == 0L && matched == 0L) {
+      // no segment holds a matching row: the overwrite degenerates to a
+      // plain append of the new data
+      t.insert(aligned)
+      0L
+    } else matched
+  }
+
   /** UPDATE t SET (k→expr…) WHERE cond. Returns #rows updated. The count
     * comes from the affected-segment scan (which already filters on
     * `cond`) — no separate counting pass. */

@@ -3,7 +3,7 @@ package graft.engine.mv
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -68,6 +68,27 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** A parquet scan acceptable on the QUERY side: bare, or carrying only
+    * data filters that are conjuncts of the residual Filter above it
+    * (V2ScanRelationPushDown pushes the Filter's conjuncts into the scan
+    * but keeps the Filter node — re-applying the full predicate over the
+    * MV preserves exactness, so such pushed filters are safe to accept). */
+  private def queryParquetScan(
+      s: org.apache.spark.sql.connector.read.Scan,
+      allowedCanon: Set[Expression]): Boolean =
+    s match {
+      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        ps.partitionFilters.isEmpty &&
+          ps.dataFilters.forall(f => allowedCanon.contains(f.canonicalized))
+      case _ => false
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   /** Map query-child attributes into MV-child attributes, or None if the
     * children don't line up. Two supported shapes:
     *   - both children are bare scans of the same DSv2 (carbonish) table:
@@ -75,7 +96,8 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     *   - otherwise the pruning-stripped plans must be canonically equal
     *     (covers arbitrary plans over file relations) → map by position. */
   private def childAttrMap(
-      qChild0: LogicalPlan, mChild0: LogicalPlan): Option[AttributeMap[Attribute]] = {
+      qChild0: LogicalPlan, mChild0: LogicalPlan,
+      allowedFilterCanon: Set[Expression] = Set.empty): Option[AttributeMap[Attribute]] = {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val qChild = stripPruning(qChild0)
     val mChild = stripPruning(mChild0)
@@ -86,7 +108,7 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       Option(r.relation.options.get("segments")).getOrElse("")
     (qChild, mChild) match {
       case (q: DataSourceV2ScanRelation, m: DataSourceV2ScanRelation)
-          if bareParquetScan(q.scan) && bareParquetScan(m.scan) &&
+          if queryParquetScan(q.scan, allowedFilterCanon) && bareParquetScan(m.scan) &&
             q.relation.table.name == m.relation.table.name &&
             pin(q) == pin(m) =>
         val byName = m.output.map(a => a.name -> a).toMap
@@ -101,10 +123,24 @@ class MvRewriteRule extends Rule[LogicalPlan] {
 
   private def tryRewrite(query: Aggregate, mv: MvDef): Option[LogicalPlan] = {
     val mvChild = mv.agg.child
-    val attrMap = childAttrMap(query.child, mvChild) match {
-      case Some(m) => m
-      case None => return None
-    }
+    // exact child match, or filter subsumption (reference MVMatcher
+    // SelectSelectNoChildDelta, MVMatcher.scala:613): query = Filter over
+    // the MV's child, with a predicate derivable from the MV's grouping
+    // outputs — rewritten as the same Filter over the MV scan, applied
+    // BEFORE re-aggregation (group-constant predicates pass for every
+    // row of a group or none, so pre-filtering groups is exact).
+    val (attrMap, residual): (AttributeMap[Attribute], Option[Expression]) =
+      childAttrMap(query.child, mvChild) match {
+        case Some(m) => (m, None)
+        case None => stripPruning(query.child) match {
+          case Filter(cond, inner) =>
+            childAttrMap(inner, mvChild, conjuncts(cond).map(_.canonicalized).toSet) match {
+              case Some(m) => (m, Some(cond))
+              case None => return None
+            }
+          case _ => return None
+        }
+      }
     val spark = SparkSession.active
     def remap(e: Expression): Expression =
       e.transform { case a: Attribute => attrMap.getOrElse(a, a) }
@@ -196,10 +232,15 @@ class MvRewriteRule extends Rule[LogicalPlan] {
         case other => Alias(other, ne.name)(exprId = ne.exprId)
       }
     }
-    if (newGroupings.exists(_.isEmpty) || newAggs.exists(_.isEmpty)) None
+    // the residual predicate must also be fully derivable (its columns
+    // map to MV grouping outputs), else the MV cannot serve this query
+    val newResidual = residual.map(rewriteExpr)
+    if (newGroupings.exists(_.isEmpty) || newAggs.exists(_.isEmpty) ||
+      newResidual.exists(_.isEmpty)) None
     else {
       logInfo(s"[graft] MV rewrite: query aggregate served by MV '${mv.name}' (${mv.path})")
-      Some(Aggregate(newGroupings.map(_.get), newAggs.map(_.get), mvRel))
+      val base = newResidual.flatten.map(c => Filter(c, mvRel)).getOrElse(mvRel)
+      Some(Aggregate(newGroupings.map(_.get), newAggs.map(_.get), base))
     }
   }
 }

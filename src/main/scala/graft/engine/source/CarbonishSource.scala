@@ -162,8 +162,14 @@ class SegmentFileIndex(
     Map.empty[String, String],
     Some(schema)) {
 
+  // keys must be FS-qualified ("file:/…"): listFiles compares against
+  // qualified FileStatus paths, and an unqualified key never matches —
+  // which silently keeps every file (no skip) since the lookup is
+  // conservative-by-default
   private val segmentOfFile: Map[String, SegmentMeta] =
-    visible.flatMap(s => layout.segmentFilePaths(s).map(_ -> s)).toMap
+    visible.flatMap(s => layout.segmentFilePaths(s).map { p =>
+      layout.fs.makeQualified(new Path(p)).toString -> s
+    }).toMap
 
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -209,6 +215,7 @@ class CarbonishScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN
   with org.apache.spark.internal.Logging {
 
   private val fileIndex = new SegmentFileIndex(spark, layout, visible, schema)
@@ -218,6 +225,7 @@ class CarbonishScanBuilder(
   private var sawFilters = false
   private var requiredSchema: Option[StructType] = None
   private var limit: Option[Int] = None
+  private var topNSegs: Option[Seq[SegmentMeta]] = None
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -241,6 +249,60 @@ class CarbonishScanBuilder(
     false
   }
 
+  /** ORDER BY c [DESC] LIMIT k over a table with segment stats on c: keep
+    * only segments that can hold top-k rows (the reference's sorted-
+    * segment head read, CarbonTakeOrderedAndProjectExec.scala:35).
+    * Sound selection from stats alone: order segments by their leading
+    * edge (min for ASC, max for DESC), take the shortest prefix P whose
+    * committed row counts cover k, bound = trailing edge over P — any
+    * segment strictly beyond the bound cannot contribute to the top-k
+    * (ties included; later ORDER BY columns only refine order among rows
+    * already ≤ the bound on the first column). Partial push: Spark still
+    * runs the exact sort+limit over what the scan returns. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (sawFilters || visible.isEmpty || orders.isEmpty) return false
+    val colName = orders.head.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val dt = schema.fields.find(_.name == colName).map(_.dataType).getOrElse(return false)
+    val desc = orders.head.direction() == SortDirection.DESCENDING
+    // every visible segment needs exact row counts and null-free min/max
+    // stats on the column (a null sorts outside the min/max range, so any
+    // null makes stats-only selection unsound)
+    val withStats = visible.map { s =>
+      s.stats.get(colName).flatMap(cs =>
+        if (cs.nullCount == 0 && s.rowCount >= 0)
+          for { mn <- cs.min; mx <- cs.max } yield (s, mn, mx)
+        else None)
+    }
+    if (withStats.exists(_.isEmpty)) return false
+    val ss = withStats.flatten
+    def cmp(a: String, b: String): Option[Int] = StatValue.compareStored(dt, a, b)
+    def lt(a: String, b: String): Boolean = cmp(a, b).exists(_ < 0)
+    if (ss.exists(s => cmp(s._2, s._3).isEmpty)) return false // incomparable stats
+    val sorted =
+      if (!desc) ss.sortWith((a, b) => lt(a._2, b._2))
+      else ss.sortWith((a, b) => lt(b._3, a._3))
+    var acc = 0L
+    val prefix = sorted.takeWhile { s => val need = acc < n; acc += s._1.rowCount; need }
+    if (acc < n) return false // table smaller than k: nothing to prune
+    val bound =
+      if (!desc) prefix.map(_._3).reduce((a, b) => if (lt(a, b)) b else a)
+      else prefix.map(_._2).reduce((a, b) => if (lt(a, b)) a else b)
+    val keep = sorted.filter(s =>
+      if (!desc) !cmp(s._2, bound).exists(_ > 0) else !cmp(s._3, bound).exists(_ < 0))
+    if (keep.size < visible.size) {
+      topNSegs = Some(keep.map(_._1))
+      logInfo(s"[graft] topN pushdown: ${keep.size}/${visible.size} segments " +
+        s"cover ORDER BY $colName${if (desc) " DESC" else ""} LIMIT $n")
+      true
+    } else false
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   private def bareCountStar(aggregation: Aggregation): Boolean =
     totalRows.isDefined && !sawFilters &&
       aggregation.groupByExpressions.isEmpty &&
@@ -260,11 +322,21 @@ class CarbonishScanBuilder(
       }
     } else delegate.pushAggregation(aggregation)
 
+  /** Scan over a reduced segment set, preserving column pruning. */
+  private def segmentSubsetScan(segs: Seq[SegmentMeta]): Scan = {
+    val reduced = ParquetScanBuilder(
+      spark, new SegmentFileIndex(spark, layout, segs, schema),
+      schema, schema, options)
+    requiredSchema.foreach(reduced.pruneColumns)
+    reduced.build()
+  }
+
   override def build(): Scan = metaCount match {
     case Some((n, aggSchema)) => MetadataCountScan(n, aggSchema)
     case None =>
-      limit match {
-        case Some(n) =>
+      (topNSegs, limit) match {
+        case (Some(segs), _) => segmentSubsetScan(segs)
+        case (None, Some(n)) =>
           // minimal segment prefix covering n rows
           var acc = 0L
           val prefix = visible.sortBy(_.id).takeWhile { s =>
@@ -272,14 +344,10 @@ class CarbonishScanBuilder(
           }
           if (prefix.size >= visible.size) delegate.build()
           else {
-            val limited = ParquetScanBuilder(
-              spark, new SegmentFileIndex(spark, layout, prefix, schema),
-              schema, schema, options)
-            requiredSchema.foreach(limited.pruneColumns)
             logInfo(s"[graft] limit pushdown: scanning ${prefix.size}/${visible.size} segments for LIMIT $n")
-            limited.build()
+            segmentSubsetScan(prefix)
           }
-        case None => delegate.build()
+        case _ => delegate.build()
       }
   }
 }

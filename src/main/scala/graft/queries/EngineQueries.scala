@@ -109,6 +109,13 @@ object EngineQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"))
     }),
+    // ORDER BY sort-column LIMIT k: SupportsPushDownTopN plans a scan of
+    // only the k-covering segments (TopNSpec asserts the file set); the
+    // aggregate on top makes the result tie-insensitive and hashable
+    "q_engine_topn" -> ((s, d) => {
+      orders3(s, d).read.orderBy("o_orderdate").limit(500)
+        .agg(count(lit(1)).as("cnt"), max(col("o_orderdate")).as("max_d"))
+    }),
     // text posting index: candidate segments from term postings, exact
     // token-membership residual (lucene-FG analog, TextIndex)
     "q_text_index" -> ((s, d) => {
@@ -119,36 +126,50 @@ object EngineQueries {
     // MV rollup: a finer-grained MV answers a coarser aggregate; the row
     // FAILS (exception) if the rewrite doesn't fire, so CORRECTNESS
     // guards the rewrite rule, not just the answer
-    "q_mv_rollup" -> ((s, d) => {
-      import graft.engine.mv.{Mv, MvCatalog}
-      val base = new java.io.File(d).getName
-      val mvPath = s"/tmp/graft_tables/$base/mv_li_roll"
-      def query = t(s, d, "lineitem").groupBy("l_returnflag")
+    "q_mv_rollup" -> ((s, d) =>
+      mvServed(s, d, t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          count(lit(1)).as("cnt"))
-      def rewrites: Boolean = {
-        Mv.install(s)
-        query.queryExecution.optimizedPlan.toString.contains("mv_li_roll")
-      }
-      // reuse a persisted def (possibly from a previous JVM — the base
-      // parquet fixture is immutable, so a loadable MV is fresh); any
-      // doubt (no def, plan drift) → rebuild from scratch
-      val ready =
-        (MvCatalog.get("mv_li_roll").isDefined || Mv.load(s, mvPath).isDefined) && rewrites
-      if (!ready) {
-        val mvq = t(s, d, "lineitem")
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pc"))
-        Mv.drop(s, "mv_li_roll")
-        Mv.create(s, "mv_li_roll", mvq, mvPath)
-      }
-      val q = query
-      val plan = q.queryExecution.optimizedPlan.toString
-      require(plan.contains("mv_li_roll"),
-        s"MV rewrite did not fire; plan:\n$plan")
-      q
-    })
+          count(lit(1)).as("cnt")))),
+    // MV filter subsumption: a residual filter on an MV grouping column
+    // is applied over the MV scan before re-aggregation (reference
+    // MVMatcher SelectSelectNoChildDelta); fails if the rewrite doesn't
+    // fire
+    "q_mv_filter" -> ((s, d) =>
+      mvServed(s, d, t(s, d, "lineitem")
+        .filter(col("l_linestatus") === "O")
+        .groupBy("l_returnflag")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))))
   )
+
+  /** Ensure the shared (l_returnflag, l_linestatus) MV over lineitem
+    * exists and serves `query`; requires the rewrite actually fired. */
+  private def mvServed(s: SparkSession, d: String, query: => DataFrame): DataFrame = {
+    import graft.engine.mv.{Mv, MvCatalog}
+    val base = new java.io.File(d).getName
+    val mvPath = s"/tmp/graft_tables/$base/mv_li_roll"
+    def rewrites: Boolean = {
+      Mv.install(s)
+      query.queryExecution.optimizedPlan.toString.contains("mv_li_roll")
+    }
+    // reuse a persisted def (possibly from a previous JVM — the base
+    // parquet fixture is immutable, so a loadable MV is fresh); any
+    // doubt (no def, plan drift) → rebuild from scratch
+    val ready =
+      (MvCatalog.get("mv_li_roll").isDefined || Mv.load(s, mvPath).isDefined) && rewrites
+    if (!ready) {
+      val mvq = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pc"))
+      Mv.drop(s, "mv_li_roll")
+      Mv.create(s, "mv_li_roll", mvq, mvPath)
+    }
+    val q = query
+    val plan = q.queryExecution.optimizedPlan.toString
+    require(plan.contains("mv_li_roll"),
+      s"MV rewrite did not fire; plan:\n$plan")
+    q
+  }
 
   def oracle: Map[String, String] = Map(
     "q1_agg_carbonish" -> RelationalQueries.oracle("q1_agg"),
@@ -161,6 +182,9 @@ object EngineQueries {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY o_orderpriority""",
+    "q_engine_topn" ->
+      """SELECT count(*) AS cnt, max(o_orderdate) AS max_d FROM
+         (SELECT o_orderdate FROM orders ORDER BY o_orderdate LIMIT 500)""",
     "q_text_index" -> {
       val toks = "string_split(lower(trim(text)), ' ')"
       s"""SELECT lang, count(*) AS cnt FROM documents
@@ -171,6 +195,10 @@ object EngineQueries {
     "q_mv_rollup" ->
       s"""SELECT l_returnflag, CAST(sum(${oDec("l_quantity")}) AS DOUBLE) AS sum_qty,
           count(*) AS cnt
-          FROM lineitem GROUP BY l_returnflag"""
+          FROM lineitem GROUP BY l_returnflag""",
+    "q_mv_filter" ->
+      s"""SELECT l_returnflag, CAST(sum(${oDec("l_quantity")}) AS DOUBLE) AS sum_qty,
+          count(*) AS cnt
+          FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag"""
   )
 }

@@ -51,6 +51,17 @@ object IudQueries {
         Map("o_orderpriority" -> lit("X-UPD")))
       t0.read.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
     }),
+    // INSERT OVERWRITE WHERE: replace all 'P' orders with re-priced copies
+    // (partition-overwrite equivalent — predicate-scoped atomic swap)
+    "q_iud_overwrite" -> ((s, d) => {
+      val src = t(s, d, "orders")
+      val t0 = freshTable(s, d, "ow", src, Seq("o_orderkey"))
+      val repl = src.filter(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t0.insertOverwriteWhere(col("o_orderstatus") === "P", repl)
+      t0.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
     // MERGE (upsert): halve acctbal of custkey<50, insert 10 re-keyed copies
     "q_iud_merge" -> ((s, d) => {
       val src = t(s, d, "customer")
@@ -75,6 +86,11 @@ object IudQueries {
       """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-UPD' ELSE o_orderpriority END
            AS o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY 1""",
+    "q_iud_overwrite" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                             ELSE o_totalprice END AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+          FROM orders GROUP BY o_orderstatus""",
     "q_iud_merge" ->
       """WITH merged AS (
            SELECT c_custkey, c_name,

@@ -19,4 +19,20 @@ object Shims {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** v1 parquet relation over a caller-supplied FileIndex. Unlike the
+    * DSv2 FileTable path this exposes the `_metadata` columns (tupleId),
+    * while the custom index keeps segment-level pruning in the loop. */
+  def parquetRelationDf(
+      spark0: org.apache.spark.sql.SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val spark = spark0.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = HadoopFsRelation(
+      index, org.apache.spark.sql.types.StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, LogicalRelation(rel))
+  }
 }

@@ -103,6 +103,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"))
     checkSame(q(t.read), q(src))
+    // PLAN-level check: the planned DSv2 scan must carry only segment 0's
+    // files (regression: unqualified index keys made the skip a no-op)
+    val scan = t.read.filter(col("o_orderkey") < 250)
+    val planned = scan.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten.collect {
+          case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+            f.files.map(_.filePath.toString)
+        }.flatten
+    }.flatten
+    assert(planned.nonEmpty && planned.forall(_.contains("/segments/0/")),
+      s"expected only segment 0 files in the planned scan:\n${planned.mkString("\n")}")
   }
 
   test("insert overwrite retires previous segments") {

@@ -64,6 +64,25 @@ class MutationSpec extends AnyFunSuite {
     checkSame(t.read.select(expected.columns.map(col).toSeq: _*), expected)
   }
 
+  test("insertOverwriteWhere replaces matching rows, touches only their segments") {
+    val (t, src) = ordersTable()
+    val before = t.status.visible.map(_.id).toSet
+    // overwrite scope confined to segment 0's key range
+    val repl = src.filter(col("o_orderkey") < 100)
+      .withColumn("o_orderpriority", lit("OW"))
+    val n = t.insertOverwriteWhere(col("o_orderkey") < 100, repl)
+    assert(n == src.filter(col("o_orderkey") < 100).count())
+    val expected = src.filter(col("o_orderkey") >= 100).unionByName(repl)
+    checkSame(t.read, expected)
+    assert((before & t.status.visible.map(_.id).toSet).size == 2,
+      "unmatched segments must not be rewritten")
+    // no matching rows: degenerates to a plain append
+    val extra = src.filter(col("o_orderkey") < 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+    assert(t.insertOverwriteWhere(col("o_orderkey") >= 2000000, extra) == 0)
+    checkSame(t.read, expected.unionByName(extra))
+  }
+
   test("merge: updateAll + insertAll (upsert) matches relational oracle") {
     val src = spark.read.parquet(s"$sf/customer.parquet")
     val t = GraftTable.createAsSelect(spark, tmpTable(), src, Seq("c_custkey"))

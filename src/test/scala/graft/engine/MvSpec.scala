@@ -78,6 +78,30 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_roll")
   }
 
+  test("filter subsumption: residual filter on grouping columns rewrites") {
+    val base = lineitem
+    val mvq = base.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_fsub", mvq, s"${tmp()}/mv_fsub")
+    try {
+      def q = base.filter(col("l_returnflag") =!= "A")
+        .groupBy("l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_fsub"), s"expected MV + residual filter in plan:\n$plan")
+      val expected = graft.engine.mv.MvRewriteRule.withoutRewrite { q.collect() }
+      checkSame(q, spark.createDataFrame(
+        spark.sparkContext.parallelize(expected.toIndexedSeq), q.schema))
+      // a filter on a NON-grouping column must not be served by the MV
+      val noRw = base.filter(col("l_quantity") > 10)
+        .groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+      assert(!noRw.queryExecution.optimizedPlan.toString.contains("mv_fsub"),
+        "filter on a measure column must block the rewrite")
+    } finally Mv.drop(spark, "mv_fsub")
+  }
+
   test("avg rollup via auto-expanded sum/count") {
     val base = lineitem
     val mvq = base.groupBy("l_returnflag", "l_linestatus")

@@ -33,6 +33,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ids.forall(_.contains("/segments/0/")))
   }
 
+  test("tupleId read keeps segment min/max pruning") {
+    val path = Files.createTempDirectory("graft_fn_").toString + "/t"
+    val src = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    val t = GraftTable.create(spark, path, src.schema, Seq("k"))
+    t.insert(src.filter(col("k") < 100))
+    t.insert(src.filter(col("k") >= 100))
+    val q = t.readWithTupleId("tid").filter(col("k") >= 150)
+    assert(q.count() == 50)
+    // the v1 scan goes through SegmentFileIndex → only segment 1's files
+    val scanned = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(Nil,
+          Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            f.output.find(_.name == "k").get,
+            org.apache.spark.sql.catalyst.expressions.Literal(150L))))
+          .flatMap(_.files.map(_.getPath.toString))
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/segments/1/")),
+      s"expected only segment 1 files:\n${scanned.mkString("\n")}")
+  }
+
   test("timeseries granularities bucket like date_trunc") {
     import spark.implicits._
     val df = Seq("2024-03-15 10:23:45").toDF("s")
