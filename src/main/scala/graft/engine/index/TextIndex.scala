@@ -66,28 +66,67 @@ object TextIndex {
       .reduce(_ || _)
   }
 
+  /** Candidate segment ids for a text query, from the posting index.
+    * None = no index on the column (caller falls back to a full scan). */
+  private def candidateSegments(
+      t: GraftTable, column: String, query: String): Option[Set[Long]] = {
+    val clauses = graft.functions.GraftFunctions.parseQuery(query)
+    t.meta.properties.get(key(column)).map { p =>
+      val idx = GraftTable.at(t.spark, p)
+      val allTerms = clauses.flatten.distinct
+      val found: Map[String, Set[Long]] = idx.read
+        .filter(col("term").isin(allTerms: _*))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      clauses.map { terms =>
+        terms.map(tm => found.getOrElse(tm, Set.empty[Long]))
+          .reduce(_ intersect _)
+      }.reduce(_ union _)
+    }
+  }
+
   /** text_match-accelerated read: consult the posting index for the
     * candidate segment set, scan only those, apply the exact residual.
     * Falls back to a full filtered read without an index. */
-  def readMatching(t: GraftTable, column: String, query: String): DataFrame = {
-    val clauses = graft.functions.GraftFunctions.parseQuery(query)
-    t.meta.properties.get(key(column)) match {
+  def readMatching(t: GraftTable, column: String, query: String): DataFrame =
+    candidateSegments(t, column, query) match {
       case None => t.read.filter(tokenMatch(col(column), query))
-      case Some(p) =>
-        val idx = GraftTable.at(t.spark, p)
-        val allTerms = clauses.flatten.distinct
-        val found: Map[String, Set[Long]] = idx.read
-          .filter(col("term").isin(allTerms: _*))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-        val candidates = clauses.map { terms =>
-          terms.map(tm => found.getOrElse(tm, Set.empty[Long]))
-            .reduce(_ intersect _)
-        }.reduce(_ union _)
+      case Some(candidates) =>
         if (candidates.isEmpty)
           t.read.filter(tokenMatch(col(column), query)).limit(0)
         else t.readSegments(candidates.toSeq.sorted)
           .filter(tokenMatch(col(column), query))
+    }
+
+  /** text_match_with_limit (reference MatchExpression limit,
+    * TEXT_MATCH('term', N)): the cap is applied at the INDEX layer —
+    * candidate segments are consumed in id order, small groups at a
+    * time, and scanning STOPS once `limit` matches are in hand, so a
+    * selective query over a 100 TB table reads the first candidate
+    * segment group, not every candidate. The collected rows are bounded
+    * by `limit` (the reference's search-cap contract — results are
+    * driver-sized by definition). */
+  def readMatchingWithLimit(
+      t: GraftTable, column: String, query: String, limit: Int,
+      segmentsPerProbe: Int = 4): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val residual = tokenMatch(col(column), query)
+    candidateSegments(t, column, query) match {
+      case None => t.read.filter(residual).limit(limit)
+      case Some(candidates) if candidates.isEmpty =>
+        t.read.filter(residual).limit(0)
+      case Some(candidates) =>
+        val sorted = candidates.toSeq.sorted
+        val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var i = 0
+        while (i < sorted.size && rows.size < limit) {
+          val probe = sorted.slice(i, i + segmentsPerProbe)
+          rows ++= t.readSegments(probe).filter(residual)
+            .limit(limit - rows.size).collect()
+          i += segmentsPerProbe
+        }
+        t.spark.createDataFrame(
+          t.spark.sparkContext.parallelize(rows.toIndexedSeq, 1), t.schema)
     }
   }
 }

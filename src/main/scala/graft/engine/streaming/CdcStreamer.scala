@@ -1,0 +1,76 @@
+package graft.engine.streaming
+
+import graft.engine.GraftTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CDC apply configuration (reference CarbonStreamerConfig.scala:27 and
+  * docs/scd-and-cdc-guide.md:136-211 — carbon.streamer.* properties).
+  *
+  * `opColumn` tags each change row with its operation; rows whose op is
+  * none of insert/update/delete are rejected. `orderColumn` (the
+  * source-ordering field, e.g. a commit version or timestamp) picks the
+  * LATEST event per key inside a micro-batch, so a batch carrying
+  * insert+update+delete for the same key applies only the final state. */
+case class CdcConfig(
+    keyColumn: String,
+    opColumn: String = "_op",
+    insertOp: String = "i",
+    updateOp: String = "u",
+    deleteOp: String = "d",
+    orderColumn: Option[String] = None)
+
+/** Continuous CDC merge: change stream → per-batch MERGE INTO a
+  * carbonish table (the reference's CarbonDataStreamer tool,
+  * streamer/CarbonDataStreamer; its avro/kafka decoding is source
+  * plumbing Spark already provides via `readStream`).
+  *
+  * Scale shape: each micro-batch is one copy-on-write merge — the
+  * target-side scan is pruned to segments containing matched keys, so a
+  * steady CDC trickle against a 100 TB table rewrites the few segments
+  * its keys land in, batch by batch, with each publish an atomic
+  * tablestatus swap guarded against concurrent writers. */
+object CdcStreamer {
+
+  /** Deduplicate a batch to the latest event per key, then merge:
+    * delete-ops drop target rows, everything else upserts. */
+  def applyBatch(target: GraftTable, batch: DataFrame, cfg: CdcConfig): Unit = {
+    if (batch.isEmpty) return
+    val key = cfg.keyColumn
+    val op = col(s"s.${cfg.opColumn}")
+    val known = Seq(cfg.insertOp, cfg.updateOp, cfg.deleteOp)
+    val bad = batch.filter(!col(cfg.opColumn).isin(known: _*)).limit(1).collect()
+    require(bad.isEmpty,
+      s"unknown ${cfg.opColumn} value '${bad.head.getAs[Any](cfg.opColumn)}' " +
+        s"(expected one of ${known.mkString(",")})")
+    val latest = cfg.orderColumn match {
+      case Some(o) =>
+        batch.withColumn("__rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col(o).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch.dropDuplicates(key)
+    }
+    target.merge(latest, expr(s"t.$key = s.$key"))
+      .whenMatched(op === cfg.deleteOp).delete()
+      .whenMatched().updateAll()
+      .whenNotMatched(op =!= cfg.deleteOp).insertAll()
+      .execute()
+  }
+
+  /** Start the continuous apply; registered under `name` in
+    * [[StreamManager]] (SHOW STREAMS / DROP STREAM work on it). The
+    * change stream must carry the target's columns plus the op (and
+    * optional order) column. */
+  def start(
+      name: String,
+      target: GraftTable,
+      changes: DataFrame,
+      cfg: CdcConfig,
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamManager.createForeachBatchStream(name, target, changes, trigger, checkpoint) {
+      (batch, _) => applyBatch(target, batch, cfg)
+    }
+}

@@ -167,6 +167,26 @@ object StreamManager {
   private case class Job(name: String, tablePath: String, query: StreamingQuery)
   private val jobs = scala.collection.mutable.LinkedHashMap.empty[String, Job]
 
+  /** Register + start a foreachBatch job under the stream registry
+    * (shared by the append sink and the CDC streamer). */
+  private[streaming] def createForeachBatchStream(
+      name: String,
+      table: GraftTable,
+      source: DataFrame,
+      trigger: Trigger,
+      checkpoint: Option[String])(
+      f: (DataFrame, Long) => Unit): StreamingQuery = synchronized {
+    require(!jobs.contains(name), s"stream $name already exists")
+    var w = source.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) => f(batch, id); () }
+    checkpoint.foreach(p => w = w.option("checkpointLocation", p))
+    val q = w.queryName(name).start()
+    jobs(name) = Job(name, table.path, q)
+    q
+  }
+
   /** CREATE STREAM name ON TABLE t AS <sourceDf> (already transformed to
     * the sink schema). `handoffBytes`: auto-handoff threshold. */
   def createStream(
@@ -175,21 +195,11 @@ object StreamManager {
       source: DataFrame,
       trigger: Trigger = Trigger.ProcessingTime(0),
       checkpoint: Option[String] = None,
-      handoffBytes: Long = Long.MaxValue): StreamingQuery = synchronized {
-    require(!jobs.contains(name), s"stream $name already exists")
-    var w = source.writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        GraftStreaming.appendBatch(table, batch, id)
-        GraftStreaming.maybeHandoff(table, handoffBytes)
-        ()
-      }
-    checkpoint.foreach(p => w = w.option("checkpointLocation", p))
-    val q = w.queryName(name).start()
-    jobs(name) = Job(name, table.path, q)
-    q
-  }
+      handoffBytes: Long = Long.MaxValue): StreamingQuery =
+    createForeachBatchStream(name, table, source, trigger, checkpoint) { (batch, id) =>
+      GraftStreaming.appendBatch(table, batch, id)
+      GraftStreaming.maybeHandoff(table, handoffBytes)
+    }
 
   def showStreams: Seq[(String, String, String)] = synchronized {
     jobs.values.map(j =>

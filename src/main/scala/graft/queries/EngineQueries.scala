@@ -123,6 +123,14 @@ object EngineQueries {
       TextIndex.readMatching(docs3(s, d), "text", "row data OR und")
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // text_match_with_limit: cap applied at the index layer (candidate
+    // segments probed in order, scan stops at `limit` matches); counting
+    // the capped result makes the row order-insensitive
+    "q_text_limit" -> ((s, d) => {
+      import graft.engine.index.TextIndex
+      TextIndex.readMatchingWithLimit(docs3(s, d), "text", "join", 100)
+        .agg(count(lit(1)).as("cnt"))
+    }),
     // MV rollup: a finer-grained MV answers a coarser aggregate; the row
     // FAILS (exception) if the rewrite doesn't fire, so CORRECTNESS
     // guards the rewrite rule, not just the answer
@@ -191,6 +199,11 @@ object EngineQueries {
           WHERE (list_contains($toks, 'row') AND list_contains($toks, 'data'))
              OR list_contains($toks, 'und')
           GROUP BY lang"""
+    },
+    "q_text_limit" -> {
+      val toks = "string_split(lower(trim(text)), ' ')"
+      s"""SELECT count(*) AS cnt FROM
+          (SELECT 1 FROM documents WHERE list_contains($toks, 'join') LIMIT 100)"""
     },
     "q_mv_rollup" ->
       s"""SELECT l_returnflag, CAST(sum(${oDec("l_quantity")}) AS DOUBLE) AS sum_qty,

@@ -57,4 +57,33 @@ class TextIndexSpec extends AnyFunSuite {
     // fallback still answers correctly without the index
     assert(TextIndex.readMatching(t, "body", "charlie").count() == 2)
   }
+
+  test("text_match_with_limit caps at the index layer with early stop") {
+    val root = Files.createTempDirectory("graft_ti_").toString
+    import spark.implicits._
+    // 3 segments, each with 10 'common' docs; one segment with a rare term
+    def seg(base: Long, extra: String = "") =
+      (0 until 10).map(i => (base + i, s"common filler$extra"))
+    val t = GraftTable.create(spark, s"$root/t",
+      seg(0).toDF("id", "body").schema)
+    t.insert(seg(0).toDF("id", "body"))
+    t.insert(seg(100).toDF("id", "body"))
+    t.insert(seg(200, " rare").toDF("id", "body"))
+    TextIndex.create(t, "body", s"$root/ti_body")
+
+    // limit < hits: exactly `limit` rows, all real matches, and only the
+    // FIRST candidate segment probed (probe group of 1 → early stop)
+    val capped = TextIndex.readMatchingWithLimit(t, "body", "common", 7,
+      segmentsPerProbe = 1)
+    val got = capped.collect()
+    assert(got.length == 7)
+    assert(got.forall(_.getString(1).contains("common")))
+    assert(got.map(_.getLong(0)).forall(_ < 100), "early stop: only segment 0 probed")
+
+    // limit > hits: every match comes back, no phantom rows
+    assert(TextIndex.readMatchingWithLimit(t, "body", "rare", 50).count() == 10)
+    // no index on column → plain capped scan fallback
+    TextIndex.drop(t, "body")
+    assert(TextIndex.readMatchingWithLimit(t, "body", "common", 7).count() == 7)
+  }
 }
