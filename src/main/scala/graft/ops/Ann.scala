@@ -64,32 +64,71 @@ object Ann {
     (h.toDouble / math.pow(2, 31)) - 1.0
   }
 
-  /** Sign-random-projection bucket signature of a quantized vector. */
-  def srpSignature(qv: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val comps = (0 until dim).map(i => planeComponent(p, i))
-      val dot = (0 until dim).map(i =>
-        element_at(qv, i + 1).cast("double") * lit(comps(i))).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** Sign-random-projection bucket signature of a quantized vector.
+    *
+    * Folded form: the plane matrix ships as ONE array literal and the
+    * signature is a nested `aggregate` fold — O(dim·planes) work per row
+    * inside two loops, not dim×planes inlined expression terms (the
+    * inlined form blows past codegen method limits around dim ≥ 256;
+    * this one is flat-cost at dim 768 and beyond). `planeOffset` selects
+    * a band of `numPlanes` rows from `planes` — the hook for multi-table
+    * amplification. */
+  private def srpSignatureWith(
+      qv: Column, planes: Seq[Seq[Double]], numPlanes: Int,
+      planeOffset: Column): Column = {
+    val planesLit = typedLit(planes)
+    aggregate(
+      sequence(planeOffset, planeOffset + numPlanes - 1),
+      lit(0L),
+      (acc, p) => {
+        val plane = element_at(planesLit, (p + 1).cast("int"))
+        val dot = aggregate(
+          zip_with(qv, plane, (x, c) => x.cast("double") * c),
+          lit(0.0), (a, x) => a + x)
+        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
+      })
   }
 
+  private def planeMatrix(totalPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until totalPlanes).map(p => (0 until dim).map(i => planeComponent(p, i)))
+
+  def srpSignature(qv: Column, dim: Int, numPlanes: Int): Column =
+    srpSignatureWith(qv, planeMatrix(numPlanes, dim), numPlanes, lit(0))
+
   /** Bucketed ANN: equi-join on the SRP signature, then top-k within the
-    * candidate set. Approximate — pairs in different buckets are missed;
-    * the spec measures recall against [[bruteForceTopK]]. */
+    * candidate set. Approximate — pairs in different buckets are missed.
+    * `tables` > 1 turns on OR-amplification (the reference's multi-table
+    * LSH): each side explodes into `tables` independently-planed
+    * signatures, a pair is a candidate if ANY table buckets it together,
+    * and duplicates collapse in the pair-level aggregate before top-k.
+    * Recall rises with tables at linear cost in signature compute and
+    * join fan-out — still an equi-join, never a cartesian. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int, numPlanes: Int): DataFrame = {
+      dim: Int, numPlanes: Int, tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qs = queries.withColumn("sig", srpSignature(col("qv"), dim, numPlanes)).as("q")
-    val cs = corpus.withColumn("sig", srpSignature(col("qv"), dim, numPlanes)).as("c")
+    require(tables >= 1 && numPlanes * tables <= 62, "signature must fit a long")
+    val planes = planeMatrix(numPlanes * tables, dim)
+    val tCol = explode(array((0 until tables).map(lit): _*))
+    def withSig(df: DataFrame) = df
+      .withColumn("t", tCol)
+      .withColumn("sig",
+        srpSignatureWith(col("qv"), planes, numPlanes, col("t") * numPlanes))
+    val qs = withSig(queries).as("q")
+    val cs = withSig(corpus).as("c")
     val dot = dotQ(col("q.qv"), col("c.qv"))
-    val scored = qs.join(cs, col("q.sig") === col("c.sig") && col("q.id") =!= col("c.id"))
+    val scored = qs.join(cs,
+        col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
+          col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
         cosineQ(dot, col("q.nq"), col("c.nq")).as("cos"))
+    // a pair found by several tables scores identically — collapse before
+    // ranking so multi-table candidates don't duplicate in the top-k
+    val uniquePairs =
+      if (tables == 1) scored
+      else scored.groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.select(col("query_id"), col("neighbor_id"), col("cos"),
+    uniquePairs.select(col("query_id"), col("neighbor_id"), col("cos"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= k)
   }

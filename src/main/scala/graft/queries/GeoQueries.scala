@@ -79,14 +79,18 @@ object GeoQueries {
       if (layout.exists && layout.readStatus().visible.size == 3) GraftTable.at(s, p)
       else {
         if (layout.exists) GraftTable.drop(s, p)
+        // persist: the geoId expression is ~20 shift/mask terms per row —
+        // compute it once, not once per range-segment insert
         val src = pts(s, d).withColumn("geo_id",
-          Geo.latLngToGeoId(col("lat"), col("lng")))
-        val tbl = GraftTable.create(s, p, src.schema, Seq("geo_id"))
-        val third = (1L << (2 * Geo.Bits)) / 3
-        tbl.insert(src.filter(col("geo_id") < third))
-        tbl.insert(src.filter(col("geo_id") >= third && col("geo_id") < 2 * third))
-        tbl.insert(src.filter(col("geo_id") >= 2 * third))
-        tbl
+          Geo.latLngToGeoId(col("lat"), col("lng"))).persist()
+        try {
+          val tbl = GraftTable.create(s, p, src.schema, Seq("geo_id"))
+          val third = (1L << (2 * Geo.Bits)) / 3
+          tbl.insert(src.filter(col("geo_id") < third))
+          tbl.insert(src.filter(col("geo_id") >= third && col("geo_id") < 2 * third))
+          tbl.insert(src.filter(col("geo_id") >= 2 * third))
+          tbl
+        } finally src.unpersist()
       }
     }
   }

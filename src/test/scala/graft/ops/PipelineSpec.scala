@@ -56,5 +56,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.1, s"SRP recall unexpectedly low: $recall")
     assert(approxPairs.subsetOf(
       exact ++ approxPairs), "sanity") // approx pairs are real neighbors of real queries
+
+    // OR-amplification: 4 independent tables must not lose recall, and
+    // per-(query, k) output stays unique despite multi-table candidates
+    val multi = Ann.lshTopK(queries, e, 5, dim = 64, numPlanes = 4, tables = 4)
+    assert(!multi.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val multiRows = multi.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(multiRows.length == multiRows.distinct.length, "duplicate pairs in top-k")
+    val multiRecall = (exact & multiRows.toSet).size.toDouble / exact.size
+    assert(multiRecall >= recall,
+      s"multi-table recall $multiRecall fell below single-table $recall")
   }
 }
