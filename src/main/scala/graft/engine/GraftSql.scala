@@ -88,6 +88,78 @@ object GraftSql {
     b.execute()
   }
 
+  /** Segment-management / MV command statements (the reference's
+    * CarbonSpark2SqlParser command grammar, :75-788). Returns Some(df)
+    * for statements that produce rows (SHOW …), Some(empty df) for
+    * actions, None when `sql` is not a recognized command (caller falls
+    * through to `spark.sql`). Table references resolve through `tables`
+    * first, then as a filesystem path.
+    *
+    * Supported:
+    * {{{
+    * SHOW SEGMENTS FOR TABLE <t>
+    * ALTER TABLE <t> COMPACT 'MINOR'|'MAJOR'|'CUSTOM' [WHERE SEGMENT.ID IN (1,2)]
+    * CLEAN FILES FOR TABLE <t>
+    * DELETE FROM TABLE <t> WHERE SEGMENT.ID IN (1,2)
+    * DELETE FROM TABLE <t> WHERE SEGMENT.STARTTIME BEFORE '<ts millis or yyyy-MM-dd HH:mm:ss>'
+    * ALTER TABLE <t> FINISH STREAMING
+    * CREATE MATERIALIZED VIEW <name> STORED AT '<path>' AS <select sql>
+    * REFRESH MATERIALIZED VIEW <name>
+    * DROP MATERIALIZED VIEW <name>
+    * }}}
+    */
+  def command(
+      spark: SparkSession,
+      sql: String,
+      tables: Map[String, GraftTable] = Map.empty): Option[DataFrame] = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def table(ref: String): GraftTable = {
+      val clean = ref.stripPrefix("`").stripSuffix("`")
+      tables.getOrElse(clean, GraftTable.at(spark, clean))
+    }
+    def ids(s: String): Seq[Long] =
+      s.split(",").map(_.trim.toLong).toSeq
+    def done: DataFrame = spark.emptyDataFrame
+    val ShowSegments = """(?is)^\s*SHOW\s+SEGMENTS\s+FOR\s+TABLE\s+(\S+)\s*$""".r
+    val Compact = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+COMPACT\s+'(\w+)'\s*(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*)?$""".r
+    val CleanFiles = """(?is)^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\S+)\s*$""".r
+    val DelSegIds = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*$""".r
+    val DelSegBefore = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.STARTTIME\s+BEFORE\s+'([^']+)'\s*$""".r
+    val FinishStreaming = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+FINISH\s+STREAMING\s*$""".r
+    val CreateMv = """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+STORED\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
+    val RefreshMv = """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+    val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+    sql match {
+      case ShowSegments(t) =>
+        Some(table(t).segments.map(s =>
+          (s.id, s.status, s.format, s.rowCount, s.sizeBytes, s.files.size))
+          .toDF("id", "status", "format", "row_count", "size_bytes", "file_count"))
+      case Compact(t, kind, idList) =>
+        table(t).compact(kind.toUpperCase,
+          Option(idList).map(ids).getOrElse(Nil))
+        Some(done)
+      case CleanFiles(t) =>
+        val removed = table(t).cleanFiles()
+        Some(removed.map(Tuple1(_)).toDF("removed_segment_id"))
+      case DelSegIds(t, idList) =>
+        table(t).deleteSegmentsById(ids(idList)); Some(done)
+      case DelSegBefore(t, ts) =>
+        val millis =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        table(t).deleteSegmentsBefore(millis); Some(done)
+      case FinishStreaming(t) =>
+        graft.engine.streaming.StreamManager.finishStreaming(table(t)); Some(done)
+      case CreateMv(name, path, query) =>
+        mv.Mv.create(spark, name, spark.sql(query), path); Some(done)
+      case RefreshMv(name) =>
+        mv.Mv.refreshIncremental(spark, name); Some(done)
+      case DropMv(name) =>
+        mv.Mv.drop(spark, name); Some(done)
+      case _ => None
+    }
+  }
+
   /** Split on a regex only at paren/quote top level. */
   private[engine] def splitTopLevel(s: String, sepRe: String): Seq[String] = {
     val sep = sepRe.r

@@ -72,4 +72,52 @@ class GraftSqlSpec extends AnyFunSuite {
       (r.getLong(0), r.getString(1), r.getString(3), r.getLong(4))).toSet
     assert(h == Set((1L, "a", "UPDATE", 12345L), (2L, "b", "DELETE", 12345L)))
   }
+
+  test("command surface: SHOW SEGMENTS / COMPACT / segment DELETE / CLEAN FILES") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cmd_").toString
+    val t = GraftTable.create(spark, s"$root/t",
+      Seq((1L, "a")).toDF("k", "v").schema, Seq("k"))
+    (0 until 4).foreach(i => t.insert(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val tbls = Map("tt" -> t)
+
+    val segs = GraftSql.command(spark, "SHOW SEGMENTS FOR TABLE tt", tbls).get
+    assert(segs.count() == 4)
+    assert(segs.columns.toSeq ==
+      Seq("id", "status", "format", "row_count", "size_bytes", "file_count"))
+
+    // CUSTOM compaction of two named segments
+    GraftSql.command(spark, "ALTER TABLE tt COMPACT 'CUSTOM' WHERE SEGMENT.ID IN (0, 1)", tbls)
+    assert(t.status.visible.size == 3 && t.read.count() == 4)
+
+    // retire one segment by id, then physically clean it
+    val vis = t.status.visible.map(_.id).min
+    GraftSql.command(spark, s"DELETE FROM TABLE tt WHERE SEGMENT.ID IN ($vis)", tbls)
+    assert(t.status.visible.size == 2)
+    val cleaned = GraftSql.command(spark, "CLEAN FILES FOR TABLE tt", tbls).get
+    assert(cleaned.collect().map(_.getLong(0)).nonEmpty)
+
+    // MAJOR compaction via SQL merges the remaining small segments
+    GraftSql.command(spark, "ALTER TABLE tt COMPACT 'MAJOR'", tbls)
+    assert(t.status.visible.size == 1)
+
+    // non-command falls through
+    assert(GraftSql.command(spark, "SELECT 1", tbls).isEmpty)
+  }
+
+  test("command surface: MV lifecycle via SQL") {
+    val root = Files.createTempDirectory("graft_cmdmv_").toString
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_cmd")
+    GraftSql.command(spark,
+      s"""CREATE MATERIALIZED VIEW mv_cmd STORED AT '$root/mv' AS
+          SELECT l_returnflag, count(*) AS cnt FROM li_cmd GROUP BY l_returnflag""")
+    try {
+      assert(graft.engine.mv.MvCatalog.get("mv_cmd").isDefined)
+      assert(GraftTable.at(spark, s"$root/mv").read.count() == 3)
+      GraftSql.command(spark, "REFRESH MATERIALIZED VIEW mv_cmd")
+    } finally {
+      GraftSql.command(spark, "DROP MATERIALIZED VIEW mv_cmd")
+      assert(graft.engine.mv.MvCatalog.get("mv_cmd").isEmpty)
+    }
+  }
 }

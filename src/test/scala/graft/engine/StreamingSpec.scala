@@ -70,6 +70,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read.count() == 4)
   }
 
+  test("watermarked window aggregate streams finalized windows into the sink") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_streamw_").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val sinkSchema = StructType(Seq(
+      StructField("win_start", TimestampType), StructField("cnt", LongType)))
+    val sink = GraftTable.create(spark, s"$root/t", sinkSchema)
+
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    val source = spark.readStream.schema(evSchema).parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+    val q = StreamManager.createStream("win_stream", sink, source,
+      checkpoint = Some(s"$root/ckpt"))
+    try {
+      def ev(times: String*) = times.map(t =>
+        (java.sql.Timestamp.valueOf(t), 1L)).toDF("ts", "v")
+      // window [10:00,10:05) fills; nothing emits until the watermark
+      // passes its end
+      ev("2024-01-01 10:00:30", "2024-01-01 10:02:00", "2024-01-01 10:04:59")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(sink.read.count() == 0, "open window must not emit in append mode")
+      // an event at 10:10 advances the watermark; the first window closes
+      ev("2024-01-01 10:10:00").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val rows = sink.read.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(rows.toSeq == Seq(("2024-01-01 10:00:00.0", 3L)), rows.mkString(","))
+    } finally StreamManager.dropStream("win_stream")
+  }
+
   test("auto-handoff when the streaming segment exceeds the size cap") {
     val root = Files.createTempDirectory("graft_stream3_").toString
     val t = GraftTable.create(spark, s"$root/t", schema, Seq("id"))
