@@ -95,6 +95,46 @@ object Ann {
   def srpSignature(qv: Column, dim: Int, numPlanes: Int): Column =
     srpSignatureWith(qv, planeMatrix(numPlanes, dim), numPlanes, lit(0))
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (a, b) with
+    * id_a < id_b and cosine ≥ minCos. One side broadcasts — the brief's
+    * brute-force baseline; use [[cosinePairsLsh]] as the scale path.
+    * `vecs`: (id: long, qv: array<long>, nq: long). */
+  def cosinePairsExact(vecs: DataFrame, minCos: Double): DataFrame = {
+    val a = vecs.as("a")
+    val b = broadcast(vecs).as("b")
+    val dot = dotQ(col("a.qv"), col("b.qv"))
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineQ(dot, col("a.nq"), col("b.nq")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path):
+    * multi-table SRP signatures generate candidates via equi-join, the
+    * exact cosine filters residually, duplicates collapse per pair.
+    * Approximate — recall vs [[cosinePairsExact]] is spec-measured and
+    * rises with `tables`. */
+  def cosinePairsLsh(vecs: DataFrame, dim: Int, numPlanes: Int,
+      tables: Int, minCos: Double): DataFrame = {
+    require(tables >= 1 && numPlanes * tables <= 62, "signature must fit a long")
+    val planes = planeMatrix(numPlanes * tables, dim)
+    val tCol = explode(array((0 until tables).map(lit): _*))
+    def withSig(df: DataFrame) = df
+      .withColumn("t", tCol)
+      .withColumn("sig",
+        srpSignatureWith(col("qv"), planes, numPlanes, col("t") * numPlanes))
+    val a = withSig(vecs).as("a")
+    val b = withSig(vecs).as("b")
+    val dot = dotQ(col("a.qv"), col("b.qv"))
+    a.join(b,
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineQ(dot, col("a.nq"), col("b.nq")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
   /** Bucketed ANN: equi-join on the SRP signature, then top-k within the
     * candidate set. Approximate — pairs in different buckets are missed.
     * `tables` > 1 turns on OR-amplification (the reference's multi-table

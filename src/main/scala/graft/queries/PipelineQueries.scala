@@ -100,6 +100,15 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- embedding-cosine near-dup pairs (exact baseline; the LSH
+    // scale path is cosinePairsLsh, recall-spec'd in PipelineSpec) ----
+    "q_dedup_embedding" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      Ann.cosinePairsExact(emb, 0.4).select("id_a", "id_b", "cos")
+    }),
+
     // ---- text_match-lite full-text predicate (native contains tree) ----
     "q_text_match" -> ((s, d) => {
       t(s, d, "documents")
@@ -194,6 +203,18 @@ object PipelineQueries {
         s"""SELECT doc_id,
             ${Dedup.oSimhash16("string_split(lower(trim(text)), ' ')")} AS simhash16
             FROM documents""",
+      "q_dedup_embedding" -> {
+        val qv = Ann.oQuantize("embedding")
+        s"""WITH emb AS (
+              SELECT vec_id AS id, $qv AS qv, ${Ann.oNormQ(qv)} AS nq
+              FROM embeddings)
+            SELECT a.id AS id_a, b.id AS id_b,
+              CAST(${Ann.oDotQ("a.qv", "b.qv")} AS DOUBLE)
+                / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+            FROM emb a JOIN emb b ON a.id < b.id
+            WHERE CAST(${Ann.oDotQ("a.qv", "b.qv")} AS DOUBLE)
+                / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.4"""
+      },
       "q_ann_topk" -> {
         val qv = Ann.oQuantize("embedding")
         s"""WITH emb AS (

@@ -68,4 +68,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(multiRecall >= recall,
       s"multi-table recall $multiRecall fell below single-table $recall")
   }
+
+  test("embedding near-dup pairs: LSH path recalls exact pairs, equi-join only") {
+    val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", Ann.normQ(col("qv")))
+    val exact = Ann.cosinePairsExact(e, 0.35).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold should yield some pairs")
+    val lsh = Ann.cosinePairsLsh(e, dim = 64, numPlanes = 3, tables = 8, minCos = 0.35)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "LSH pairs must be an equi-join on (table, signature)")
+    val got = lsh.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "duplicate pairs")
+    assert(got.toSet.subsetOf(exact), "LSH must not invent pairs (exact residual)")
+    val recall = (exact & got.toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"embedding near-dup recall too low: $recall")
+  }
 }
