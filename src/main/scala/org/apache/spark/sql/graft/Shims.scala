@@ -20,6 +20,13 @@ object Shims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Column from a raw catalyst Expression (private[sql] in Spark 4). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** v1 parquet relation over a caller-supplied FileIndex. Unlike the
     * DSv2 FileTable path this exposes the `_metadata` columns (tupleId),
     * while the custom index keeps segment-level pruning in the loop. */
