@@ -76,6 +76,29 @@ object StatValue {
         catch { case _: NumberFormatException => None }
     }
 
+  /** Canonical stored string → Catalyst INTERNAL value of the column's
+    * type (for metadata-answered aggregates). None = not decodable —
+    * caller must fall back to scanning. */
+  def decode(dt: org.apache.spark.sql.types.DataType, stored: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case BooleanType => Some(stored == "1")
+      case ByteType => Some(stored.toByte)
+      case ShortType => Some(stored.toShort)
+      case IntegerType => Some(stored.toInt)
+      case LongType => Some(stored.toLong)
+      case FloatType => Some(stored.toFloat)
+      case DoubleType => Some(stored.toDouble)
+      case d: DecimalType =>
+        val v = Decimal(BigDecimal(stored))
+        if (v.changePrecision(d.precision, d.scale)) Some(v) else None
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(stored))
+      case TimestampType | TimestampNTZType => Some(stored.toLong) // micros
+      case DateType => Some(stored.toInt) // epoch days
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+  }
+
   /** compare(stored, lit) < 0 iff stored < lit; None = incomparable. */
   def compare(stored: String, lit: Any): Option[Int] = literal(lit).flatMap {
     case ('n', d: BigDecimal) =>

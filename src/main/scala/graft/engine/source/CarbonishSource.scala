@@ -220,7 +220,7 @@ class CarbonishScanBuilder(
 
   private val fileIndex = new SegmentFileIndex(spark, layout, visible, schema)
   private val delegate = ParquetScanBuilder(spark, fileIndex, schema, schema, options)
-  private var metaCount: Option[(Long, StructType)] = None
+  private var metaAgg: Option[(Seq[Any], StructType)] = None
   // any predicate at all (pushed or residual) disables the metadata count
   private var sawFilters = false
   private var requiredSchema: Option[StructType] = None
@@ -303,24 +303,62 @@ class CarbonishScanBuilder(
   }
   override def isPartiallyPushed(): Boolean = true
 
-  private def bareCountStar(aggregation: Aggregation): Boolean =
-    totalRows.isDefined && !sawFilters &&
-      aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+  /** Answer a grouping-free COUNT(*)/MIN/MAX-only aggregation from the
+    * tablestatus segment stats — zero files opened (the reference's
+    * CarbonCountStar family; min/max is the same trick over the stats
+    * ladder's top rung). Returns the metadata values, or None when any
+    * segment lacks exact counts / comparable null-free-or-ignorable
+    * stats for a referenced column. */
+  private def metadataAggValues(aggregation: Aggregation): Option[Seq[Any]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max => VMax, Min => VMin}
+    if (sawFilters || visible.isEmpty) return None
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    // SQL MIN/MAX ignore nulls, matching stats that track non-null bounds;
+    // a column that is entirely null in some segment has min=None there
+    // and the fold bails (conservative)
+    def bound(name: String, wantMin: Boolean): Option[Any] = {
+      val dt = schema.fields.find(_.name == name).map(_.dataType).getOrElse(return None)
+      val perSeg = visible.map(_.stats.get(name).flatMap(cs =>
+        if (wantMin) cs.min else cs.max))
+      if (perSeg.exists(_.isEmpty)) return None
+      val folded = perSeg.flatten.reduceLeft[String] { (a, b) =>
+        StatValue.compareStored(dt, a, b) match {
+          case Some(c) => if ((c <= 0) == wantMin) a else b
+          case None => return None
+        }
+      }
+      StatValue.decode(dt, folded)
+    }
+    val vals = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => totalRows
+      case m: VMin => colOf(m.column).flatMap(bound(_, wantMin = true))
+      case m: VMax => colOf(m.column).flatMap(bound(_, wantMin = false))
+      case _ => None
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+  }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    bareCountStar(aggregation) || delegate.supportCompletePushDown(aggregation)
+    metadataAggValues(aggregation).isDefined ||
+      delegate.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    if (bareCountStar(aggregation)) {
-      AggregatePushDownUtils.getSchemaForPushedAggregation(
-        aggregation, schema, Set.empty[String], Seq.empty) match {
-        case Some(aggSchema) =>
-          metaCount = Some((totalRows.get, aggSchema)); true
-        case None => delegate.pushAggregation(aggregation)
-      }
-    } else delegate.pushAggregation(aggregation)
+    metadataAggValues(aggregation) match {
+      case Some(values) =>
+        AggregatePushDownUtils.getSchemaForPushedAggregation(
+          aggregation, schema, Set.empty[String], Seq.empty) match {
+          case Some(aggSchema) =>
+            metaAgg = Some((values, aggSchema)); true
+          case None => delegate.pushAggregation(aggregation)
+        }
+      case None => delegate.pushAggregation(aggregation)
+    }
 
   /** Scan over a reduced segment set, preserving column pruning. */
   private def segmentSubsetScan(segs: Seq[SegmentMeta]): Scan = {
@@ -331,8 +369,8 @@ class CarbonishScanBuilder(
     reduced.build()
   }
 
-  override def build(): Scan = metaCount match {
-    case Some((n, aggSchema)) => MetadataCountScan(n, aggSchema)
+  override def build(): Scan = metaAgg match {
+    case Some((values, aggSchema)) => MetadataAggScan(values, aggSchema)
     case None =>
       (topNSegs, limit) match {
         case (Some(segs), _) => segmentSubsetScan(segs)
@@ -352,9 +390,10 @@ class CarbonishScanBuilder(
   }
 }
 
-/** Driver-local one-row scan carrying the metadata count. */
-case class MetadataCountScan(count: Long, aggSchema: StructType) extends LocalScan {
-  override def rows(): Array[InternalRow] = Array(InternalRow(count))
+/** Driver-local one-row scan carrying metadata-answered aggregates
+  * (count(*) / min / max from tablestatus stats — zero file IO). */
+case class MetadataAggScan(values: Seq[Any], aggSchema: StructType) extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(InternalRow(values: _*))
   override def readSchema(): StructType = aggSchema
-  override def description(): String = s"GraftMetadataCountScan(count=$count)"
+  override def description(): String = s"GraftMetadataAggScan(${values.mkString(",")})"
 }

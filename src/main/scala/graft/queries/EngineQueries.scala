@@ -94,6 +94,12 @@ object EngineQueries {
     // plans as a driver-local scan, zero files opened
     "q_countstar_meta" -> ((s, d) =>
       lineitem(s, d).read.agg(count(lit(1)).as("cnt"))),
+    // metadata-only MIN/MAX/COUNT: answered from segment stats, zero
+    // file IO (plan-asserted in EngineSpec)
+    "q_minmax_meta" -> ((s, d) =>
+      orders3(s, d).read.agg(
+        min(col("o_orderkey")).as("min_k"), max(col("o_orderkey")).as("max_k"),
+        max(col("o_totalprice")).as("max_p"), count(lit(1)).as("cnt"))),
     // sort-column filter over a multi-segment table: segment min/max skip
     // drops 2 of 3 segments before any file IO
     "q_engine_prune" -> ((s, d) => {
@@ -190,6 +196,9 @@ object EngineQueries {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY o_orderpriority""",
+    "q_minmax_meta" ->
+      """SELECT min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+          max(o_totalprice) AS max_p, count(*) AS cnt FROM orders""",
     "q_engine_topn" ->
       """SELECT count(*) AS cnt, max(o_orderdate) AS max_d FROM
          (SELECT o_orderdate FROM orders ORDER BY o_orderdate LIMIT 500)""",

@@ -84,6 +84,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.filter(col("n_regionkey") === 0).count())
   }
 
+  test("metadata min/max answers from segment stats without scanning") {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val path = tmpTable()
+    val t = GraftTable.create(spark, path, src.schema, Seq("o_orderkey"))
+    t.insert(src.filter(col("o_orderkey") < 700))
+    t.insert(src.filter(col("o_orderkey") >= 700))
+    // numeric min/max only: Spark's pushdown layer never offers string/
+    // timestamp min/max to DSv2 sources, so those fall back to a scan
+    val q = t.read.agg(
+      min(col("o_orderkey")).as("min_k"), max(col("o_orderkey")).as("max_k"),
+      count(lit(1)).as("cnt"), max(col("o_totalprice")).as("max_p"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"expected metadata-answered min/max in plan:\n$plan")
+    val exp = src.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+      count(lit(1)), max(col("o_totalprice"))).collect().head
+    assert(q.collect().head == exp)
+    // an aggregate the stats can't answer (sum) must fall through to a scan
+    val planSum = t.read.agg(sum(col("o_orderkey"))).queryExecution.executedPlan.toString
+    assert(planSum.contains("Scan"), s"sum must scan:\n$planSum")
+  }
+
   test("segment min/max pruning skips disjoint segments") {
     val src = spark.read.parquet(s"$sf/orders.parquet")
     val path = tmpTable()
