@@ -26,9 +26,13 @@ object Ann {
   def oQuantize(vec: String): String =
     s"list_transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
-  /** Exact integer dot product of two equal-length long vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two equal-length long vectors — a
+    * native codegen expression (tight JIT'd loop), not an interpreted
+    * HOF fold; the hot path of every ANN/near-dup candidate pair. */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{LongVectorDot, Shims}
+    Shims.column(LongVectorDot(Shims.expression(a), Shims.expression(b)))
+  }
   def oDotQ(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
 
