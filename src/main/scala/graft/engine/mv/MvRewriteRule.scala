@@ -61,8 +61,17 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** Unwrap the carbonish runtime-filtering wrapper to the delegated
+    * parquet scan (matching must see through it, or two reads of the
+    * same carbonish table would never line up). */
+  private def unwrap(s: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.connector.read.Scan = s match {
+    case cs: graft.engine.source.CarbonishScan => cs.currentInner
+    case other => other
+  }
+
   private def bareParquetScan(s: org.apache.spark.sql.connector.read.Scan): Boolean =
-    s match {
+    unwrap(s) match {
       case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         ps.pushedFilters.isEmpty && ps.partitionFilters.isEmpty && ps.dataFilters.isEmpty
       case _ => false
@@ -76,7 +85,7 @@ class MvRewriteRule extends Rule[LogicalPlan] {
   private def queryParquetScan(
       s: org.apache.spark.sql.connector.read.Scan,
       allowedCanon: Set[Expression]): Boolean =
-    s match {
+    unwrap(s) match {
       case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         ps.partitionFilters.isEmpty &&
           ps.dataFilters.forall(f => allowedCanon.contains(f.canonicalized))

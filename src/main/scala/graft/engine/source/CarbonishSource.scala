@@ -369,24 +369,86 @@ class CarbonishScanBuilder(
     reduced.build()
   }
 
+  private def wrap(s: Scan, segs: Seq[SegmentMeta]): Scan = s match {
+    case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+      CarbonishScan(spark, layout, segs, schema, ps)
+    case other => other
+  }
+
   override def build(): Scan = metaAgg match {
     case Some((values, aggSchema)) => MetadataAggScan(values, aggSchema)
     case None =>
       (topNSegs, limit) match {
-        case (Some(segs), _) => segmentSubsetScan(segs)
+        case (Some(segs), _) => wrap(segmentSubsetScan(segs), segs)
         case (None, Some(n)) =>
           // minimal segment prefix covering n rows
           var acc = 0L
           val prefix = visible.sortBy(_.id).takeWhile { s =>
             val need = acc < n; acc += s.rowCount; need
           }
-          if (prefix.size >= visible.size) delegate.build()
+          if (prefix.size >= visible.size) wrap(delegate.build(), visible)
           else {
             logInfo(s"[graft] limit pushdown: scanning ${prefix.size}/${visible.size} segments for LIMIT $n")
-            segmentSubsetScan(prefix)
+            wrap(segmentSubsetScan(prefix), prefix)
           }
-        case _ => delegate.build()
+        case _ => wrap(delegate.build(), visible)
       }
+  }
+}
+
+/** DSv2 scan with runtime (DPP-style) SEGMENT pruning: Spark's dynamic
+  * pruning hands the build-side join keys to `filter()` at execution
+  * time, the segment pruner drops provably-disjoint segments, and batch
+  * planning re-lists from the reduced index — so a broadcast dim filter
+  * prunes fact segments before any fact IO (the reference runs its
+  * index pruning inside getSplits the same way; Spark's own v2 file
+  * sources only runtime-filter hive PARTITION columns, which carbonish
+  * tables don't have). Pushed static filters and column pruning are
+  * preserved: the reduction swaps only the inner scan's file index. */
+case class CarbonishScan(
+    spark: SparkSession,
+    layout: TableLayout,
+    visible: Seq[SegmentMeta],
+    tableSchema: StructType,
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.internal.Logging {
+
+  @volatile private var current: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = inner
+
+  /** The live delegated scan (tests unwrap through this). */
+  def currentInner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = current
+
+  override def readSchema(): StructType = current.readSchema()
+  override def description(): String = s"carbonish ${current.description()}"
+
+  // Spark materializes the Batch before applying runtime filters, so the
+  // batch must consult the CURRENT state at plan time, not capture it
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+        current.toBatch.planInputPartitions()
+      override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        current.toBatch.createReaderFactory()
+    }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns present in the (pruned) read schema: Spark resolves
+    // these against the scan output and THROWS on a miss
+    val readable = current.readSchema().fieldNames.toSet
+    tableSchema.fields
+      .filter(f => readable(f.name) && SegmentWriter.statsSupported(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val kept = SegmentPruner.prune(visible, filters.toIndexedSeq)
+    if (kept.size < visible.size) {
+      logInfo(s"[graft] runtime segment skip: kept ${kept.size}/${visible.size} " +
+        s"segments for ${filters.mkString("[", ", ", "]")}")
+      current = inner.copy(fileIndex = new SegmentFileIndex(spark, layout, kept, tableSchema))
+    }
   }
 }
 

@@ -38,11 +38,7 @@ class DdlSpec extends AnyFunSuite {
       case b: BatchScanExec => b.scan
     }
     assert(scans.nonEmpty)
-    val files = scans.head match {
-      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-        ps.fileIndex.inputFiles.length
-      case other => fail(s"unexpected scan $other")
-    }
+    val files = TestSpark.parquetScanOf(scans.head).fileIndex.inputFiles.length
     val seg0Files = t.status.visible.minBy(_.id).files.size
     assert(files == seg0Files, s"limit should scan only segment 0 ($seg0Files files), got $files")
     assert(q.count() == 7)

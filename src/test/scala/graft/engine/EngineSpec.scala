@@ -19,6 +19,16 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Unwrap the carbonish runtime-filtering scan to the delegated
+    * parquet scan (plan-inspection helper for the specs). */
+  def parquetScanOf(s: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    s match {
+      case cs: graft.engine.source.CarbonishScan => cs.currentInner
+      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan => ps
+      case other => throw new IllegalArgumentException(s"not a parquet-backed scan: $other")
+    }
 }
 
 /** M0 engine slice: segment format + DSv2 source + insert/lifecycle.

@@ -26,8 +26,7 @@ class NestedPruningSpec extends AnyFunSuite {
     val scan = q.queryExecution.executedPlan.collect {
       case b: BatchScanExec => b.scan
     }.head match {
-      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-        ps.readDataSchema
+      case s => TestSpark.parquetScanOf(s).readDataSchema
     }
     val info = scan("info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(info.fieldNames.toSeq == Seq("price"),

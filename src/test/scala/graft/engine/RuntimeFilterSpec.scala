@@ -1,0 +1,52 @@
+package graft.engine
+
+import graft.engine.source.CarbonishScan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Runtime (DPP-style) segment pruning: a join-key filter arriving at
+  * execution time must shrink the planned fact scan to the segments
+  * whose stats can match — before any fact IO. */
+class RuntimeFilterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fact3(): GraftTable = {
+    val path = Files.createTempDirectory("graft_rf_").toString + "/t"
+    val src = spark.range(0, 3000).selectExpr("id AS k", "id % 100 AS m")
+    val t = GraftTable.create(spark, path, src.schema, Seq("k"))
+    t.insert(src.filter(col("k") < 1000))
+    t.insert(src.filter(col("k") >= 1000 && col("k") < 2000))
+    t.insert(src.filter(col("k") >= 2000))
+    t
+  }
+
+  test("scan exposes stats columns for runtime filtering and prunes on filter()") {
+    val t = fact3()
+    val df = t.read
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[CarbonishScan]
+    assert(scan.filterAttributes().map(_.fieldNames.head).toSet == Set("k", "m"))
+    assert(scan.currentInner.fileIndex.inputFiles.length > 0)
+    val all = scan.currentInner.fileIndex.inputFiles.length
+    // runtime filter k IN (2100, 2500): only segment 2 can match
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(2100L, 2500L))))
+    val files = scan.currentInner.fileIndex.inputFiles
+    assert(files.length < all && files.forall(_.contains("/segments/2/")),
+      s"expected only segment 2 after runtime filter:\n${files.mkString("\n")}")
+    // batch planning reflects the reduced index (toBatch reads live state)
+    assert(scan.toBatch.planInputPartitions().nonEmpty)
+  }
+
+  test("broadcast join against a filtered dim stays correct with runtime filtering on") {
+    import spark.implicits._
+    val t = fact3()
+    val dim = Seq((2100L, "x"), (2500L, "y")).toDF("k", "name")
+    val joined = t.read.join(broadcast(dim), "k")
+    assert(joined.count() == 2)
+    assert(joined.select("k").collect().map(_.getLong(0)).toSet == Set(2100L, 2500L))
+  }
+}

@@ -28,8 +28,7 @@ class SiSpec extends AnyFunSuite {
     val scanned = q.queryExecution.executedPlan.collect {
       case b: BatchScanExec => b.scan
     }.head match {
-      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-        ps.fileIndex.inputFiles.toSeq
+      case s => TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq
     }
     assert(scanned.nonEmpty && scanned.forall(_.contains("/segments/2/")),
       s"expected only segment 2, scanned: $scanned")

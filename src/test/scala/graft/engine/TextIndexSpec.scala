@@ -24,10 +24,9 @@ class TextIndexSpec extends AnyFunSuite {
 
     def scannedSegments(q: org.apache.spark.sql.DataFrame): Seq[String] =
       q.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
-        .collectFirst {
-          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-            ps.fileIndex.inputFiles.toSeq.flatMap(
-              "/segments/([0-9]+)/".r.findFirstMatchIn(_).map(_.group(1))).distinct.sorted
+        .headOption.map { s =>
+          TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq.flatMap(
+            "/segments/([0-9]+)/".r.findFirstMatchIn(_).map(_.group(1))).distinct.sorted
         }.getOrElse(Nil)
 
     // single term confined to one segment

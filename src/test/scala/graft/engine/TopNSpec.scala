@@ -26,7 +26,7 @@ class TopNSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     def scans(p: SparkPlan): Seq[ParquetScan] = p.collect {
-      case b: BatchScanExec => Seq(b.scan).collect { case ps: ParquetScan => ps }
+      case b: BatchScanExec => Seq(TestSpark.parquetScanOf(b.scan))
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
     }.flatten
     scans(df.queryExecution.executedPlan).flatMap(_.fileIndex.inputFiles)
