@@ -117,8 +117,11 @@ object GraftSql {
       val clean = ref.stripPrefix("`").stripSuffix("`")
       tables.getOrElse(clean, GraftTable.at(spark, clean))
     }
-    def ids(s: String): Seq[Long] =
-      s.split(",").map(_.trim.toLong).toSeq
+    def ids(s: String): Seq[Long] = {
+      val parsed = s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      require(parsed.nonEmpty, s"empty segment id list in: $s")
+      parsed
+    }
     def done: DataFrame = spark.emptyDataFrame
     val ShowSegments = """(?is)^\s*SHOW\s+SEGMENTS\s+FOR\s+TABLE\s+(\S+)\s*$""".r
     val Compact = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+COMPACT\s+'(\w+)'\s*(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*)?$""".r

@@ -188,28 +188,27 @@ class GraftTable private (val spark: SparkSession, val path: String)
   /** ALTER TABLE ADD COLUMNS (CarbonAlterTableAddColumnCommand.scala:36).
     * Metadata-only: old segments read the new column as null (parquet
     * fills missing columns), like the reference's restructure fill. */
-  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
-    val cur = schema
-    val dup = cols.map(_.name).filter(cur.fieldNames.contains)
-    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
-    val m = meta
-    layout.writeTableMeta(m.copy(
-      schemaJson = StructType(cur.fields ++ cols).json))
-  }
+  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField]): Unit =
+    layout.updateTableMeta { m =>
+      val cur = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val dup = cols.map(_.name).filter(cur.fieldNames.contains)
+      require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+      m.copy(schemaJson = StructType(cur.fields ++ cols).json)
+    }
 
   /** ALTER TABLE DROP COLUMNS (CarbonAlterTableDropColumnCommand.scala:40).
     * Metadata-only: extra columns in old files are simply not read. */
-  def dropColumns(names: Seq[String]): Unit = {
-    val cur = schema
-    val missing = names.filterNot(cur.fieldNames.contains)
-    require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
-    val m = meta
-    val inSort = names.filter(m.sortColumns.contains)
-    require(inSort.isEmpty, s"cannot drop sort columns: ${inSort.mkString(",")}")
-    require(names.size < cur.fields.length, "cannot drop every column")
-    layout.writeTableMeta(m.copy(
-      schemaJson = StructType(cur.fields.filterNot(f => names.contains(f.name))).json))
-  }
+  def dropColumns(names: Seq[String]): Unit =
+    layout.updateTableMeta { m =>
+      val cur = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val missing = names.filterNot(cur.fieldNames.contains)
+      require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
+      val inSort = names.filter(m.sortColumns.contains)
+      require(inSort.isEmpty, s"cannot drop sort columns: ${inSort.mkString(",")}")
+      require(names.size < cur.fields.length, "cannot drop every column")
+      m.copy(schemaJson =
+        StructType(cur.fields.filterNot(f => names.contains(f.name))).json)
+    }
 
   /** ALTER TABLE RENAME COLUMN / CHANGE DATATYPE
     * (CarbonAlterTableColRenameDataTypeChangeCommand.scala:76). The
@@ -237,15 +236,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
   }
 
-  /** ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only. */
-  def setProperties(props: Map[String, String]): Unit = {
-    val m = meta
-    layout.writeTableMeta(m.copy(properties = m.properties ++ props))
-  }
-  def unsetProperties(keys: Seq[String]): Unit = {
-    val m = meta
-    layout.writeTableMeta(m.copy(properties = m.properties -- keys))
-  }
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only, locked RMW. */
+  def setProperties(props: Map[String, String]): Unit =
+    layout.updateTableMeta(m => m.copy(properties = m.properties ++ props))
+  def unsetProperties(keys: Seq[String]): Unit =
+    layout.updateTableMeta(m => m.copy(properties = m.properties -- keys))
 
   /** Rewrite all visible data as one new segment under the NEW meta,
     * committing data + schema together. */

@@ -355,8 +355,11 @@ class MergeBuilder private[engine] (
 
     val withAct = joined.withColumn("__act", act)
     // history needs a second pass over the join — cache it for that case
-    // so the target-scan + source-scan + join run once, not twice
+    // so the target-scan + source-scan + join run once, not twice. The
+    // try/finally spans the history insert too: a failure there must
+    // not leak the cached join
     if (history.nonEmpty) withAct.persist()
+    try {
 
     // SCD2 history: archive the pre-image of updated/deleted target rows
     history.foreach { case (h, ts) =>
@@ -400,12 +403,13 @@ class MergeBuilder private[engine] (
     val seg =
       try SegmentWriter.write(target.layout, target.meta, merged, id)
       catch { case e: Throwable => Mutation.retire(target, id); throw e }
-      finally if (history.nonEmpty) withAct.unpersist()
     // swap enforces victim visibility under the lock: a concurrent
     // update/delete/compaction that retired an affected segment mid-merge
     // aborts the publish (and retires this orphan) instead of silently
     // resurrecting the victim's pre-image rows
     Mutation.swap(target, affectedIds, Some(seg))
     Some(id)
+
+    } finally if (history.nonEmpty) withAct.unpersist()
   }
 }

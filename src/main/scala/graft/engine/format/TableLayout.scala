@@ -79,6 +79,13 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   }
   def readTableMeta(): TableMeta = readJson(tableMetaPath, classOf[TableMeta])
 
+  /** Locked read-modify-write of the table meta — ALTER-style metadata
+    * changes go through here so concurrent writers can't lose updates
+    * (same two-layer lock as the tablestatus commit). */
+  def updateTableMeta(f: TableMeta => TableMeta): Unit = withLock {
+    writeTableMeta(f(readTableMeta()))
+  }
+
   // ---- tablestatus commit log ----
   def readStatus(): TableStatus =
     if (fs.exists(statusPath)) readJson(statusPath, classOf[TableStatus])

@@ -122,8 +122,11 @@ object MvStore {
     val tmp = new Path(layout.metaDir, s".mvdef.bin.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bos.toByteArray) finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(tmp, target)
+    // atomic overwrite-rename: delete-then-rename leaves a window with
+    // no def file at all if the JVM dies in between
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Load the def stored at `mvPath` (None if absent/unreadable) and

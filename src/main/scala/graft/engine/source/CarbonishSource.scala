@@ -413,9 +413,15 @@ case class CarbonishScan(
     inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.internal.Logging {
 
   @volatile private var current: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = inner
+
+  // forward size estimates or the relation falls back to
+  // defaultSizeInBytes (Long.MaxValue) and auto-broadcast never fires
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
 
   /** The live delegated scan (tests unwrap through this). */
   def currentInner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = current

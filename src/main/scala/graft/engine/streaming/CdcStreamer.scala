@@ -41,9 +41,11 @@ object CdcStreamer {
     val key = cfg.keyColumn
     val op = col(s"s.${cfg.opColumn}")
     val known = Seq(cfg.insertOp, cfg.updateOp, cfg.deleteOp)
-    val bad = batch.filter(!col(cfg.opColumn).isin(known: _*)).limit(1).collect()
+    // coalesce: a NULL op must be rejected too (isin is null for null)
+    val bad = batch.filter(!coalesce(col(cfg.opColumn).isin(known: _*), lit(false)))
+      .limit(1).collect()
     require(bad.isEmpty,
-      s"unknown ${cfg.opColumn} value '${bad.head.getAs[Any](cfg.opColumn)}' " +
+      s"unknown ${cfg.opColumn} value '${bad.headOption.map(_.getAs[Any](cfg.opColumn)).orNull}' " +
         s"(expected one of ${known.mkString(",")})")
     val latest = cfg.orderColumn match {
       case Some(o) =>

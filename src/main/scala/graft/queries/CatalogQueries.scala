@@ -15,15 +15,19 @@ object CatalogQueries {
 
   private val lock = new Object
 
-  /** Register the graft catalog on this session (idempotent) and return
-    * the warehouse dir for the given sf fixture dir. */
-  private def warehouse(s: SparkSession, d: String): String = {
+  /** Register a PER-SF catalog on this session (idempotent) and return
+    * (catalogName, warehouseDir). Spark's CatalogManager caches the
+    * catalog instance at first use, so re-pointing one name at another
+    * sf's warehouse would be silently ignored — each sf gets its own
+    * catalog name instead. */
+  private def warehouse(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(d).getName
+    val cat = "graft_" + base.replace('.', '_')
     val w = s"/tmp/graft_tables/$base/warehouse"
-    s.conf.set("spark.sql.catalog.graft", classOf[graft.engine.catalog.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", w)
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.engine.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
     GraftDml.enable(s)
-    w
+    (cat, w)
   }
 
   /** Fresh catalog table `graft.default.<name>` cloned from a pristine
@@ -32,8 +36,8 @@ object CatalogQueries {
     * mutation is what the bench measures). */
   private def freshCatalogTable(
       s: SparkSession, d: String, name: String, src: DataFrame,
-      sortCols: Seq[String]): Unit = lock.synchronized {
-    val w = warehouse(s, d)
+      sortCols: Seq[String]): String = lock.synchronized {
+    val (cat, w) = warehouse(s, d)
     val base = new java.io.File(d).getName
     val pristine = s"/tmp/graft_tables/$base/sql_${name}_pristine"
     val p = s"$w/default/$name"
@@ -51,25 +55,26 @@ object CatalogQueries {
       fs, new org.apache.hadoop.fs.Path(p), false, conf)
     // drop any cached resolution of the previous incarnation
     s.catalog.clearCache()
+    cat
   }
 
   def queries: Map[String, QFn] = Map(
     // UPDATE ... SET ... WHERE through spark.sql on a catalog table name
     "q_sql_update" -> ((s, d) => {
-      freshCatalogTable(s, d, "sqlupd", t(s, d, "orders"), Seq("o_orderkey"))
-      s.sql("UPDATE graft.default.sqlupd SET o_orderpriority = 'X-SQL' " +
+      val cat = freshCatalogTable(s, d, "sqlupd", t(s, d, "orders"), Seq("o_orderkey"))
+      s.sql(s"UPDATE $cat.default.sqlupd SET o_orderpriority = 'X-SQL' " +
         "WHERE o_totalprice > 400000.0")
-      s.sql("SELECT o_orderpriority, count(*) AS cnt " +
-        "FROM graft.default.sqlupd GROUP BY o_orderpriority")
+      s.sql(s"SELECT o_orderpriority, count(*) AS cnt " +
+        s"FROM $cat.default.sqlupd GROUP BY o_orderpriority")
     }),
     // DELETE FROM through spark.sql (DSv2 SupportsDelete path)
     "q_sql_delete" -> ((s, d) => {
-      freshCatalogTable(s, d, "sqldel", t(s, d, "orders"), Seq("o_orderkey"))
-      s.sql("DELETE FROM graft.default.sqldel " +
+      val cat = freshCatalogTable(s, d, "sqldel", t(s, d, "orders"), Seq("o_orderkey"))
+      s.sql(s"DELETE FROM $cat.default.sqldel " +
         "WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
-      s.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
         s"CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price " +
-        "FROM graft.default.sqldel GROUP BY o_orderstatus")
+        s"FROM $cat.default.sqldel GROUP BY o_orderstatus")
     })
   )
 
