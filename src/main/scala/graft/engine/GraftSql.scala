@@ -97,6 +97,7 @@ object GraftSql {
     *
     * Supported:
     * {{{
+    * DESCRIBE [FORMATTED|EXTENDED] TABLE <t>
     * SHOW SEGMENTS FOR TABLE <t>
     * ALTER TABLE <t> COMPACT 'MINOR'|'MAJOR'|'CUSTOM' [WHERE SEGMENT.ID IN (1,2)]
     * CLEAN FILES FOR TABLE <t>
@@ -123,6 +124,7 @@ object GraftSql {
       parsed
     }
     def done: DataFrame = spark.emptyDataFrame
+    val Describe = """(?is)^\s*DESC(?:RIBE)?\s+(?:FORMATTED\s+|EXTENDED\s+)?TABLE\s+(\S+)\s*$""".r
     val ShowSegments = """(?is)^\s*SHOW\s+SEGMENTS\s+FOR\s+TABLE\s+(\S+)\s*$""".r
     val Compact = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+COMPACT\s+'(\w+)'\s*(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*)?$""".r
     val CleanFiles = """(?is)^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\S+)\s*$""".r
@@ -133,6 +135,7 @@ object GraftSql {
     val RefreshMv = """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     sql match {
+      case Describe(t) => Some(table(t).describe)
       case ShowSegments(t) =>
         Some(table(t).segments.map(s =>
           (s.id, s.status, s.format, s.rowCount, s.sizeBytes, s.files.size))

@@ -101,6 +101,9 @@ class GraftSqlSpec extends AnyFunSuite {
     GraftSql.command(spark, "ALTER TABLE tt COMPACT 'MAJOR'", tbls)
     assert(t.status.visible.size == 1)
 
+    // DESCRIBE returns the schema + properties + metrics rows
+    val desc = GraftSql.command(spark, "DESCRIBE FORMATTED TABLE tt", tbls).get
+    assert(desc.filter(col("kind") === "column").count() == 2)
     // non-command falls through
     assert(GraftSql.command(spark, "SELECT 1", tbls).isEmpty)
   }
