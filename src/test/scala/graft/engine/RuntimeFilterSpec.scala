@@ -41,6 +41,20 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(scan.toBatch.planInputPartitions().nonEmpty)
   }
 
+  test("small carbonish table auto-broadcasts (scan reports statistics)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_rf_").toString + "/dim"
+    val dim = GraftTable.createAsSelect(spark,
+      path, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    val fact = fact3()
+    // no broadcast() hint: the size estimate alone must trigger it
+    val joined = fact.read.join(dim.read, "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected auto-broadcast of the 2-row carbonish dim:\n$plan")
+  }
+
   test("broadcast join against a filtered dim stays correct with runtime filtering on") {
     import spark.implicits._
     val t = fact3()
