@@ -38,17 +38,20 @@ class GraftTable private (val spark: SparkSession, val path: String)
       val base =
         if (parquetIds.isEmpty) None
         else Some(readSegments(parquetIds))
-      val others = foreign.map { s =>
-        val files = layout.segmentFilePaths(s)
-        s.format match {
-          case "orc" => spark.read.schema(schema).orc(files: _*)
-          case "csv" => spark.read.schema(schema)
-            .option("header", "true").csv(files: _*)
-          case "json" => spark.read.schema(schema).json(files: _*)
-          case other => throw new IllegalStateException(s"segment format $other")
-        }
-      }
+      val others = foreign.map(readForeignSegment)
       (base.toSeq ++ others).reduce(_ unionByName _)
+    }
+  }
+
+  private def readForeignSegment(s: SegmentMeta): DataFrame = {
+    val files = layout.segmentFilePaths(s)
+    s.format match {
+      case "parquet" => spark.read.schema(schema).parquet(files: _*)
+      case "orc" => spark.read.schema(schema).orc(files: _*)
+      case "csv" => spark.read.schema(schema)
+        .option("header", "true").csv(files: _*)
+      case "json" => spark.read.schema(schema).json(files: _*)
+      case other => throw new IllegalStateException(s"segment format $other")
     }
   }
 
@@ -73,8 +76,18 @@ class GraftTable private (val spark: SparkSession, val path: String)
       .withColumn(idCol, graft.functions.GraftFunctions.tupleId)
   }
 
-  /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50). */
-  def countStar: Long = status.visible.map(_.rowCount).sum
+  /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50).
+    * External ADD SEGMENT files carry a -1 row-count sentinel — those
+    * segments are counted with a real scan rather than poisoning the
+    * metadata sum. */
+  def countStar: Long = {
+    val vis = status.visible
+    val (known, unknown) = vis.partition(_.rowCount >= 0)
+    val base = known.map(_.rowCount).sum
+    // -1 sentinels are foreign-format ADD SEGMENT entries: count them
+    // through their own readers (readSegments rejects non-parquet)
+    base + unknown.map(s => readForeignSegment(s).count()).sum
+  }
 
   // ---------------------------------------------------------------- insert
   /** INSERT INTO / INSERT OVERWRITE: one new sorted segment per call.
@@ -103,6 +116,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
           throw e
       }
     layout.commit { st =>
+      // the reserved record must still exist — if CLEAN FILES reclaimed
+      // it as stale (load ran past the timeout), publishing would
+      // silently no-op and the data would be an orphan
+      require(st.segments.exists(_.id == id),
+        s"segment $id record vanished during load (reclaimed as stale?) — " +
+          "raise stale_inprogress_timeout_ms for long loads")
       val others =
         if (overwrite) st.segments.map(s =>
           if (s.id != id && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete) else s)
@@ -258,14 +277,32 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
     val seg = SegmentWriter.write(layout, newMeta, df, id)
     val victims = vis.map(_.id).toSet
-    layout.writeTableMeta(newMeta)
-    layout.commit { st =>
+    // publish data + schema together under one lock, with the same
+    // optimistic-concurrency guards as Mutation.swap: a victim retired
+    // concurrently must not resurrect, and a segment inserted
+    // concurrently (under the OLD schema) must not survive a schema
+    // change it never saw
+    try layout.commitWithMeta(newMeta) { st =>
+      val visNow = st.segments.filter(_.isVisible).map(_.id).toSet
+      val lost = victims -- visNow
+      if (lost.nonEmpty) throw new ConcurrentMutationException(
+        s"segments ${lost.toSeq.sorted.mkString(",")} were retired during the schema rewrite")
+      val appeared = visNow -- victims
+      if (appeared.nonEmpty) throw new ConcurrentMutationException(
+        s"segments ${appeared.toSeq.sorted.mkString(",")} were inserted during the schema rewrite")
+      require(st.segments.exists(_.id == id),
+        s"segment $id record vanished during the schema rewrite")
       st.copy(segments = st.segments.map { s =>
         if (s.id == id) seg
         else if (victims.contains(s.id) && s.isVisible)
           s.copy(status = SegmentStatus.MarkedForDelete)
         else s
       })
+    } catch {
+      case e: ConcurrentMutationException =>
+        try Mutation.retire(this, id)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
     }
   }
 
@@ -320,14 +357,20 @@ class GraftTable private (val spark: SparkSession, val path: String)
   }
 
   /** CLEAN FILES: physically remove non-visible segments and stale tmp
-    * dirs, then drop them from the commit log (CarbonCleanFilesCommand). */
+    * dirs, then drop them from the commit log (CarbonCleanFilesCommand).
+    * IN_PROGRESS records are only reclaimed after
+    * `stale_inprogress_timeout_ms` (default 24 h — a TB-scale load can
+    * legitimately run for hours; the writer's own publish commit fails
+    * loudly if its record was reclaimed underneath it). */
   def cleanFiles(): Seq[Long] = {
     var removed = Seq.empty[Long]
+    val staleMs = meta.properties.get("stale_inprogress_timeout_ms")
+      .map(_.toLong).getOrElse(24L * 3600 * 1000)
     layout.commit { st =>
       val (dead, live) = st.segments.partition(s =>
         s.status == SegmentStatus.MarkedForDelete || s.status == SegmentStatus.Compacted ||
           (s.status == SegmentStatus.InProgress &&
-            System.currentTimeMillis() - s.createdAt > 3600 * 1000))
+            System.currentTimeMillis() - s.createdAt > staleMs))
       removed = dead.map(_.id)
       val fs = layout.fs
       dead.filter(_.externalPath.isEmpty)
@@ -353,7 +396,8 @@ class GraftTable private (val spark: SparkSession, val path: String)
       compactionType: String,
       customIds: Seq[Long] = Nil,
       minorThreshold: Int = 4,
-      majorSizeBytes: Long = 1024L * 1024 * 1024): Option[Long] = {
+      majorSizeBytes: Long = 1024L * 1024 * 1024,
+      minorSizeBytes: Long = 512L * 1024 * 1024): Option[Long] = {
     // never compact an open STREAMING segment: the stream may still be
     // appending files/batches to it (the reference excludes streaming
     // segments until handoff). MINOR/MAJOR skip them silently; CUSTOM
@@ -363,7 +407,10 @@ class GraftTable private (val spark: SparkSession, val path: String)
       s.format == "parquet" && s.status == SegmentStatus.Success)
     val victims = compactionType.toUpperCase match {
       case "MINOR" =>
-        val small = visible.sortBy(_.id)
+        // only SMALL segments merge: without the size cap, auto-compact
+        // re-rewrites the previously-compacted big segment on every
+        // threshold trip — O(table) write amplification per insert
+        val small = visible.filter(_.sizeBytes < minorSizeBytes).sortBy(_.id)
         if (small.size >= minorThreshold) small else Nil
       case "MAJOR" => visible.filter(_.sizeBytes < majorSizeBytes).sortBy(_.id)
       case "CUSTOM" =>

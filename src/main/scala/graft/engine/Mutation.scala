@@ -55,7 +55,10 @@ object Mutation {
     if (segs.isEmpty) return Map.empty
     val spark = t.spark
     val files = segs.flatMap(_._2)
-    val hit = spark.read.parquet(files: _*)
+    // explicit schema: after a metadata-only ADD COLUMNS, footer
+    // inference would miss (or nondeterministically resolve) the new
+    // column and break conditions referencing it
+    val hit = spark.read.schema(t.schema).parquet(files: _*)
       .filter(cond)
       .groupBy(col("_metadata.file_path").as("fp"))
       .count()
@@ -82,6 +85,10 @@ object Mutation {
       val lost = victims -- vis
       if (lost.nonEmpty) throw new ConcurrentMutationException(
         s"segments ${lost.toSeq.sorted.mkString(",")} were retired concurrently")
+      // the reserved replacement record must still exist, or the swap
+      // would silently retire victims while publishing nothing
+      replacement.foreach(r => require(st.segments.exists(_.id == r.id),
+        s"segment ${r.id} record vanished during rewrite (reclaimed as stale?)"))
       st.copy(segments = st.segments.map { s =>
         if (replacement.exists(_.id == s.id)) replacement.get
         else if (victims.contains(s.id) && s.isVisible)
@@ -302,7 +309,7 @@ class MergeBuilder private[engine] (
       if (onlyTarget.nonEmpty) segs.map(_._1.id).toSet
       else if (allFiles.isEmpty) Set.empty
       else {
-        val tgt = spark.read.parquet(allFiles: _*)
+        val tgt = spark.read.schema(schema).parquet(allFiles: _*)
           .select((schema.fieldNames.map(col).toSeq :+ col("_metadata.file_path").as("__fp")): _*)
           .as("t")
         val hit = tgt.join(source.as("s"), condition)

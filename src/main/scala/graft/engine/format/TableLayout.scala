@@ -99,6 +99,19 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     next
   }
 
+  /** Schema-change publish: status update + new table meta under ONE
+    * table lock, so no other writer interleaves between the two files.
+    * The two renames are individually atomic; the crash window between
+    * them is the residual risk a two-file layout cannot close. */
+  def commitWithMeta(newMeta: TableMeta)(update: TableStatus => TableStatus): TableStatus =
+    withLock {
+      val next0 = update(readStatus())
+      val next = next0.copy(version = next0.version + 1)
+      writeJsonAtomic(statusPath, next)
+      writeTableMeta(newMeta)
+      next
+    }
+
   private def withLock[T](body: => T): T = {
     // two layers: a JVM-wide monitor per table path (FileSystem
     // .createNewFile is check-then-create on the local FS, so it can't

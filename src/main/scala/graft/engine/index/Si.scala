@@ -23,15 +23,27 @@ object Si {
   private val segIdFromPath: Column =
     regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1).cast("long")
 
+  /** Which base segments an index table has folded in (its coverage
+    * ledger) — segments outside this set must be scanned unindexed or
+    * the index would silently drop their rows. */
+  private[index] def indexedSegments(idx: GraftTable): Set[Long] =
+    idx.meta.properties.get("indexed_segments").toSet[String]
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toLong)
+
+  private[index] def recordIndexedSegments(idx: GraftTable, ids: Set[Long]): Unit =
+    idx.setProperties(Map("indexed_segments" -> ids.toSeq.sorted.mkString(",")))
+
   /** CREATE INDEX … AS 'carbondata' (SI) on `column`, stored at `siPath`. */
   def create(t: GraftTable, column: String, siPath: String): GraftTable = {
     require(t.schema.fieldNames.contains(column), s"no such column $column")
+    val snapshot = t.status.visible.map(_.id).toSet
     val si = buildRows(t, column) match { case df =>
       GraftTable.drop(t.spark, siPath)
       GraftTable.createAsSelect(t.spark, siPath, df, sortColumns = Seq("v"))
     }
-    t.layout.writeTableMeta(t.meta.copy(
-      properties = t.meta.properties + (siPathsKey(column) -> siPath)))
+    recordIndexedSegments(si, snapshot)
+    t.layout.updateTableMeta(m => m.copy(
+      properties = m.properties + (siPathsKey(column) -> siPath)))
     si
   }
 
@@ -47,7 +59,10 @@ object Si {
   def refresh(t: GraftTable, column: String): Unit = {
     val siPath = t.meta.properties.getOrElse(siPathsKey(column),
       throw new IllegalArgumentException(s"no SI on $column"))
-    GraftTable.at(t.spark, siPath).insert(buildRows(t, column), overwrite = true)
+    val snapshot = t.status.visible.map(_.id).toSet
+    val si = GraftTable.at(t.spark, siPath)
+    si.insert(buildRows(t, column), overwrite = true)
+    recordIndexedSegments(si, snapshot)
   }
 
   /** SHOW INDEXES. */
@@ -73,13 +88,22 @@ object Si {
     t.meta.properties.get(siPathsKey(column)) match {
       case None => t.read.filter(pred)
       case Some(siPath) =>
-        val ids = GraftTable.at(t.spark, siPath).read
+        val si = GraftTable.at(t.spark, siPath)
+        val visible = t.status.visible.map(_.id).toSet
+        // segments the index has never seen (inserted/compacted since the
+        // last refresh) must be scanned unindexed — the index can only
+        // prune within its coverage; retired seg_ids drop out via the
+        // visibility intersection (their rows live in uncovered
+        // successors, which are scanned)
+        val uncovered = visible -- indexedSegments(si)
+        val hits = si.read
           .filter(col("v").isin(values: _*))
           .select("seg_id").distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
-        if (ids.isEmpty)
+          .collect().map(_.getLong(0)).toSet
+        val target = ((hits & visible) ++ uncovered).toSeq.sorted
+        if (target.isEmpty)
           t.read.filter(pred).limit(0) // provably empty
-        else t.readSegments(ids).filter(pred)
+        else t.readSegments(target).filter(pred)
     }
   }
 }

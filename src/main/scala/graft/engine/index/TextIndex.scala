@@ -39,18 +39,23 @@ object TextIndex {
   /** CREATE INDEX … AS 'lucene'-analog on a text column. */
   def create(t: GraftTable, column: String, path: String): GraftTable = {
     require(t.schema.fieldNames.contains(column), s"no such column $column")
+    val snapshot = t.status.visible.map(_.id).toSet
     GraftTable.drop(t.spark, path)
     val idx = GraftTable.createAsSelect(t.spark, path, postings(t, column),
       sortColumns = Seq("term"))
-    t.layout.writeTableMeta(t.meta.copy(
-      properties = t.meta.properties + (key(column) -> path)))
+    Si.recordIndexedSegments(idx, snapshot)
+    t.layout.updateTableMeta(m => m.copy(
+      properties = m.properties + (key(column) -> path)))
     idx
   }
 
   def refresh(t: GraftTable, column: String): Unit = {
     val p = t.meta.properties.getOrElse(key(column),
       throw new IllegalArgumentException(s"no text index on $column"))
-    GraftTable.at(t.spark, p).insert(postings(t, column), overwrite = true)
+    val snapshot = t.status.visible.map(_.id).toSet
+    val idx = GraftTable.at(t.spark, p)
+    idx.insert(postings(t, column), overwrite = true)
+    Si.recordIndexedSegments(idx, snapshot)
   }
 
   def drop(t: GraftTable, column: String): Unit = {
@@ -67,21 +72,28 @@ object TextIndex {
   }
 
   /** Candidate segment ids for a text query, from the posting index.
-    * None = no index on the column (caller falls back to a full scan). */
+    * None = no index on the column (caller falls back to a full scan).
+    * Segments outside the index's coverage ledger (inserted/compacted
+    * since the last refresh) are ALWAYS candidates — the index can only
+    * prune within the segments it has seen; retired seg_ids drop out
+    * via the visibility intersection. */
   private def candidateSegments(
       t: GraftTable, column: String, query: String): Option[Set[Long]] = {
     val clauses = graft.functions.GraftFunctions.parseQuery(query)
     t.meta.properties.get(key(column)).map { p =>
       val idx = GraftTable.at(t.spark, p)
+      val visible = t.status.visible.map(_.id).toSet
+      val uncovered = visible -- Si.indexedSegments(idx)
       val allTerms = clauses.flatten.distinct
       val found: Map[String, Set[Long]] = idx.read
         .filter(col("term").isin(allTerms: _*))
         .collect().map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-      clauses.map { terms =>
+      val hits = clauses.map { terms =>
         terms.map(tm => found.getOrElse(tm, Set.empty[Long]))
           .reduce(_ intersect _)
       }.reduce(_ union _)
+      (hits & visible) ++ uncovered
     }
   }
 

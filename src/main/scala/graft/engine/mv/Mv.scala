@@ -202,24 +202,23 @@ object Mv {
       org.apache.spark.sql.graft.Shims.ofRows(spark, deltaPlan)
     }
 
-    // merge stored MV + delta by group, combining partials
+    // merge stored MV + delta by group, combining partials; an
+    // aggregate-free MV (SELECT DISTINCT shape — every output is a
+    // grouping column) combines by deduplication instead
     val mvT = GraftTable.at(spark, d.path)
     val names = kinds.flatten
     val groupNames = names.collect { case (n, G) => n }
+    val combiners = names.collect {
+      case (n, S) => sum(col(n)).as(n)
+      case (n, Mn) => min(col(n)).as(n)
+      case (n, Mx) => max(col(n)).as(n)
+    }
     val combined = MvRewriteRule.withoutRewrite {
-      mvT.read.unionByName(deltaDf)
+      val unioned = mvT.read.unionByName(deltaDf)
+      if (combiners.isEmpty) unioned.dropDuplicates(groupNames)
+      else unioned
         .groupBy(groupNames.map(col): _*)
-        .agg(
-          names.collect {
-            case (n, S) => sum(col(n)).as(n)
-            case (n, Mn) => min(col(n)).as(n)
-            case (n, Mx) => max(col(n)).as(n)
-          }.head,
-          names.collect {
-            case (n, S) => sum(col(n)).as(n)
-            case (n, Mn) => min(col(n)).as(n)
-            case (n, Mx) => max(col(n)).as(n)
-          }.tail: _*)
+        .agg(combiners.head, combiners.tail: _*)
         .select(names.map { case (n, _) => col(n) }: _*)
     }
     // the write ACTION must also run with rewriting off — the rule fires

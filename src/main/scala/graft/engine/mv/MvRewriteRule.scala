@@ -151,6 +151,29 @@ class MvRewriteRule extends Rule[LogicalPlan] {
         }
       }
     val spark = SparkSession.active
+    // freshness: a carbonish base records which segments the MV folded
+    // in (create/refresh snapshot); if the base now has visible segments
+    // beyond that set, serving the MV would silently drop the new data —
+    // bail and let the query hit the base. Parquet-directory bases have
+    // no segment ledger and are treated as immutable (the reference
+    // tracks the same thing via loadName watermarks in its MV status).
+    stripPruning(mvChild) match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case ct: graft.engine.source.CarbonishTable =>
+            val visibleNow = new graft.engine.format.TableLayout(
+              ct.tablePath, spark.sessionState.newHadoopConf())
+              .readStatus().visible.map(_.id).toSet
+            val folded = MvCatalog.refreshedSegments(mv.name)
+            if ((visibleNow -- folded).nonEmpty) {
+              logInfo(s"[graft] MV '${mv.name}' is stale " +
+                s"(unfolded base segments ${(visibleNow -- folded).toSeq.sorted.mkString(",")}) — not rewriting")
+              return None
+            }
+          case _ =>
+        }
+      case _ =>
+    }
     def remap(e: Expression): Expression =
       e.transform { case a: Attribute => attrMap.getOrElse(a, a) }
 
@@ -189,8 +212,12 @@ class MvRewriteRule extends Rule[LogicalPlan] {
           aggColFor(s, distinct = false).map(m =>
             AggregateExpression(Sum(m), ae.mode, isDistinct = false))
         case c: Count if !ae.isDistinct =>
+          // COUNT over an EMPTY base must stay 0: SUM over the empty MV
+          // yields NULL, so coalesce the rolled-up sum back to 0
           aggColFor(c, distinct = false).map(m =>
-            AggregateExpression(Sum(m), ae.mode, isDistinct = false))
+            Coalesce(Seq(
+              AggregateExpression(Sum(m), ae.mode, isDistinct = false),
+              Literal(0L))))
         case m: Min =>
           aggColFor(m, distinct = false).map(x =>
             AggregateExpression(Min(x), ae.mode, isDistinct = false))

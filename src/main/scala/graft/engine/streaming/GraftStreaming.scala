@@ -75,7 +75,11 @@ object GraftStreaming {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.map { case (s, i) =>
         val name = s"batch-$batchId-$i.parquet"
-        fs.rename(s.getPath, new Path(segDir, name))
+        // a failed rename (e.g. crash-replay leftovers on HDFS, where
+        // rename-onto-existing returns false) must abort BEFORE the
+        // commit, or the commit would record names whose data is gone
+        require(fs.rename(s.getPath, new Path(segDir, name)),
+          s"failed to move streaming batch file ${s.getPath} to $segDir/$name")
         (name, s.getLen)
       }
     fs.delete(tmp, true)

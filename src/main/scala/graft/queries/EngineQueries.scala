@@ -58,8 +58,16 @@ object EngineQueries {
     val p = fixturePath(d, "docs3")
     val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
     val existing =
-      if (layout.exists && layout.readStatus().visible.size == 3) Some(GraftTable.at(s, p))
-      else None
+      if (layout.exists && layout.readStatus().visible.size == 3) {
+        val t0 = GraftTable.at(s, p)
+        // a persisted index from before the coverage ledger can't prune —
+        // rebuild the fixture so the pruning path stays exercised
+        val idxCurrent = t0.meta.properties.get("textindex.text").exists { ip =>
+          val il = new graft.engine.format.TableLayout(ip, s.sessionState.newHadoopConf())
+          il.exists && il.readTableMeta().properties.contains("indexed_segments")
+        }
+        if (idxCurrent) Some(t0) else None
+      } else None
     existing.getOrElse {
       if (layout.exists) GraftTable.drop(s, p)
       val src = t(s, d, "documents")

@@ -78,6 +78,27 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_roll")
   }
 
+  test("stale MV over a carbonish base is not used until refreshed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mvstale_").toString
+    val base = GraftTable.createAsSelect(spark, s"$root/base",
+      Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "x"), Seq("k"))
+    def q = base.read.groupBy("k").agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+    Mv.create(spark, "mv_stale", q, s"$root/mv_stale")
+    try {
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_stale"))
+      // base grows: the MV must stop serving queries (no silent staleness)
+      base.insert(Seq((2L, 100.0)).toDF("k", "x"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("mv_stale"), s"stale MV served a query:\n$plan")
+      assert(q.filter(col("k") === 2).collect().head.getDouble(1) == 105.0)
+      // incremental refresh folds the new segment; rewrite resumes
+      Mv.refreshIncremental(spark, "mv_stale")
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_stale"))
+      assert(q.filter(col("k") === 2).collect().head.getDouble(1) == 105.0)
+    } finally Mv.drop(spark, "mv_stale")
+  }
+
   test("filter subsumption: residual filter on grouping columns rewrites") {
     val base = lineitem
     val mvq = base.groupBy("l_returnflag", "l_linestatus")

@@ -33,8 +33,16 @@ class SiSpec extends AnyFunSuite {
     assert(scanned.nonEmpty && scanned.forall(_.contains("/segments/2/")),
       s"expected only segment 2, scanned: $scanned")
 
-    // stale after a new load; refresh catches it
+    // a segment loaded AFTER the index build is outside the coverage
+    // ledger — it must be scanned unindexed (no silent row loss), and
+    // refresh folds it in so pruning resumes
     t.insert(src.filter(col("o_orderstatus") === "P").limit(10))
+    assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10,
+      "rows in unindexed segments must not be dropped")
+    // compaction retires the indexed seg_ids; results must survive that too
+    t.compact("MAJOR")
+    assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10,
+      "rows must survive compaction of indexed segments")
     Si.refresh(t, "o_orderstatus")
     assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10)
 
