@@ -32,9 +32,45 @@ import scala.jdk.CollectionConverters._
   * pushdown, nested-column pruning, row-group/page skipping and
   * whole-stage codegen are all inherited rather than re-implemented.
   */
-class CarbonishSource extends TableProvider with DataSourceRegister {
+class CarbonishSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "carbonish"
   override def supportsExternalMetadata(): Boolean = true
+
+  /** `df.write.format("carbonish").save(path)` on a FRESH path routes
+    * through the V1 CreatableRelationProvider hook (the DSv2 path needs
+    * an inferable schema, which a fresh table doesn't have): create the
+    * table from the frame's schema — `.option("sort_columns", "a,b")`
+    * declares the sort — then insert per SaveMode. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = data.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("carbonish: 'path' option required"))
+    val layout = new TableLayout(path, spark.sessionState.newHadoopConf())
+    val exists = layout.exists
+    if (exists && mode == SaveMode.ErrorIfExists)
+      throw new IllegalStateException(s"carbonish table already exists at $path")
+    if (!(exists && mode == SaveMode.Ignore)) {
+      val t =
+        if (exists) GraftTable.at(spark, path)
+        else {
+          val sortCols = parameters.get("sort_columns").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          GraftTable.create(spark, path, data.schema, sortCols)
+        }
+      t.insert(data, overwrite = mode == SaveMode.Overwrite)
+    }
+    val outerCtx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: SQLContext = outerCtx
+      override def schema: StructType = data.schema
+    }
+  }
 
   private def tablePath(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).getOrElse {
@@ -141,8 +177,21 @@ class CarbonishTable(path: String, tableSchema: StructType)
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, ignored: Boolean): Unit =
-              GraftTable.at(data.sparkSession, path).insert(data, overwrite)
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              val spark = data.sparkSession
+              val layout = new TableLayout(path, spark.sessionState.newHadoopConf())
+              // `df.write.format("carbonish").save(path)` on a fresh path
+              // creates the table, like any Spark file source; declare
+              // sort columns via .option("sort_columns", "a,b")
+              val t =
+                if (layout.exists) GraftTable.at(spark, path)
+                else {
+                  val sortCols = Option(info.options().get("sort_columns")).toSeq
+                    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+                  GraftTable.create(spark, path, data.schema, sortCols)
+                }
+              t.insert(data, overwrite)
+            }
           }
       }
     }

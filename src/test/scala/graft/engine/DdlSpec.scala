@@ -11,6 +11,22 @@ class DdlSpec extends AnyFunSuite {
   private def tmpTable(): String =
     Files.createTempDirectory("graft_ddl_").toString + "/t"
 
+  test("DataFrameWriter save() creates the table on a fresh path") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_dfw_").toString + "/t"
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    df.write.format("carbonish").option("sort_columns", "k")
+      .mode("append").save(path)
+    val t = GraftTable.at(spark, path)
+    assert(t.meta.sortColumns == Seq("k"))
+    assert(t.read.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // second append lands as a new segment; overwrite replaces
+    df.write.format("carbonish").mode("append").save(path)
+    assert(t.read.count() == 6)
+    df.limit(1).write.format("carbonish").mode("overwrite").save(path)
+    assert(t.read.count() == 1)
+  }
+
   test("truncate retires all segments; describe reports metadata") {
     val src = spark.read.parquet(s"$sf/region.parquet")
     val t = GraftTable.createAsSelect(spark, tmpTable(), src,
