@@ -34,7 +34,10 @@ object GraftFunctions {
   /** DuckDB oracle fragment with identical semantics. */
   def oTextMatch(cSql: String, query: String): String =
     parseQuery(query)
-      .map(_.map(t => s"contains(lower($cSql), '$t')").mkString("(", " AND ", ")"))
+      .map(_.map { t =>
+        val esc = t.replace("'", "''") // SQL string-literal escaping
+        s"contains(lower($cSql), '$esc')"
+      }.mkString("(", " AND ", ")"))
       .mkString("(", " OR ", ")")
 
   /** `text_match_with_limit` — reference caps hits at the index layer;
@@ -49,7 +52,9 @@ object GraftFunctions {
   def tupleId: Column =
     concat_ws("/", col("_metadata.file_path"), col("_metadata.row_index"))
 
-  /** `getPositionId()` — file-path + row ordinal, split form. */
+  /** `getPositionId()` — the row ordinal WITHIN its file; pair with
+    * `_metadata.file_path` (or use [[tupleId]]) for a globally unique
+    * row address. */
   def positionId: Column = col("_metadata.row_index")
 
   /** `timeseries(col, granularity)` (reference TimeSeriesUDF.java:79-142)

@@ -120,7 +120,8 @@ object Ann {
     * rises with `tables`. */
   def cosinePairsLsh(vecs: DataFrame, dim: Int, numPlanes: Int,
       tables: Int, minCos: Double): DataFrame = {
-    require(tables >= 1 && numPlanes * tables <= 62, "signature must fit a long")
+    require(tables >= 1 && numPlanes <= 62,
+      "per-table signature must fit a long")
     val planes = planeMatrix(numPlanes * tables, dim)
     val tCol = explode(array((0 until tables).map(lit): _*))
     def withSig(df: DataFrame) = df
@@ -150,7 +151,8 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, numPlanes: Int, tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(tables >= 1 && numPlanes * tables <= 62, "signature must fit a long")
+    require(tables >= 1 && numPlanes <= 62,
+      "per-table signature must fit a long")
     val planes = planeMatrix(numPlanes * tables, dim)
     val tCol = explode(array((0 until tables).map(lit): _*))
     def withSig(df: DataFrame) = df

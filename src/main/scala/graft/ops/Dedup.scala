@@ -85,16 +85,24 @@ object Dedup {
       sigDf: DataFrame, // (id: long, sig: array<long>)
       numHashes: Int,
       bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "trailing hashes would be silently ignored")
     val rows = numHashes / bands
-    val banded = sigDf.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until rows).map(r =>
-            element_at(col("sig"), b * rows + r + 1)): _*).as("key"))
-      }: _*)).as("bk"))
+    val banded = sigDf
+      // a short signature would NULL out element_at lookups, and
+      // concat_ws silently DROPS nulls — colliding band keys across
+      // unrelated rows; guard on the array length instead
+      .filter(size(col("sig")) >= numHashes)
+      .select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1)): _*).as("key"))
+        }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .filter(!col("key").contains("null") && col("key") =!= "")
+      .filter(col("key") =!= "")
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))

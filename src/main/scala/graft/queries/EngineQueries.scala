@@ -165,8 +165,10 @@ object EngineQueries {
   )
 
   /** Ensure the shared (l_returnflag, l_linestatus) MV over lineitem
-    * exists and serves `query`; requires the rewrite actually fired. */
-  private def mvServed(s: SparkSession, d: String, query: => DataFrame): DataFrame = {
+    * exists and serves `query`; requires the rewrite actually fired.
+    * Locked like every shared-fixture builder: two rows racing the
+    * drop+create would corrupt the MV under each other. */
+  private def mvServed(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
     import graft.engine.mv.{Mv, MvCatalog}
     val base = new java.io.File(d).getName
     val mvPath = s"/tmp/graft_tables/$base/mv_li_roll"

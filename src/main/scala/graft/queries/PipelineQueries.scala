@@ -20,13 +20,16 @@ object PipelineQueries {
   private val NumHashes = 6
   private val Bands = 3 // → 2 rows per band
   private val ShingleN = 3
+  // previous invocation's cached tokenization (unpersisted on rebuild)
+  @volatile private var lastMinhashToks: Option[DataFrame] = None
   private val JaccThreshold = 0.5
 
   // ---- shared corpus builders (Spark) ----
   private def norm(c: Column): Column = lower(trim(c))
 
   private def mutated(text: Column): Column =
-    when(locate(" ", text) > 0, expr("substring(text, locate(' ', text) + 1)"))
+    when(locate(" ", text) > 0,
+      text.substr(locate(" ", text) + 1, length(text)))
       .otherwise(text)
 
   private def exactCorpus(df: DataFrame): DataFrame =
@@ -66,11 +69,15 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) => {
       // tokenization is reused 3× (signature + both sides of the verify
       // join) — persist it instead of re-reading + re-splitting; at
-      // cluster scale this would be a checkpoint/persist(DISK) as well
+      // cluster scale this would be a checkpoint/persist(DISK) as well.
+      // Re-invocations unpersist the previous run's cache (the result is
+      // consumed lazily, so the current cache must outlive this call).
+      lastMinhashToks.foreach(_.unpersist())
       val toks = nearCorpus(t(s, d, "documents"))
         .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
         .filter(size(col("toks")) >= ShingleN)
         .persist()
+      lastMinhashToks = Some(toks)
       val sig = Dedup.minhashSignatures(toks, ShingleN, NumHashes)
       val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)
       val ta = toks.as("ta"); val tb = toks.as("tb")

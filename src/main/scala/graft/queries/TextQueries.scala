@@ -103,7 +103,7 @@ object TextQueries {
     val oBest = {
       val mx = s"greatest(${langOrder.map(oScores).mkString(", ")})"
       val cases = langOrder.map(l => s"WHEN $mx > 0 AND ${oScores(l)} = $mx THEN '$l'")
-      s"CASE ${cases.mkString(" ")} ELSE CASE WHEN $mx > 0 THEN 'und' ELSE 'und' END END"
+      s"CASE ${cases.mkString(" ")} ELSE 'und' END"
     }
     val oWords = s"CAST(len(string_split($oNorm, ' ')) AS BIGINT)"
     val oPunct = Seq(".", ",", "!", "?").map(w => oOcc(oNorm, w)).mkString("(", " + ", ")")
