@@ -20,6 +20,15 @@ object Bench {
     catch { case _: Throwable => }
     try spark.sql("SELECT count(*) FROM lineitem").collect()
     catch { case _: Throwable => }
+    // Untimed warm pass: builds the /tmp fixture tables and JITs the
+    // generated code, so the timed pass below measures the steady-state
+    // query cost instead of charging whichever query alphabetically
+    // touches a fixture first with its one-time build (q_agg_rollup
+    // absorbed 16 s of that in the r5 driver run).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     // Materialize every column via a noop-format write (count() would let
     // Spark prune the projection and bench an empty scan — VERDICT r2).
     var errors = List.empty[(String, String)]

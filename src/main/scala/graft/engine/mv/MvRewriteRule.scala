@@ -165,9 +165,16 @@ class MvRewriteRule extends Rule[LogicalPlan] {
               ct.tablePath, spark.sessionState.newHadoopConf())
               .readStatus().visible.map(_.id).toSet
             val folded = MvCatalog.refreshedSegments(mv.name)
-            if ((visibleNow -- folded).nonEmpty) {
-              logInfo(s"[graft] MV '${mv.name}' is stale " +
-                s"(unfolded base segments ${(visibleNow -- folded).toSeq.sorted.mkString(",")}) — not rewriting")
+            // strict equality, not just additions: DELETE SEGMENT /
+            // truncate shrink the visible set without adding anything,
+            // and serving the MV then would still include the dropped
+            // rows. Mirrors refreshIncremental's !done.subsetOf(vis)
+            // invalidation.
+            if (visibleNow != folded) {
+              val added = (visibleNow -- folded).toSeq.sorted
+              val removed = (folded -- visibleNow).toSeq.sorted
+              logInfo(s"[graft] MV '${mv.name}' is stale (base segments " +
+                s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}]) — not rewriting")
               return None
             }
           case _ =>

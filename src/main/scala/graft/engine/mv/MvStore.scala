@@ -43,6 +43,13 @@ private[mv] case class MvPersisted(
   * (CarbonCreateMVCommand.scala:60, docs/mv-guide.md). */
 object MvStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.engine.mv.MvStore")
+
+  private[mv] val deserializationFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "graft.**;org.apache.spark.**;scala.**;" +
+        "java.lang.**;java.util.**;java.time.**;java.math.**;!*")
+
   private def defPath(layout: TableLayout): Path =
     new Path(layout.metaDir, "mvdef.bin")
 
@@ -145,6 +152,12 @@ object MvStore {
         b.toByteArray
       } finally in.close()
       val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+      // deserialization gate: anyone who can write to the MV path could
+      // plant a gadget chain otherwise. The graph is graft stubs +
+      // Catalyst plan/expression nodes + Scala/Java collections — allow
+      // those packages, reject everything else (gadget classes live in
+      // unrelated libraries).
+      ois.setObjectInputFilter(MvStore.deserializationFilter)
       val persisted = ois.readObject().asInstanceOf[MvPersisted]
       val build = reconstruct(spark, persisted.buildStubbed)
       // the match plan is what the optimizer would plan for the same
@@ -159,7 +172,12 @@ object MvStore {
       }
       Some((MvDef(persisted.name, agg, build, persisted.path), persisted.refreshedSegments))
     } catch {
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(e) =>
+        // a corrupt / rejected / plan-incompatible def must be VISIBLE —
+        // silently returning None masks corruption as "no MV here"
+        log.warn(s"failed to load MV definition at $p — ignoring it " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+        None
     }
   }
 }

@@ -52,7 +52,19 @@ object CdcStreamer {
         batch.withColumn("__rn", row_number().over(
             Window.partitionBy(col(key)).orderBy(col(o).desc)))
           .filter(col("__rn") === 1).drop("__rn")
-      case None => batch.dropDuplicates(key)
+      case None =>
+        // without an ordering column, "latest per key" is undefined —
+        // dropDuplicates would keep an ARBITRARY event (a delete could be
+        // silently discarded in favor of an insert, differing run to run).
+        // Only a batch with at most one event per key is safe to apply.
+        val dup = batch.groupBy(col(key)).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"micro-batch carries ${dup.headOption.map(_.getLong(1)).getOrElse(0L)} events for key " +
+            s"'${dup.headOption.map(_.get(0)).orNull}' but CdcConfig.orderColumn is not set — " +
+            "the final state per key would be nondeterministic; set orderColumn to the " +
+            "source-ordering field (commit version / timestamp)")
+        batch
     }
     target.merge(latest, expr(s"t.$key = s.$key"))
       .whenMatched(op === cfg.deleteOp).delete()

@@ -33,7 +33,11 @@ case class LongVectorDot(left: Expression, right: Expression)
 
 object LongVectorDot {
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"long_vector_dot: vector length mismatch ($n vs ${b.numElements()}) — " +
+          "query and corpus embeddings must share a dimension")
     var acc = 0L
     var i = 0
     while (i < n) {

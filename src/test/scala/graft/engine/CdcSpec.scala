@@ -62,4 +62,25 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("OOPS"))
     assert(target.read.count() == 1)
   }
+
+  test("multi-event key without orderColumn is rejected, not applied arbitrarily") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc_").toString
+    val target = GraftTable.createAsSelect(spark, s"$root/t",
+      Seq((1L, "one")).toDF("k", "v"), Seq("k"))
+    // insert+delete churn on the same key: with no ordering column the
+    // final state is undefined — must fail loudly instead of keeping an
+    // arbitrary row (the delete could silently win or lose, run to run)
+    val churn = Seq((5L, "five", "i", 1L), (5L, "five", "d", 2L))
+      .toDF("k", "v", "_op", "_ver")
+    val e = intercept[IllegalArgumentException] {
+      CdcStreamer.applyBatch(target, churn, CdcConfig("k"))
+    }
+    assert(e.getMessage.contains("orderColumn"))
+    assert(target.read.count() == 1)
+    // single-event-per-key batches still apply fine without an order column
+    CdcStreamer.applyBatch(target,
+      Seq((6L, "six", "i", 1L)).toDF("k", "v", "_op", "_ver"), CdcConfig("k"))
+    assert(target.read.count() == 2)
+  }
 }

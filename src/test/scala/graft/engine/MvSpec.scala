@@ -99,6 +99,33 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_stale")
   }
 
+  test("removal-only base change (segment delete) also disables the MV") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mvshrink_").toString
+    val base = GraftTable.createAsSelect(spark, s"$root/base",
+      Seq((1L, 10.0), (2L, 5.0)).toDF("k", "x"), Seq("k"))
+    base.insert(Seq((2L, 100.0)).toDF("k", "x")) // segment 1
+    def q = base.read.groupBy("k").agg(sum(col("x")).as("sx"))
+    Mv.create(spark, "mv_shrink", q, s"$root/mv_shrink")
+    try {
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_shrink"))
+      // base SHRINKS: no new segment appears, but serving the MV would
+      // still include the dropped segment's rows (ADVICE r5)
+      base.deleteSegmentsById(Seq(1L))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("mv_shrink"), s"MV served dropped-segment data:\n$plan")
+      assert(q.filter(col("k") === 2).collect().head.getDouble(1) == 5.0)
+      // refresh resyncs to the shrunken base; rewrite resumes
+      Mv.refresh(spark, "mv_shrink")
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_shrink"))
+      assert(q.filter(col("k") === 2).collect().head.getDouble(1) == 5.0)
+      // truncate is the extreme shrink — MV must stop serving immediately
+      base.truncate()
+      assert(!q.queryExecution.optimizedPlan.toString.contains("mv_shrink"))
+      assert(q.collect().isEmpty)
+    } finally Mv.drop(spark, "mv_shrink")
+  }
+
   test("filter subsumption: residual filter on grouping columns rewrites") {
     val base = lineitem
     val mvq = base.groupBy("l_returnflag", "l_linestatus")
@@ -229,6 +256,30 @@ class MvSpec extends AnyFunSuite {
         .agg(sum("cnt")).collect().head.getLong(0)
       assert(total == 1200, s"MV should cover 1200 rows, got $total")
     } finally Mv.drop(spark, "mv_wm")
+  }
+
+  test("hostile or corrupt mvdef.bin is rejected, not executed") {
+    import graft.engine.mv.MvStore
+    val path = tmp()
+    val mvq = lineitem.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_sec", mvq, s"$path/mv_sec")
+    try {
+      val defFile = new java.io.File(s"$path/mv_sec/_meta/mvdef.bin")
+      assert(defFile.exists())
+      // a planted object of a class outside the allowlist must be
+      // refused by the deserialization filter (gadget-chain defense)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(new java.io.File("/etc/passwd")); oos.close()
+      java.nio.file.Files.write(defFile.toPath, bos.toByteArray)
+      assert(MvStore.load(spark, s"$path/mv_sec").isEmpty, "hostile def must not load")
+      // plain garbage bytes: load degrades to None, no throw
+      java.nio.file.Files.write(defFile.toPath, Array[Byte](1, 2, 3, 4))
+      assert(MvStore.load(spark, s"$path/mv_sec").isEmpty)
+      // and the filter still admits a legitimate def end-to-end
+      MvStore.save(spark, MvCatalog.get("mv_sec").get)
+      assert(MvStore.load(spark, s"$path/mv_sec").isDefined, "legit def must reload")
+    } finally Mv.drop(spark, "mv_sec")
   }
 
   test("non-matching queries are untouched; refresh tracks base growth") {

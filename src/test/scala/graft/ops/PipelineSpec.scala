@@ -85,4 +85,20 @@ class PipelineSpec extends AnyFunSuite {
     val recall = (exact & got.toSet).size.toDouble / exact.size
     assert(recall >= 0.5, s"embedding near-dup recall too low: $recall")
   }
+
+  test("dot product of mismatched-length vectors fails loudly, not truncated") {
+    import spark.implicits._
+    // a dim mismatch must never yield a plausible-looking truncated cosine
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Ann.dotQ(col("a"), col("b"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(e).contains("length mismatch"), s"got: ${rootMsg(e)}")
+    // equal lengths still work through the same path
+    val ok = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+      .select(Ann.dotQ(col("a"), col("b"))).collect().head.getLong(0)
+    assert(ok == 32L)
+  }
 }
