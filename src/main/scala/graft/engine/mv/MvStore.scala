@@ -45,10 +45,33 @@ object MvStore {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.engine.mv.MvStore")
 
-  private[mv] val deserializationFilter: java.io.ObjectInputFilter =
-    java.io.ObjectInputFilter.Config.createFilter(
-      "graft.**;org.apache.spark.**;scala.**;" +
+  // Resource limits first (a graph built ONLY from allowed classes can
+  // still drive deep recursion / memory exhaustion), then the class
+  // allowlist — narrowed from org.apache.spark.** to the packages a
+  // persisted plan graph actually contains: catalyst plan/expression
+  // nodes, sql types, unsafe strings, and our own expressions
+  // (org.apache.spark.sql.graft — the Shims package).
+  private[mv] val deserializationFilter: java.io.ObjectInputFilter = {
+    val base = java.io.ObjectInputFilter.Config.createFilter(
+      "maxdepth=200;maxarray=1000000;maxrefs=1000000;maxbytes=67108864;" +
+        "graft.**;org.apache.spark.QueryContext*;" +  // tree Origin's context enum
+        "org.apache.spark.sql.catalyst.**;org.apache.spark.sql.types.**;" +
+        "org.apache.spark.sql.graft.**;org.apache.spark.unsafe.types.**;" +
+        "org.apache.spark.util.**;scala.**;" +
         "java.lang.**;java.util.**;java.time.**;java.math.**;!*")
+    // name the offender: "filter status: REJECTED" alone is undebuggable
+    new java.io.ObjectInputFilter {
+      override def checkInput(info: java.io.ObjectInputFilter.FilterInfo)
+          : java.io.ObjectInputFilter.Status = {
+        val st = base.checkInput(info)
+        if (st == java.io.ObjectInputFilter.Status.REJECTED)
+          log.warn(s"mvdef deserialization rejected: class=" +
+            s"${Option(info.serialClass).map(_.getName).getOrElse("<none>")} " +
+            s"depth=${info.depth} refs=${info.references} bytes=${info.streamBytes}")
+        st
+      }
+    }
+  }
 
   private def defPath(layout: TableLayout): Path =
     new Path(layout.metaDir, "mvdef.bin")

@@ -35,35 +35,48 @@ case class CdcConfig(
 object CdcStreamer {
 
   /** Deduplicate a batch to the latest event per key, then merge:
-    * delete-ops drop target rows, everything else upserts. */
+    * delete-ops drop target rows, everything else upserts.
+    *
+    * Validation is ONE Spark action per batch: with `orderColumn` set,
+    * a filter-scan for unknown ops; without it, a single per-key
+    * aggregation that surfaces both unknown ops and duplicate keys
+    * (duplicates are a hard error there — dropDuplicates would keep an
+    * ARBITRARY event, so a delete could be silently discarded in favor
+    * of an insert, differing run to run). */
   def applyBatch(target: GraftTable, batch: DataFrame, cfg: CdcConfig): Unit = {
     if (batch.isEmpty) return
     val key = cfg.keyColumn
     val op = col(s"s.${cfg.opColumn}")
     val known = Seq(cfg.insertOp, cfg.updateOp, cfg.deleteOp)
     // coalesce: a NULL op must be rejected too (isin is null for null)
-    val bad = batch.filter(!coalesce(col(cfg.opColumn).isin(known: _*), lit(false)))
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"unknown ${cfg.opColumn} value '${bad.headOption.map(_.getAs[Any](cfg.opColumn)).orNull}' " +
-        s"(expected one of ${known.mkString(",")})")
+    val invalid = !coalesce(col(cfg.opColumn).isin(known: _*), lit(false))
+    def badOpMsg(v: Any): String =
+      s"unknown ${cfg.opColumn} value '$v' (expected one of ${known.mkString(",")})"
     val latest = cfg.orderColumn match {
       case Some(o) =>
+        val bad = batch.filter(invalid).limit(1).collect()
+        require(bad.isEmpty, badOpMsg(bad.headOption.map(_.getAs[Any](cfg.opColumn)).orNull))
         batch.withColumn("__rn", row_number().over(
             Window.partitionBy(col(key)).orderBy(col(o).desc)))
           .filter(col("__rn") === 1).drop("__rn")
       case None =>
-        // without an ordering column, "latest per key" is undefined —
-        // dropDuplicates would keep an ARBITRARY event (a delete could be
-        // silently discarded in favor of an insert, differing run to run).
-        // Only a batch with at most one event per key is safe to apply.
-        val dup = batch.groupBy(col(key)).count()
-          .filter(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"micro-batch carries ${dup.headOption.map(_.getLong(1)).getOrElse(0L)} events for key " +
-            s"'${dup.headOption.map(_.get(0)).orNull}' but CdcConfig.orderColumn is not set — " +
-            "the final state per key would be nondeterministic; set orderColumn to the " +
-            "source-ordering field (commit version / timestamp)")
+        // one aggregation, one action: per-key event count + any invalid
+        // op value, instead of a filter pass AND a groupBy pass
+        val viol = batch.groupBy(col(key)).agg(
+            count(lit(1)).as("__cnt"),
+            max(when(invalid,
+              coalesce(col(cfg.opColumn).cast("string"), lit("<null>")))).as("__bad"))
+          .filter(col("__cnt") > 1 || col("__bad").isNotNull)
+          .limit(1).collect()
+        viol.headOption.foreach { r =>
+          require(r.isNullAt(2),  // __bad
+            badOpMsg(r.get(2)))
+          require(r.getLong(1) <= 1,
+            s"micro-batch carries ${r.getLong(1)} events for key '${r.get(0)}' but " +
+              "CdcConfig.orderColumn is not set — the final state per key would be " +
+              "nondeterministic; set orderColumn to the source-ordering field " +
+              "(commit version / timestamp)")
+        }
         batch
     }
     target.merge(latest, expr(s"t.$key = s.$key"))
