@@ -183,6 +183,27 @@ class GraftTable private (val spark: SparkSession, val path: String)
   def insertOverwriteWhere(cond: org.apache.spark.sql.Column, df: DataFrame): Long =
     Mutation.insertOverwriteWhere(this, cond, df)
 
+  /** Dynamic partition overwrite (hive `partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions present in `df`, keep the rest. The
+    * distinct-tuple collect is bounded by the partition count. (SQL
+    * `INSERT OVERWRITE` in dynamic mode needs a full DSv2 BatchWrite,
+    * which the V1-write source deliberately doesn't claim — this is the
+    * API form.) */
+  def insertOverwriteDynamic(df: DataFrame): Long = {
+    val pCols = meta.partitionColumns
+    require(pCols.nonEmpty, "dynamic overwrite needs a partitioned table")
+    val tuples = df.select(pCols.map(col): _*).distinct().collect()
+    if (tuples.isEmpty) { insert(df); 0L }
+    else {
+      val cond = tuples.map { r =>
+        pCols.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      insertOverwriteWhere(cond, df)
+    }
+  }
+
   /** UPDATE … SET … WHERE (CarbonProjectForUpdateCommand.scala:48).
     * Returns #rows updated. */
   def update(cond: org.apache.spark.sql.Column,
@@ -322,6 +343,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     val rows = schema.fields.map(f => (f.name, f.dataType.simpleString, "column")) ++
       Seq(
         ("sort_columns", m.sortColumns.mkString(","), "property"),
+        ("partition_columns", m.partitionColumns.mkString(","), "property"),
         ("sort_scope", m.sortScope, "property"),
         ("location", path, "property"),
         ("visible_segments", st.visible.size.toString, "metric"),
@@ -382,7 +404,17 @@ class GraftTable private (val spark: SparkSession, val path: String)
           .filter(st0 => System.currentTimeMillis() - st0.getModificationTime > 3600 * 1000)
           .foreach(st0 => fs.delete(st0.getPath, true))
       }
-      st.copy(segments = live)
+      // metadata-only DROP PARTITION leaves the dropped files on disk
+      // (tombstoned) for in-flight readers; reclaim them here
+      val cleaned = live.map { s =>
+        if (s.removedFiles.isEmpty || s.externalPath.nonEmpty) s
+        else {
+          s.removedFiles.foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), f), false))
+          s.copy(removedFiles = Nil)
+        }
+      }
+      st.copy(segments = cleaned)
     }
     removed
   }
@@ -499,21 +531,34 @@ class GraftTable private (val spark: SparkSession, val path: String)
 }
 
 object GraftTable {
-  /** CREATE TABLE (CarbonCreateTableCommand.scala:38). */
+  /** CREATE TABLE (CarbonCreateTableCommand.scala:38). `partitionColumns`
+    * declares hive-style partitioning (CarbonAlterTableAddHivePartition
+    * Command.scala:52): writes split into per-value dirs inside each
+    * segment — see [[graft.engine.format.Partitions]]. */
   def create(
       spark: SparkSession,
       path: String,
       schema: StructType,
       sortColumns: Seq[String] = Nil,
       sortScope: String = "GLOBAL_SORT",
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      partitionColumns: Seq[String] = Nil): GraftTable = {
     val bad = sortColumns.filterNot(c => schema.fieldNames.contains(c))
     require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
     require(Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT").contains(sortScope),
       s"bad sort scope $sortScope")
+    val badP = partitionColumns.filterNot(c => schema.fieldNames.contains(c))
+    require(badP.isEmpty, s"partition columns not in schema: ${badP.mkString(",")}")
+    val badT = partitionColumns.filter(c =>
+      !graft.engine.format.Partitions.supported(schema(schema.fieldIndex(c)).dataType))
+    require(badT.isEmpty,
+      s"unsupported partition column type(s): ${badT.map(c =>
+        s"$c:${schema(schema.fieldIndex(c)).dataType.simpleString}").mkString(",")} " +
+        "(allowed: string, integral, date, boolean)")
     val t = new GraftTable(spark, path)
     require(!t.layout.exists, s"table already exists at $path")
-    t.layout.writeTableMeta(TableMeta(schema.json, sortColumns, sortScope, properties))
+    t.layout.writeTableMeta(TableMeta(schema.json, sortColumns, sortScope, properties,
+      partitionColumns))
     t
   }
 
@@ -530,8 +575,10 @@ object GraftTable {
       df: DataFrame,
       sortColumns: Seq[String] = Nil,
       sortScope: String = "GLOBAL_SORT",
-      properties: Map[String, String] = Map.empty): GraftTable = {
-    val t = create(spark, path, df.schema, sortColumns, sortScope, properties)
+      properties: Map[String, String] = Map.empty,
+      partitionColumns: Seq[String] = Nil): GraftTable = {
+    val t = create(spark, path, df.schema, sortColumns, sortScope, properties,
+      partitionColumns)
     t.insert(df)
     t
   }

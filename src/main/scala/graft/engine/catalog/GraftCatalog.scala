@@ -88,9 +88,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "carbonish tables use segment stats + sort_columns instead of " +
-        "partition transforms; set TBLPROPERTIES('sort_columns'='a,b')")
+    // PARTITIONED BY (c1, c2): identity transforms → hive-style partition
+    // layout (per-value dirs inside each segment); other transforms have
+    // no carbonish meaning
+    val pCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 && refs(0).fieldNames().length == 1)
+        refs(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"carbonish supports only identity partition transforms, got $t; " +
+          "for clustering use TBLPROPERTIES('sort_columns'='a,b')")
+    }
     val props = properties.asScala.toMap
     val sortCols = props.get("sort_columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -100,7 +108,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val userProps = props --
       Seq("sort_columns", "sort_scope", "provider", "owner", "location", "comment")
     GraftTable.create(SparkSession.active, tablePath(ident).toString, schema,
-      sortCols, sortScope, userProps)
+      sortCols, sortScope, userProps, partitionColumns = pCols)
     loadTable(ident)
   }
 

@@ -1,0 +1,103 @@
+package graft.engine.format
+
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive-style partition support for carbonish tables.
+  *
+  * Reference semantics: `PARTITIONED BY` DDL + partition dirs +
+  * SHOW/ADD/DROP PARTITION (CarbonAlterTableAddHivePartitionCommand
+  * .scala:52, docs/ddl-of-carbondata.md:62-67). Spark-first layout: each
+  * SEGMENT's data is written with Spark's dynamic-partition writer over
+  * MIRROR columns (`__p_<col>` = the partition column), so
+  *
+  *   segments/<id>/__p_dt=2020-01-01/part-0.parquet
+  *
+  * holds exactly one partition tuple per file while the real column
+  * stays in the data files (scans need no dir-value reconstruction, and
+  * parquet row-group stats on the column collapse to min==max). The
+  * file path IS the partition index: pruning, SHOW PARTITIONS and
+  * metadata-only DROP PARTITION all read tuples straight out of the
+  * committed file names — no extra metastore state.
+  *
+  * Partition column types are restricted to the unambiguously
+  * path-codable families (string / integral / date / boolean), like the
+  * reference restricts its partition datatypes.
+  */
+object Partitions {
+
+  val MirrorPrefix = "__p_"
+  val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         DateType | BooleanType => true
+    case _ => false
+  }
+
+  def mirror(c: String): String = MirrorPrefix + c
+
+  /** Partition tuple encoded in a segment-relative file path, in dir
+    * order: `__p_dt=2020-01-01/part-0.parquet` →
+    * `Seq(("dt", Some("2020-01-01")))`; `None` = hive default (null).
+    * Values are unescaped raw strings as the dynamic writer printed them
+    * (Cast-to-string forms: dates `2020-01-01`, booleans `true`). */
+  def tupleFromPath(relPath: String): Seq[(String, Option[String])] =
+    relPath.split('/').toSeq.dropRight(1).flatMap { dir =>
+      val i = dir.indexOf('=')
+      if (i > MirrorPrefix.length && dir.startsWith(MirrorPrefix)) {
+        val name = dir.substring(MirrorPrefix.length, i)
+        val raw = ExternalCatalogUtils.unescapePathName(dir.substring(i + 1))
+        Some(name -> (if (raw == DefaultPartitionName) None else Some(raw)))
+      } else None
+    }
+
+  /** Raw dir string → catalyst INTERNAL value of `dt` (None when the
+    * string doesn't parse — callers must stay conservative). Uses the
+    * same Cast the writer used in reverse, so round-trips exactly. */
+  def castRaw(raw: String, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val v = Cast(Literal(UTF8String.fromString(raw), StringType), dt,
+      Some(java.util.TimeZone.getDefault.getID)).eval()
+    Option(v)
+  }
+
+  /** Canonical [[StatValue]] string for an INTERNAL value. */
+  def encodeInternal(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (BooleanType, b: Boolean) => Some(if (b) "1" else "0")
+    case (DateType, d: Int) => Some(d.toString) // epoch days — canonical date form
+    case (StringType, s: UTF8String) => Some(s.toString)
+    case (ByteType | ShortType | IntegerType | LongType, n) => Some(n.toString)
+    case _ => None
+  }
+
+  /** Stats entry asserting a column is constant `raw` (or null) in a
+    * file, for [[SegmentPruner]] evaluation at file grain. */
+  def valueStats(dt: DataType, raw: Option[String], rows: Long): Option[ColumnStats] =
+    raw match {
+      case None => // hive default partition: the column is all-null here
+        Some(ColumnStats(None, None, nullCount = math.max(rows, 1L)))
+      case Some(r) =>
+        castRaw(r, dt).flatMap(encodeInternal(dt, _))
+          .map(enc => ColumnStats(Some(enc), Some(enc), nullCount = 0L))
+    }
+
+  /** Per-FILE pseudo segment-meta: segment stats refined by footer file
+    * stats and the path-encoded partition tuple. Both refinements bound
+    * the file's contents, so [[SegmentPruner.mayMatch]] over this meta
+    * is exactly file-grain pruning. rowCount falls back to the segment's
+    * (an over-count — only used conservatively by mayMatch). */
+  def fileAsSegment(seg: SegmentMeta, relPath: String, schema: StructType): SegmentMeta = {
+    val fm = seg.fileMeta.get(relPath)
+    val rows = fm.map(_.rows).getOrElse(seg.rowCount)
+    val tupleStats = tupleFromPath(relPath).flatMap { case (name, raw) =>
+      schema.fields.find(_.name == name)
+        .flatMap(f => valueStats(f.dataType, raw, rows).map(name -> _))
+    }.toMap
+    seg.copy(
+      rowCount = rows,
+      stats = seg.stats ++ fm.map(_.stats).getOrElse(Map.empty) ++ tupleStats)
+  }
+}

@@ -31,6 +31,16 @@ case class ColumnStats(
     max: Option[String],
     nullCount: Long)
 
+/** Per-FILE metadata lifted from the parquet footer at write time (the
+  * reference's carbonindex per-blocklet entries): exact row count plus
+  * min/max on the sort columns. Powers metadata-only DROP PARTITION
+  * (file removal with exact count adjustment) and the file rung of the
+  * pruning ladder without opening footers at plan time. */
+case class FileMeta(
+    rows: Long,
+    bytes: Long,
+    stats: Map[String, ColumnStats])
+
 /** One committed load/insert/compaction result. `files` are names relative
   * to the segment directory `<table>/segments/<id>/`. */
 case class SegmentMeta(
@@ -48,7 +58,13 @@ case class SegmentMeta(
     /** last committed micro-batch id for STREAMING segments (idempotent
       * replay guard); plain Long — Option[Long] would round-trip through
       * JSON as Option[Integer] due to erasure */
-    lastBatchId: Long = -1L) {
+    lastBatchId: Long = -1L,
+    /** per-file footer metadata keyed by the same relative names as
+      * `files` (absent for streaming/external/legacy segments) */
+    fileMeta: Map[String, FileMeta] = Map.empty,
+    /** files dropped from `files` by metadata-only DROP PARTITION but
+      * still on disk for in-flight readers; CLEAN FILES reclaims them */
+    removedFiles: Seq[String] = Nil) {
   def isVisible: Boolean = SegmentStatus.visible(status)
 }
 

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.hadoop.fs.{Options, Path}
 
+import scala.collection.parallel.CollectionConverters._
+
 /** Sorted segment write with inline statistics collection.
   *
   * Reference semantics: one load = one new segment, written sorted by
@@ -27,18 +29,30 @@ object SegmentWriter {
   }
 
   /** Write `df` as segment `id` under `layout`, returning its metadata
-    * (not yet committed to tablestatus). */
+    * (not yet committed to tablestatus).
+    *
+    * Partitioned tables (`meta.partitionColumns`) write through Spark's
+    * dynamic-partition writer over mirror columns (see [[Partitions]]):
+    * clustering puts the partition columns FIRST in the shuffle key so
+    * each task writes few partition dirs, and the sort columns after so
+    * rows stay sorted within every file. */
   def write(layout: TableLayout, meta: TableMeta, df: DataFrame, id: Long): SegmentMeta = {
     val spark = df.sparkSession
+    val pCols = meta.partitionColumns.filter(df.columns.contains)
     val sortCols = meta.sortColumns.filter(df.columns.contains)
-    val sorted = (meta.sortScope, sortCols) match {
-      case (_, Nil) | ("NO_SORT", _) => df
+    val clusterCols = pCols ++ sortCols.filterNot(pCols.contains)
+    val sorted = (meta.sortScope, clusterCols) match {
+      case (_, Nil) => df
+      case ("NO_SORT", _) =>
+        // still cluster rows by partition value (one shuffle) so a load
+        // doesn't fan every task out into every partition dir
+        if (pCols.isEmpty) df else df.repartition(pCols.map(col): _*)
       case ("LOCAL_SORT", cs) => df.sortWithinPartitions(cs.map(col): _*)
       case _ => // GLOBAL_SORT default
         val parts = meta.properties.get("global_sort_partitions").map(_.toInt)
           .getOrElse(spark.sessionState.conf.numShufflePartitions)
-        df.repartitionByRange(parts, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        df.repartitionByRange(parts, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
     }
 
     // inline stats: count + per-column min/max/nullCount in the write job
@@ -58,9 +72,15 @@ object SegmentWriter {
     // columns (the reference's bloom CG index collapses onto parquet's)
     val bloomCols = meta.properties.get("bloom_columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    bloomCols.foldLeft(observed.write.mode("overwrite")) { (w, c) =>
+    // partitioned: mirror columns drive the dir split; the real columns
+    // stay in the data files (partitionBy drops only the mirrors)
+    val toWrite = pCols.foldLeft(observed)((d, c) =>
+      d.withColumn(Partitions.mirror(c), col(c)))
+    val writer = bloomCols.foldLeft(toWrite.write.mode("overwrite")) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }.parquet(tmp.toString)
+    }
+    (if (pCols.isEmpty) writer else writer.partitionBy(pCols.map(Partitions.mirror): _*))
+      .parquet(tmp.toString)
 
     val m = obs.get
     val rowCount = m("__n").asInstanceOf[Long]
@@ -77,16 +97,47 @@ object SegmentWriter {
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(s"failed to rename $tmp to $dest")
-    val files = fs.listStatus(dest).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // partitioned segments nest files under __p_<col>=<value>/ dirs;
+    // `files` holds segment-RELATIVE paths either way
+    val files = listParquetFiles(fs, dest, dest)
+
+    // per-file footer lift: exact row counts (metadata DROP PARTITION /
+    // file-grain LIMIT) + sort-column min/max (file-grain pruning and
+    // ordering report). O(files) small footer reads, write-time only.
+    val conf = spark.sessionState.newHadoopConf()
+    val footerCols = sortCols.map(c => c -> df.schema(c).dataType).toMap
+    val fileMeta = files.par.flatMap { case (rel, len) =>
+      FileFooters.read(conf, new Path(dest, rel), len, footerCols).map(rel -> _)
+    }.seq.toMap
+
     SegmentMeta(
       id = id,
       status = SegmentStatus.Success,
       format = "parquet",
-      files = files.map(_.getPath.getName).toSeq.sorted,
+      files = files.map(_._1),
       rowCount = rowCount,
-      sizeBytes = files.map(_.getLen).sum,
+      sizeBytes = files.map(_._2).sum,
       stats = stats,
       sortColumns = sortCols,
-      createdAt = System.currentTimeMillis())
+      createdAt = System.currentTimeMillis(),
+      fileMeta = fileMeta)
+  }
+
+  /** Recursively list `*.parquet` under `dir` as (path relative to
+    * `base`, length), sorted by relative path. */
+  private[format] def listParquetFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: Path,
+      dir: Path): Seq[(String, Long)] = {
+    val entries = fs.listStatus(dir)
+    val here = entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val rel = s.getPath.toString.stripPrefix(
+          fs.makeQualified(base).toString).stripPrefix("/")
+        rel -> s.getLen
+      }.toSeq
+    val below = entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .flatMap(s => listParquetFiles(fs, base, s.getPath)).toSeq
+    (here ++ below).sortBy(_._1)
   }
 }

@@ -96,14 +96,72 @@ class CarbonishSource extends TableProvider with DataSourceRegister
 
 class CarbonishTable(path: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   def tablePath: String = path
   override def name(): String = s"carbonish.`$path`"
   override def schema(): StructType = tableSchema
+  // no OVERWRITE_DYNAMIC: Spark's dynamic-partition overwrite requires a
+  // full DSv2 BatchWrite (TableCapabilityCheck hard-requires BATCH_WRITE
+  // there — the V1 fallback only plans append/filter-overwrite); dynamic
+  // semantics are available as GraftTable.insertOverwriteDynamic
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  private def graftTable: graft.engine.GraftTable =
+    graft.engine.GraftTable.at(SparkSession.active, path)
+
+  /** Declared hive-style partitioning (identity transforms), from the
+    * table's own metadata. */
+  override def partitioning(): Array[Transform] = {
+    val layout = new TableLayout(path, SparkSession.active.sessionState.newHadoopConf())
+    layout.readTableMeta().partitionColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+  }
+
+  // ---------------------------------------------- partition management
+  // (SHOW PARTITIONS / ALTER TABLE ADD|DROP PARTITION via Spark's v2
+  // commands; mechanics in graft.engine.PartitionOps)
+
+  override def partitionSchema(): StructType = {
+    val t = graftTable
+    graft.engine.PartitionOps.partitionSchema(t.meta, t.schema)
+  }
+
+  override def createPartition(ident: InternalRow, properties: util.Map[String, String]): Unit = {
+    require(properties == null || properties.isEmpty,
+      "carbonish partitions carry no per-partition properties")
+    val t = graftTable
+    graft.engine.PartitionOps.createPartition(t,
+      graft.engine.PartitionOps.partitionSchema(t.meta, t.schema), ident)
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val t = graftTable
+    graft.engine.PartitionOps.dropPartition(t,
+      graft.engine.PartitionOps.partitionSchema(t.meta, t.schema), ident)
+  }
+
+  override def purgePartition(ident: InternalRow): Boolean = dropPartition(ident)
+
+  override def replacePartitionMetadata(ident: InternalRow, properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("carbonish partitions carry no per-partition properties")
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    if (!partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        path, ident, partitionSchema())
+    new util.HashMap[String, String]()
+  }
+
+  override def listPartitionIdentifiers(names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    val t = graftTable
+    graft.engine.PartitionOps.listPartitions(t,
+      graft.engine.PartitionOps.partitionSchema(t.meta, t.schema), names, ident)
+  }
 
   /** `DELETE FROM <catalog table> WHERE <cond>` through Spark's own
     * DeleteFromTable plan (the analyzer translates the condition to
@@ -170,10 +228,23 @@ class CarbonishTable(path: String, tableSchema: StructType)
     new CarbonishScanBuilder(spark, layout, visible, tableSchema, options, totalRows)
   }
 
+  /** Append / truncate-overwrite / filter-overwrite (the v2 plan for
+    * `INSERT OVERWRITE … PARTITION (p=v)` static mode) — all routed to
+    * the segment commit protocol. Filter overwrites are atomic
+    * retire-and-append swaps via
+    * [[graft.engine.Mutation.insertOverwriteWhere]]. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var mode: String = "append"
+      private var overwriteFilters: Array[Filter] = Array.empty
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        import org.apache.spark.sql.sources.AlwaysTrue
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) mode = "truncate"
+        else { mode = "filter"; overwriteFilters = filters }
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -186,11 +257,21 @@ class CarbonishTable(path: String, tableSchema: StructType)
               val t =
                 if (layout.exists) GraftTable.at(spark, path)
                 else {
-                  val sortCols = Option(info.options().get("sort_columns")).toSeq
-                    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-                  GraftTable.create(spark, path, data.schema, sortCols)
+                  def optList(key: String): Seq[String] =
+                    Option(info.options().get(key)).toSeq
+                      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+                  GraftTable.create(spark, path, data.schema, optList("sort_columns"),
+                    partitionColumns = optList("partition_columns"))
                 }
-              t.insert(data, overwrite)
+              mode match {
+                case "append" => t.insert(data, overwrite = false)
+                case "truncate" => t.insert(data, overwrite = true)
+                case "filter" =>
+                  val cond = overwriteFilters.foldLeft(org.apache.spark.sql.functions.lit(true)) {
+                    (acc, f) => acc && filterToColumn(f)
+                  }
+                  t.insertOverwriteWhere(cond, data)
+              }
             }
           }
       }
@@ -215,10 +296,19 @@ class SegmentFileIndex(
   // qualified FileStatus paths, and an unqualified key never matches —
   // which silently keeps every file (no skip) since the lookup is
   // conservative-by-default
-  private val segmentOfFile: Map[String, SegmentMeta] =
-    visible.flatMap(s => layout.segmentFilePaths(s).map { p =>
-      layout.fs.makeQualified(new Path(p)).toString -> s
+  private val segmentOfFile: Map[String, (SegmentMeta, String)] =
+    visible.flatMap(s => s.files.zip(layout.segmentFilePaths(s)).map { case (rel, p) =>
+      layout.fs.makeQualified(new Path(p)).toString -> (s, rel)
     }).toMap
+
+  // file-grain pseudo metas (segment stats ∩ footer file stats ∩
+  // path-encoded partition tuple) — rung 1.5 of the ladder; only built
+  // when some file actually refines its segment
+  private lazy val fileGrain: Map[String, SegmentMeta] =
+    segmentOfFile.collect {
+      case (qp, (s, rel)) if s.fileMeta.contains(rel) || rel.contains("=") =>
+        qp -> Partitions.fileAsSegment(s, rel, schema)
+    }
 
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -230,13 +320,24 @@ class SegmentFileIndex(
     if (filters.isEmpty || visible.isEmpty) dirs
     else {
       val kept = SegmentPruner.prune(visible, filters).map(_.id).toSet
+      var fileSkipped = 0
       val pruned = dirs.map { d =>
         d.copy(files = d.files.filter { f =>
-          segmentOfFile.get(f.getPath.toString).forall(s => kept(s.id))
+          val qp = f.getPath.toString
+          segmentOfFile.get(qp).forall { case (s, _) =>
+            kept(s.id) && (fileGrain.get(qp) match {
+              case Some(pm) =>
+                val keep = filters.forall(SegmentPruner.mayMatch(pm, _))
+                if (!keep) fileSkipped += 1
+                keep
+              case None => true
+            })
+          }
         })
       }.filter(_.files.nonEmpty)
-      logInfo(s"[graft] segment min/max skip: kept ${kept.size}/${visible.size} " +
-        s"segments for filters ${filters.mkString("[", ", ", "]")}")
+      logInfo(s"[graft] min/max skip: kept ${kept.size}/${visible.size} segments, " +
+        s"skipped $fileSkipped more files (partition/footer grain) for " +
+        s"filters ${filters.mkString("[", ", ", "]")}")
       pruned
     }
   }

@@ -52,6 +52,23 @@ object EngineQueries {
     }
   }
 
+  /** orders as a hive-style partitioned table: PARTITIONED BY
+    * (o_orderstatus), sorted by o_orderkey within partitions — each
+    * segment splits into per-status dirs (see format.Partitions). */
+  def ordersPart(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = fixturePath(d, "orders_part")
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    val ok = layout.exists && layout.readStatus().visible.nonEmpty &&
+      layout.readTableMeta().partitionColumns == Seq("o_orderstatus")
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (layout.exists) GraftTable.drop(s, p)
+      GraftTable.createAsSelect(s, p, t(s, d, "orders"),
+        sortColumns = Seq("o_orderkey"),
+        partitionColumns = Seq("o_orderstatus"))
+    }
+  }
+
   /** documents split into 3 doc_id-range segments with a text posting
     * index on `text` (TextIndex pruning exercised end-to-end). */
   def docs3(s: SparkSession, d: String): graft.engine.GraftTable = lock.synchronized {
@@ -129,6 +146,16 @@ object EngineQueries {
     "q_engine_topn" -> ((s, d) => {
       orders3(s, d).read.orderBy("o_orderdate").limit(500)
         .agg(count(lit(1)).as("cnt"), max(col("o_orderdate")).as("max_d"))
+    }),
+    // hive-style partition pruning: the o_orderstatus filter resolves to
+    // the partition's own files at plan time (PartitionSpec asserts the
+    // planned file set); the real column stays in the data files so the
+    // values themselves are oracle-checked here
+    "q_partition_prune" -> ((s, d) => {
+      ordersPart(s, d).read
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
     }),
     // text posting index: candidate segments from term postings, exact
     // token-membership residual (lucene-FG analog, TextIndex)
@@ -212,6 +239,10 @@ object EngineQueries {
     "q_engine_topn" ->
       """SELECT count(*) AS cnt, max(o_orderdate) AS max_d FROM
          (SELECT o_orderdate FROM orders ORDER BY o_orderdate LIMIT 500)""",
+    "q_partition_prune" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+          GROUP BY o_orderpriority""",
     "q_text_index" -> {
       val toks = "string_split(lower(trim(text)), ' ')"
       s"""SELECT lang, count(*) AS cnt FROM documents

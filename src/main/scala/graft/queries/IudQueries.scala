@@ -19,14 +19,17 @@ object IudQueries {
     * is what's being measured, not the load. */
   private def freshTable(
       s: SparkSession, d: String, name: String, src: DataFrame,
-      sortCols: Seq[String]): GraftTable = lock.synchronized {
+      sortCols: Seq[String], partitionCols: Seq[String] = Nil): GraftTable = lock.synchronized {
     val base = new java.io.File(d).getName
     val pristine = s"/tmp/graft_tables/$base/iud_${name}_pristine"
     val p = s"/tmp/graft_tables/$base/iud_$name"
     val pl = new graft.engine.format.TableLayout(pristine, s.sessionState.newHadoopConf())
-    if (!(pl.exists && pl.readStatus().visible.nonEmpty)) {
+    val current = pl.exists && pl.readStatus().visible.nonEmpty &&
+      pl.readTableMeta().partitionColumns == partitionCols
+    if (!current) {
       GraftTable.drop(s, pristine)
-      GraftTable.createAsSelect(s, pristine, src, sortCols)
+      GraftTable.createAsSelect(s, pristine, src, sortCols,
+        partitionColumns = partitionCols)
     }
     GraftTable.drop(s, p)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sessionState.newHadoopConf())
@@ -62,6 +65,20 @@ object IudQueries {
       t0.read.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
     }),
+    // ALTER TABLE DROP PARTITION as a pure metadata commit: the 'F'
+    // partition's files leave the table without any data job (footer
+    // row counts make the decrement exact; PartitionSpec asserts no
+    // rewrite segment appears)
+    "q_partition_drop" -> ((s, d) => {
+      val t0 = freshTable(s, d, "pdrop", t(s, d, "orders"),
+        Seq("o_orderkey"), partitionCols = Seq("o_orderstatus"))
+      val pSchema = graft.engine.PartitionOps.partitionSchema(t0.meta, t0.schema)
+      val ident = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("F")))
+      graft.engine.PartitionOps.dropPartition(t0, pSchema, ident)
+      t0.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
     // MERGE (upsert): halve acctbal of custkey<50, insert 10 re-keyed copies
     "q_iud_merge" -> ((s, d) => {
       val src = t(s, d, "customer")
@@ -91,6 +108,10 @@ object IudQueries {
           CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
                              ELSE o_totalprice END AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
           FROM orders GROUP BY o_orderstatus""",
+    "q_partition_drop" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderstatus <> 'F'
+          GROUP BY o_orderstatus""",
     "q_iud_merge" ->
       """WITH merged AS (
            SELECT c_custkey, c_name,
