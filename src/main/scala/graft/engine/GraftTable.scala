@@ -555,6 +555,13 @@ object GraftTable {
       s"unsupported partition column type(s): ${badT.map(c =>
         s"$c:${schema(schema.fieldIndex(c)).dataType.simpleString}").mkString(",")} " +
         "(allowed: string, integral, date, boolean)")
+    // bucket_columns/bucket_count (hash bucketing — Buckets.scala)
+    graft.engine.format.Buckets.specOf(
+      TableMeta(schema.json, sortColumns, sortScope, properties, partitionColumns))
+      .foreach { bs =>
+        val badB = bs.columns.filterNot(schema.fieldNames.contains)
+        require(badB.isEmpty, s"bucket columns not in schema: ${badB.mkString(",")}")
+      }
     val t = new GraftTable(spark, path)
     require(!t.layout.exists, s"table already exists at $path")
     t.layout.writeTableMeta(TableMeta(schema.json, sortColumns, sortScope, properties,

@@ -36,7 +36,7 @@ import scala.jdk.CollectionConverters._
   * O(1) filesystem probes and every reader/writer still goes through
   * the same tablestatus protocol as path-addressed access.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -89,17 +89,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // PARTITIONED BY (c1, c2): identity transforms → hive-style partition
-    // layout (per-value dirs inside each segment); other transforms have
-    // no carbonish meaning
-    val pCols = partitions.toSeq.map { t =>
+    // layout (per-value dirs inside each segment); bucket(n, cols) →
+    // hash bucketing (Buckets.scala); other transforms have no carbonish
+    // meaning
+    var bucketProps = Map.empty[String, String]
+    val pCols = partitions.toSeq.flatMap { t =>
       val refs = t.references()
-      if (t.name() == "identity" && refs.length == 1 && refs(0).fieldNames().length == 1)
-        refs(0).fieldNames()(0)
-      else throw new UnsupportedOperationException(
-        s"carbonish supports only identity partition transforms, got $t; " +
-          "for clustering use TBLPROPERTIES('sort_columns'='a,b')")
+      t match {
+        case _ if t.name() == "identity" && refs.length == 1 &&
+            refs(0).fieldNames().length == 1 =>
+          Some(refs(0).fieldNames()(0))
+        case _ if t.name() == "bucket" =>
+          val n = t.arguments().collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+                if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+              lit.value.asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(s"bucket transform without count: $t"))
+          val cols = refs.toSeq.map { r =>
+            require(r.fieldNames().length == 1, s"nested bucket column: $r")
+            r.fieldNames()(0)
+          }
+          bucketProps = Map("bucket_columns" -> cols.mkString(","),
+            "bucket_count" -> n.toString)
+          None
+        case _ => throw new UnsupportedOperationException(
+          s"carbonish supports identity and bucket partition transforms, got $t; " +
+            "for clustering use TBLPROPERTIES('sort_columns'='a,b')")
+      }
     }
-    val props = properties.asScala.toMap
+    val props = properties.asScala.toMap ++ bucketProps
     val sortCols = props.get("sort_columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val sortScope = props.getOrElse("sort_scope", "GLOBAL_SORT").toUpperCase
@@ -152,6 +170,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(tablePath(oldIdent), dst))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
+
+  // ---------------------------------------------------------- functions
+
+  /** The `bucket` transform function — resolved by Spark's
+    * storage-partitioned join to check two scans' reported
+    * KeyGroupedPartitionings are compatible. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!(namespace.isEmpty || namespaceExists(namespace)))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // --------------------------------------------------------- namespaces
 

@@ -41,18 +41,28 @@ object SegmentWriter {
     val pCols = meta.partitionColumns.filter(df.columns.contains)
     val sortCols = meta.sortColumns.filter(df.columns.contains)
     val clusterCols = pCols ++ sortCols.filterNot(pCols.contains)
-    val sorted = (meta.sortScope, clusterCols) match {
-      case (_, Nil) => df
-      case ("NO_SORT", _) =>
-        // still cluster rows by partition value (one shuffle) so a load
-        // doesn't fan every task out into every partition dir
-        if (pCols.isEmpty) df else df.repartition(pCols.map(col): _*)
-      case ("LOCAL_SORT", cs) => df.sortWithinPartitions(cs.map(col): _*)
-      case _ => // GLOBAL_SORT default
-        val parts = meta.properties.get("global_sort_partitions").map(_.toInt)
-          .getOrElse(spark.sessionState.conf.numShufflePartitions)
-        df.repartitionByRange(parts, clusterCols.map(col): _*)
-          .sortWithinPartitions(clusterCols.map(col): _*)
+    val bucketSpec = Buckets.specOf(meta).filter(_.columns.forall(df.columns.contains))
+    val sorted = bucketSpec match {
+      case Some(bs) =>
+        // bucketed: one shuffle keyed by the bucket id, rows sorted by
+        // (partition, sort) columns within each bucket — bucket dirs
+        // split the files, so every file is bucket-exclusive and sorted
+        df.withColumn("__b", Buckets.bucketExpr(bs))
+          .repartition(bs.count, col("__b"))
+          .sortWithinPartitions(("__b" +: clusterCols).map(col): _*)
+      case None => (meta.sortScope, clusterCols) match {
+        case (_, Nil) => df
+        case ("NO_SORT", _) =>
+          // still cluster rows by partition value (one shuffle) so a load
+          // doesn't fan every task out into every partition dir
+          if (pCols.isEmpty) df else df.repartition(pCols.map(col): _*)
+        case ("LOCAL_SORT", cs) => df.sortWithinPartitions(cs.map(col): _*)
+        case _ => // GLOBAL_SORT default
+          val parts = meta.properties.get("global_sort_partitions").map(_.toInt)
+            .getOrElse(spark.sessionState.conf.numShufflePartitions)
+          df.repartitionByRange(parts, clusterCols.map(col): _*)
+            .sortWithinPartitions(clusterCols.map(col): _*)
+      }
     }
 
     // inline stats: count + per-column min/max/nullCount in the write job
@@ -73,13 +83,16 @@ object SegmentWriter {
     val bloomCols = meta.properties.get("bloom_columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // partitioned: mirror columns drive the dir split; the real columns
-    // stay in the data files (partitionBy drops only the mirrors)
+    // stay in the data files (partitionBy drops only the mirrors).
+    // bucketed: the __b id column splits bucket dirs the same way.
     val toWrite = pCols.foldLeft(observed)((d, c) =>
       d.withColumn(Partitions.mirror(c), col(c)))
     val writer = bloomCols.foldLeft(toWrite.write.mode("overwrite")) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    (if (pCols.isEmpty) writer else writer.partitionBy(pCols.map(Partitions.mirror): _*))
+    val dirCols = pCols.map(Partitions.mirror) ++
+      (if (bucketSpec.isDefined) Seq("__b") else Nil)
+    (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*))
       .parquet(tmp.toString)
 
     val m = obs.get

@@ -113,13 +113,17 @@ class CarbonishTable(path: String, tableSchema: StructType)
   private def graftTable: graft.engine.GraftTable =
     graft.engine.GraftTable.at(SparkSession.active, path)
 
-  /** Declared hive-style partitioning (identity transforms), from the
-    * table's own metadata. */
+  /** Declared partitioning from the table's own metadata: hive-style
+    * identity transforms, plus the bucket transform when the table is
+    * hash-bucketed. */
   override def partitioning(): Array[Transform] = {
     val layout = new TableLayout(path, SparkSession.active.sessionState.newHadoopConf())
-    layout.readTableMeta().partitionColumns
+    val m = layout.readTableMeta()
+    val ids = m.partitionColumns
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+    val bucket = Buckets.specOf(m).map(bs =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(bs.count, bs.columns: _*))
+    (ids ++ bucket).toArray
   }
 
   // ---------------------------------------------- partition management
@@ -310,6 +314,44 @@ class SegmentFileIndex(
         qp -> Partitions.fileAsSegment(s, rel, schema)
     }
 
+  private lazy val bucketSpec: Option[Buckets.BucketSpec] =
+    try Buckets.specOf(layout.readTableMeta())
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bucket ids that can satisfy the conjunction of `filters`, when the
+    * bucket columns are pinned by equality — a point lookup on a
+    * bucketed 100 TB table reads exactly one bucket's files. None =
+    * not derivable (keep all). */
+  private def allowedBuckets(filters: Seq[Filter]): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    bucketSpec.flatMap { bs =>
+      val dts = bs.columns.flatMap(c => schema.fields.find(_.name == c).map(c -> _.dataType)).toMap
+      if (dts.size != bs.columns.size) None
+      else if (bs.columns.size == 1) {
+        val c = bs.columns.head
+        val dt = dts(c)
+        def id(v: Any): Int = Buckets.bucketIdExternal(bs.count, Seq((v, dt)))
+        val sets = filters.flatMap {
+          case EqualTo(a, v) if a == c && v != null => Some(Set(id(v)))
+          case EqualNullSafe(a, v) if a == c => Some(Set(id(v)))
+          case In(a, vs) if a == c && vs.nonEmpty && !vs.contains(null) =>
+            Some(vs.map(id).toSet)
+          case IsNull(a) if a == c => Some(Set(id(null)))
+          case _ => None
+        }
+        sets.reduceOption(_ intersect _)
+      } else {
+        // multi-column buckets need every column pinned by equality
+        val pinned = bs.columns.map(c => filters.collectFirst {
+          case EqualTo(a, v) if a == c && v != null => (v, dts(c))
+          case EqualNullSafe(a, v) if a == c => (v, dts(c))
+        })
+        if (pinned.exists(_.isEmpty)) None
+        else Some(Set(Buckets.bucketIdExternal(bs.count, pinned.map(_.get))))
+      }
+    }
+  }
+
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -320,23 +362,27 @@ class SegmentFileIndex(
     if (filters.isEmpty || visible.isEmpty) dirs
     else {
       val kept = SegmentPruner.prune(visible, filters).map(_.id).toSet
+      val buckets = allowedBuckets(filters)
       var fileSkipped = 0
       val pruned = dirs.map { d =>
         d.copy(files = d.files.filter { f =>
           val qp = f.getPath.toString
-          segmentOfFile.get(qp).forall { case (s, _) =>
-            kept(s.id) && (fileGrain.get(qp) match {
-              case Some(pm) =>
-                val keep = filters.forall(SegmentPruner.mayMatch(pm, _))
-                if (!keep) fileSkipped += 1
-                keep
-              case None => true
-            })
+          segmentOfFile.get(qp).forall { case (s, rel) =>
+            val keep = kept(s.id) &&
+              (fileGrain.get(qp) match {
+                case Some(pm) => filters.forall(SegmentPruner.mayMatch(pm, _))
+                case None => true
+              }) &&
+              // hash-bucket skip: a tagged file outside the allowed
+              // bucket set cannot hold a matching row
+              buckets.forall(ok => Buckets.tagOf(rel).forall(ok.contains))
+            if (!keep && kept(s.id)) fileSkipped += 1
+            keep
           }
         })
       }.filter(_.files.nonEmpty)
       logInfo(s"[graft] min/max skip: kept ${kept.size}/${visible.size} segments, " +
-        s"skipped $fileSkipped more files (partition/footer grain) for " +
+        s"skipped $fileSkipped more files (partition/footer/bucket grain) for " +
         s"filters ${filters.mkString("[", ", ", "]")}")
       pruned
     }
@@ -564,9 +610,135 @@ case class CarbonishScan(
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.internal.Logging {
 
   @volatile private var current: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = inner
+
+  private lazy val tableMeta: TableMeta = layout.readTableMeta()
+
+  // qualified file path -> (segment, segment-relative path)
+  private lazy val segRelOfFile: Map[String, (SegmentMeta, String)] =
+    visible.flatMap(s => s.files.zip(layout.segmentFilePaths(s)).map { case (rel, p) =>
+      layout.fs.makeQualified(new Path(p)).toString -> (s, rel)
+    }).toMap
+
+  /** Footer min/max of the leading sort column for one planned file
+    * (None = stats missing → ordering can't be claimed through it).
+    * Lookup goes through hadoop Path normalization: planned files print
+    * SparkPath URIs ("file:///…") while the index keys are Path strings
+    * ("file:/…"). */
+  private def leadStats(path: String): Option[(String, String, Long)] =
+    for {
+      (seg, rel) <- segRelOfFile.get(new Path(path).toString)
+      lead <- tableMeta.sortColumns.headOption
+      fm <- seg.fileMeta.get(rel)
+      cs <- fm.stats.get(lead)
+      mn <- cs.min; mx <- cs.max
+    } yield (mn, mx, cs.nullCount)
+
+  /** Bucket layout this scan can expose as KeyGroupedPartitioning:
+    * requires the session opt-in (`spark.sql.sources.v2.bucketing
+    * .enabled`, same gate Spark's own SPJ uses) and every visible file
+    * bucket-tagged — a legacy or external segment without tags makes the
+    * claim unsound, so it is dropped entirely. */
+  private lazy val reportableBuckets: Option[Buckets.BucketSpec] = {
+    val conf = spark.sessionState.conf
+    if (!conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)) None
+    else Buckets.specOf(tableMeta).filter { bs =>
+      visible.nonEmpty && visible.forall(s =>
+        s.format == "parquet" &&
+          s.files.forall(f => Buckets.tagOf(f).exists(b => b >= 0 && b < bs.count)))
+    }
+  }
+
+  // ------------------------------------------------------------ ordering
+
+  private def leadDt: Option[DataType] =
+    tableMeta.sortColumns.headOption.flatMap(c =>
+      tableSchema.fields.find(_.name == c).map(_.dataType))
+
+  /** Reorder a partition's files by leading-sort-column min (footer
+    * stats) — file order inside an InputPartition is semantically free,
+    * and a min-ordered chain is what makes the write-time sort visible
+    * as scan output ordering. No-op when stats are missing/incomparable. */
+  private def orderChain(
+      files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile])
+      : Array[org.apache.spark.sql.execution.datasources.PartitionedFile] = {
+    val dt = leadDt.getOrElse(return files)
+    val stats = files.map(f => leadStats(f.filePath.toString))
+    if (files.length < 2 || stats.exists(_.isEmpty)) return files
+    var ok = true
+    val sorted =
+      try files.zip(stats.map(_.get)).sortWith { case ((_, a), (_, b)) =>
+        StatValue.compareStored(dt, a._1, b._1) match {
+          case Some(c) => c < 0
+          case None => ok = false; false
+        }
+      }.map(_._1)
+      catch { case _: IllegalArgumentException => ok = false; files }
+    if (ok) sorted else files
+  }
+
+  /** SupportsReportOrdering: claim the write-time sort when every
+    * planned partition's file chain provably concatenates sorted —
+    * consecutive files' leading-sort-column ranges must not overlap
+    * (footer stats), nulls confined to the chain head (ASC NULLS FIRST).
+    * Strict boundaries ⇒ the full lexicographic sortColumns order;
+    * touching boundaries ⇒ only the leading column. Unsound cases
+    * (missing stats, mixed sort specs, pruned-out sort column) report
+    * nothing — a wrong claim would silently drop a needed Sort. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val sortCols = tableMeta.sortColumns
+    if (sortCols.isEmpty || visible.isEmpty) return Array.empty
+    if (!visible.forall(s => s.sortColumns == sortCols && s.format == "parquet"))
+      return Array.empty
+    if (visible.forall(_.fileMeta.isEmpty)) return Array.empty
+    val readable = current.readSchema().fieldNames.toSet
+    if (!readable(sortCols.head)) return Array.empty
+    val dt = leadDt.getOrElse(return Array.empty)
+
+    val chains = toBatch.planInputPartitions().map {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+      case b: BucketedFilePartition => b.filePartition.files
+      case _ => return Array.empty
+    }
+    var strict = true
+    for (files <- chains) {
+      val stats = files.map(f => leadStats(f.filePath.toString))
+      if (stats.exists(_.isEmpty)) return Array.empty
+      var i = 0
+      while (i < files.length - 1) {
+        if (stats(i + 1).get._3 > 0) return Array.empty // nulls past chain head
+        StatValue.compareStored(dt, stats(i).get._2, stats(i + 1).get._1) match {
+          case Some(c) if c < 0 => ()
+          case Some(0) => strict = false
+          case _ => return Array.empty
+        }
+        i += 1
+      }
+    }
+    val claim = (if (strict) sortCols else sortCols.take(1)).takeWhile(readable)
+    claim.map(c => Expressions.sort(
+      Expressions.column(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+  }
+
+  /** Storage-partitioned-join contract: one InputPartition per bucket id
+    * (ALL `count` of them, empty buckets included, so the key set — and
+    * with it `numPartitions` — is invariant under static AND runtime
+    * pruning), each carrying that bucket's post-pruning files. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    reportableBuckets match {
+      case Some(bs) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            bs.count, bs.columns: _*)),
+          bs.count)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   // forward size estimates or the relation falls back to
   // defaultSizeInBytes (Long.MaxValue) and auto-broadcast never fires
@@ -583,10 +755,43 @@ case class CarbonishScan(
   // batch must consult the CURRENT state at plan time, not capture it
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
-      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
-        current.toBatch.planInputPartitions()
-      override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        current.toBatch.createReaderFactory()
+      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        import org.apache.spark.sql.execution.datasources.FilePartition
+        val planned = current.toBatch.planInputPartitions()
+        reportableBuckets match {
+          case None =>
+            // min-order each partition's chain so the write-time sort is
+            // reportable as output ordering (outputOrdering above)
+            planned.map {
+              case fp: FilePartition => FilePartition(fp.index, orderChain(fp.files))
+              case other => other
+            }
+          case Some(bs) =>
+            // regroup the delegate's post-pruning files by bucket tag:
+            // partition i = bucket i (HasPartitionKey), all `count`
+            // buckets present so the reported key set always holds
+            val files = planned.flatMap {
+              case fp: FilePartition => fp.files
+              case other => throw new IllegalStateException(
+                s"unexpected non-file partition under a bucketed scan: $other")
+            }
+            val byBucket = files.groupBy { f =>
+              f.filePath.toString.split('/').find(_.startsWith(Buckets.TagPrefix))
+                .flatMap(s => s.substring(Buckets.TagPrefix.length).toIntOption)
+                .getOrElse(throw new IllegalStateException(
+                  s"untagged file in bucketed scan: ${f.filePath}"))
+            }
+            Array.tabulate[org.apache.spark.sql.connector.read.InputPartition](bs.count) { b =>
+              BucketedFilePartition(b,
+                FilePartition(b, orderChain(byBucket.getOrElse(b, Array.empty))))
+            }
+        }
+      }
+      override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+        val delegate = current.toBatch.createReaderFactory()
+        if (reportableBuckets.isEmpty) delegate
+        else BucketUnwrapReaderFactory(delegate)
+      }
     }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -614,4 +819,38 @@ case class MetadataAggScan(values: Seq[Any], aggSchema: StructType) extends Loca
   override def rows(): Array[InternalRow] = Array(InternalRow(values: _*))
   override def readSchema(): StructType = aggSchema
   override def description(): String = s"GraftMetadataAggScan(${values.mkString(",")})"
+}
+
+/** One bucket's files as an InputPartition keyed by the bucket id —
+  * the HasPartitionKey half of the storage-partitioned-join contract. */
+case class BucketedFilePartition(
+    bucketId: Int,
+    filePartition: org.apache.spark.sql.execution.datasources.FilePartition)
+  extends org.apache.spark.sql.connector.read.InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+  override def preferredLocations(): Array[String] =
+    filePartition.preferredLocations()
+}
+
+/** Routes [[BucketedFilePartition]]s to the delegated parquet reader
+  * factory (which pattern-matches on FilePartition). */
+case class BucketUnwrapReaderFactory(
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def unwrap(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.InputPartition = p match {
+    case b: BucketedFilePartition => b.filePartition
+    case other => other
+  }
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }

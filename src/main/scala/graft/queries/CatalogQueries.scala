@@ -58,7 +58,42 @@ object CatalogQueries {
     cat
   }
 
+  /** Cached co-bucketed catalog table (non-destructive rows). */
+  private def bucketedTable(
+      s: SparkSession, d: String, name: String, src: => DataFrame,
+      bucketCol: String, buckets: Int): String = lock.synchronized {
+    val (cat, w) = warehouse(s, d)
+    val p = s"$w/default/$name"
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    val ok = layout.exists && layout.readStatus().visible.nonEmpty &&
+      layout.readTableMeta().properties.get("bucket_columns").contains(bucketCol)
+    if (!ok) {
+      GraftTable.drop(s, p)
+      GraftTable.createAsSelect(s, p, src, Seq(bucketCol),
+        properties = Map("bucket_columns" -> bucketCol, "bucket_count" -> buckets.toString))
+      s.catalog.clearCache()
+    }
+    cat
+  }
+
   def queries: Map[String, QFn] = Map(
+    // storage-partitioned join over two co-bucketed tables: with
+    // spark.sql.sources.v2.bucketing.enabled the scans report
+    // KeyGroupedPartitioning(bucket(16, custkey)) and the join plans
+    // WITHOUT a shuffle on either side (plan-asserted in BucketSpec;
+    // this row oracle-checks the values through the bucketed layout)
+    "q_bucket_join" -> ((s, d) => {
+      val cat = bucketedTable(s, d, "orders_bkt",
+        t(s, d, "orders"), "o_custkey", 16)
+      bucketedTable(s, d, "customer_bkt", t(s, d, "customer"), "c_custkey", 16)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(
+        s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+            CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+            FROM $cat.default.orders_bkt o
+            JOIN $cat.default.customer_bkt c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""")
+    }),
     // UPDATE ... SET ... WHERE through spark.sql on a catalog table name
     "q_sql_update" -> ((s, d) => {
       val cat = freshCatalogTable(s, d, "sqlupd", t(s, d, "orders"), Seq("o_orderkey"))
@@ -79,6 +114,11 @@ object CatalogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_bucket_join" ->
+      s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+          ${oDsum("o.o_totalprice")} AS sum_price
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment""",
     "q_sql_update" ->
       """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-SQL' ELSE o_orderpriority END
            AS o_orderpriority, count(*) AS cnt
