@@ -43,15 +43,17 @@ object Mutation {
     vis.map(s => s -> t.layout.segmentFilePaths(s))
   }
 
-  /** Which visible segments contain rows matching `cond`, and how many
-    * matching rows each holds? One Spark job over (pruned) candidate
-    * files — the per-file count rides the same scan that finds the
-    * affected files, so callers that need the matched-row count (UPDATE's
-    * return value) pay no second pass. An `observe()` on the rewrite job
-    * is NOT equivalent: GLOBAL_SORT's range-partition sampling executes
-    * the plan twice and double-counts the metric. */
-  private def affectedSegments(
-      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column): Map[Long, Long] = {
+  /** Which FILES of which visible segments contain rows matching `cond`,
+    * and how many matching rows each holds? One Spark job over (pruned)
+    * candidate files — the per-file count rides the same scan that finds
+    * the affected files, so callers that need the matched-row count
+    * (UPDATE's return value) pay no second pass. An `observe()` on the
+    * rewrite job is NOT equivalent: GLOBAL_SORT's range-partition
+    * sampling executes the plan twice and double-counts the metric.
+    * Returns segId -> (relPath -> matchCount). */
+  private def affectedFiles(
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column)
+      : Map[Long, Map[String, Long]] = {
     if (segs.isEmpty) return Map.empty
     val spark = t.spark
     val files = segs.flatMap(_._2)
@@ -64,35 +66,63 @@ object Mutation {
       .count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // _metadata.file_path is file:///-qualified; match on suffix
-    segs.flatMap { case (m, fs) =>
-      val n = hit.collect {
-        case (h, c) if fs.exists(f => h.endsWith(f) || f.endsWith(h)) => c
-      }.sum
-      if (n > 0) Some(m.id -> n) else None
+    // _metadata.file_path is file:///-qualified; normalize both sides
+    // through hadoop Path for an exact (not suffix) match
+    val fs = t.layout.fs
+    val byNorm: Map[String, (Long, String)] = segs.flatMap { case (m, abs) =>
+      m.files.zip(abs).map { case (rel, a) =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toString -> (m.id, rel)
+      }
     }.toMap
+    hit.toSeq.map { case (h, c) =>
+      val norm = new org.apache.hadoop.fs.Path(h).toString
+      // every hit comes from the very file list we scanned — a failed
+      // lookup means the normalization broke, and silently dropping it
+      // would leave matching rows un-rewritten
+      val (id, rel) = byNorm.getOrElse(norm, throw new IllegalStateException(
+        s"affected file $h ($norm) not found in the scanned file set"))
+      (id, rel, c)
+    }.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(x => x._2 -> x._3).toMap
+    }
   }
 
-  /** Atomic swap: retire `victims`, publish `replacement`. Optimistic
-    * concurrency: inside the commit (under the table lock) every victim
-    * must still be visible — if a concurrent mutation/compaction retired
-    * one, publishing our replacement would resurrect its pre-image rows,
-    * so the swap aborts with [[ConcurrentMutationException]] instead. */
+  /** Atomic swap: retire `victims` (whole segments) and the
+    * `partialVictims` FILES (file-grain copy-on-write — the segment
+    * survives minus those files, with footer-exact count decrements and
+    * refreshed stats), publish `replacement`. Optimistic concurrency:
+    * inside the commit (under the table lock) every victim must still be
+    * visible — and every partial victim must still LIST the files being
+    * retired (a concurrent file-grain mutation may have already swapped
+    * them) — else publishing our replacement would resurrect pre-image
+    * rows, so the swap aborts with [[ConcurrentMutationException]]. */
   private[engine] def swap(
-      t: GraftTable, victims: Set[Long], replacement: Option[SegmentMeta]): Unit =
+      t: GraftTable, victims: Set[Long], replacement: Option[SegmentMeta],
+      partialVictims: Map[Long, Seq[String]] = Map.empty): Unit =
     try t.layout.commit { st =>
       val vis = st.segments.filter(_.isVisible).map(_.id).toSet
-      val lost = victims -- vis
+      val lost = (victims ++ partialVictims.keys) -- vis
       if (lost.nonEmpty) throw new ConcurrentMutationException(
         s"segments ${lost.toSeq.sorted.mkString(",")} were retired concurrently")
+      partialVictims.foreach { case (id, rels) =>
+        val s = st.segments.find(_.id == id).get
+        val gone = rels.filterNot(s.files.contains)
+        if (gone.nonEmpty) throw new ConcurrentMutationException(
+          s"files ${gone.mkString(",")} of segment $id were rewritten concurrently")
+        if (!rels.forall(s.fileMeta.contains)) throw new ConcurrentMutationException(
+          s"segment $id lost footer metadata mid-rewrite")
+      }
       // the reserved replacement record must still exist, or the swap
       // would silently retire victims while publishing nothing
       replacement.foreach(r => require(st.segments.exists(_.id == r.id),
         s"segment ${r.id} record vanished during rewrite (reclaimed as stale?)"))
+      val schema = t.schema
       st.copy(segments = st.segments.map { s =>
         if (replacement.exists(_.id == s.id)) replacement.get
         else if (victims.contains(s.id) && s.isVisible)
           s.copy(status = SegmentStatus.MarkedForDelete)
+        else if (partialVictims.contains(s.id) && s.isVisible)
+          graft.engine.format.Partitions.retireFiles(s, partialVictims(s.id), schema)
         else s
       })
     } catch {
@@ -164,17 +194,43 @@ object Mutation {
   private def rewriteAffectedOnce(
       t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
     val segs = visibleFiles(t)
-    val affected = affectedSegments(t, segs, cond)
+    val affected = affectedFiles(t, segs, cond)
     if (affected.isEmpty) return (0L, 0L, 0L)
-    val victimFiles = segs.filter(p => affected.contains(p._1.id)).flatMap(_._2)
-    val before = segs.filter(p => affected.contains(p._1.id)).map(_._1.rowCount).sum
-    val rows = t.spark.read.schema(t.schema).parquet(victimFiles: _*)
+
+    // FILE-grain copy-on-write where footer metadata allows it: only the
+    // files holding matches are read, rewritten into the new segment and
+    // retired from their segment's file list — a point update on a 1 GB
+    // segment rewrites one file, not thirty. Segments without per-file
+    // metadata (legacy/external) fall back to whole-segment rewrite.
+    val byId = segs.map(p => p._1.id -> p).toMap
+    var fullVictims = Set.empty[Long]
+    var partialVictims = Map.empty[Long, Seq[String]]
+    var readFiles = Vector.empty[String]
+    var before = 0L
+    affected.foreach { case (id, hits) =>
+      val (s, abs) = byId(id)
+      val rels = hits.keys.toSeq.sorted
+      val partialOk = s.externalPath.isEmpty &&
+        rels.size < s.files.size && rels.forall(s.fileMeta.contains)
+      val absOf = s.files.zip(abs).toMap
+      if (partialOk) {
+        partialVictims += id -> rels
+        readFiles ++= rels.map(absOf)
+        before += rels.map(s.fileMeta(_).rows).sum
+      } else {
+        fullVictims += id
+        readFiles ++= abs
+        before += s.rowCount
+      }
+    }
+
+    val rows = t.spark.read.schema(t.schema).parquet(readFiles: _*)
     val id = reserve(t)
     val seg =
       try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id)
       catch { case e: Throwable => retire(t, id); throw e }
-    swap(t, affected.keySet, Some(seg))
-    (before, seg.rowCount, affected.values.sum)
+    swap(t, fullVictims, Some(seg), partialVictims)
+    (before, seg.rowCount, affected.values.map(_.values.sum).sum)
   }
 
   /** DELETE FROM t WHERE cond. Returns #rows deleted. */

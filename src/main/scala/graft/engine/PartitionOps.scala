@@ -203,6 +203,7 @@ object PartitionOps {
       return n > 0 || droppedFromRegistry
     }
 
+    val schema = t.schema
     var droppedFiles = false
     t.layout.commit { st =>
       st.copy(segments = st.segments.map { s =>
@@ -212,17 +213,11 @@ object PartitionOps {
           if (fs.isEmpty) s
           else {
             droppedFiles = true
-            val fset = fs.toSet
-            val droppedRows = fs.map(s.fileMeta(_).rows).sum
-            val droppedBytes = fs.map(s.fileMeta(_).bytes).sum
-            val remaining = s.files.filterNot(fset)
-            s.copy(
-              files = remaining,
-              fileMeta = s.fileMeta -- fset,
-              removedFiles = s.removedFiles ++ fs,
-              rowCount = if (s.rowCount >= 0) s.rowCount - droppedRows else s.rowCount,
-              sizeBytes = math.max(0L, s.sizeBytes - droppedBytes),
-              status = if (remaining.isEmpty) SegmentStatus.MarkedForDelete else s.status)
+            require(fs.forall(s.fileMeta.contains),
+              s"segment ${s.id} lost footer metadata for ${fs.mkString(",")} mid-drop")
+            // metadata retire incl. stats refresh — stale segment stats
+            // would poison metadata MIN/MAX and IsNotNull pruning
+            Partitions.retireFiles(s, fs, schema)
           }
         }
       })

@@ -84,6 +84,59 @@ object Partitions {
           .map(enc => ColumnStats(Some(enc), Some(enc), nullCount = 0L))
     }
 
+  /** Retire `rels` from a segment's file list as a pure metadata edit:
+    * exact row/byte decrements from footer counts, tombstones for CLEAN
+    * FILES, and — critically — per-column stats REFRESHED from the
+    * remaining files' footer stats, or dropped when they can't be:
+    * stale min/max would let a metadata-only MIN/MAX answer with a
+    * deleted value, and a stale nullCount can make IsNotNull pruning
+    * skip live rows. Absent stats are merely slower (scan fallback /
+    * conservative keep), never wrong.
+    *
+    * Caller must have verified every rel has a fileMeta entry. */
+  def retireFiles(s: SegmentMeta, rels: Seq[String], schema: StructType): SegmentMeta = {
+    val rset = rels.toSet
+    val droppedRows = rels.map(s.fileMeta(_).rows).sum
+    val droppedBytes = rels.map(s.fileMeta(_).bytes).sum
+    val remaining = s.files.filterNot(rset)
+    val remainingMeta = s.fileMeta -- rset
+    val newStats = s.stats.flatMap { case (c, _) =>
+      val dtOpt = schema.fields.find(_.name == c).map(_.dataType)
+      val perFile = remaining.map(f => remainingMeta.get(f).flatMap(_.stats.get(c)))
+      if (remaining.isEmpty || dtOpt.isEmpty || perFile.exists(_.isEmpty)) None // drop
+      else {
+        val dt = dtOpt.get
+        val cs = perFile.flatten
+        // fold footer stats with the column's own comparison family
+        // (string = lexical, everything else = decimal); an incomparable
+        // pair (e.g. non-ASCII strings) drops the entry — absent stats
+        // are conservative, stale ones are not
+        val mins = cs.flatMap(_.min)
+        val maxs = cs.flatMap(_.max)
+        var comparable = true
+        def fold(vs: Seq[String], wantMin: Boolean): Option[String] =
+          vs.reduceLeftOption[String] { (a, b) =>
+            StatValue.compareStored(dt, a, b) match {
+              case Some(cmp) => if ((cmp <= 0) == wantMin) a else b
+              case None => comparable = false; a
+            }
+          }
+        val minF = fold(mins, wantMin = true)
+        val maxF = fold(maxs, wantMin = false)
+        if (!comparable) None
+        else Some(c -> ColumnStats(minF, maxF, cs.map(_.nullCount).sum))
+      }
+    }
+    s.copy(
+      files = remaining,
+      fileMeta = remainingMeta,
+      removedFiles = s.removedFiles ++ rels,
+      rowCount = if (s.rowCount >= 0) s.rowCount - droppedRows else s.rowCount,
+      sizeBytes = math.max(0L, s.sizeBytes - droppedBytes),
+      stats = newStats,
+      status = if (remaining.isEmpty) SegmentStatus.MarkedForDelete else s.status)
+  }
+
   /** Per-FILE pseudo segment-meta: segment stats refined by footer file
     * stats and the path-encoded partition tuple. Both refinements bound
     * the file's contents, so [[SegmentPruner.mayMatch]] over this meta

@@ -38,15 +38,19 @@ object TextQueries {
       val scores = markers.map { case (l, ws) =>
         l -> ws.map(w => occ(padded, w)).reduce(_ + _)
       }
-      // argmax with deterministic lang-asc tiebreak; all-zero → 'und'
-      // (seed score 0 so a zero-marker doc keeps 'und' — strict > below)
-      val best = langOrder.map(scores)
-        .zip(langOrder)
-        .foldLeft((lit(0L), lit("und"))) { case ((bs, bl), (sc, l)) =>
-          (when(sc > bs, sc).otherwise(bs), when(sc > bs, lit(l)).otherwise(bl))
-        }
+      // argmax with deterministic lang-asc tiebreak; all-zero → 'und'.
+      // ONE array_max over (score, -langIdx, lang) structs: a when-fold
+      // here duplicates the accumulated tree at every step (2^langs
+      // copies of every score expression — blows codegen out of
+      // whole-stage limits); struct-max keeps each score expression in
+      // the plan exactly once.
+      val entries = langOrder.zipWithIndex.map { case (l, i) =>
+        struct(scores(l).as("s"), lit(-i).as("r"), lit(l).as("l"))
+      }
+      val top = array_max(array(entries: _*))
+      val pred = when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
       t(s, d, "documents")
-        .select(col("doc_id"), best._2.as("pred_lang"), col("lang").as("tagged_lang"))
+        .select(col("doc_id"), pred.as("pred_lang"), col("lang").as("tagged_lang"))
     }),
     "q_text_quality" -> ((s, d) => {
       // quality signals: length, word count, mean word length, punctuation

@@ -31,16 +31,23 @@ class MutationSpec extends AnyFunSuite {
     (t, src)
   }
 
-  test("delete rewrites only affected segments") {
+  test("delete rewrites only affected segments (file grain where possible)") {
     val (t, src) = ordersTable()
-    val before = t.status.visible.map(_.id).toSet
+    val beforeSegs = t.status.visible
     // predicate confined to segment 0's key range
     val n = t.delete(col("o_orderkey") < 100)
     assert(n == src.filter(col("o_orderkey") < 100).count())
     checkSame(t.read, src.filter(col("o_orderkey") >= 100))
-    val after = t.status.visible.map(_.id).toSet
-    // segments 1,2 untouched; segment 0 replaced by one new segment
-    assert((before & after).size == 2, s"$before -> $after")
+    val after = t.status.visible
+    // segments 1,2 untouched BYTE-FOR-BYTE; segment 0 either fully
+    // retired or (file-grain) surviving with fewer rows
+    Seq(1L, 2L).foreach { id =>
+      assert(after.find(_.id == id) == beforeSegs.find(_.id == id),
+        s"segment $id must be untouched")
+    }
+    val seg0 = after.find(_.id == 0L)
+    assert(seg0.forall(_.rowCount < beforeSegs.find(_.id == 0L).get.rowCount),
+      s"segment 0 must shrink or retire, got $seg0")
   }
 
   test("delete with no matches is a no-op") {
@@ -74,7 +81,9 @@ class MutationSpec extends AnyFunSuite {
     assert(n == src.filter(col("o_orderkey") < 100).count())
     val expected = src.filter(col("o_orderkey") >= 100).unionByName(repl)
     checkSame(t.read, expected)
-    assert((before & t.status.visible.map(_.id).toSet).size == 2,
+    // segments 1,2 must survive untouched (segment 0 may also survive
+    // shrunk — file-grain copy-on-write)
+    assert((before & t.status.visible.map(_.id).toSet).size >= 2,
       "unmatched segments must not be rewritten")
     // no matching rows: degenerates to a plain append
     val extra = src.filter(col("o_orderkey") < 5)

@@ -149,6 +149,23 @@ class PartitionSpec extends AnyFunSuite {
     assert(afterDyn == Seq((7, "a"), (8, "c"), (9, "b")), afterDyn.toString)
   }
 
+  test("metadata MIN/MAX stays correct after metadata-only DROP PARTITION") {
+    // p=0 holds k ∈ {0,3,6,...}; dropping it moves min(k) to 1 — a stale
+    // segment stat would answer 0 from the zero-IO metadata agg path
+    val src = spark.range(0, 300).selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+    val t = GraftTable.create(spark, tmp(), src.schema,
+      sortColumns = Seq("k"), partitionColumns = Seq("p"))
+    t.insert(src)
+    val pSchema = PartitionOps.partitionSchema(t.meta, t.schema)
+    val ident = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0))
+    assert(PartitionOps.dropPartition(t, pSchema, ident))
+    val r = t.read.agg(min("k"), max("k"), count(lit(1))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 299L, 200L)), r.toString)
+    // IsNotNull pruning must not skip the surviving rows either
+    assert(t.read.filter(col("k").isNotNull).count() == 200)
+  }
+
   test("null partition value round-trips via the default-partition dir") {
     val src = spark.sql("SELECT * FROM VALUES (1, 'x'), (2, CAST(NULL AS STRING)) AS t(k, p)")
     val t = GraftTable.create(spark, tmp(), src.schema, partitionColumns = Seq("p"))
