@@ -66,26 +66,35 @@ object Mutation {
       .count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // _metadata.file_path is file:///-qualified; normalize both sides
-    // through hadoop Path for an exact (not suffix) match
-    val fs = t.layout.fs
-    val byNorm: Map[String, (Long, String)] = segs.flatMap { case (m, abs) =>
-      m.files.zip(abs).map { case (rel, a) =>
-        fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toString -> (m.id, rel)
-      }
-    }.toMap
+    val byNorm = normIndex(t, segs)
     hit.toSeq.map { case (h, c) =>
-      val norm = new org.apache.hadoop.fs.Path(h).toString
-      // every hit comes from the very file list we scanned — a failed
-      // lookup means the normalization broke, and silently dropping it
-      // would leave matching rows un-rewritten
-      val (id, rel) = byNorm.getOrElse(norm, throw new IllegalStateException(
-        s"affected file $h ($norm) not found in the scanned file set"))
+      val (id, rel) = resolveHit(byNorm, h)
       (id, rel, c)
     }.groupBy(_._1).map { case (id, xs) =>
       id -> xs.map(x => x._2 -> x._3).toMap
     }
   }
+
+  /** Qualified-path index over the visible file set (for mapping
+    * `_metadata.file_path` hits back to (segmentId, relPath)). */
+  private[engine] def normIndex(
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])]): Map[String, (Long, String)] = {
+    val fs = t.layout.fs
+    segs.flatMap { case (m, abs) =>
+      m.files.zip(abs).map { case (rel, a) =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toString -> (m.id, rel)
+      }
+    }.toMap
+  }
+
+  /** hadoop-Path-normalized exact lookup. A failed lookup means the
+    * normalization broke — silently dropping it would leave matching
+    * rows un-rewritten, so it throws. */
+  private[engine] def resolveHit(
+      byNorm: Map[String, (Long, String)], hitPath: String): (Long, String) =
+    byNorm.getOrElse(new org.apache.hadoop.fs.Path(hitPath).toString,
+      throw new IllegalStateException(
+        s"affected file $hitPath not found in the scanned file set"))
 
   /** Atomic swap: retire `victims` (whole segments) and the
     * `partialVictims` FILES (file-grain copy-on-write — the segment
@@ -191,25 +200,25 @@ object Mutation {
     false
   }
 
-  private def rewriteAffectedOnce(
-      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
-    val segs = visibleFiles(t)
-    val affected = affectedFiles(t, segs, cond)
-    if (affected.isEmpty) return (0L, 0L, 0L)
-
-    // FILE-grain copy-on-write where footer metadata allows it: only the
-    // files holding matches are read, rewritten into the new segment and
-    // retired from their segment's file list — a point update on a 1 GB
-    // segment rewrites one file, not thirty. Segments without per-file
-    // metadata (legacy/external) fall back to whole-segment rewrite.
+  /** FILE-grain copy-on-write where footer metadata allows it: only the
+    * files holding matches are read, rewritten into the new segment and
+    * retired from their segment's file list — a point update on a 1 GB
+    * segment rewrites one file, not thirty. Segments without per-file
+    * metadata (legacy/external), or with every file affected, fall back
+    * to whole-segment rewrite. Returns (full victims, partial victims,
+    * files to read, pre-image row count). */
+  private[engine] def splitVictims(
+      segs: Seq[(SegmentMeta, Seq[String])],
+      affected: Map[Long, Set[String]])
+      : (Set[Long], Map[Long, Seq[String]], Seq[String], Long) = {
     val byId = segs.map(p => p._1.id -> p).toMap
     var fullVictims = Set.empty[Long]
     var partialVictims = Map.empty[Long, Seq[String]]
     var readFiles = Vector.empty[String]
     var before = 0L
-    affected.foreach { case (id, hits) =>
+    affected.foreach { case (id, hitRels) =>
       val (s, abs) = byId(id)
-      val rels = hits.keys.toSeq.sorted
+      val rels = hitRels.toSeq.sorted
       val partialOk = s.externalPath.isEmpty &&
         rels.size < s.files.size && rels.forall(s.fileMeta.contains)
       val absOf = s.files.zip(abs).toMap
@@ -223,7 +232,17 @@ object Mutation {
         before += s.rowCount
       }
     }
+    (fullVictims, partialVictims, readFiles, before)
+  }
 
+  private def rewriteAffectedOnce(
+      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
+    val segs = visibleFiles(t)
+    val affected = affectedFiles(t, segs, cond)
+    if (affected.isEmpty) return (0L, 0L, 0L)
+
+    val (fullVictims, partialVictims, readFiles, before) =
+      splitVictims(segs, affected.map { case (id, m) => id -> m.keySet })
     val rows = t.spark.read.schema(t.schema).parquet(readFiles: _*)
     val id = reserve(t)
     val seg =
@@ -358,28 +377,29 @@ class MergeBuilder private[engine] (
     val segs = Mutation.visibleFiles(target)
     if (segs.isEmpty && notMatched.isEmpty) return None
 
-    // Scope of rewrite: segments with matched rows — unless an
-    // exists-only-on-target action must see every target row.
+    // Scope of rewrite: the FILES with matched rows (file-grain, like
+    // update/delete) — unless an exists-only-on-target action must see
+    // every target row, which forces whole-table scope.
     val allFiles = segs.flatMap(_._2)
-    val affectedIds: Set[Long] =
-      if (onlyTarget.nonEmpty) segs.map(_._1.id).toSet
-      else if (allFiles.isEmpty) Set.empty
+    val affected: Map[Long, Set[String]] =
+      if (onlyTarget.nonEmpty) segs.map(p => p._1.id -> p._1.files.toSet).toMap
+      else if (allFiles.isEmpty) Map.empty
       else {
         val tgt = spark.read.schema(schema).parquet(allFiles: _*)
           .select((schema.fieldNames.map(col).toSeq :+ col("_metadata.file_path").as("__fp")): _*)
           .as("t")
         val hit = tgt.join(source.as("s"), condition)
           .select(col("__fp")).distinct().collect().map(_.getString(0)).toSet
-        segs.filter { case (_, fs) =>
-          fs.exists(f => hit.exists(h => h.endsWith(f) || f.endsWith(h)))
-        }.map(_._1.id).toSet
+        val byNorm = Mutation.normIndex(target, segs)
+        hit.toSeq.map(Mutation.resolveHit(byNorm, _))
+          .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
       }
 
-    val victimFiles = segs.filter(p => affectedIds.contains(p._1.id)).flatMap(_._2)
+    val (fullVictims, partialVictims, readFiles, _) = Mutation.splitVictims(segs, affected)
     val tgtRows =
-      if (victimFiles.isEmpty) spark.createDataFrame(
+      if (readFiles.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(victimFiles: _*)
+      else spark.read.schema(schema).parquet(readFiles: _*)
 
     // full-outer join with presence markers (reference plans the same
     // shape, CarbonMergeDataSetCommand.scala:66)
@@ -467,10 +487,11 @@ class MergeBuilder private[engine] (
       try SegmentWriter.write(target.layout, target.meta, merged, id)
       catch { case e: Throwable => Mutation.retire(target, id); throw e }
     // swap enforces victim visibility under the lock: a concurrent
-    // update/delete/compaction that retired an affected segment mid-merge
-    // aborts the publish (and retires this orphan) instead of silently
-    // resurrecting the victim's pre-image rows
-    Mutation.swap(target, affectedIds, Some(seg))
+    // update/delete/compaction that retired an affected segment (or
+    // rewrote an affected FILE) mid-merge aborts the publish (and
+    // retires this orphan) instead of silently resurrecting the
+    // victim's pre-image rows
+    Mutation.swap(target, fullVictims, Some(seg), partialVictims)
     Some(id)
 
     } finally if (history.nonEmpty) withAct.unpersist()
