@@ -138,7 +138,7 @@ object SegmentWriter {
 
   /** Recursively list `*.parquet` under `dir` as (path relative to
     * `base`, length), sorted by relative path. */
-  private[format] def listParquetFiles(
+  private[engine] def listParquetFiles(
       fs: org.apache.hadoop.fs.FileSystem,
       base: Path,
       dir: Path): Seq[(String, Long)] = {

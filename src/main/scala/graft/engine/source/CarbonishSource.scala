@@ -102,13 +102,14 @@ class CarbonishTable(path: String, tableSchema: StructType)
   def tablePath: String = path
   override def name(): String = s"carbonish.`$path`"
   override def schema(): StructType = tableSchema
-  // no OVERWRITE_DYNAMIC: Spark's dynamic-partition overwrite requires a
-  // full DSv2 BatchWrite (TableCapabilityCheck hard-requires BATCH_WRITE
-  // there — the V1 fallback only plans append/filter-overwrite); dynamic
-  // semantics are available as GraftTable.insertOverwriteDynamic
+  // append/truncate/filter-overwrite run through the V1 write (the
+  // planner dispatches per Write instance); BATCH_WRITE+OVERWRITE_DYNAMIC
+  // exist for the one plan that hard-requires a real BatchWrite —
+  // INSERT OVERWRITE in dynamic partition mode (DynamicOverwriteWrite)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC).asJava
 
   private def graftTable: graft.engine.GraftTable =
     graft.engine.GraftTable.at(SparkSession.active, path)
@@ -239,7 +240,8 @@ class CarbonishTable(path: String, tableSchema: StructType)
     * [[graft.engine.Mutation.insertOverwriteWhere]]. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var mode: String = "append"
       private var overwriteFilters: Array[Filter] = Array.empty
       override def truncate(): WriteBuilder = { mode = "truncate"; this }
@@ -249,7 +251,11 @@ class CarbonishTable(path: String, tableSchema: StructType)
         else { mode = "filter"; overwriteFilters = filters }
         this
       }
-      override def build(): Write = new V1Write {
+      override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
+      override def build(): Write =
+        if (mode == "dynamic") new DynamicOverwriteWrite(path, info)
+        else buildV1
+      private def buildV1: Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {

@@ -140,13 +140,28 @@ class PartitionSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(afterStatic == Seq((1, "a"), (9, "b")), afterStatic.toString)
 
-    // dynamic (API form): partitions present in the data replaced, others kept
-    val t = GraftTable.at(spark, s"$wh/ns/ow")
-    import spark.implicits._
-    t.insertOverwriteDynamic(Seq((7, "a"), (8, "c")).toDF("k", "p"))
+    // dynamic via SQL: the real DSv2 BatchWrite path
+    // (OverwritePartitionsDynamic → DynamicOverwriteWrite)
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE gp2.ns.ow VALUES (7, 'a'), (8, 'c')")
+    finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     val afterDyn = spark.sql("SELECT k, p FROM gp2.ns.ow ORDER BY k")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(afterDyn == Seq((7, "a"), (8, "c"), (9, "b")), afterDyn.toString)
+
+    // dynamic via the API form too (bucketed tables / path-addressed use)
+    val t = GraftTable.at(spark, s"$wh/ns/ow")
+    import spark.implicits._
+    t.insertOverwriteDynamic(Seq((5, "c"), (6, "d")).toDF("k", "p"))
+    val afterApi = spark.sql("SELECT k, p FROM gp2.ns.ow ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(afterApi == Seq((5, "c"), (6, "d"), (7, "a"), (9, "b")), afterApi.toString)
+    // new-segment metadata from the BatchWrite path is exact
+    assert(t.countStar == 4)
   }
 
   test("metadata MIN/MAX stays correct after metadata-only DROP PARTITION") {
