@@ -422,7 +422,7 @@ class CarbonishScanBuilder(
 
   private val fileIndex = new SegmentFileIndex(spark, layout, visible, schema)
   private val delegate = ParquetScanBuilder(spark, fileIndex, schema, schema, options)
-  private var metaAgg: Option[(Seq[Any], StructType)] = None
+  private var metaAgg: Option[(Seq[Seq[Any]], StructType)] = None
   // any predicate at all (pushed or residual) disables the metadata count
   private var sawFilters = false
   private var requiredSchema: Option[StructType] = None
@@ -546,8 +546,53 @@ class CarbonishScanBuilder(
     if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
   }
 
+  /** GROUP BY ⊆ partition columns with COUNT(*) aggregates: one result
+    * row per partition tuple, counts summed from footer row counts —
+    * `SELECT dt, count(*) FROM t GROUP BY dt` on a 100 TB table opens
+    * zero files (the classic metastore-count trick, done from the
+    * path-encoded tuples). Sound only when every visible file carries
+    * both its tuple and an exact footer count. */
+  private def metadataGroupRows(aggregation: Aggregation): Option[Seq[Seq[Any]]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (sawFilters || visible.isEmpty) return None
+    if (aggregation.groupByExpressions.isEmpty) return None
+    if (aggregation.aggregateExpressions.isEmpty ||
+        !aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
+    val pCols = try layout.readTableMeta().partitionColumns
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (pCols.isEmpty) return None
+    val groupCols = aggregation.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => return None
+    }
+    if (!groupCols.forall(pCols.contains)) return None
+    val groupDts = groupCols.map(c => schema.fields.find(_.name == c).getOrElse(return None).dataType)
+
+    // every visible file must carry a full tuple + exact footer rows
+    val perFile: Seq[(Seq[Option[String]], Long)] = visible.flatMap { s =>
+      if (s.format != "parquet") return None
+      s.files.map { rel =>
+        val byName = Partitions.tupleFromPath(rel).toMap
+        val raw = groupCols.map(c => byName.get(c).getOrElse(return None))
+        val rows = s.fileMeta.get(rel).map(_.rows).getOrElse(return None)
+        (raw, rows)
+      }
+    }
+    val grouped = perFile.groupBy(_._1).toSeq.map { case (raw, xs) =>
+      val key = raw.zip(groupDts).map {
+        case (None, _) => null
+        case (Some(r), dt) => Partitions.castRaw(r, dt).getOrElse(return None)
+      }
+      (key, xs.map(_._2).sum)
+    }
+    // (groupKey values..., count) per tuple; the caller lays the row out
+    // to the pushed-agg schema by field name
+    Some(grouped.map { case (key, cnt) => key :+ cnt })
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     metadataAggValues(aggregation).isDefined ||
+      metadataGroupRows(aggregation).isDefined ||
       delegate.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
@@ -556,10 +601,31 @@ class CarbonishScanBuilder(
         AggregatePushDownUtils.getSchemaForPushedAggregation(
           aggregation, schema, Set.empty[String], Seq.empty) match {
           case Some(aggSchema) =>
-            metaAgg = Some((values, aggSchema)); true
+            metaAgg = Some((Seq(values), aggSchema)); true
           case None => delegate.pushAggregation(aggregation)
         }
-      case None => delegate.pushAggregation(aggregation)
+      case None => metadataGroupRows(aggregation) match {
+        case Some(rows) =>
+          val pCols = layout.readTableMeta().partitionColumns
+          AggregatePushDownUtils.getSchemaForPushedAggregation(
+            aggregation, schema, pCols.toSet, Seq.empty) match {
+            case Some(aggSchema) =>
+              // rows above are (groupKey..., count); reorder per the
+              // pushed schema's field layout
+              val groupCols = aggregation.groupByExpressions.toSeq.map(
+                _.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+                  .fieldNames()(0))
+              val reordered = rows.map { r =>
+                val key = groupCols.zip(r.init).toMap
+                aggSchema.fields.toSeq.map { f =>
+                  key.getOrElse(f.name, r.last) // non-group field = the count
+                }
+              }
+              metaAgg = Some((reordered, aggSchema)); true
+            case None => delegate.pushAggregation(aggregation)
+          }
+        case None => delegate.pushAggregation(aggregation)
+      }
     }
 
   /** Scan over a reduced segment set, preserving column pruning. */
@@ -819,12 +885,15 @@ case class CarbonishScan(
   }
 }
 
-/** Driver-local one-row scan carrying metadata-answered aggregates
-  * (count(*) / min / max from tablestatus stats — zero file IO). */
-case class MetadataAggScan(values: Seq[Any], aggSchema: StructType) extends LocalScan {
-  override def rows(): Array[InternalRow] = Array(InternalRow(values: _*))
+/** Driver-local scan carrying metadata-answered aggregates: one row for
+  * grouping-free count(*)/min/max, one row per partition tuple for
+  * GROUP BY partition-columns — zero file IO either way. */
+case class MetadataAggScan(rowValues: Seq[Seq[Any]], aggSchema: StructType) extends LocalScan {
+  override def rows(): Array[InternalRow] =
+    rowValues.map(vs => InternalRow(vs: _*)).toArray
   override def readSchema(): StructType = aggSchema
-  override def description(): String = s"GraftMetadataAggScan(${values.mkString(",")})"
+  override def description(): String =
+    s"GraftMetadataAggScan(${rowValues.size} rows)"
 }
 
 /** One bucket's files as an InputPartition keyed by the bucket id —

@@ -157,6 +157,12 @@ object EngineQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
     }),
+    // GROUP BY partition column + count(*) answered purely from the
+    // path-encoded tuples and footer row counts — zero files opened
+    // (plan-asserted in PartitionSpec)
+    "q_partition_groupby_meta" -> ((s, d) =>
+      ordersPart(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))),
     // text posting index: candidate segments from term postings, exact
     // token-membership residual (lucene-FG analog, TextIndex)
     "q_text_index" -> ((s, d) => {
@@ -243,6 +249,8 @@ object EngineQueries {
       s"""SELECT o_orderpriority, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
           GROUP BY o_orderpriority""",
+    "q_partition_groupby_meta" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
     "q_text_index" -> {
       val toks = "string_split(lower(trim(text)), ' ')"
       s"""SELECT lang, count(*) AS cnt FROM documents

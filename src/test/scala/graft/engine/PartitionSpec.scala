@@ -164,6 +164,21 @@ class PartitionSpec extends AnyFunSuite {
     assert(t.countStar == 4)
   }
 
+  test("GROUP BY partition column + count(*) answers from metadata, zero files") {
+    val t = mkPartitioned()
+    val df = t.read.groupBy("p").agg(count(lit(1)).as("cnt"))
+    val rows = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0 -> 100, 1 -> 100, 2 -> 100), rows.toString)
+    // the metadata LocalScan plans as LocalTableScan — zero file scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped count must plan as a driver-local metadata scan:\n$plan")
+    // a data filter disables the metadata path (falls back to real scan)
+    val filtered = t.read.filter(col("k") > 10).groupBy("p").agg(count(lit(1)).as("cnt"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.collect().map(_.getLong(1)).sum == 289)
+  }
+
   test("metadata MIN/MAX stays correct after metadata-only DROP PARTITION") {
     // p=0 holds k ∈ {0,3,6,...}; dropping it moves min(k) to 1 — a stale
     // segment stat would answer 0 from the zero-IO metadata agg path
