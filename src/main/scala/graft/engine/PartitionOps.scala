@@ -153,16 +153,22 @@ object PartitionOps {
       .toArray
   }
 
-  /** ALTER TABLE ADD PARTITION: register an (empty) partition. */
+  /** ALTER TABLE ADD PARTITION: register an (empty) partition. The
+    * duplicate check runs INSIDE the locked meta commit — two
+    * concurrent ADDs of the same tuple must not both append. */
   def createPartition(t: GraftTable, pSchema: StructType, ident: InternalRow): Unit = {
     val raw = identToRaw(pSchema, ident)
-    if (allTuples(t, pSchema).exists(tupleMatches(pSchema, _, raw)))
+    if (dataTuples(t, pSchema).exists(tupleMatches(pSchema, _, raw)))
       throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
         t.path, ident, pSchema)
     t.layout.updateTableMeta { m =>
-      val cur = m.properties.getOrElse(RegistryKey, "")
+      val entries = m.properties.get(RegistryKey).toSeq
+        .flatMap(_.split(";").toSeq.filter(_.nonEmpty))
+      if (entries.flatMap(decodeEntry(pSchema, _)).exists(tupleMatches(pSchema, _, raw)))
+        throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+          t.path, ident, pSchema)
       val entry = encodeEntry(pSchema, raw)
-      val joined = if (cur.isEmpty) entry else s"$cur;$entry"
+      val joined = (entries :+ entry).mkString(";")
       m.copy(properties = m.properties + (RegistryKey -> joined))
     }
   }

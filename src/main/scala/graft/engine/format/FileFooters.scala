@@ -78,14 +78,9 @@ object FileFooters {
     val maxs = flat.flatMap(_._2)
     // all-null file: valid stats with no bounds
     if (mins.isEmpty) return Some(ColumnStats(None, None, nullCount))
-    def fold(vs: Seq[String], wantMin: Boolean): Option[String] =
-      vs.reduceLeftOption[String] { (a, b) =>
-        StatValue.compareStored(dt, a, b) match {
-          case Some(c) => if ((c <= 0) == wantMin) a else b
-          case None => return None
-        }
-      }
-    for { mn <- fold(mins, wantMin = true); mx <- fold(maxs, wantMin = false) }
-      yield ColumnStats(Some(mn), Some(mx), nullCount)
+    for {
+      mn <- StatValue.foldStored(dt, mins, wantMin = true)
+      mx <- StatValue.foldStored(dt, maxs, wantMin = false)
+    } yield ColumnStats(Some(mn), Some(mx), nullCount)
   }
 }

@@ -74,10 +74,16 @@ object Partitions {
   }
 
   /** Stats entry asserting a column is constant `raw` (or null) in a
-    * file, for [[SegmentPruner]] evaluation at file grain. */
+    * file, for [[SegmentPruner]] evaluation at file grain.
+    *
+    * The hive default dir is ambiguous for STRING columns: Spark's
+    * partition writer sends both null AND the empty string there, so
+    * the all-null claim is only sound for non-string types; string
+    * default-dir files claim nothing (conservative keep). */
   def valueStats(dt: DataType, raw: Option[String], rows: Long): Option[ColumnStats] =
     raw match {
-      case None => // hive default partition: the column is all-null here
+      case None if dt == StringType => None
+      case None => // default partition: the column is all-null here
         Some(ColumnStats(None, None, nullCount = math.max(rows, 1L)))
       case Some(r) =>
         castRaw(r, dt).flatMap(encodeInternal(dt, _))
@@ -113,17 +119,9 @@ object Partitions {
         // are conservative, stale ones are not
         val mins = cs.flatMap(_.min)
         val maxs = cs.flatMap(_.max)
-        var comparable = true
-        def fold(vs: Seq[String], wantMin: Boolean): Option[String] =
-          vs.reduceLeftOption[String] { (a, b) =>
-            StatValue.compareStored(dt, a, b) match {
-              case Some(cmp) => if ((cmp <= 0) == wantMin) a else b
-              case None => comparable = false; a
-            }
-          }
-        val minF = fold(mins, wantMin = true)
-        val maxF = fold(maxs, wantMin = false)
-        if (!comparable) None
+        val minF = StatValue.foldStored(dt, mins, wantMin = true)
+        val maxF = StatValue.foldStored(dt, maxs, wantMin = false)
+        if ((mins.nonEmpty && minF.isEmpty) || (maxs.nonEmpty && maxF.isEmpty)) None
         else Some(c -> ColumnStats(minF, maxF, cs.map(_.nullCount).sum))
       }
     }
@@ -140,17 +138,33 @@ object Partitions {
   /** Per-FILE pseudo segment-meta: segment stats refined by footer file
     * stats and the path-encoded partition tuple. Both refinements bound
     * the file's contents, so [[SegmentPruner.mayMatch]] over this meta
-    * is exactly file-grain pruning. rowCount falls back to the segment's
-    * (an over-count — only used conservatively by mayMatch). */
+    * is exactly file-grain pruning.
+    *
+    * The rowCount becomes the FILE's (footer) count, so every segment-
+    * level nullCount must be made consistent with it: a segment-wide
+    * nullCount larger than the file's rows would make the IsNotNull
+    * prune (`nullCount < rowCount`) drop files whose rows are all
+    * non-null. Per-column: keep 0 (no nulls anywhere ⊆ no nulls here);
+    * clamp to 1 when the segment has nulls and the file has ≥2 rows
+    * (keeps both IsNull and IsNotNull conservative); drop the entry
+    * entirely when neither is expressible. File-level footer stats and
+    * the partition tuple then override with exact values. */
   def fileAsSegment(seg: SegmentMeta, relPath: String, schema: StructType): SegmentMeta = {
     val fm = seg.fileMeta.get(relPath)
     val rows = fm.map(_.rows).getOrElse(seg.rowCount)
+    val segLevel =
+      if (fm.isEmpty) seg.stats // rowCount unchanged: segment stats stay consistent
+      else seg.stats.flatMap { case (c, cs) =>
+        if (cs.nullCount == 0) Some(c -> cs)
+        else if (rows >= 2) Some(c -> cs.copy(nullCount = 1))
+        else None // 0/1-row file with maybe-nulls: no consistent claim
+      }
     val tupleStats = tupleFromPath(relPath).flatMap { case (name, raw) =>
       schema.fields.find(_.name == name)
         .flatMap(f => valueStats(f.dataType, raw, rows).map(name -> _))
     }.toMap
     seg.copy(
       rowCount = rows,
-      stats = seg.stats ++ fm.map(_.stats).getOrElse(Map.empty) ++ tupleStats)
+      stats = segLevel ++ fm.map(_.stats).getOrElse(Map.empty) ++ tupleStats)
   }
 }

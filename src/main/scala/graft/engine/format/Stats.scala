@@ -99,6 +99,22 @@ object StatValue {
     } catch { case _: NumberFormatException => None }
   }
 
+  /** Fold stored canonical values to their min/max under `dt`'s
+    * comparison family. None = empty input or an incomparable pair —
+    * callers must drop the stats entry rather than guess (shared by
+    * file-retirement, footer lifting and the BatchWrite commit, so the
+    * incomparable contract stays identical in all three). */
+  def foldStored(
+      dt: org.apache.spark.sql.types.DataType,
+      vs: Seq[String],
+      wantMin: Boolean): Option[String] =
+    vs.reduceLeftOption[String] { (a, b) =>
+      compareStored(dt, a, b) match {
+        case Some(c) => if ((c <= 0) == wantMin) a else b
+        case None => return None
+      }
+    }
+
   /** compare(stored, lit) < 0 iff stored < lit; None = incomparable. */
   def compare(stored: String, lit: Any): Option[Int] = literal(lit).flatMap {
     case ('n', d: BigDecimal) =>

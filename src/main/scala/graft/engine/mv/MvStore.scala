@@ -53,7 +53,10 @@ object MvStore {
   // (org.apache.spark.sql.graft — the Shims package).
   private[mv] val deserializationFilter: java.io.ObjectInputFilter = {
     val base = java.io.ObjectInputFilter.Config.createFilter(
-      "maxdepth=200;maxarray=1000000;maxrefs=1000000;maxbytes=67108864;" +
+      // depth generous (catalyst trees nest several graph levels per
+      // expression node — a legitimately deep plan must still load);
+      // the array/refs/bytes caps are the memory backstop
+      "maxdepth=2000;maxarray=1000000;maxrefs=1000000;maxbytes=67108864;" +
         "graft.**;org.apache.spark.QueryContext*;" +  // tree Origin's context enum
         "org.apache.spark.sql.catalyst.**;org.apache.spark.sql.types.**;" +
         "org.apache.spark.sql.graft.**;org.apache.spark.unsafe.types.**;" +

@@ -124,15 +124,8 @@ private class DynamicOverwriteBatchWrite(
       if (perFile.exists(_.isEmpty)) None
       else {
         val cs = perFile.flatten
-        def fold(vs: Seq[String], wantMin: Boolean): Option[String] =
-          vs.reduceLeftOption[String] { (a, b) =>
-            StatValue.compareStored(dt, a, b) match {
-              case Some(cmp) => if ((cmp <= 0) == wantMin) a else b
-              case None => return None
-            }
-          }
-        fold(cs.flatMap(_.min), wantMin = true).flatMap(mn =>
-          fold(cs.flatMap(_.max), wantMin = false).map(mx =>
+        StatValue.foldStored(dt, cs.flatMap(_.min), wantMin = true).flatMap(mn =>
+          StatValue.foldStored(dt, cs.flatMap(_.max), wantMin = false).map(mx =>
             c -> ColumnStats(Some(mn), Some(mx), cs.map(_.nullCount).sum)))
       }
     }
@@ -148,7 +141,12 @@ private class DynamicOverwriteBatchWrite(
       createdAt = System.currentTimeMillis(),
       fileMeta = fileMeta)
 
-    // overwritten scope = the partition tuples present in the new data
+    // overwritten scope = the partition tuples present in the new data.
+    // Retirement here is METADATA-ONLY (nothing re-reads the victims'
+    // surviving rows — there are none: files are partition-exclusive),
+    // so every affected file MUST be file-grain eligible. A whole-segment
+    // fallback would silently drop the segment's OTHER partitions; fail
+    // loudly instead of losing data.
     val pSchema = graft.engine.PartitionOps.partitionSchema(meta, schema)
     val tuples = files.map(_._1).flatMap(
       graft.engine.PartitionOps.fileTuple(pSchema, _)).distinct
@@ -159,8 +157,23 @@ private class DynamicOverwriteBatchWrite(
           tuples.exists(graft.engine.PartitionOps.tupleMatches(pSchema, t0, _))))
       if (rels.isEmpty) None else Some(s.id -> rels.toSet)
     }.toMap
-    val (full, partial, _, _) = Mutation.splitVictims(segs, affected)
-    Mutation.swap(table, full, Some(seg), partial)
+    val ineligible = affected.flatMap { case (id, rels) =>
+      val s = segs.find(_._1.id == id).get._1
+      val bad = s.externalPath.nonEmpty || !rels.forall(s.fileMeta.contains)
+      if (bad) Some(id) else None
+    }
+    if (ineligible.nonEmpty) {
+      try { fs.delete(dest, true); Mutation.retire(table, segId) }
+      catch { case _: Throwable => }
+      throw new IllegalStateException(
+        s"dynamic overwrite needs per-file footer metadata on every affected file; " +
+          s"segment(s) ${ineligible.mkString(",")} lack it (external or pre-footer-era) — " +
+          "compact the table first, or use insertOverwriteWhere")
+    }
+    // every affected segment retires exactly its overwritten files;
+    // a segment whose files are ALL affected empties out via retireFiles
+    Mutation.swap(table, Set.empty, Some(seg),
+      affected.map { case (id, rels) => id -> rels.toSeq.sorted })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -211,6 +224,10 @@ private class DynWriter(
     val raw =
       if (row.isNullAt(i)) Partitions.DefaultPartitionName
       else f.dataType match {
+        // hive convention (matches the V1 writer): the empty string
+        // shares the default partition dir with null
+        case StringType if row.getUTF8String(i).numChars() == 0 =>
+          Partitions.DefaultPartitionName
         case StringType => row.getUTF8String(i).toString
         case ByteType => row.getByte(i).toString
         case ShortType => row.getShort(i).toString

@@ -253,7 +253,17 @@ class CarbonishTable(path: String, tableSchema: StructType)
       }
       override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
       override def build(): Write =
-        if (mode == "dynamic") new DynamicOverwriteWrite(path, info)
+        if (mode == "dynamic") {
+          // hive semantics: with no (hive) partition columns, dynamic
+          // overwrite degenerates to a whole-table overwrite — notably
+          // for bucket-only tables, whose bucket transform makes Spark
+          // plan OverwritePartitionsDynamic (and whose layout the V1
+          // segment writer preserves, unlike the BatchWrite path)
+          val layout = new TableLayout(path, SparkSession.active.sessionState.newHadoopConf())
+          if (layout.exists && layout.readTableMeta().partitionColumns.isEmpty) {
+            mode = "truncate"; buildV1
+          } else new DynamicOverwriteWrite(path, info)
+        }
         else buildV1
       private def buildV1: Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -428,6 +438,20 @@ class CarbonishScanBuilder(
   private var requiredSchema: Option[StructType] = None
   private var limit: Option[Int] = None
   private var topNSegs: Option[Seq[SegmentMeta]] = None
+  private lazy val builderMeta: Option[TableMeta] =
+    try Some(layout.readTableMeta())
+    catch { case scala.util.control.NonFatal(_) => None }
+  // memo: supportCompletePushDown and pushAggregation both consult the
+  // grouped-metadata result for the same Aggregation — compute once
+  private var groupRowsCache: Option[(Aggregation, Option[Seq[Seq[Any]]])] = None
+  private def metadataGroupRowsCached(agg: Aggregation): Option[Seq[Seq[Any]]] =
+    groupRowsCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = metadataGroupRows(agg)
+        groupRowsCache = Some((agg, r))
+        r
+    }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -558,8 +582,7 @@ class CarbonishScanBuilder(
     if (aggregation.groupByExpressions.isEmpty) return None
     if (aggregation.aggregateExpressions.isEmpty ||
         !aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
-    val pCols = try layout.readTableMeta().partitionColumns
-      catch { case scala.util.control.NonFatal(_) => return None }
+    val pCols = builderMeta.map(_.partitionColumns).getOrElse(return None)
     if (pCols.isEmpty) return None
     val groupCols = aggregation.groupByExpressions.toSeq.map {
       case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
@@ -592,7 +615,7 @@ class CarbonishScanBuilder(
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     metadataAggValues(aggregation).isDefined ||
-      metadataGroupRows(aggregation).isDefined ||
+      metadataGroupRowsCached(aggregation).isDefined ||
       delegate.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
@@ -604,9 +627,9 @@ class CarbonishScanBuilder(
             metaAgg = Some((Seq(values), aggSchema)); true
           case None => delegate.pushAggregation(aggregation)
         }
-      case None => metadataGroupRows(aggregation) match {
+      case None => metadataGroupRowsCached(aggregation) match {
         case Some(rows) =>
-          val pCols = layout.readTableMeta().partitionColumns
+          val pCols = builderMeta.map(_.partitionColumns).getOrElse(Nil)
           AggregatePushDownUtils.getSchemaForPushedAggregation(
             aggregation, schema, pCols.toSet, Seq.empty) match {
             case Some(aggSchema) =>
@@ -761,6 +784,12 @@ case class CarbonishScan(
     * touching boundaries ⇒ only the leading column. Unsound cases
     * (missing stats, mixed sort specs, pruned-out sort column) report
     * nothing — a wrong claim would silently drop a needed Sort. */
+  /** Ordered chains captured when an ordering claim is made: runtime
+    * filtering must keep this grouping (a repack could interleave two
+    * overlapping files into one partition AFTER the Sort was elided). */
+  @volatile private var claimedChains
+      : Option[Array[Array[org.apache.spark.sql.execution.datasources.PartitionedFile]]] = None
+
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
     val sortCols = tableMeta.sortColumns
@@ -793,6 +822,7 @@ case class CarbonishScan(
       }
     }
     val claim = (if (strict) sortCols else sortCols.take(1)).takeWhile(readable)
+    if (claim.nonEmpty) claimedChains = Some(chains)
     claim.map(c => Expressions.sort(
       Expressions.column(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
   }
@@ -832,11 +862,33 @@ case class CarbonishScan(
         val planned = current.toBatch.planInputPartitions()
         reportableBuckets match {
           case None =>
-            // min-order each partition's chain so the write-time sort is
-            // reportable as output ordering (outputOrdering above)
-            planned.map {
-              case fp: FilePartition => FilePartition(fp.index, orderChain(fp.files))
-              case other => other
+            claimedChains match {
+              case Some(chains) if current ne inner =>
+                // ordering was claimed and a runtime filter re-planned
+                // the scan: the delegate would REPACK the surviving
+                // files, possibly interleaving two overlapping files
+                // into one partition after the Sort was already elided.
+                // Keep the claimed chain grouping instead — a subset of
+                // a sorted chain stays sorted. (Bucketed scans keep
+                // their per-bucket grouping structurally.)
+                val survivors = planned.flatMap {
+                  case fp: FilePartition =>
+                    fp.files.map(f => new Path(f.filePath.toString).toString)
+                  case _ => Array.empty[String]
+                }.toSet
+                chains.map(_.filter(f =>
+                    survivors(new Path(f.filePath.toString).toString)))
+                  .filter(_.nonEmpty).zipWithIndex
+                  .map { case (fs, i) =>
+                    FilePartition(i, fs): org.apache.spark.sql.connector.read.InputPartition
+                  }
+              case _ =>
+                // min-order each partition's chain so the write-time sort
+                // is reportable as output ordering (outputOrdering above)
+                planned.map {
+                  case fp: FilePartition => FilePartition(fp.index, orderChain(fp.files))
+                  case other => other
+                }
             }
           case Some(bs) =>
             // regroup the delegate's post-pruning files by bucket tag:

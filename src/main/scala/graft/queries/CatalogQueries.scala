@@ -86,6 +86,10 @@ object CatalogQueries {
       val cat = bucketedTable(s, d, "orders_bkt",
         t(s, d, "orders"), "o_custkey", 16)
       bucketedTable(s, d, "customer_bkt", t(s, d, "customer"), "c_custkey", 16)
+      // Bench/Verify already set this at session build; repeated here so
+      // the row also works on an ad-hoc session. Session-wide on
+      // purpose: the conf only affects scans that REPORT bucketing,
+      // i.e. the two tables this row owns.
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(
         s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,

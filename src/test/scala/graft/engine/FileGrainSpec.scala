@@ -88,6 +88,29 @@ class FileGrainSpec extends AnyFunSuite {
     assert(t.read.count() == 4000)
   }
 
+  test("partial swap aborts when the files were rewritten concurrently") {
+    val t = mk()
+    val seg0 = t.status.visible.head
+    val someFile = seg0.files.head
+    // simulate a racing file-grain mutation: retire someFile first
+    t.layout.commit { st =>
+      st.copy(segments = st.segments.map(s =>
+        if (s.id == seg0.id)
+          graft.engine.format.Partitions.retireFiles(s, Seq(someFile), t.schema)
+        else s))
+    }
+    // a swap still claiming someFile as partial victim must abort
+    val id = Mutation.reserve(t)
+    intercept[ConcurrentMutationException] {
+      Mutation.swap(t, Set.empty,
+        Some(t.status.segments.find(_.id == id).get),
+        Map(seg0.id -> Seq(someFile)))
+    }
+    // the orphan replacement was retired for CLEAN FILES
+    assert(t.status.segments.find(_.id == id)
+      .exists(_.status == graft.engine.format.SegmentStatus.MarkedForDelete))
+  }
+
   test("CLEAN FILES reclaims file-grain tombstones") {
     val t = mk()
     t.delete(col("k") === 7L)

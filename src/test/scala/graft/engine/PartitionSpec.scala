@@ -197,15 +197,26 @@ class PartitionSpec extends AnyFunSuite {
   }
 
   test("null partition value round-trips via the default-partition dir") {
-    val src = spark.sql("SELECT * FROM VALUES (1, 'x'), (2, CAST(NULL AS STRING)) AS t(k, p)")
-    val t = GraftTable.create(spark, tmp(), src.schema, partitionColumns = Seq("p"))
-    t.insert(src)
-    val seg = t.status.visible.head
-    assert(seg.files.exists(_.contains(Partitions.DefaultPartitionName)))
-    assert(t.read.filter(col("p").isNull).collect().map(_.getInt(0)).toSeq == Seq(2))
-    val files = plannedFiles(t.read.filter(col("p").isNull).select("k"))
+    // int partition: the default dir is unambiguous → IS NULL prunes
+    val srcI = spark.sql("SELECT * FROM VALUES (1, 10), (2, CAST(NULL AS INT)) AS t(k, p)")
+    val ti = GraftTable.create(spark, tmp(), srcI.schema, partitionColumns = Seq("p"))
+    ti.insert(srcI)
+    assert(ti.status.visible.head.files.exists(_.contains(Partitions.DefaultPartitionName)))
+    assert(ti.read.filter(col("p").isNull).collect().map(_.getInt(0)).toSeq == Seq(2))
+    val files = plannedFiles(ti.read.filter(col("p").isNull).select("k"))
     assert(files.forall(_.contains(Partitions.DefaultPartitionName)),
       s"IS NULL should prune to the default-partition file: $files")
+
+    // string partition: null AND '' share the default dir (hive
+    // convention), so no pruning claim — but values stay correct because
+    // the real column lives in the data files
+    val srcS = spark.sql(
+      "SELECT * FROM VALUES (1, 'x'), (2, CAST(NULL AS STRING)), (3, '') AS t(k, p)")
+    val ts = GraftTable.create(spark, tmp(), srcS.schema, partitionColumns = Seq("p"))
+    ts.insert(srcS)
+    assert(ts.read.filter(col("p").isNull).collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(ts.read.filter(col("p") === "").collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(ts.read.filter(col("p") === "x").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("compaction preserves the partition layout") {
