@@ -36,14 +36,17 @@ case class MvDef(
   * reason, CarbonCreateMVCommand.scala:60). */
 object MvCatalog {
   private val views = scala.collection.mutable.LinkedHashMap.empty[String, MvDef]
-  // base-table segment ids already folded into each MV (incremental refresh)
-  private val refreshed = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+  // base-table segments already folded into each MV, FINGERPRINTED by
+  // row count: file-grain mutation and metadata DROP PARTITION shrink a
+  // segment IN PLACE (same id, fewer rows), so an id-only watermark
+  // would serve / incrementally fold a stale MV
+  private val refreshed = scala.collection.mutable.HashMap.empty[String, Map[Long, Long]]
   def register(d: MvDef): Unit = synchronized { views(d.name) = d }
   def drop(name: String): Unit = synchronized { views.remove(name); refreshed.remove(name) }
   def all: Seq[MvDef] = synchronized { views.values.toSeq }
   def get(name: String): Option[MvDef] = synchronized { views.get(name) }
-  def refreshedSegments(name: String): Set[Long] = synchronized { refreshed.getOrElse(name, Set.empty) }
-  def setRefreshedSegments(name: String, s: Set[Long]): Unit = synchronized { refreshed(name) = s }
+  def refreshedSegments(name: String): Map[Long, Long] = synchronized { refreshed.getOrElse(name, Map.empty) }
+  def setRefreshedSegments(name: String, s: Map[Long, Long]): Unit = synchronized { refreshed(name) = s }
 }
 
 object Mv {
@@ -97,14 +100,16 @@ object Mv {
       d
     }
 
-  /** Visible base-segment ids when the MV base is one carbonish table. */
+  /** Visible base segments (id → rowCount fingerprint) when the MV base
+    * is one carbonish table. */
   private def baseSegmentSnapshot(
-      spark: SparkSession, build: LogicalPlan): Option[Set[Long]] = {
+      spark: SparkSession, build: LogicalPlan): Option[Map[Long, Long]] = {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
     build.collectLeaves().collect { case r: DataSourceV2Relation => r } match {
       case Seq(r) => r.table match {
         case t: graft.engine.source.CarbonishTable =>
-          Some(GraftTable.at(spark, t.tablePath).status.visible.map(_.id).toSet)
+          Some(GraftTable.at(spark, t.tablePath).status.visible
+            .map(s => s.id -> s.rowCount).toMap)
         case _ => None
       }
       case _ => None
@@ -181,10 +186,15 @@ object Mv {
     if (kinds.exists(_.isEmpty)) return fullRefresh()
 
     val base = GraftTable.at(spark, path)
-    val vis = base.status.visible.map(_.id).toSet
+    val vis = base.status.visible.map(s => s.id -> s.rowCount).toMap
     val done = MvCatalog.refreshedSegments(name)
-    if (!done.subsetOf(vis)) return fullRefresh() // deletes/compaction happened
-    val fresh = vis -- done
+    // every folded segment must still be visible WITH ITS FOLDED ROW
+    // COUNT — file-grain mutation / metadata DROP PARTITION shrink a
+    // segment in place, and folding only the delta would double-count
+    // the removed rows
+    if (!done.forall { case (id, n) => vis.get(id).contains(n) })
+      return fullRefresh() // deletes/compaction/in-place shrink happened
+    val fresh = vis.keySet -- done.keySet
     if (fresh.isEmpty) return true
 
     // delta aggregate over only the new segments

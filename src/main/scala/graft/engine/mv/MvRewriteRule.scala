@@ -163,18 +163,23 @@ class MvRewriteRule extends Rule[LogicalPlan] {
           case ct: graft.engine.source.CarbonishTable =>
             val visibleNow = new graft.engine.format.TableLayout(
               ct.tablePath, spark.sessionState.newHadoopConf())
-              .readStatus().visible.map(_.id).toSet
+              .readStatus().visible.map(s => s.id -> s.rowCount).toMap
             val folded = MvCatalog.refreshedSegments(mv.name)
-            // strict equality, not just additions: DELETE SEGMENT /
-            // truncate shrink the visible set without adding anything,
-            // and serving the MV then would still include the dropped
-            // rows. Mirrors refreshIncremental's !done.subsetOf(vis)
-            // invalidation.
+            // strict equality over (id → rowCount) fingerprints, not
+            // just id additions: DELETE SEGMENT / truncate shrink the
+            // visible SET, and file-grain mutation / metadata DROP
+            // PARTITION shrink a segment IN PLACE (same id, fewer
+            // rows) — serving the MV in either case would still
+            // include the dropped rows. Mirrors refreshIncremental's
+            // fingerprint invalidation.
             if (visibleNow != folded) {
-              val added = (visibleNow -- folded).toSeq.sorted
-              val removed = (folded -- visibleNow).toSeq.sorted
+              val added = (visibleNow.keySet -- folded.keySet).toSeq.sorted
+              val removed = (folded.keySet -- visibleNow.keySet).toSeq.sorted
+              val shrunk = folded.keys.filter(id =>
+                visibleNow.get(id).exists(_ != folded(id))).toSeq.sorted
               logInfo(s"[graft] MV '${mv.name}' is stale (base segments " +
-                s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}]) — not rewriting")
+                s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}] " +
+                s"resized=[${shrunk.mkString(",")}]) — not rewriting")
               return None
             }
           case _ =>

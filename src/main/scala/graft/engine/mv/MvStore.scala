@@ -31,11 +31,17 @@ private[mv] case class MvLeafStub(
   * recomputed at load time (its scan leaves can't be persisted, and
   * re-optimizing reproduces exactly what a fresh query session plans
   * against). */
+/** The watermark is an (id → rowCount) fingerprint map: a segment that
+  * shrank in place (file-grain mutation / metadata DROP PARTITION)
+  * must invalidate incremental refresh and MV serving. Old defs
+  * serialized with the Set[Long] watermark fail deserialization
+  * (serialVersionUID change) and load as "no MV" with a warning —
+  * recreate them. */
 private[mv] case class MvPersisted(
     name: String,
     path: String,
     buildStubbed: LogicalPlan,
-    refreshedSegments: Option[Set[Long]])
+    refreshedSegments: Option[Map[Long, Long]])
 
 /** Persistence for [[MvDef]]s: one `_meta/mvdef.bin` per MV table, so
   * the MV (and its incremental-refresh watermark) survives the session
@@ -164,7 +170,7 @@ object MvStore {
 
   /** Load the def stored at `mvPath` (None if absent/unreadable) and
     * recompute the optimized match plan. Does NOT register it. */
-  def load(spark: SparkSession, mvPath: String): Option[(MvDef, Option[Set[Long]])] = {
+  def load(spark: SparkSession, mvPath: String): Option[(MvDef, Option[Map[Long, Long]])] = {
     val layout = new TableLayout(mvPath, spark.sessionState.newHadoopConf())
     val p = defPath(layout)
     if (!layout.fs.exists(p)) return None

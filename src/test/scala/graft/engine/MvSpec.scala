@@ -126,6 +126,40 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_shrink")
   }
 
+  test("in-place segment shrink (file-grain/DROP PARTITION) also disables the MV") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mvfg_").toString
+    val src = spark.range(0, 400)
+      .selectExpr("id AS k", "CAST(id % 2 AS INT) AS b", "CAST(1.0 AS DOUBLE) AS x")
+    val base = GraftTable.create(spark, s"$root/base", src.schema, Seq("k"),
+      properties = Map("global_sort_partitions" -> "4"))
+    base.insert(src)
+    // an aggregate MV over the base
+    def mvq = base.read.groupBy("b")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_fg", mvq, s"$root/mv_fg")
+    try {
+      assert(mvq.queryExecution.optimizedPlan.toString.contains("mv_fg"))
+      // shrink segment 0 IN PLACE (same id, fewer rows) — the metadata
+      // file-retirement path, with no new segment appearing
+      val seg0 = base.status.visible.head
+      base.layout.commit { st =>
+        st.copy(segments = st.segments.map(s =>
+          if (s.id == seg0.id)
+            graft.engine.format.Partitions.retireFiles(s, Seq(s.files.head), base.schema)
+          else s))
+      }
+      assert(base.status.visible.map(_.id) == Seq(seg0.id), "same id survives")
+      val plan = mvq.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("mv_fg"),
+        s"MV served rows dropped by an in-place shrink:\n$plan")
+      // values come from the base, not the stale MV
+      assert(mvq.collect().map(_.getLong(2)).sum == base.read.count())
+      Mv.refresh(spark, "mv_fg")
+      assert(mvq.queryExecution.optimizedPlan.toString.contains("mv_fg"))
+    } finally Mv.drop(spark, "mv_fg")
+  }
+
   test("filter subsumption: residual filter on grouping columns rewrites") {
     val base = lineitem
     val mvq = base.groupBy("l_returnflag", "l_linestatus")
