@@ -72,8 +72,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
       s"tupleId read needs parquet segments; found ${foreign.map(_.id).mkString(",")}")
     val idx = new graft.engine.source.SegmentFileIndex(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], layout, vis, schema)
-    org.apache.spark.sql.graft.Shims.parquetRelationDf(spark, idx, schema)
-      .withColumn(idCol, graft.functions.GraftFunctions.tupleId)
+    val df = org.apache.spark.sql.graft.Shims.parquetRelationDf(spark, idx, schema)
+    // merge-on-read deltas mask rows on this path too
+    val live = Mutation.deltaFilter(this, vis.map(s => s -> layout.segmentFilePaths(s)))
+      .map(df.filter).getOrElse(df)
+    live.withColumn(idCol, graft.functions.GraftFunctions.tupleId)
   }
 
   /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50).
@@ -174,9 +177,24 @@ class GraftTable private (val spark: SparkSession, val path: String)
   }
 
   // ----------------------------------------------------------------- IUD
-  /** DELETE FROM … WHERE (copy-on-write, affected segments only —
-    * CarbonProjectForDeleteCommand.scala:44). Returns #rows deleted. */
-  def delete(cond: org.apache.spark.sql.Column): Long = Mutation.delete(this, cond)
+  /** Table property `iud_mode=mor` switches DELETE/UPDATE to the
+    * reference's merge-on-read model (immutable data files + delete
+    * deltas, docs/dml-of-carbondata.md:406-409); default is file-grain
+    * copy-on-write. */
+  private def morMode: Boolean =
+    meta.properties.get("iud_mode").exists(_.equalsIgnoreCase("mor"))
+
+  /** DELETE FROM … WHERE (CarbonProjectForDeleteCommand.scala:44) —
+    * copy-on-write by default, merge-on-read delete deltas under
+    * `iud_mode=mor`. Returns #rows deleted. */
+  def delete(cond: org.apache.spark.sql.Column): Long =
+    if (morMode) Mutation.deleteMor(this, cond) else Mutation.delete(this, cond)
+
+  /** Explicit merge-on-read forms (property-independent). */
+  def deleteMor(cond: org.apache.spark.sql.Column): Long = Mutation.deleteMor(this, cond)
+  def updateMor(cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long =
+    Mutation.updateMor(this, cond, set)
 
   /** INSERT OVERWRITE ... WHERE — replace rows matching `cond` with `df`
     * (partition-overwrite equivalent; see [[Mutation.insertOverwriteWhere]]). */
@@ -204,11 +222,13 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
   }
 
-  /** UPDATE … SET … WHERE (CarbonProjectForUpdateCommand.scala:48).
+  /** UPDATE … SET … WHERE (CarbonProjectForUpdateCommand.scala:48) —
+    * copy-on-write by default, merge-on-read under `iud_mode=mor`.
     * Returns #rows updated. */
   def update(cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long =
-    Mutation.update(this, cond, set)
+    if (morMode) Mutation.updateMor(this, cond, set)
+    else Mutation.update(this, cond, set)
 
   /** Dataset merge builder (MergeDataSetBuilder.scala:39-96). Reference
     * target columns as `t.<col>`, source columns as `s.<col>` in the
@@ -405,13 +425,31 @@ class GraftTable private (val spark: SparkSession, val path: String)
           .foreach(st0 => fs.delete(st0.getPath, true))
       }
       // metadata-only DROP PARTITION leaves the dropped files on disk
-      // (tombstoned) for in-flight readers; reclaim them here
+      // (tombstoned) for in-flight readers; reclaim them here — retired
+      // merge-on-read delta files ride the same tombstone list
       val cleaned = live.map { s =>
         if (s.removedFiles.isEmpty || s.externalPath.nonEmpty) s
         else {
           s.removedFiles.foreach(f =>
             fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), f), false))
           s.copy(removedFiles = Nil)
+        }
+      }
+      // stray delta files: written but never committed (crashed or
+      // lost-race MoR delete) — unreferenced by tablestatus, reclaim
+      // after the same staleness grace as tmp dirs
+      cleaned.filter(_.externalPath.isEmpty).foreach { s =>
+        val dDir = new org.apache.hadoop.fs.Path(
+          layout.segmentDir(s.id), graft.engine.format.Deltas.Dir)
+        if (fs.exists(dDir)) {
+          val referenced = s.deltas.values.flatten
+            .map(r => fs.makeQualified(
+              new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), r)).toString)
+            .toSet
+          fs.listStatus(dDir)
+            .filter(f => !referenced(fs.makeQualified(f.getPath).toString))
+            .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+            .foreach(f => fs.delete(f.getPath, false))
         }
       }
       st.copy(segments = cleaned)
@@ -466,7 +504,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
     if (victims.size < 2) None
     else {
-      val df = spark.read.parquet(victims.flatMap(layout.segmentFilePaths): _*)
+      // merge-on-read deltas fold into the compacted copy: read masked,
+      // write clean — the compacted segment carries no deltas
+      val raw = spark.read.schema(schema)
+        .parquet(victims.flatMap(layout.segmentFilePaths): _*)
+      val df = Mutation.deltaFilter(this,
+        victims.map(s => s -> layout.segmentFilePaths(s))).map(raw.filter).getOrElse(raw)
       var id = -1L
       layout.commit { st =>
         id = st.nextSegmentId
@@ -485,6 +528,16 @@ class GraftTable private (val spark: SparkSession, val path: String)
         val lost = victimIds -- vis
         if (lost.nonEmpty) throw new ConcurrentMutationException(
           s"segments ${lost.mkString(",")} were retired during compaction")
+        // fingerprint, not just visibility: a concurrent file-grain
+        // rewrite or merge-on-read delta inside a victim would be
+        // resurrected (or lost) by publishing the compacted pre-image
+        victims.foreach { sel =>
+          val cur = st.segments.find(_.id == sel.id).get
+          if (cur.files != sel.files || cur.rowCount != sel.rowCount ||
+              cur.deltas != sel.deltas)
+            throw new ConcurrentMutationException(
+              s"segment ${sel.id} was mutated during compaction")
+        }
         st.copy(segments = st.segments.map { s =>
           if (s.id == id) seg
           else if (victimIds.contains(s.id)) s.copy(status = SegmentStatus.Compacted)
@@ -500,6 +553,55 @@ class GraftTable private (val spark: SparkSession, val path: String)
       Some(id)
     }
   }
+
+  /** HORIZONTAL compaction (reference: configuration-parameters.md:120):
+    * when a data file accrues more delete-delta files than
+    * `horizontal_compaction_threshold` (default 1), its deltas merge
+    * into ONE file per data file — bounding the per-task delta reads a
+    * scan pays. Pure metadata + tiny-file work on the driver: positions
+    * were already applied to live counts, so the merge changes no
+    * counts. Returns #files whose deltas were merged. */
+  def horizontalCompact(): Int = {
+    val thr = meta.properties.get("horizontal_compaction_threshold")
+      .map(_.toInt).getOrElse(1)
+    val targets = status.visible.filter(_.externalPath.isEmpty).flatMap(s =>
+      s.deltas.collect { case (rel, dRels) if dRels.size > thr => (s.id, rel, dRels) })
+    var merged = 0
+    targets.foreach { case (id, rel, oldRels) =>
+      val dir = layout.segmentDir(id)
+      val positions = graft.engine.format.Deltas.positionsOf(layout.fs, dir, oldRels)
+      val newRel = graft.engine.format.Deltas.newRelPath(rel)
+      graft.engine.format.Deltas.write(layout.fs,
+        new org.apache.hadoop.fs.Path(dir, newRel), positions.iterator)
+      try {
+        layout.commit { st =>
+          st.copy(segments = st.segments.map { s =>
+            if (s.id != id) s
+            else if (!s.isVisible || s.deltas.getOrElse(rel, Nil) != oldRels)
+              throw new ConcurrentMutationException(
+                s"deltas of $rel (segment $id) changed during horizontal compaction")
+            else s.copy(
+              deltas = s.deltas.updated(rel, Seq(newRel)),
+              removedFiles = s.removedFiles ++ oldRels)
+          })
+        }
+        merged += 1
+      } catch {
+        case e: ConcurrentMutationException =>
+          try layout.fs.delete(new org.apache.hadoop.fs.Path(dir, newRel), false)
+          catch { case scala.util.control.NonFatal(_) => }
+          logWarning(s"[graft] horizontal compaction skipped $rel: ${e.getMessage}")
+      }
+    }
+    merged
+  }
+
+  /** Auto horizontal compaction after each MoR mutation, like the
+    * reference's post-DELETE/UPDATE trigger; disable with
+    * `horizontal_compaction_enable=false`. */
+  private[engine] def maybeHorizontalCompact(): Unit =
+    if (!meta.properties.get("horizontal_compaction_enable").exists(_.equalsIgnoreCase("false")))
+      horizontalCompact()
 
   /** ALTER TABLE ADD SEGMENT: register an external folder of data files
     * as a segment without moving them (CarbonAddLoadCommand.scala:66;

@@ -43,6 +43,37 @@ object Mutation {
     vis.map(s => s -> t.layout.segmentFilePaths(s))
   }
 
+  /** Anti-filter masking rows deleted by merge-on-read deltas, for the
+    * v1/maintenance read paths (mutation scans, tupleId reads,
+    * compaction). Positions load on the DRIVER and ship via broadcast —
+    * fine for the sparse-delete regime MoR targets; the main scan path
+    * instead streams each file's positions inside its own task
+    * ([[graft.engine.source.DeltaAwareReaderFactory]]). None = no
+    * deltas anywhere (caller skips the filter, keeping codegen clean). */
+  private[engine] def deltaFilter(
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])]): Option[Column] = {
+    val withDeltas = segs.map(_._1).filter(_.deltas.nonEmpty)
+    if (withDeltas.isEmpty) return None
+    val fs = t.layout.fs
+    val posMap: Map[String, Array[Long]] = withDeltas.flatMap { s =>
+      val dir = t.layout.segmentDir(s.id)
+      s.deltas.map { case (rel, dRels) =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(dir, rel)).toString ->
+          graft.engine.format.Deltas.positionsOf(fs, dir, dRels)
+      }
+    }.toMap
+    val bc = t.spark.sparkContext.broadcast(posMap)
+    val keep = udf { (fp: String, pos: Long) =>
+      // SparkPath prints file:/// while qualified Path prints file:/ —
+      // normalize before the lookup
+      bc.value.get(new org.apache.hadoop.fs.Path(fp).toString) match {
+        case Some(ps) => java.util.Arrays.binarySearch(ps, pos) < 0
+        case None => true
+      }
+    }
+    Some(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+  }
+
   /** Which FILES of which visible segments contain rows matching `cond`,
     * and how many matching rows each holds? One Spark job over (pruned)
     * candidate files — the per-file count rides the same scan that finds
@@ -60,7 +91,9 @@ object Mutation {
     // explicit schema: after a metadata-only ADD COLUMNS, footer
     // inference would miss (or nondeterministically resolve) the new
     // column and break conditions referencing it
-    val hit = spark.read.schema(t.schema).parquet(files: _*)
+    val base = spark.read.schema(t.schema).parquet(files: _*)
+    val live = deltaFilter(t, segs).map(base.filter).getOrElse(base)
+    val hit = live
       .filter(cond)
       .groupBy(col("_metadata.file_path").as("fp"))
       .count()
@@ -107,12 +140,26 @@ object Mutation {
     * rows, so the swap aborts with [[ConcurrentMutationException]]. */
   private[engine] def swap(
       t: GraftTable, victims: Set[Long], replacement: Option[SegmentMeta],
-      partialVictims: Map[Long, Seq[String]] = Map.empty): Unit =
+      partialVictims: Map[Long, Seq[String]] = Map.empty,
+      selected: Map[Long, SegmentMeta] = Map.empty): Unit =
     try t.layout.commit { st =>
       val vis = st.segments.filter(_.isVisible).map(_.id).toSet
       val lost = (victims ++ partialVictims.keys) -- vis
       if (lost.nonEmpty) throw new ConcurrentMutationException(
         s"segments ${lost.toSeq.sorted.mkString(",")} were retired concurrently")
+      // FULL victims must be byte-identical to what we read: a
+      // concurrent file-grain rewrite or merge-on-read delta inside a
+      // still-visible victim would otherwise be silently resurrected
+      // (its pre-image rides into our replacement) or lost
+      victims.foreach { id =>
+        selected.get(id).foreach { sel =>
+          val cur = st.segments.find(_.id == id).get
+          if (cur.files != sel.files || cur.rowCount != sel.rowCount ||
+              cur.deltas != sel.deltas)
+            throw new ConcurrentMutationException(
+              s"segment $id was mutated concurrently (files/deltas changed)")
+        }
+      }
       partialVictims.foreach { case (id, rels) =>
         val s = st.segments.find(_.id == id).get
         val gone = rels.filterNot(s.files.contains)
@@ -120,6 +167,13 @@ object Mutation {
           s"files ${gone.mkString(",")} of segment $id were rewritten concurrently")
         if (!rels.forall(s.fileMeta.contains)) throw new ConcurrentMutationException(
           s"segment $id lost footer metadata mid-rewrite")
+        // a delta added to a file we rewrote would be erased by the swap
+        selected.get(id).foreach { sel =>
+          val changed = rels.filter(r =>
+            s.deltas.getOrElse(r, Nil) != sel.deltas.getOrElse(r, Nil))
+          if (changed.nonEmpty) throw new ConcurrentMutationException(
+            s"delete deltas of ${changed.mkString(",")} (segment $id) changed mid-rewrite")
+        }
       }
       // the reserved replacement record must still exist, or the swap
       // would silently retire victims while publishing nothing
@@ -243,12 +297,17 @@ object Mutation {
 
     val (fullVictims, partialVictims, readFiles, before) =
       splitVictims(segs, affected.map { case (id, m) => id -> m.keySet })
-    val rows = t.spark.read.schema(t.schema).parquet(readFiles: _*)
+    val raw = t.spark.read.schema(t.schema).parquet(readFiles: _*)
+    val rows = deltaFilter(t, segs).map(raw.filter).getOrElse(raw)
     val id = reserve(t)
     val seg =
       try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id)
       catch { case e: Throwable => retire(t, id); throw e }
-    swap(t, fullVictims, Some(seg), partialVictims)
+    swap(t, fullVictims, Some(seg), partialVictims,
+      selected = segs.map(p => p._1.id -> p._1).toMap)
+    // `before` counted live rows (fileMeta/rowCount are delta-adjusted),
+    // and the read above masked delta'd rows, so before-after stays the
+    // matched-row delta even on delta-bearing victims
     (before, seg.rowCount, affected.values.map(_.values.sum).sum)
   }
 
@@ -298,6 +357,230 @@ object Mutation {
       }.toSeq: _*)
     })
     matched
+  }
+
+  // ------------------------------------------------- merge-on-read IUD
+  // (reference model: immutable data files + delete-delta bitmaps,
+  // docs/dml-of-carbondata.md:406-409; enabled per table via
+  // `iud_mode=mor`, folded away by horizontal + segment compaction)
+
+  /** One delta file written per affected data file, DISTRIBUTED: the
+    * matched (file, row-index) pairs cluster by file, each task streams
+    * its runs straight into delta files — positions never touch the
+    * driver, so a delete matching a billion scattered rows writes its
+    * deltas at executor parallelism. Returns (segId, dataRel) →
+    * (deltaRel, count). */
+  private def writeDeltaFiles(
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])],
+      positions: DataFrame): Map[(Long, String), (String, Long)] = {
+    val spark = t.spark
+    val byNorm = normIndex(t, segs)
+    val segDirs = segs.map { case (s, _) =>
+      s.id -> t.layout.segmentDir(s.id).toString
+    }.toMap
+    val bcIndex = spark.sparkContext.broadcast(byNorm)
+    val bcDirs = spark.sparkContext.broadcast(segDirs)
+    val conf = new graft.engine.source.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    positions
+      .repartition(col("__fp"))
+      .sortWithinPartitions(col("__fp"), col("__pos"))
+      .select(col("__fp").cast("string"), col("__pos").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        import org.apache.hadoop.fs.Path
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+        var curFp: String = null
+        var stream: java.io.DataOutputStream = null
+        var cnt = 0L
+        var cur: (Long, String, String) = null // segId, dataRel, deltaRel
+        def closeRun(): Unit = if (stream != null) {
+          stream.close(); stream = null
+          out += ((cur._1, cur._2, cur._3, cnt))
+        }
+        it.foreach { case (fp, pos) =>
+          if (fp != curFp) {
+            closeRun()
+            curFp = fp
+            val (segId, rel) = bcIndex.value(new Path(fp).toString)
+            val deltaRel = graft.engine.format.Deltas.newRelPath(rel)
+            cur = (segId, rel, deltaRel)
+            cnt = 0L
+            val abs = new Path(bcDirs.value(segId), deltaRel)
+            val fs = abs.getFileSystem(conf.value)
+            fs.mkdirs(abs.getParent)
+            stream = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(fs.create(abs, true)))
+            graft.engine.format.Deltas.writeHeader(stream)
+          }
+          stream.writeLong(pos); cnt += 1
+        }
+        closeRun()
+        out.iterator
+      }
+      .collect()
+      .map { case (id, rel, deltaRel, cnt) => (id, rel) -> (deltaRel, cnt) }
+      .toMap
+  }
+
+  /** Best-effort removal of delta files that lost their commit race. */
+  private def dropOrphanDeltas(
+      t: GraftTable, written: Map[(Long, String), (String, Long)]): Unit =
+    written.foreach { case ((id, _), (deltaRel, _)) =>
+      try t.layout.fs.delete(
+        new org.apache.hadoop.fs.Path(t.layout.segmentDir(id), deltaRel), false)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+
+  /** Atomic delta publish (+ optional replacement segment, for MoR
+    * UPDATE): applies every delta with exact live-count decrements,
+    * retires files whose live count reaches zero, and aborts with
+    * [[ConcurrentMutationException]] if any touched file changed since
+    * selection (its delta list or membership) — positions were computed
+    * against the selected state, so committing over a changed file
+    * would double-count or resurrect rows. */
+  private def commitDeltas(
+      t: GraftTable, selected: Map[Long, SegmentMeta],
+      written: Map[(Long, String), (String, Long)],
+      replacement: Option[SegmentMeta] = None): Unit = {
+    val bySeg = written.groupBy(_._1._1)
+    val schema = t.schema
+    try t.layout.commit { st =>
+      replacement.foreach(r => require(st.segments.exists(_.id == r.id),
+        s"segment ${r.id} record vanished during MoR update"))
+      st.copy(segments = st.segments.map { s =>
+        if (replacement.exists(_.id == s.id)) replacement.get
+        else bySeg.get(s.id) match {
+          case None => s
+          case Some(group) =>
+            if (!s.isVisible) throw new ConcurrentMutationException(
+              s"segment ${s.id} was retired concurrently")
+            val sel = selected(s.id)
+            var cur = s
+            group.foreach { case ((_, rel), (deltaRel, cnt)) =>
+              if (!cur.files.contains(rel) || !cur.fileMeta.contains(rel) ||
+                  cur.deltas.getOrElse(rel, Nil) != sel.deltas.getOrElse(rel, Nil))
+                throw new ConcurrentMutationException(
+                  s"file $rel of segment ${s.id} changed during MoR commit")
+              cur = graft.engine.format.Deltas.applyToSegment(cur, rel, deltaRel, cnt)
+            }
+            // files with no live rows left retire outright
+            val empty = group.keys.map(_._2)
+              .filter(r => cur.fileMeta.get(r).exists(_.rows <= 0)).toSeq
+            if (empty.nonEmpty)
+              cur = graft.engine.format.Partitions.retireFiles(cur, empty, schema)
+            cur
+        }
+      })
+    } catch {
+      case e: ConcurrentMutationException =>
+        dropOrphanDeltas(t, written)
+        try replacement.foreach(r => retire(t, r.id))
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
+    }
+  }
+
+  /** Merge-on-read DELETE: writes per-file position deltas instead of
+    * rewriting data files. Falls back to copy-on-write when a hit file
+    * can't carry deltas (external segment / missing footer metadata).
+    * Returns #rows deleted. */
+  def deleteMor(t: GraftTable, cond: Column): Long =
+    retryingMor(t) { deleteMorOnce(t, cond) }
+
+  /** Merge-on-read UPDATE: position deltas mask the pre-images, updated
+    * rows land in one new sorted segment — both published in a single
+    * atomic commit. Returns #rows updated. */
+  def updateMor(t: GraftTable, cond: Column, set: Map[String, Column]): Long = {
+    val bad = set.keySet.filterNot(t.schema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(",")}")
+    retryingMor(t) { updateMorOnce(t, cond, set) }
+  }
+
+  private def retryingMor(t: GraftTable)(body: => Long): Long = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if isRetryableConflict(e) =>
+          attempts += 1
+          if (attempts >= 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Live matched positions as (__fp, __pos), existing deltas applied
+    * (already-deleted rows never re-match, so new deltas stay disjoint). */
+  private def matchedPositions(
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column): DataFrame = {
+    val raw = t.spark.read.schema(t.schema).parquet(segs.flatMap(_._2): _*)
+    deltaFilter(t, segs).map(raw.filter).getOrElse(raw)
+      .filter(cond)
+      .select(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+  }
+
+  /** Hit files that cannot carry deltas → the whole op falls back to
+    * copy-on-write (external segments' files live outside the managed
+    * layout; files without footer metadata can't keep live counts). */
+  private def morIneligible(
+      byId: Map[Long, SegmentMeta],
+      written: Map[(Long, String), (String, Long)]): Boolean =
+    written.exists { case ((id, rel), _) =>
+      val s = byId(id)
+      s.externalPath.nonEmpty || !s.fileMeta.contains(rel)
+    }
+
+  private def deleteMorOnce(t: GraftTable, cond: Column): Long = {
+    val segs = visibleFiles(t)
+    if (segs.isEmpty || segs.flatMap(_._2).isEmpty) return 0L
+    val written = writeDeltaFiles(t, segs, matchedPositions(t, segs, cond))
+    if (written.isEmpty) return 0L
+    val byId = segs.map(p => p._1.id -> p._1).toMap
+    if (morIneligible(byId, written)) {
+      dropOrphanDeltas(t, written)
+      return delete(t, cond) // copy-on-write fallback
+    }
+    commitDeltas(t, byId, written)
+    t.maybeHorizontalCompact()
+    written.values.map(_._2).sum
+  }
+
+  private def updateMorOnce(
+      t: GraftTable, cond: Column, set: Map[String, Column]): Long = {
+    val schema = t.schema
+    val segs = visibleFiles(t)
+    if (segs.isEmpty || segs.flatMap(_._2).isEmpty) return 0L
+    val spark = t.spark
+    val raw = spark.read.schema(schema).parquet(segs.flatMap(_._2): _*)
+    val matched = deltaFilter(t, segs).map(raw.filter).getOrElse(raw)
+      .filter(cond)
+      .select((schema.fieldNames.map(col).toSeq :+
+        col("_metadata.file_path").as("__fp") :+
+        col("_metadata.row_index").as("__pos")): _*)
+      .persist()
+    try {
+      val written = writeDeltaFiles(t, segs, matched.select(col("__fp"), col("__pos")))
+      if (written.isEmpty) return 0L
+      val byId = segs.map(p => p._1.id -> p._1).toMap
+      if (morIneligible(byId, written)) {
+        dropOrphanDeltas(t, written)
+        return update(t, cond, set) // copy-on-write fallback
+      }
+      val updated = matched.select(schema.fields.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }.toSeq: _*)
+      val id = reserve(t)
+      val seg =
+        try SegmentWriter.write(t.layout, t.meta, updated, id)
+        catch { case e: Throwable =>
+          retire(t, id); dropOrphanDeltas(t, written); throw e }
+      commitDeltas(t, byId, written, replacement = Some(seg))
+      t.maybeHorizontalCompact()
+      written.values.map(_._2).sum
+    } finally matched.unpersist()
   }
 }
 
@@ -385,7 +668,9 @@ class MergeBuilder private[engine] (
       if (onlyTarget.nonEmpty) segs.map(p => p._1.id -> p._1.files.toSet).toMap
       else if (allFiles.isEmpty) Map.empty
       else {
-        val tgt = spark.read.schema(schema).parquet(allFiles: _*)
+        val raw0 = spark.read.schema(schema).parquet(allFiles: _*)
+        val live0 = Mutation.deltaFilter(target, segs).map(raw0.filter).getOrElse(raw0)
+        val tgt = live0
           .select((schema.fieldNames.map(col).toSeq :+ col("_metadata.file_path").as("__fp")): _*)
           .as("t")
         val hit = tgt.join(source.as("s"), condition)
@@ -399,7 +684,10 @@ class MergeBuilder private[engine] (
     val tgtRows =
       if (readFiles.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(readFiles: _*)
+      else {
+        val raw = spark.read.schema(schema).parquet(readFiles: _*)
+        Mutation.deltaFilter(target, segs).map(raw.filter).getOrElse(raw)
+      }
 
     // full-outer join with presence markers (reference plans the same
     // shape, CarbonMergeDataSetCommand.scala:66)
@@ -491,7 +779,8 @@ class MergeBuilder private[engine] (
     // rewrote an affected FILE) mid-merge aborts the publish (and
     // retires this orphan) instead of silently resurrecting the
     // victim's pre-image rows
-    Mutation.swap(target, fullVictims, Some(seg), partialVictims)
+    Mutation.swap(target, fullVictims, Some(seg), partialVictims,
+      selected = segs.map(p => p._1.id -> p._1).toMap)
     Some(id)
 
     } finally if (history.nonEmpty) withAct.unpersist()

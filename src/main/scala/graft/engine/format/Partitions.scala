@@ -106,6 +106,8 @@ object Partitions {
     val droppedBytes = rels.map(s.fileMeta(_).bytes).sum
     val remaining = s.files.filterNot(rset)
     val remainingMeta = s.fileMeta -- rset
+    // a retired data file takes its merge-on-read delete deltas with it
+    val droppedDeltas = rels.flatMap(r => s.deltas.getOrElse(r, Nil))
     val newStats = s.stats.flatMap { case (c, _) =>
       val dtOpt = schema.fields.find(_.name == c).map(_.dataType)
       val perFile = remaining.map(f => remainingMeta.get(f).flatMap(_.stats.get(c)))
@@ -128,7 +130,8 @@ object Partitions {
     s.copy(
       files = remaining,
       fileMeta = remainingMeta,
-      removedFiles = s.removedFiles ++ rels,
+      deltas = s.deltas -- rset,
+      removedFiles = s.removedFiles ++ rels ++ droppedDeltas,
       rowCount = if (s.rowCount >= 0) s.rowCount - droppedRows else s.rowCount,
       sizeBytes = math.max(0L, s.sizeBytes - droppedBytes),
       stats = newStats,

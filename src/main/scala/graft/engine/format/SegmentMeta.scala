@@ -64,7 +64,12 @@ case class SegmentMeta(
     fileMeta: Map[String, FileMeta] = Map.empty,
     /** files dropped from `files` by metadata-only DROP PARTITION but
       * still on disk for in-flight readers; CLEAN FILES reclaims them */
-    removedFiles: Seq[String] = Nil) {
+    removedFiles: Seq[String] = Nil,
+    /** merge-on-read delete deltas: data-file rel path → its delta
+      * files (each a sorted list of deleted row positions, see
+      * [[Deltas]]). rowCount and fileMeta rows are LIVE counts — delta
+      * commits decrement them. */
+    deltas: Map[String, Seq[String]] = Map.empty) {
   def isVisible: Boolean = SegmentStatus.visible(status)
 }
 

@@ -432,6 +432,16 @@ class CarbonishScanBuilder(
 
   private val fileIndex = new SegmentFileIndex(spark, layout, visible, schema)
   private val delegate = ParquetScanBuilder(spark, fileIndex, schema, schema, options)
+  /** Any visible merge-on-read delete deltas? Scans must then emit the
+    * parquet row index (for the anti-filter), parquet footer aggregate
+    * pushdown becomes unsound (footers count deleted rows), and
+    * metadata MIN/MAX answers are disabled (stats may describe deleted
+    * rows). Metadata COUNT(*) stays sound: rowCount/fileMeta are LIVE
+    * counts, decremented at delta commit. */
+  private val hasDeltas = visible.exists(_.deltas.nonEmpty)
+  private def withRowIndex(s: StructType): StructType =
+    if (s.fieldNames.contains(org.apache.spark.sql.graft.Shims.rowIndexTempName)) s
+    else s.add(org.apache.spark.sql.graft.Shims.rowIndexTempField)
   private var metaAgg: Option[(Seq[Seq[Any]], StructType)] = None
   // any predicate at all (pushed or residual) disables the metadata count
   private var sawFilters = false
@@ -463,7 +473,7 @@ class CarbonishScanBuilder(
     delegate.pushedFilters
   override def pruneColumns(requested: StructType): Unit = {
     requiredSchema = Some(requested)
-    delegate.pruneColumns(requested)
+    delegate.pruneColumns(if (hasDeltas) withRowIndex(requested) else requested)
   }
 
   /** Unordered LIMIT: scan only a prefix of segments whose committed row
@@ -563,8 +573,10 @@ class CarbonishScanBuilder(
     }
     val vals = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => totalRows
-      case m: VMin => colOf(m.column).flatMap(bound(_, wantMin = true))
-      case m: VMax => colOf(m.column).flatMap(bound(_, wantMin = false))
+      // stats may describe rows masked by delete deltas — a metadata
+      // MIN/MAX could answer with a deleted value
+      case m: VMin if !hasDeltas => colOf(m.column).flatMap(bound(_, wantMin = true))
+      case m: VMax if !hasDeltas => colOf(m.column).flatMap(bound(_, wantMin = false))
       case _ => None
     }
     if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
@@ -616,7 +628,7 @@ class CarbonishScanBuilder(
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     metadataAggValues(aggregation).isDefined ||
       metadataGroupRowsCached(aggregation).isDefined ||
-      delegate.supportCompletePushDown(aggregation)
+      (!hasDeltas && delegate.supportCompletePushDown(aggregation))
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     metadataAggValues(aggregation) match {
@@ -625,7 +637,7 @@ class CarbonishScanBuilder(
           aggregation, schema, Set.empty[String], Seq.empty) match {
           case Some(aggSchema) =>
             metaAgg = Some((Seq(values), aggSchema)); true
-          case None => delegate.pushAggregation(aggregation)
+          case None => !hasDeltas && delegate.pushAggregation(aggregation)
         }
       case None => metadataGroupRowsCached(aggregation) match {
         case Some(rows) =>
@@ -645,9 +657,9 @@ class CarbonishScanBuilder(
                 }
               }
               metaAgg = Some((reordered, aggSchema)); true
-            case None => delegate.pushAggregation(aggregation)
+            case None => !hasDeltas && delegate.pushAggregation(aggregation)
           }
-        case None => delegate.pushAggregation(aggregation)
+        case None => !hasDeltas && delegate.pushAggregation(aggregation)
       }
     }
 
@@ -656,7 +668,8 @@ class CarbonishScanBuilder(
     val reduced = ParquetScanBuilder(
       spark, new SegmentFileIndex(spark, layout, segs, schema),
       schema, schema, options)
-    requiredSchema.foreach(reduced.pruneColumns)
+    val req = requiredSchema.getOrElse(schema)
+    reduced.pruneColumns(if (hasDeltas) withRowIndex(req) else req)
     reduced.build()
   }
 
@@ -669,6 +682,10 @@ class CarbonishScanBuilder(
   override def build(): Scan = metaAgg match {
     case Some((values, aggSchema)) => MetadataAggScan(values, aggSchema)
     case None =>
+      // a delta-bearing scan must carry the row-index column even if
+      // Spark never called pruneColumns (defensive — V2 pushdown
+      // normally always prunes)
+      if (hasDeltas && requiredSchema.isEmpty) delegate.pruneColumns(withRowIndex(schema))
       (topNSegs, limit) match {
         case (Some(segs), _) => wrap(segmentSubsetScan(segs), segs)
         case (None, Some(n)) =>
@@ -719,6 +736,17 @@ case class CarbonishScan(
       layout.fs.makeQualified(new Path(p)).toString -> (s, rel)
     }).toMap
 
+  /** qualified data-file path -> absolute merge-on-read delta paths
+    * (empty when the table has none — the scan then stays columnar). */
+  private lazy val deltaOfFile: Map[String, Seq[String]] =
+    visible.filter(_.deltas.nonEmpty).flatMap { s =>
+      val dir = layout.segmentDir(s.id)
+      s.deltas.map { case (rel, dRels) =>
+        layout.fs.makeQualified(new Path(dir, rel)).toString ->
+          dRels.map(dr => new Path(dir, dr).toString)
+      }
+    }.toMap
+
   /** Footer min/max of the leading sort column for one planned file
     * (None = stats missing → ordering can't be claimed through it).
     * Lookup goes through hadoop Path normalization: planned files print
@@ -742,8 +770,11 @@ case class CarbonishScan(
     val conf = spark.sessionState.conf
     if (!conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)) None
     else Buckets.specOf(tableMeta).filter { bs =>
+      // outstanding deltas force per-file partitions for the row-level
+      // anti-filter, which breaks the one-partition-per-bucket contract
+      // — SPJ resumes once compaction folds the deltas
       visible.nonEmpty && visible.forall(s =>
-        s.format == "parquet" &&
+        s.format == "parquet" && s.deltas.isEmpty &&
           s.files.forall(f => Buckets.tagOf(f).exists(b => b >= 0 && b < bs.count)))
     }
   }
@@ -804,6 +835,7 @@ case class CarbonishScan(
     val chains = toBatch.planInputPartitions().map {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
       case b: BucketedFilePartition => b.filePartition.files
+      case d: DeltaFilePartition => d.filePartition.files
       case _ => return Array.empty
     }
     var strict = true
@@ -850,17 +882,53 @@ case class CarbonishScan(
   /** The live delegated scan (tests unwrap through this). */
   def currentInner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = current
 
-  override def readSchema(): StructType = current.readSchema()
+  override def readSchema(): StructType = {
+    // the row-index temp column is reader plumbing for the delta
+    // anti-filter — never part of the scan's declared output
+    val s = current.readSchema()
+    val tmp = org.apache.spark.sql.graft.Shims.rowIndexTempName
+    if (s.fieldNames.contains(tmp)) StructType(s.fields.filterNot(_.name == tmp)) else s
+  }
   override def description(): String = s"carbonish ${current.description()}"
 
   // Spark materializes the Batch before applying runtime filters, so the
   // batch must consult the CURRENT state at plan time, not capture it
+  /** Isolate each delta-bearing data file into its own
+    * [[DeltaFilePartition]] (all its splits together, tagged with its
+    * delta paths) so the reader can attribute row indexes to the right
+    * position set; clean files keep their planned packing. Subsets of
+    * a sorted chain stay sorted, so ordering claims survive the split. */
+  private def deltaSplit(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    if (deltaOfFile.isEmpty) return parts
+    val out = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
+    var i = 0
+    parts.foreach {
+      case fp: FilePartition =>
+        val (hit, clean) = fp.files.partition(f =>
+          deltaOfFile.contains(new Path(f.filePath.toString).toString))
+        if (hit.isEmpty) { out += fp }
+        else {
+          if (clean.nonEmpty) { out += FilePartition(i, clean); i += 1 }
+          hit.groupBy(f => new Path(f.filePath.toString).toString).foreach {
+            case (qp, slices) =>
+              out += DeltaFilePartition(FilePartition(i, slices), deltaOfFile(qp))
+              i += 1
+          }
+        }
+      case other => out += other // bucketed partitions never coexist with deltas
+    }
+    out.result()
+  }
+
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
         import org.apache.spark.sql.execution.datasources.FilePartition
         val planned = current.toBatch.planInputPartitions()
-        reportableBuckets match {
+        deltaSplit(reportableBuckets match {
           case None =>
             claimedChains match {
               case Some(chains) if current ne inner =>
@@ -909,11 +977,19 @@ case class CarbonishScan(
               BucketedFilePartition(b,
                 FilePartition(b, orderChain(byBucket.getOrElse(b, Array.empty))))
             }
-        }
+        })
       }
       override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
         val delegate = current.toBatch.createReaderFactory()
-        if (reportableBuckets.isEmpty) delegate
+        // gate on the TEMP COLUMN, not the delta map: a limit/topN
+        // subset scan may cover only delta-free segments while the
+        // builder (which saw deltas table-wide) already injected the
+        // column — it must still be stripped from every row
+        if (current.readSchema().fieldNames.contains(
+            org.apache.spark.sql.graft.Shims.rowIndexTempName))
+          DeltaAwareReaderFactory(delegate, current.readSchema(),
+            new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        else if (reportableBuckets.isEmpty) delegate
         else BucketUnwrapReaderFactory(delegate)
       }
     }

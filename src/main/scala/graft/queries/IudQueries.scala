@@ -54,6 +54,23 @@ object IudQueries {
         Map("o_orderpriority" -> lit("X-UPD")))
       t0.read.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
     }),
+    // MERGE-ON-READ DELETE: delete deltas mask rows, data files stay
+    // byte-identical; the read path applies the position anti-filter
+    "q_iud_delete_mor" -> ((s, d) => {
+      val t0 = freshTable(s, d, "delmor", t(s, d, "orders"), Seq("o_orderkey"))
+      t0.deleteMor(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 50000.0)
+      t0.read.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    // MERGE-ON-READ UPDATE: pre-images masked by deltas, updated rows
+    // appended as one new segment in the same atomic commit
+    "q_iud_update_mor" -> ((s, d) => {
+      val t0 = freshTable(s, d, "updmor", t(s, d, "orders"), Seq("o_orderkey"))
+      t0.updateMor(col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      t0.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
     // INSERT OVERWRITE WHERE: replace all 'P' orders with re-priced copies
     // (partition-overwrite equivalent — predicate-scoped atomic swap)
     "q_iud_overwrite" -> ((s, d) => {
@@ -103,6 +120,16 @@ object IudQueries {
       """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-UPD' ELSE o_orderpriority END
            AS o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY 1""",
+    "q_iud_delete_mor" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0)
+          GROUP BY o_orderpriority""",
+    "q_iud_update_mor" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                             ELSE o_totalprice END AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+          FROM orders GROUP BY o_orderstatus""",
     "q_iud_overwrite" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
           CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2

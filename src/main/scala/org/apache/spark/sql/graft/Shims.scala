@@ -27,6 +27,19 @@ object Shims {
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** The parquet reader's magic row-index column (private[sql]
+    * constant): a read schema containing this field makes both the
+    * vectorized and parquet-mr readers emit each row's file-level row
+    * index — correct under splits and row-group skipping. The
+    * merge-on-read delta filter keys on it. */
+  def rowIndexTempField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      rowIndexTempName, org.apache.spark.sql.types.LongType)
+
+  def rowIndexTempName: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
   /** v1 parquet relation over a caller-supplied FileIndex. Unlike the
     * DSv2 FileTable path this exposes the `_metadata` columns (tupleId),
     * while the custom index keeps segment-level pruning in the loop. */
