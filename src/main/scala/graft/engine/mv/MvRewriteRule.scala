@@ -49,6 +49,37 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** timeseries()/date_trunc granularity lattice: rank of each
+    * TruncTimestamp level on the nested chain (week is off-chain —
+    * month/quarter/year boundaries are not week boundaries). */
+  private def truncLevel(fmt: String): Option[Int] = fmt.toUpperCase match {
+    case "MICROSECOND" => Some(0)
+    case "MILLISECOND" => Some(1)
+    case "SECOND" => Some(2)
+    case "MINUTE" => Some(3)
+    case "HOUR" => Some(4)
+    case "DAY" | "DD" => Some(5)
+    case "WEEK" => Some(6)
+    case "MON" | "MONTH" | "MM" => Some(7)
+    case "QUARTER" => Some(8)
+    case "YEAR" | "YYYY" | "YY" => Some(9)
+    case _ => None
+  }
+
+  /** Can `date_trunc(coarse, x)` be computed as
+    * `date_trunc(coarse, date_trunc(fine, x))`? True when every coarse
+    * boundary is a fine boundary: the non-week levels nest linearly;
+    * week derives from day or finer, and nothing derives from week
+    * (except week itself, which the exact-match path already covers). */
+  private def truncDerivable(coarse: String, fine: String): Boolean =
+    (truncLevel(coarse), truncLevel(fine)) match {
+      case (Some(c), Some(f)) =>
+        if (f == 6) false // week reproduces only week (exact match path)
+        else if (c == 6) f <= 5 // week from day/hour/…
+        else c >= f
+      case _ => false
+    }
+
   /** Drop pure column-pruning Projects — the optimizer inserts different
     * ones for the MV and for each query over the same child. Only the
     * top-level chain is stripped: recursing into n-ary nodes (Union,
@@ -130,8 +161,35 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryRewrite(query: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-    val mvChild = mv.agg.child
+  /** Undo PullOutGroupingExpressions: the optimizer extracts computed
+    * grouping expressions (e.g. `date_trunc(...) AS _groupingexpression`)
+    * into a Project under the Aggregate, which would hide them from
+    * structural matching. Inline every deterministic alias back into the
+    * aggregate and drop the Project — both the query and the MV
+    * definition get the same normalization, so `timeseries()` buckets
+    * line up again. */
+  private def inlineProject(agg: Aggregate): Aggregate = agg.child match {
+    case org.apache.spark.sql.catalyst.plans.logical.Project(list, inner)
+        if list.exists(_.isInstanceOf[Alias]) &&
+          list.forall(ne => ne.isInstanceOf[AttributeReference] || ne.isInstanceOf[Alias]) &&
+          list.collect { case a: Alias => a }.forall(_.child.deterministic) =>
+      val sub = AttributeMap(list.collect { case a: Alias => a.toAttribute -> a.child })
+      def subst(e: Expression): Expression =
+        e.transformUp { case attr: Attribute if sub.contains(attr) => sub(attr) }
+      val g2 = agg.groupingExpressions.map(subst)
+      val a2 = agg.aggregateExpressions.map {
+        case attr: Attribute if sub.contains(attr) =>
+          Alias(sub(attr), attr.name)(exprId = attr.exprId)
+        case ne => subst(ne).asInstanceOf[NamedExpression]
+      }
+      inlineProject(Aggregate(g2, a2, inner))
+    case _ => agg
+  }
+
+  private def tryRewrite(query0: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val query = inlineProject(query0)
+    val mvAgg = inlineProject(mv.agg)
+    val mvChild = mvAgg.child
     // exact child match, or filter subsumption (reference MVMatcher
     // SelectSelectNoChildDelta, MVMatcher.scala:613): query = Filter over
     // the MV's child, with a predicate derivable from the MV's grouping
@@ -193,10 +251,10 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     val mvRel = MvRewriteRule.withoutRewrite {
       spark.read.format("carbonish").load(mv.path).queryExecution.optimizedPlan
     }
-    if (mvRel.output.size != mv.agg.aggregateExpressions.size) return None
+    if (mvRel.output.size != mvAgg.aggregateExpressions.size) return None
     val mvOut: Seq[(NamedExpression, Attribute)] =
-      mv.agg.aggregateExpressions.zip(mvRel.output)
-    val mvGroupCanon = mv.agg.groupingExpressions.map(_.canonicalized).toSet
+      mvAgg.aggregateExpressions.zip(mvRel.output)
+    val mvGroupCanon = mvAgg.groupingExpressions.map(_.canonicalized).toSet
 
     // mv grouping outputs: canonical grouping expr → mv table column
     def groupColFor(e: Expression): Option[Attribute] =
@@ -256,6 +314,29 @@ class MvRewriteRule extends Rule[LogicalPlan] {
 
     val mvChildOutput = AttributeSet(stripPruning(mvChild).output)
 
+    /** Timeseries granularity hierarchy (reference: timeseries MVs
+      * answer coarser granularities from a finer rollup,
+      * docs/mv-guide.md "Time Series Support"): a query bucket
+      * `date_trunc(COARSE, ts)` is served from an MV grouped by
+      * `date_trunc(FINE, ts)` as `date_trunc(COARSE, <mv bucket col>)`
+      * when every COARSE boundary is a FINE boundary — re-truncating
+      * the finer bucket is then exact, and the aggregates roll up
+      * across buckets like any groupby-rollup. */
+    def timeseriesRollup(tt: TruncTimestamp): Option[Expression] = tt.format match {
+      case fq @ Literal(fmtQ: org.apache.spark.unsafe.types.UTF8String, _) =>
+        mvOut.collectFirst {
+          case (ne, attr) if (stripAlias(ne) match {
+            case TruncTimestamp(Literal(fmtF: org.apache.spark.unsafe.types.UTF8String, _), tsF, tzF) =>
+              mvGroupCanon.contains(stripAlias(ne).canonicalized) &&
+                truncDerivable(fmtQ.toString, fmtF.toString) &&
+                tsF.canonicalized == tt.timestamp.canonicalized &&
+                tzF == tt.timeZoneId
+            case _ => false
+          }) => TruncTimestamp(fq, attr, tt.timeZoneId): Expression
+        }
+      case _ => None
+    }
+
     def rewriteExpr(e: Expression): Option[Expression] = {
       var ok = true
       val step1 = remap(e).transformUp {
@@ -268,6 +349,8 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       if (!ok) return None
       val step2 = step1.transformDown {
         case sub if groupColFor(sub).isDefined => groupColFor(sub).get
+        case tt: TruncTimestamp if timeseriesRollup(tt).isDefined =>
+          timeseriesRollup(tt).get
       }
       // anything still referencing the base child is underivable
       if (step2.references.exists(mvChildOutput.contains)) None else Some(step2)

@@ -194,8 +194,42 @@ object EngineQueries {
         .filter(col("l_linestatus") === "O")
         .groupBy("l_returnflag")
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          count(lit(1)).as("cnt"))))
+          count(lit(1)).as("cnt")))),
+    // timeseries MV hierarchy (reference mv-guide.md "Time Series
+    // Support"): a DAY-granularity query served from an HOUR-grain MV —
+    // the bucket re-truncates, the aggregates roll up; fails if the
+    // rewrite doesn't fire
+    "q_mv_timeseries" -> ((s, d) =>
+      mvServedTs(s, d, t(s, d, "events")
+        .groupBy(graft.functions.GraftFunctions.timeseries(col("ts"), "day").as("bucket"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))))
   )
+
+  /** Ensure the shared HOUR-grain timeseries MV over events exists and
+    * serves `query` (which buckets at a coarser granularity). */
+  private def mvServedTs(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
+    import graft.engine.mv.{Mv, MvCatalog}
+    val base = new java.io.File(d).getName
+    val mvPath = s"/tmp/graft_tables/$base/mv_ev_ts"
+    def rewrites: Boolean = {
+      Mv.install(s)
+      query.queryExecution.optimizedPlan.toString.contains("mv_ev_ts")
+    }
+    val ready =
+      (MvCatalog.get("mv_ev_ts").isDefined || Mv.load(s, mvPath).isDefined) && rewrites
+    if (!ready) {
+      val mvq = t(s, d, "events")
+        .groupBy(graft.functions.GraftFunctions.timeseries(col("ts"), "hour").as("b"))
+        .agg(sum(dec(col("value"))).as("pv"), count(lit(1)).as("pc"))
+      Mv.drop(s, "mv_ev_ts")
+      Mv.create(s, "mv_ev_ts", mvq, mvPath)
+    }
+    val q = query
+    val plan = q.queryExecution.optimizedPlan.toString
+    require(plan.contains("mv_ev_ts"),
+      s"timeseries MV rewrite did not fire; plan:\n$plan")
+    q
+  }
 
   /** Ensure the shared (l_returnflag, l_linestatus) MV over lineitem
     * exists and serves `query`; requires the rewrite actually fired.
@@ -270,6 +304,10 @@ object EngineQueries {
     "q_mv_filter" ->
       s"""SELECT l_returnflag, CAST(sum(${oDec("l_quantity")}) AS DOUBLE) AS sum_qty,
           count(*) AS cnt
-          FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag"""
+          FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag""",
+    "q_mv_timeseries" ->
+      s"""SELECT date_trunc('day', ts) AS bucket, ${oDsum("value")} AS sum_value,
+          count(*) AS cnt
+          FROM events GROUP BY 1"""
   )
 }

@@ -160,6 +160,43 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_fg")
   }
 
+  test("timeseries hierarchy: day/month queries served by an hour-grain MV") {
+    val base = lineitem.withColumn("ts",
+      to_timestamp(col("l_shipdate")) +
+        make_interval(lit(0), lit(0), lit(0), lit(0), col("l_linenumber")))
+    def bucket(g: String) = graft.functions.GraftFunctions.timeseries(col("ts"), g)
+    val mvq = base.groupBy(bucket("hour").as("b"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_ts", mvq, s"${tmp()}/mv_ts")
+    try {
+      for (g <- Seq("day", "month", "year", "week")) {
+        val q = base.groupBy(bucket(g).as("b"))
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+            count(lit(1)).as("cnt"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.contains("mv_ts"), s"$g not served by hour MV:\n$plan")
+        // withoutRewrite must span the ACTION (the rule fires at
+        // optimization time), so collect the baseline inside it
+        val expected = graft.engine.mv.MvRewriteRule.withoutRewrite {
+          q.collect().map(_.toString).sorted
+        }
+        val got = q.collect().map(_.toString).sorted
+        assert(got.sameElements(expected),
+          s"$g: ${got.zip(expected).find { case (x, y) => x != y }}")
+      }
+      // month CANNOT be served by a week-grain MV (boundaries don't nest)
+      val mvw = base.groupBy(bucket("week").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      Mv.create(spark, "mv_tsw", mvw, s"${tmp()}/mv_tsw")
+      try {
+        val qm = base.groupBy(bucket("month").as("b")).agg(count(lit(1)).as("cnt"))
+        val plan = qm.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("mv_tsw"), s"month must NOT roll up from week:\n$plan")
+      } finally Mv.drop(spark, "mv_tsw")
+    } finally Mv.drop(spark, "mv_ts")
+  }
+
   test("filter subsumption: residual filter on grouping columns rewrites") {
     val base = lineitem
     val mvq = base.groupBy("l_returnflag", "l_linestatus")
