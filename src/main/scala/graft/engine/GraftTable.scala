@@ -539,7 +539,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
               s"segment ${sel.id} was mutated during compaction")
         }
         st.copy(segments = st.segments.map { s =>
-          if (s.id == id) seg
+          if (s.id == id) seg.copy(origin = "compact")
           else if (victimIds.contains(s.id)) s.copy(status = SegmentStatus.Compacted)
           else s
         })

@@ -303,7 +303,7 @@ object Mutation {
     val seg =
       try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id)
       catch { case e: Throwable => retire(t, id); throw e }
-    swap(t, fullVictims, Some(seg), partialVictims,
+    swap(t, fullVictims, Some(seg.copy(origin = "rewrite")), partialVictims,
       selected = segs.map(p => p._1.id -> p._1).toMap)
     // `before` counted live rows (fileMeta/rowCount are delta-adjusted),
     // and the read above masked delta'd rows, so before-after stays the
@@ -577,7 +577,7 @@ object Mutation {
         try SegmentWriter.write(t.layout, t.meta, updated, id)
         catch { case e: Throwable =>
           retire(t, id); dropOrphanDeltas(t, written); throw e }
-      commitDeltas(t, byId, written, replacement = Some(seg))
+      commitDeltas(t, byId, written, replacement = Some(seg.copy(origin = "rewrite")))
       t.maybeHorizontalCompact()
       written.values.map(_._2).sum
     } finally matched.unpersist()
@@ -779,7 +779,7 @@ class MergeBuilder private[engine] (
     // rewrote an affected FILE) mid-merge aborts the publish (and
     // retires this orphan) instead of silently resurrecting the
     // victim's pre-image rows
-    Mutation.swap(target, fullVictims, Some(seg), partialVictims,
+    Mutation.swap(target, fullVictims, Some(seg.copy(origin = "rewrite")), partialVictims,
       selected = segs.map(p => p._1.id -> p._1).toMap)
     Some(id)
 

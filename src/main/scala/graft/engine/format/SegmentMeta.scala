@@ -69,7 +69,15 @@ case class SegmentMeta(
       * files (each a sorted list of deleted row positions, see
       * [[Deltas]]). rowCount and fileMeta rows are LIVE counts — delta
       * commits decrement them. */
-    deltas: Map[String, Seq[String]] = Map.empty) {
+    deltas: Map[String, Seq[String]] = Map.empty,
+    /** Provenance of this segment's data: "load" (insert/load/add
+      * segment — NEW rows), "handoff" (streaming-segment handoff — new
+      * rows reaching their final columnar form), "compact" (re-layout
+      * of already-committed rows), "rewrite" (IUD copy-on-write /
+      * merge / overwrite). The streaming SOURCE emits only load +
+      * handoff segments — compaction and rewrites re-house rows a
+      * stream already saw. */
+    origin: String = "load") {
   def isVisible: Boolean = SegmentStatus.visible(status)
 }
 

@@ -132,6 +132,7 @@ private class DynamicOverwriteBatchWrite(
     val seg = SegmentMeta(
       id = segId,
       status = SegmentStatus.Success,
+      origin = "rewrite", // dynamic overwrite re-houses + replaces rows
       format = "parquet",
       files = files.map(_._1),
       rowCount = registered.map(_.rows).sum,

@@ -107,7 +107,8 @@ class CarbonishTable(path: String, tableSchema: StructType)
   // exist for the one plan that hard-requires a real BatchWrite —
   // INSERT OVERWRITE in dynamic partition mode (DynamicOverwriteWrite)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC).asJava
 
@@ -675,7 +676,7 @@ class CarbonishScanBuilder(
 
   private def wrap(s: Scan, segs: Seq[SegmentMeta]): Scan = s match {
     case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-      CarbonishScan(spark, layout, segs, schema, ps)
+      CarbonishScan(spark, layout, segs, schema, ps, options)
     case other => other
   }
 
@@ -718,7 +719,8 @@ case class CarbonishScan(
     layout: TableLayout,
     visible: Seq[SegmentMeta],
     tableSchema: StructType,
-    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    scanOptions: CaseInsensitiveStringMap)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -881,6 +883,12 @@ case class CarbonishScan(
 
   /** The live delegated scan (tests unwrap through this). */
   def currentInner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = current
+
+  /** `spark.readStream.format("carbonish").load(path)` — committed
+    * segments become micro-batches (see [[SegmentMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SegmentMicroBatchStream(spark, layout, tableSchema, scanOptions)
 
   override def readSchema(): StructType = {
     // the row-index temp column is reader plumbing for the delta

@@ -148,7 +148,7 @@ object GraftStreaming {
       val seg = SegmentWriter.write(t.layout, t.meta, df, id)
       t.layout.commit { st =>
         st.copy(segments = st.segments.map { x =>
-          if (x.id == id) seg
+          if (x.id == id) seg.copy(origin = "handoff")
           else if (x.id == s.id) x.copy(status = SegmentStatus.Compacted)
           else x
         })

@@ -202,7 +202,35 @@ object EngineQueries {
     "q_mv_timeseries" -> ((s, d) =>
       mvServedTs(s, d, t(s, d, "events")
         .groupBy(graft.functions.GraftFunctions.timeseries(col("ts"), "day").as("bucket"))
-        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt")))),
+    // streaming SOURCE: the orders3 fixture's committed segments drain
+    // as micro-batches through readStream (fresh checkpoint → all
+    // segments re-emit, making the row deterministic); the drained rows
+    // must equal the table contents exactly
+    "q_stream_source" -> ((s, d) => {
+      val tbl = orders3(s, d)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_q_").toString
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val q = s.readStream.format("carbonish").load(tbl.path)
+        .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).cast("double").as("price"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(acc.add); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(acc.asScala.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.DoubleType))))
+    })
   )
 
   /** Ensure the shared HOUR-grain timeseries MV over events exists and
@@ -308,6 +336,9 @@ object EngineQueries {
     "q_mv_timeseries" ->
       s"""SELECT date_trunc('day', ts) AS bucket, ${oDsum("value")} AS sum_value,
           count(*) AS cnt
-          FROM events GROUP BY 1"""
+          FROM events GROUP BY 1""",
+    "q_stream_source" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+          CAST(${oDec("o_totalprice")} AS DOUBLE) AS price FROM orders"""
   )
 }
