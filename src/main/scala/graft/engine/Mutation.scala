@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * compaction surface it (their re-run is not side-effect-free). */
 class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
 
-object Mutation {
+object Mutation extends org.apache.spark.internal.Logging {
 
   /** Visible parquet segments and their file lists. Mutations are
     * rejected while a STREAMING segment is open (its files are still
@@ -74,6 +74,58 @@ object Mutation {
     Some(keep(col("_metadata.file_path"), col("_metadata.row_index")))
   }
 
+  /** Prune the candidate file set for a mutation predicate with the
+    * SAME stats ladder the read path uses (segment min/max → file-grain
+    * footer/partition/bucket stats): a point DELETE on a 100 TB sorted
+    * table then scans ~one segment's files to find its matches instead
+    * of every footer. The condition is resolved against an empty frame
+    * to translate it to source filters; anything untranslatable keeps
+    * everything (conservative — correctness never depends on this). */
+  private[engine] def pruneCandidates(
+      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column)
+      : Seq[(SegmentMeta, Seq[String])] = {
+    import graft.engine.format.{Partitions, SegmentPruner}
+    val filters: Seq[org.apache.spark.sql.sources.Filter] =
+      try {
+        val resolved = t.spark.createDataFrame(
+            t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+          .filter(cond).queryExecution.analyzed
+        resolved match {
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+            // each translatable conjunct prunes independently; the
+            // untranslatable rest simply doesn't prune
+            splitConjuncts(c).flatMap(e =>
+              org.apache.spark.sql.graft.Shims.translateFilter(e))
+          case _ => Nil
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    if (filters.isEmpty) return segs
+    val schema = t.schema
+    val kept = segs.flatMap { case (s, abs) =>
+      if (SegmentPruner.prune(Seq(s), filters).isEmpty) None
+      else {
+        val keptAbs = s.files.zip(abs).collect {
+          case (rel, a) if !(s.fileMeta.contains(rel) || rel.contains("=")) ||
+              filters.forall(SegmentPruner.mayMatch(
+                Partitions.fileAsSegment(s, rel, schema), _)) => a
+        }
+        if (keptAbs.isEmpty) None else Some((s, keptAbs))
+      }
+    }
+    val (fTot, fKept) = (segs.map(_._2.size).sum, kept.map(_._2.size).sum)
+    if (fKept < fTot)
+      logInfo(s"[graft] mutation candidate prune: $fKept/$fTot files")
+    kept
+  }
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   /** Which FILES of which visible segments contain rows matching `cond`,
     * and how many matching rows each holds? One Spark job over (pruned)
     * candidate files — the per-file count rides the same scan that finds
@@ -83,8 +135,9 @@ object Mutation {
     * sampling executes the plan twice and double-counts the metric.
     * Returns segId -> (relPath -> matchCount). */
   private def affectedFiles(
-      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column)
+      t: GraftTable, segs0: Seq[(SegmentMeta, Seq[String])], cond: Column)
       : Map[Long, Map[String, Long]] = {
+    val segs = pruneCandidates(t, segs0, cond)
     if (segs.isEmpty) return Map.empty
     val spark = t.spark
     val files = segs.flatMap(_._2)
@@ -99,7 +152,10 @@ object Mutation {
       .count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    val byNorm = normIndex(t, segs)
+    // resolve against the UNPRUNED index: normIndex zips each segment's
+    // full rel list with its abs list, and a pruned abs subset would
+    // silently mis-map hits to the wrong file
+    val byNorm = normIndex(t, segs0)
     hit.toSeq.map { case (h, c) =>
       val (id, rel) = resolveHit(byNorm, h)
       (id, rel, c)
@@ -114,6 +170,11 @@ object Mutation {
       t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])]): Map[String, (Long, String)] = {
     val fs = t.layout.fs
     segs.flatMap { case (m, abs) =>
+      // the zip is positional — a pruned abs subset would mis-map every
+      // file after the first gap
+      require(m.files.size == abs.size,
+        s"normIndex needs the segment's FULL path list (segment ${m.id}: " +
+          s"${m.files.size} files vs ${abs.size} paths)")
       m.files.zip(abs).map { case (rel, a) =>
         fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toString -> (m.id, rel)
       }
@@ -512,9 +573,14 @@ object Mutation {
   }
 
   /** Live matched positions as (__fp, __pos), existing deltas applied
-    * (already-deleted rows never re-match, so new deltas stay disjoint). */
+    * (already-deleted rows never re-match, so new deltas stay disjoint).
+    * The match scan runs over the stats-pruned candidate files only. */
   private def matchedPositions(
-      t: GraftTable, segs: Seq[(SegmentMeta, Seq[String])], cond: Column): DataFrame = {
+      t: GraftTable, segs0: Seq[(SegmentMeta, Seq[String])], cond: Column): DataFrame = {
+    val segs = pruneCandidates(t, segs0, cond)
+    if (segs.isEmpty || segs.flatMap(_._2).isEmpty)
+      return t.spark.emptyDataFrame
+        .select(lit("").as("__fp"), lit(0L).as("__pos")).limit(0)
     val raw = t.spark.read.schema(t.schema).parquet(segs.flatMap(_._2): _*)
     deltaFilter(t, segs).map(raw.filter).getOrElse(raw)
       .filter(cond)
@@ -554,8 +620,10 @@ object Mutation {
     val segs = visibleFiles(t)
     if (segs.isEmpty || segs.flatMap(_._2).isEmpty) return 0L
     val spark = t.spark
-    val raw = spark.read.schema(schema).parquet(segs.flatMap(_._2): _*)
-    val matched = deltaFilter(t, segs).map(raw.filter).getOrElse(raw)
+    val cands = pruneCandidates(t, segs, cond)
+    if (cands.isEmpty || cands.flatMap(_._2).isEmpty) return 0L
+    val raw = spark.read.schema(schema).parquet(cands.flatMap(_._2): _*)
+    val matched = deltaFilter(t, cands).map(raw.filter).getOrElse(raw)
       .filter(cond)
       .select((schema.fieldNames.map(col).toSeq :+
         col("_metadata.file_path").as("__fp") :+

@@ -50,6 +50,31 @@ class MutationSpec extends AnyFunSuite {
       s"segment 0 must shrink or retire, got $seg0")
   }
 
+  test("mutation candidate pruning: point predicate scans one segment's files") {
+    import org.apache.spark.sql.functions._
+    val t = GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_mut_prune_").toString + "/t",
+      spark.range(0, 1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").schema,
+      Seq("k"), properties = Map("global_sort_partitions" -> "2"))
+    // 3 segments with disjoint k ranges, 2 files each
+    t.insert(spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    t.insert(spark.range(1000, 2000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    t.insert(spark.range(2000, 3000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    val segs = Mutation.visibleFiles(t)
+    assert(segs.map(_._2.size).sum == 6)
+    // segment grain: one segment survives; file grain: one file of it
+    val cand = Mutation.pruneCandidates(t, segs, col("k") === 1500L)
+    assert(cand.size == 1 && cand.head._1.id == 1L, s"kept ${cand.map(_._1.id)}")
+    assert(cand.head._2.size == 1, s"file-grain prune kept ${cand.head._2}")
+    // untranslatable predicate keeps everything (conservative)
+    val all = Mutation.pruneCandidates(t, segs,
+      udf((k: Long) => k == 3L).apply(col("k")))
+    assert(all.map(_._2.size).sum == 6)
+    // and the end-to-end delete stays exact
+    assert(t.delete(col("k") === 1500L) == 1L)
+    assert(t.read.count() == 2999)
+  }
+
   test("delete with no matches is a no-op") {
     val (t, _) = ordersTable()
     val v = t.status.version
