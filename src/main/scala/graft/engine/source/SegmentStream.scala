@@ -42,7 +42,59 @@ class SegmentMicroBatchStream(
     layout: TableLayout,
     tableSchema: StructType,
     options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with org.apache.spark.internal.Logging {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.internal.Logging {
+
+  // admission control: cap how far the watermark advances per batch, so
+  // a backfill over years of segments streams as paced batches instead
+  // of one giant first batch (options on readStream)
+  private val maxSegmentsPerBatch: Option[Int] =
+    Option(options.get("max_segments_per_batch")).map(_.toInt)
+  private val maxRowsPerBatch: Option[Long] =
+    Option(options.get("max_rows_per_batch")).map(_.toLong)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxRowsPerBatch.map(ReadLimit.maxRows)
+      .orElse(maxSegmentsPerBatch.map(n => ReadLimit.maxFiles(n)))
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  /** Advance the watermark at most `max_segments_per_batch` emittable
+    * segments / `max_rows_per_batch` live rows past `start` (always at
+    * least one segment, or the stream would stall). Skipped-origin
+    * segments ride along for free — they never emit. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cap = contiguousMax(layout.readStatus())
+    val s = start.asInstanceOf[SegOffset].max
+    if (cap <= s || (maxSegmentsPerBatch.isEmpty && maxRowsPerBatch.isEmpty))
+      return SegOffset(cap)
+    val candidates = batchSegments(s, cap)
+    var segsTaken = 0
+    var rowsTaken = 0L
+    var end = s
+    var i = 0
+    while (i < candidates.size && end < cap) {
+      val seg = candidates(i)
+      val wouldSegs = segsTaken + 1
+      val wouldRows = rowsTaken + math.max(0L, seg.rowCount)
+      if (segsTaken > 0 &&
+          (maxSegmentsPerBatch.exists(wouldSegs > _) ||
+            maxRowsPerBatch.exists(wouldRows > _))) {
+        return SegOffset(end)
+      }
+      segsTaken = wouldSegs; rowsTaken = wouldRows; end = seg.id
+      i += 1
+    }
+    SegOffset(cap) // every emittable segment fits: sweep to the cap
+  }
+
+  override def reportLatestOffset(): Offset =
+    SegOffset(contiguousMax(layout.readStatus()))
 
   private val readSchemaWithTmp =
     tableSchema.add(org.apache.spark.sql.graft.Shims.rowIndexTempField)

@@ -72,6 +72,29 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(drain(path, s"$root/ckpt").sorted == (10L until 100L))
   }
 
+  test("admission control paces a backfill: one segment per batch") {
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable.create(spark, path, mkRows(0, 1).schema, Seq("k"))
+    t.insert(mkRows(0, 10)); t.insert(mkRows(10, 20)); t.insert(mkRows(20, 30))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("carbonish")
+      .option("max_segments_per_batch", "1")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batches += n
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.toSeq == Seq(10L, 10L, 10L),
+      s"expected 3 paced batches, got $batches")
+  }
+
   test("watermark waits for the contiguous committed prefix") {
     val root = tmp()
     val path = s"$root/t"
