@@ -107,6 +107,8 @@ object GraftSql {
     * CREATE MATERIALIZED VIEW <name> STORED AT '<path>' AS <select sql>
     * REFRESH MATERIALIZED VIEW <name>
     * DROP MATERIALIZED VIEW <name>
+    * CREATE TABLE <t> LIKE <src>   -- empty clone of schema/sort/partitions/props
+    * SHOW SUMMARY FOR TABLE <t>    -- CarbonCli-style per-file metadata
     * }}}
     */
   def command(
@@ -134,7 +136,19 @@ object GraftSql {
     val CreateMv = """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+STORED\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
     val RefreshMv = """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+    val CreateLike = """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+LIKE\s+(\S+)\s*$""".r
+    val ShowSummary = """(?is)^\s*SHOW\s+SUMMARY\s+FOR\s+TABLE\s+(\S+)\s*$""".r
     sql match {
+      case ShowSummary(t) => Some(table(t).describeFiles)
+      // reference CarbonCreateTableLikeCommand: an empty table carrying
+      // the source's schema, sort spec, partitioning, bucketing and
+      // user properties (no data, no segments)
+      case CreateLike(dst, src) =>
+        val s0 = table(src)
+        val m = s0.meta
+        GraftTable.create(spark, dst.stripPrefix("`").stripSuffix("`"),
+          s0.schema, m.sortColumns, m.sortScope, m.properties, m.partitionColumns)
+        Some(done)
       case Describe(t) => Some(table(t).describe)
       case ShowSegments(t) =>
         Some(table(t).segments.map(s =>

@@ -79,6 +79,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
     live.withColumn(idCol, graft.functions.GraftFunctions.tupleId)
   }
 
+  /** Paged read: rows [offset, offset+limit) of committed table order
+    * (PaginationCarbonReader analog — see [[Pagination]]): only the
+    * covering files are opened, located from footer live row counts. */
+  def page(offset: Long, limit: Int): DataFrame = Pagination.page(this, offset, limit)
+
   /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50).
     * External ADD SEGMENT files carry a -1 row-count sentinel — those
     * segments are counted with a real scan rather than poisoning the
@@ -371,6 +376,29 @@ class GraftTable private (val spark: SparkSession, val path: String)
         ("total_bytes", st.visible.map(_.sizeBytes).sum.toString, "metric")) ++
       m.properties.map { case (k, v) => (k, v, "property") }
     rows.toSeq.toDF("name", "value", "kind")
+  }
+
+  /** CarbonCli-style per-file summary (tools/cli/src/main/java/org/
+    * apache/carbondata/tool/CarbonCli.java `summary`): one row per data
+    * file with its segment, live rows, bytes, delta fan-out and leading
+    * sort-column bounds — all from driver metadata, zero file IO. */
+  def describeFiles: DataFrame = {
+    import spark.implicits._
+    val sortCol = meta.sortColumns.headOption
+    status.visible.sortBy(_.id).flatMap { s =>
+      s.files.map { rel =>
+        val fm = s.fileMeta.get(rel)
+        val cs = for { c <- sortCol; m <- fm; st <- m.stats.get(c) } yield st
+        (s.id, rel, s.format,
+          fm.map(_.rows).getOrElse(-1L),
+          fm.map(_.bytes).getOrElse(-1L),
+          s.deltas.get(rel).map(_.size).getOrElse(0),
+          sortCol.orNull,
+          cs.flatMap(_.min).orNull,
+          cs.flatMap(_.max).orNull)
+      }
+    }.toDF("segment", "file", "format", "live_rows", "bytes",
+      "delta_files", "sort_col", "sort_min", "sort_max")
   }
 
   /** SHOW SEGMENTS (CarbonShowSegmentsCommand.scala:35). */

@@ -60,8 +60,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     namespace.foldLeft(warehouse)((p, n) => new Path(p, n))
   private def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), ident.name())
+  /** External tables (CREATE TABLE … LOCATION '<path>' — reference
+    * docs/ddl-of-carbondata.md:589-637): the warehouse dir holds only a
+    * pointer file; data and _meta live at the external location. DROP
+    * removes the pointer, never the data (hive external semantics, same
+    * as the reference's external table drop). */
+  private def externalPointer(p: Path): Path = new Path(p, "_external")
+  private def resolvedPath(p: Path): Path =
+    if (fs.exists(externalPointer(p))) {
+      val in = fs.open(externalPointer(p))
+      try new Path(new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } else p
   private def isTableDir(p: Path): Boolean =
-    fs.exists(new Path(p, "_meta/tablemeta.json"))
+    fs.exists(new Path(resolvedPath(p), "_meta/tablemeta.json"))
 
   // ------------------------------------------------------------- tables
 
@@ -75,8 +88,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def tableExists(ident: Identifier): Boolean = isTableDir(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    val p = tablePath(ident)
-    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val p = resolvedPath(tablePath(ident))
+    if (!fs.exists(new Path(p, "_meta/tablemeta.json")))
+      throw new NoSuchTableException(ident)
     val layout = new TableLayout(p.toString, conf)
     val schema = DataType.fromJson(layout.readTableMeta().schemaJson).asInstanceOf[StructType]
     new CarbonishTable(p.toString, schema)
@@ -125,13 +139,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     val userProps = props --
       Seq("sort_columns", "sort_scope", "provider", "owner", "location", "comment")
-    GraftTable.create(SparkSession.active, tablePath(ident).toString, schema,
-      sortCols, sortScope, userProps, partitionColumns = pCols)
+    props.get("location") match {
+      case Some(loc) =>
+        // external table: data lives at `loc`; the warehouse dir is a
+        // pointer. Adopting an existing carbonish dir keeps its meta
+        // (schema from disk wins — the reference's external table
+        // likewise infers from the location).
+        val locPath = new Path(loc)
+        val hasMeta = fs.exists(new Path(locPath, "_meta/tablemeta.json"))
+        if (!hasMeta) {
+          require(columns.nonEmpty,
+            s"CREATE TABLE $ident LOCATION '$loc': no carbonish table there and " +
+              "no columns given — provide a schema or point at an existing table")
+          GraftTable.create(SparkSession.active, loc, schema,
+            sortCols, sortScope, userProps, partitionColumns = pCols)
+        }
+        val dir = tablePath(ident)
+        fs.mkdirs(dir)
+        val out = fs.create(externalPointer(dir), true)
+        try out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      case None =>
+        GraftTable.create(SparkSession.active, tablePath(ident).toString, schema,
+          sortCols, sortScope, userProps, partitionColumns = pCols)
+    }
     loadTable(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = GraftTable.at(SparkSession.active, tablePath(ident).toString)
+    val t = GraftTable.at(SparkSession.active, resolvedPath(tablePath(ident)).toString)
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested ADD COLUMN is not supported")
@@ -158,7 +194,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    GraftTable.drop(SparkSession.active, tablePath(ident).toString)
+    val dir = tablePath(ident)
+    if (fs.exists(externalPointer(dir))) fs.delete(dir, true) // pointer only; data stays
+    else GraftTable.drop(SparkSession.active, dir.toString)
     true
   }
 

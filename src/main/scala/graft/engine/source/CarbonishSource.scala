@@ -115,6 +115,20 @@ class CarbonishTable(path: String, tableSchema: StructType)
   private def graftTable: graft.engine.GraftTable =
     graft.engine.GraftTable.at(SparkSession.active, path)
 
+  /** Surface the table's own metadata to catalog commands — SHOW CREATE
+    * TABLE renders `USING carbonish` from `provider` plus the sort spec
+    * and user properties; DESCRIBE EXTENDED lists the same. */
+  override def properties(): util.Map[String, String] = {
+    val layout = new TableLayout(path, SparkSession.active.sessionState.newHadoopConf())
+    val m = layout.readTableMeta()
+    val sortProps =
+      (if (m.sortColumns.nonEmpty) Map("sort_columns" -> m.sortColumns.mkString(","))
+       else Map.empty[String, String]) ++
+        (if (m.sortScope != "GLOBAL_SORT") Map("sort_scope" -> m.sortScope)
+         else Map.empty[String, String])
+    (Map("provider" -> "carbonish") ++ sortProps ++ m.properties).asJava
+  }
+
   /** Declared partitioning from the table's own metadata: hive-style
     * identity transforms, plus the bucket transform when the table is
     * hash-bucketed. */

@@ -140,6 +140,102 @@ object Ann {
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path the brief
+    * names next to LSH. `nlist` k-means centroids split the corpus into
+    * cells; a query probes only its `nprobe` nearest cells, so the pair
+    * space collapses from |Q|·|C| to |Q|·(nprobe/nlist)·|C| while the
+    * candidate generation stays a plain equi-join on the cell id.
+    *
+    * No RNG anywhere: seeds are the `nlist` smallest-id vectors and
+    * assignment ties break toward the lower cell id. The only run-to-run
+    * wiggle is float-sum order inside `avg` (partition-order dependent),
+    * which can nudge a centroid by an ulp — recall specs use thresholds,
+    * and the full-probe correctness row (`q_ann_ivf`) is independent of
+    * the assignment entirely.
+    *
+    * 100 TB shape:
+    *   - training runs on a caller-chosen sample (standard IVF practice;
+    *     centroid quality needs thousands of points, not the corpus) —
+    *     the element-wise mean shuffles |sample|·dim (cell, pos, value)
+    *     triples, never the corpus;
+    *   - centroids (nlist·dim doubles — KBs) collect to the driver and
+    *     ship back as ONE array literal, so cell assignment of the full
+    *     corpus is a pure projection: zero shuffle, prunable, and the
+    *     assignment can be persisted as a table column and bucketed on;
+    *   - search explodes each query into nprobe cell keys and equi-joins
+    *     corpus cells — never a cartesian.
+    */
+  def trainCentroids(sample: DataFrame, nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    require(nlist >= 1 && iters >= 1, s"need nlist >= 1, iters >= 1")
+    // deterministic seeds: the nlist smallest ids
+    var centroids: Seq[Seq[Double]] = sample.orderBy(col("id")).limit(nlist)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toSeq).toSeq
+    require(centroids.size == nlist, s"sample smaller than nlist=$nlist")
+    val dim = centroids.head.size
+    for (_ <- 0 until iters) {
+      // element-wise mean per cell: explode to (cell, pos, x), two-level
+      // aggregate, rebuild the vector sorted by position
+      val assigned = sample.withColumn("cell", nearestCell(col("qv"), centroids))
+      val next = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // a cell that lost all members keeps its old centroid
+      centroids = centroids.indices.map(i => next.getOrElse(i, centroids(i)))
+    }
+    require(centroids.forall(_.size == dim), "centroid dim drift")
+    centroids
+  }
+
+  /** Cell ids of the `nprobe` nearest centroids (by exact L2 over the
+    * quantized ints), nearest first; ONE fold over a centroid literal —
+    * flat codegen cost, no expression blowup with nlist or dim. */
+  private def nearestCells(qv: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
+    val cLit = typedLit(centroids)
+    val dists = transform(sequence(lit(0), lit(centroids.size - 1)), c =>
+      struct(
+        aggregate(
+          zip_with(qv, element_at(cLit, (c + 1).cast("int")),
+            (x, m) => { val d = x.cast("double") - m; d * d }),
+          lit(0.0), (a, x) => a + x).as("d"),
+        c.cast("int").as("cell")))
+    slice(array_sort(dists), 1, nprobe)
+  }
+
+  def nearestCell(qv: Column, centroids: Seq[Seq[Double]]): Column =
+    nearestCells(qv, centroids, 1).getItem(0).getField("cell")
+
+  /** IVF search: corpus cells from [[nearestCell]] (a projection — at
+    * scale this column is precomputed and stored), queries explode into
+    * nprobe probe cells, candidates come from the cell equi-join, exact
+    * cosine ranks them. `queries`/`corpus`: (id, qv, nq). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= centroids.size, "1 <= nprobe <= nlist")
+    val cs = corpus.withColumn("cell", nearestCell(col("qv"), centroids)).as("c")
+    val qs = queries
+      .withColumn("cell",
+        explode(transform(nearestCells(col("qv"), centroids, nprobe),
+          s => s.getField("cell"))))
+      .as("q")
+    val dot = dotQ(col("q.qv"), col("c.qv"))
+    val scored = qs.join(cs,
+        col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        cosineQ(dot, col("q.nq"), col("c.nq")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Bucketed ANN: equi-join on the SRP signature, then top-k within the
     * candidate set. Approximate — pairs in different buckets are missed.
     * `tables` > 1 turns on OR-amplification (the reference's multi-table

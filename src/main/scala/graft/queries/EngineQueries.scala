@@ -203,6 +203,15 @@ object EngineQueries {
       mvServedTs(s, d, t(s, d, "events")
         .groupBy(graft.functions.GraftFunctions.timeseries(col("ts"), "day").as("bucket"))
         .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt")))),
+    // paged read (PaginationCarbonReader analog): committed order on the
+    // orders3 fixture IS (o_orderdate, o_orderkey) order — loads arrived
+    // in date-range order and each is GLOBAL_SORT — so page(1234, 200)
+    // must equal ORDER BY ... LIMIT 200 OFFSET 1234; only the covering
+    // files are opened (PaginationSpec asserts the planned file set)
+    "q_page" -> ((s, d) =>
+      orders3(s, d).page(1234, 200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).cast("double").as("price"))),
     // streaming SOURCE: the orders3 fixture's committed segments drain
     // as micro-batches through readStream (fresh checkpoint → all
     // segments re-emit, making the row deterministic); the drained rows
@@ -337,6 +346,11 @@ object EngineQueries {
       s"""SELECT date_trunc('day', ts) AS bucket, ${oDsum("value")} AS sum_value,
           count(*) AS cnt
           FROM events GROUP BY 1""",
+    "q_page" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+          CAST(${oDec("o_totalprice")} AS DOUBLE) AS price
+          FROM (SELECT * FROM orders ORDER BY o_orderdate, o_orderkey
+                LIMIT 200 OFFSET 1234)""",
     "q_stream_source" ->
       s"""SELECT o_orderkey, o_orderstatus,
           CAST(${oDec("o_totalprice")} AS DOUBLE) AS price FROM orders"""

@@ -107,6 +107,22 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- IVF ANN, full-probe: nprobe = nlist makes the cell partition
+    // irrelevant to the OUTPUT (every candidate survives), so this row
+    // oracle-checks the whole train → assign → probe-join → rank
+    // pipeline exactly; the pruned-probe scale behavior (nprobe < nlist,
+    // recall, no-cartesian) is PipelineSpec's job ----
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      val queries = emb.filter(col("id") % 50 === 0)
+      val cents = Ann.trainCentroids(emb.select("id", "qv"), nlist = 8, iters = 2)
+      Ann.ivfTopK(queries, emb, 5, cents, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (exact baseline; the LSH
     // scale path is cosinePairsLsh, recall-spec'd in PipelineSpec) ----
     "q_dedup_embedding" -> ((s, d) => {
@@ -171,6 +187,26 @@ object PipelineQueries {
     })
   )
 
+  /** Brute-force cosine top-5 for the %50 query subset — the oracle for
+    * both q_ann_topk and the full-probe q_ann_ivf row. */
+  private def oAnnTop5: String = {
+    val qv = Ann.oQuantize("embedding")
+    s"""WITH emb AS (
+          SELECT vec_id AS id, $qv AS qv, ${Ann.oNormQ(qv)} AS nq
+          FROM embeddings),
+        scored AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+            CAST(${Ann.oDotQ("q.qv", "c.qv")} AS DOUBLE)
+              / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos
+          FROM emb q JOIN emb c ON q.id % 50 = 0 AND q.id <> c.id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 5"""
+  }
+
   def oracle: Map[String, String] = {
     val oToks = "string_split(norm, ' ')"
     val rows = NumHashes / Bands
@@ -222,23 +258,9 @@ object PipelineQueries {
             WHERE CAST(${Ann.oDotQ("a.qv", "b.qv")} AS DOUBLE)
                 / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.4"""
       },
-      "q_ann_topk" -> {
-        val qv = Ann.oQuantize("embedding")
-        s"""WITH emb AS (
-              SELECT vec_id AS id, $qv AS qv, ${Ann.oNormQ(qv)} AS nq
-              FROM embeddings),
-            scored AS (
-              SELECT q.id AS query_id, c.id AS neighbor_id,
-                CAST(${Ann.oDotQ("q.qv", "c.qv")} AS DOUBLE)
-                  / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos
-              FROM emb q JOIN emb c ON q.id % 50 = 0 AND q.id <> c.id),
-            ranked AS (
-              SELECT query_id, neighbor_id, cos,
-                CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
-              FROM scored)
-            SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 5"""
-      },
+      "q_ann_topk" -> oAnnTop5,
+      // full-probe IVF ≡ brute force: same oracle by design
+      "q_ann_ivf" -> oAnnTop5,
       "q_text_match" ->
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "row data OR the end")}

@@ -97,6 +97,65 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.ddl.b").count() == 1)
   }
 
+  test("external LOCATION: adopt, query by name, drop keeps data") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ext")
+    // a carbonish table living outside the warehouse
+    val loc = Files.createTempDirectory("graft_ext_").toString + "/data"
+    val src = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    GraftTable.createAsSelect(spark, loc, src, sortColumns = Seq("k"))
+    // adopt it by name (schema comes from the location)
+    spark.sql(s"CREATE TABLE graft.ext.adopted USING carbonish LOCATION '$loc'")
+    assert(spark.sql("SELECT * FROM graft.ext.adopted").count() == 10)
+    // writes by name land at the external location
+    spark.sql("INSERT INTO graft.ext.adopted VALUES (100, 'x')")
+    assert(GraftTable.at(spark, loc).read.count() == 11)
+    // DROP removes the name, not the data (hive external semantics)
+    spark.sql("DROP TABLE graft.ext.adopted")
+    assert(spark.sql("SHOW TABLES IN graft.ext").collect().isEmpty)
+    assert(GraftTable.at(spark, loc).read.count() == 11)
+    // CREATE ... LOCATION with a schema at a fresh path creates there
+    val loc2 = Files.createTempDirectory("graft_ext2_").toString + "/data"
+    spark.sql("CREATE TABLE graft.ext.fresh (k INT, v STRING) USING carbonish " +
+      s"TBLPROPERTIES ('sort_columns'='k') LOCATION '$loc2'")
+    spark.sql("INSERT INTO graft.ext.fresh VALUES (1, 'a')")
+    assert(GraftTable.at(spark, loc2).read.count() == 1)
+    assert(GraftTable.at(spark, loc2).meta.sortColumns == Seq("k"))
+  }
+
+  test("CREATE TABLE LIKE clones schema/sort/partition spec, no data") {
+    wh
+    val base = Files.createTempDirectory("graft_like_").toString
+    val src = spark.range(0, 10).selectExpr(
+      "id AS k", "CAST(id % 3 AS INT) AS p", "CAST(id AS DOUBLE) AS v")
+    GraftTable.createAsSelect(spark, s"$base/src", src,
+      sortColumns = Seq("k"), partitionColumns = Seq("p"),
+      properties = Map("note" -> "n1"))
+    val res = GraftSql.command(spark, s"CREATE TABLE $base/dst LIKE $base/src")
+    assert(res.isDefined)
+    val dst = GraftTable.at(spark, s"$base/dst")
+    assert(dst.schema == GraftTable.at(spark, s"$base/src").schema)
+    assert(dst.meta.sortColumns == Seq("k"))
+    assert(dst.meta.partitionColumns == Seq("p"))
+    assert(dst.meta.properties.get("note").contains("n1"))
+    assert(dst.read.count() == 0, "LIKE clones structure, not data")
+    // CarbonCli-style per-file summary rides the same command surface
+    val summary = GraftSql.command(spark, s"SHOW SUMMARY FOR TABLE $base/src").get
+    assert(summary.columns.toSeq ==
+      Seq("segment", "file", "format", "live_rows", "bytes",
+        "delta_files", "sort_col", "sort_min", "sort_max"))
+    assert(summary.agg(sum("live_rows")).collect().head.getLong(0) == 10L)
+  }
+
+  test("SHOW CREATE TABLE renders a v2 carbonish table") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sct")
+    spark.sql("CREATE TABLE graft.sct.t (k INT, v STRING) USING carbonish " +
+      "TBLPROPERTIES ('sort_columns'='k')")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.sct.t").collect().head.getString(0)
+    assert(ddl.contains("carbonish") && ddl.contains("sort_columns"), ddl)
+  }
+
   test("catalog read keeps segment pruning (filters reach the DSv2 scan)") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scan")

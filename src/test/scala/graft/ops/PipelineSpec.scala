@@ -69,6 +69,41 @@ class PipelineSpec extends AnyFunSuite {
       s"multi-table recall $multiRecall fell below single-table $recall")
   }
 
+  test("IVF ANN: cell equi-join, pruned-probe recall, full probe = exact") {
+    val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", Ann.normQ(col("qv")))
+    val cents = Ann.trainCentroids(e.select("id", "qv"), nlist = 8, iters = 3)
+    assert(cents.size == 8 && cents.forall(_.size == 64))
+    // training moved centroids off their seeds (Lloyd actually ran)
+    val seeds = e.orderBy("id").limit(8).select("qv").collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toSeq)
+    assert(cents.count(seeds.contains) < 8, "no centroid update happened")
+
+    val queries = e.filter(col("id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(queries, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // pruned probe: candidates from the cell equi-join only
+    val pruned = Ann.ivfTopK(queries, e, 5, cents, nprobe = 3)
+    assert(!pruned.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "IVF candidates must come from the cell equi-join")
+    val prunedPairs = pruned.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & prunedPairs).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF nprobe=3/8 recall unexpectedly low: $recall")
+    assert(prunedPairs.subsetOf(
+      Ann.bruteForceTopK(queries, e, 500).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet),
+      "IVF must never invent neighbors")
+
+    // full probe: the cell partition stops mattering — exact equality
+    val full = Ann.ivfTopK(queries, e, 5, cents, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nprobe = nlist must reproduce brute force exactly")
+  }
+
   test("embedding near-dup pairs: LSH path recalls exact pairs, equi-join only") {
     val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
       .withColumn("nq", Ann.normQ(col("qv")))
