@@ -106,6 +106,27 @@ object CatalogQueries {
       s.sql(s"SELECT o_orderpriority, count(*) AS cnt " +
         s"FROM $cat.default.sqlupd GROUP BY o_orderpriority")
     }),
+    // Native MERGE INTO through spark.sql against a catalog table name:
+    // Spark parses + resolves the statement, GraftDmlStrategy routes it
+    // to the single-projection copy-on-write MergeBuilder. Exercises
+    // conditional DELETE, UPDATE and INSERT * in one statement.
+    "q_sql_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val src = t(s, d, "customer")
+      val cat = freshCatalogTable(s, d, "sqlmrg", src, Seq("c_custkey"))
+      src.filter(col("c_custkey") < 50)
+        .withColumn("c_acctbal", col("c_acctbal") * 0.5)
+        .union(src.filter(col("c_custkey") < 10)
+          .withColumn("c_custkey", col("c_custkey") + 100000))
+        .createOrReplaceTempView("sqlmrg_src")
+      s.sql(
+        s"""MERGE INTO $cat.default.sqlmrg tgt USING sqlmrg_src src
+            ON tgt.c_custkey = src.c_custkey
+            WHEN MATCHED AND src.c_acctbal < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET c_acctbal = src.c_acctbal
+            WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM $cat.default.sqlmrg")
+    }),
     // DELETE FROM through spark.sql (DSv2 SupportsDelete path)
     "q_sql_delete" -> ((s, d) => {
       val cat = freshCatalogTable(s, d, "sqldel", t(s, d, "orders"), Seq("o_orderkey"))
@@ -127,6 +148,17 @@ object CatalogQueries {
       """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-SQL' ELSE o_orderpriority END
            AS o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY 1""",
+    "q_sql_merge" ->
+      """WITH merged AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey < 50 THEN c_acctbal * 0.5 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+           FROM customer
+           WHERE NOT (c_custkey < 50 AND c_acctbal < 0)
+           UNION ALL
+           SELECT c_custkey + 100000, c_name, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey < 10)
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM merged""",
     "q_sql_delete" ->
       s"""SELECT o_orderstatus, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
           FROM orders

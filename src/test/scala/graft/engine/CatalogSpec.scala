@@ -66,6 +66,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", 10.0), (2, "upd", 40.0), (3, "upd", 60.0)))
   }
 
+  test("native SQL MERGE INTO routes through the merge builder") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.m (k INT, v STRING, x DOUBLE) USING carbonish " +
+      "TBLPROPERTIES ('sort_columns'='k')")
+    spark.sql("INSERT INTO graft.dml.m VALUES (1,'a',10.0), (2,'b',20.0), (3,'c',30.0), (4,'d',40.0)")
+    import spark.implicits._
+    Seq((2, 200.0), (3, 300.0), (9, 900.0))
+      .toDF("sk", "sx").createOrReplaceTempView("m_src")
+    spark.sql(
+      """MERGE INTO graft.dml.m AS tgt USING m_src AS src ON tgt.k = src.sk
+        |WHEN MATCHED AND src.sk = 3 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = concat(tgt.v, '!'), x = src.sx
+        |WHEN NOT MATCHED THEN INSERT (k, v, x) VALUES (src.sk, 'new', src.sx)
+        |WHEN NOT MATCHED BY SOURCE AND tgt.k = 4 THEN UPDATE SET v = 'lone'
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v, x FROM graft.dml.m ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "a", 10.0), (2, "b!", 200.0), (4, "lone", 40.0), (9, "new", 900.0)))
+  }
+
+  test("SQL MERGE with star actions (UPDATE SET * / INSERT *)") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.ms (k INT, v STRING) USING carbonish")
+    spark.sql("INSERT INTO graft.dml.ms VALUES (1,'a'), (2,'b')")
+    import spark.implicits._
+    Seq((2, "B"), (5, "E")).toDF("k", "v").createOrReplaceTempView("ms_src")
+    spark.sql(
+      """MERGE INTO graft.dml.ms t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft.dml.ms ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "B"), (5, "E")))
+  }
+
   test("SQL DELETE via DSv2 SupportsDelete") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
