@@ -23,6 +23,35 @@ import org.apache.spark.sql.functions._
   * compaction surface it (their re-run is not side-effect-free). */
 class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
 
+/** Executor-side keep-predicate for the maintenance-path delta mask:
+  * holds only (data file → delta file paths); a task that reads a
+  * delta-bearing file loads and caches that file's sorted positions on
+  * first touch. One closure instance deserializes per task, so the
+  * cache is task-local (GC'd with the task) and needs no locking. */
+private[engine] class DeltaKeepFunc(
+    bcPaths: org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]],
+    conf: graft.engine.source.SerializableHadoopConf)
+  extends ((String, Long) => Boolean) with Serializable {
+
+  // concurrent: local mode can hand the same deserialized closure to
+  // parallel task threads
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  override def apply(fp: String, pos: Long): Boolean = {
+    // SparkPath prints file:/// while qualified Path prints file:/ —
+    // normalize before the lookup
+    val key = new org.apache.hadoop.fs.Path(fp).toString
+    bcPaths.value.get(key) match {
+      case None => true
+      case Some(deltaPaths) =>
+        val ps = cache.computeIfAbsent(key,
+          _ => graft.engine.format.Deltas.readAll(conf.value, deltaPaths))
+        java.util.Arrays.binarySearch(ps, pos) < 0
+    }
+  }
+}
+
 object Mutation extends org.apache.spark.internal.Logging {
 
   /** Visible parquet segments and their file lists. Mutations are
@@ -45,9 +74,12 @@ object Mutation extends org.apache.spark.internal.Logging {
 
   /** Anti-filter masking rows deleted by merge-on-read deltas, for the
     * v1/maintenance read paths (mutation scans, tupleId reads,
-    * compaction). Positions load on the DRIVER and ship via broadcast —
-    * fine for the sparse-delete regime MoR targets; the main scan path
-    * instead streams each file's positions inside its own task
+    * pagination, compaction). Only the data-file → delta-file PATH map
+    * ships (driver-bounded metadata, same class as the file lists the
+    * caller already holds); each task loads the position sets of the
+    * files it actually reads, lazily, with a per-task cache — positions
+    * never touch the driver, so a 10⁹-scattered-delete table masks at
+    * executor parallelism exactly like the main scan path
     * ([[graft.engine.source.DeltaAwareReaderFactory]]). None = no
     * deltas anywhere (caller skips the filter, keeping codegen clean). */
   private[engine] def deltaFilter(
@@ -55,22 +87,17 @@ object Mutation extends org.apache.spark.internal.Logging {
     val withDeltas = segs.map(_._1).filter(_.deltas.nonEmpty)
     if (withDeltas.isEmpty) return None
     val fs = t.layout.fs
-    val posMap: Map[String, Array[Long]] = withDeltas.flatMap { s =>
+    val pathMap: Map[String, Seq[String]] = withDeltas.flatMap { s =>
       val dir = t.layout.segmentDir(s.id)
       s.deltas.map { case (rel, dRels) =>
         fs.makeQualified(new org.apache.hadoop.fs.Path(dir, rel)).toString ->
-          graft.engine.format.Deltas.positionsOf(fs, dir, dRels)
+          dRels.map(dr => new org.apache.hadoop.fs.Path(dir, dr).toString)
       }
     }.toMap
-    val bc = t.spark.sparkContext.broadcast(posMap)
-    val keep = udf { (fp: String, pos: Long) =>
-      // SparkPath prints file:/// while qualified Path prints file:/ —
-      // normalize before the lookup
-      bc.value.get(new org.apache.hadoop.fs.Path(fp).toString) match {
-        case Some(ps) => java.util.Arrays.binarySearch(ps, pos) < 0
-        case None => true
-      }
-    }
+    val bc = t.spark.sparkContext.broadcast(pathMap)
+    val keep = udf(new DeltaKeepFunc(bc,
+      new graft.engine.source.SerializableHadoopConf(
+        t.spark.sessionState.newHadoopConf())))
     Some(keep(col("_metadata.file_path"), col("_metadata.row_index")))
   }
 

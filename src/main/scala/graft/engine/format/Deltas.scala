@@ -60,7 +60,30 @@ object Deltas {
     n
   }
 
+  /** Test probe: when enabled, every delta READ records the thread it
+    * ran on — the MoR-at-scale spec asserts maintenance reads load
+    * positions only inside executor task threads, never on the driver
+    * (local mode shares the JVM, so the thread name is the boundary). */
+  private[graft] object ReadProbe {
+    @volatile var enabled = false
+    val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def reset(): Unit = { threads.clear(); enabled = true }
+    def stop(): Unit = enabled = false
+  }
+
+  /** Union of delta files addressed by absolute path (executor-side:
+    * sorted, deduped — the maintenance-path mask loads through this). */
+  def readAll(conf: org.apache.hadoop.conf.Configuration, absPaths: Seq[String]): Array[Long] = {
+    val all = absPaths.toArray.flatMap { ap =>
+      val p = new Path(ap)
+      read(p.getFileSystem(conf), p)
+    }
+    java.util.Arrays.sort(all)
+    dedupSorted(all)
+  }
+
   def read(fs: FileSystem, abs: Path): Array[Long] = {
+    if (ReadProbe.enabled) ReadProbe.threads.add(Thread.currentThread().getName)
     val len = fs.getFileStatus(abs).getLen
     val in = new DataInputStream(new BufferedInputStream(fs.open(abs)))
     try {
@@ -79,18 +102,21 @@ object Deltas {
   def positionsOf(fs: FileSystem, segDir: Path, deltaRels: Seq[String]): Array[Long] = {
     val all = deltaRels.toArray.flatMap(r => read(fs, new Path(segDir, r)))
     java.util.Arrays.sort(all)
+    dedupSorted(all)
+  }
+
+  /** In-place dedup of a sorted array. */
+  private def dedupSorted(all: Array[Long]): Array[Long] =
     if (all.length < 2) all
     else {
-      // in-place dedup of the sorted array
       var w = 1
       var i = 1
       while (i < all.length) {
         if (all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
         i += 1
       }
-      java.util.Arrays.copyOf(all, w)
+      if (w == all.length) all else java.util.Arrays.copyOf(all, w)
     }
-  }
 
   /** Conservative per-column stats for a holder that had `oldRows` rows
     * and now has `newRows` (rows removed by delta, nulls-per-column

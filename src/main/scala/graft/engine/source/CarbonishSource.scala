@@ -848,7 +848,7 @@ case class CarbonishScan(
     if (!readable(sortCols.head)) return Array.empty
     val dt = leadDt.getOrElse(return Array.empty)
 
-    val chains = toBatch.planInputPartitions().map {
+    val chains = plannedPartitions().map {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
       case b: BucketedFilePartition => b.filePartition.files
       case d: DeltaFilePartition => d.filePartition.files
@@ -945,62 +945,37 @@ case class CarbonishScan(
     out.result()
   }
 
+  /** Memoized split planning, keyed on the live delegated scan instance:
+    * `outputOrdering()` (called during pushdown finalization) and the
+    * executed Batch both need the planned partitions, and EnsureRequirements
+    * may consult ordering repeatedly — without the memo each call re-ran
+    * file listing + split planning + per-file footer-stat lookups
+    * (O(files) driver CPU per call; real at 100k-file tables). A runtime
+    * filter() swaps `current`, which invalidates the cache by identity.
+    * Safe to reuse across the ordering claim: with `current eq inner`
+    * both pre- and post-claim planning take the orderChain branch, so
+    * the cached result is byte-identical. */
+  @volatile private var plannedCache
+      : Option[(AnyRef, Array[org.apache.spark.sql.connector.read.InputPartition])] = None
+  /** Times the underlying plan actually ran (spec-asserted — the memo
+    * must make one executed scan plan exactly once). */
+  val planInvocations = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def plannedPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val cur = current
+    plannedCache match {
+      case Some((key, parts)) if key eq cur => parts
+      case _ =>
+        val parts = planPartitions()
+        plannedCache = Some((cur, parts))
+        parts
+    }
+  }
+
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
-      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
-        import org.apache.spark.sql.execution.datasources.FilePartition
-        val planned = current.toBatch.planInputPartitions()
-        deltaSplit(reportableBuckets match {
-          case None =>
-            claimedChains match {
-              case Some(chains) if current ne inner =>
-                // ordering was claimed and a runtime filter re-planned
-                // the scan: the delegate would REPACK the surviving
-                // files, possibly interleaving two overlapping files
-                // into one partition after the Sort was already elided.
-                // Keep the claimed chain grouping instead — a subset of
-                // a sorted chain stays sorted. (Bucketed scans keep
-                // their per-bucket grouping structurally.)
-                val survivors = planned.flatMap {
-                  case fp: FilePartition =>
-                    fp.files.map(f => new Path(f.filePath.toString).toString)
-                  case _ => Array.empty[String]
-                }.toSet
-                chains.map(_.filter(f =>
-                    survivors(new Path(f.filePath.toString).toString)))
-                  .filter(_.nonEmpty).zipWithIndex
-                  .map { case (fs, i) =>
-                    FilePartition(i, fs): org.apache.spark.sql.connector.read.InputPartition
-                  }
-              case _ =>
-                // min-order each partition's chain so the write-time sort
-                // is reportable as output ordering (outputOrdering above)
-                planned.map {
-                  case fp: FilePartition => FilePartition(fp.index, orderChain(fp.files))
-                  case other => other
-                }
-            }
-          case Some(bs) =>
-            // regroup the delegate's post-pruning files by bucket tag:
-            // partition i = bucket i (HasPartitionKey), all `count`
-            // buckets present so the reported key set always holds
-            val files = planned.flatMap {
-              case fp: FilePartition => fp.files
-              case other => throw new IllegalStateException(
-                s"unexpected non-file partition under a bucketed scan: $other")
-            }
-            val byBucket = files.groupBy { f =>
-              f.filePath.toString.split('/').find(_.startsWith(Buckets.TagPrefix))
-                .flatMap(s => s.substring(Buckets.TagPrefix.length).toIntOption)
-                .getOrElse(throw new IllegalStateException(
-                  s"untagged file in bucketed scan: ${f.filePath}"))
-            }
-            Array.tabulate[org.apache.spark.sql.connector.read.InputPartition](bs.count) { b =>
-              BucketedFilePartition(b,
-                FilePartition(b, orderChain(byBucket.getOrElse(b, Array.empty))))
-            }
-        })
-      }
+      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+        plannedPartitions()
       override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
         val delegate = current.toBatch.createReaderFactory()
         // gate on the TEMP COLUMN, not the delta map: a limit/topN
@@ -1015,6 +990,62 @@ case class CarbonishScan(
         else BucketUnwrapReaderFactory(delegate)
       }
     }
+
+  private def planPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    planInvocations.incrementAndGet()
+    val planned = current.toBatch.planInputPartitions()
+    deltaSplit(reportableBuckets match {
+      case None =>
+        claimedChains match {
+          case Some(chains) if current ne inner =>
+            // ordering was claimed and a runtime filter re-planned
+            // the scan: the delegate would REPACK the surviving
+            // files, possibly interleaving two overlapping files
+            // into one partition after the Sort was already elided.
+            // Keep the claimed chain grouping instead — a subset of
+            // a sorted chain stays sorted. (Bucketed scans keep
+            // their per-bucket grouping structurally.)
+            val survivors = planned.flatMap {
+              case fp: FilePartition =>
+                fp.files.map(f => new Path(f.filePath.toString).toString)
+              case _ => Array.empty[String]
+            }.toSet
+            chains.map(_.filter(f =>
+                survivors(new Path(f.filePath.toString).toString)))
+              .filter(_.nonEmpty).zipWithIndex
+              .map { case (fs, i) =>
+                FilePartition(i, fs): org.apache.spark.sql.connector.read.InputPartition
+              }
+          case _ =>
+            // min-order each partition's chain so the write-time sort
+            // is reportable as output ordering (outputOrdering above)
+            planned.map {
+              case fp: FilePartition => FilePartition(fp.index, orderChain(fp.files))
+              case other => other
+            }
+        }
+      case Some(bs) =>
+        // regroup the delegate's post-pruning files by bucket tag:
+        // partition i = bucket i (HasPartitionKey), all `count`
+        // buckets present so the reported key set always holds
+        val files = planned.flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"unexpected non-file partition under a bucketed scan: $other")
+        }
+        val byBucket = files.groupBy { f =>
+          f.filePath.toString.split('/').find(_.startsWith(Buckets.TagPrefix))
+            .flatMap(s => s.substring(Buckets.TagPrefix.length).toIntOption)
+            .getOrElse(throw new IllegalStateException(
+              s"untagged file in bucketed scan: ${f.filePath}"))
+        }
+        Array.tabulate[org.apache.spark.sql.connector.read.InputPartition](bs.count) { b =>
+          BucketedFilePartition(b,
+            FilePartition(b, orderChain(byBucket.getOrElse(b, Array.empty))))
+        }
+    })
+  }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // only columns present in the (pruned) read schema: Spark resolves

@@ -52,6 +52,32 @@ class MorSpec extends AnyFunSuite {
     assert(t.readWithTupleId().count() == 3960)
   }
 
+  test("maintenance reads load delta positions on executors only (no driver materialization)") {
+    // deltas on EVERY file of a multi-file segment; threshold high so
+    // horizontal compaction (a legitimate per-file driver fold) stays out
+    val t = mk(Map("horizontal_compaction_threshold" -> "100"))
+    assert(t.delete(col("k") % 100 === 7L) == 40L)
+    assert(t.status.visible.head.deltas.size == 4, "every file must carry a delta")
+
+    import graft.engine.format.Deltas
+    Deltas.ReadProbe.reset()
+    try {
+      // v1 tupleId read masks deltas
+      assert(t.readWithTupleId().count() == 3960)
+      // pagination over delta-bearing files
+      assert(t.page(0, 50).count() == 50)
+      // a second MoR mutation: its match scan masks the existing deltas
+      assert(t.update(col("k") === 8L, Map("v" -> lit(-1.0))) == 1L)
+    } finally Deltas.ReadProbe.stop()
+
+    import scala.jdk.CollectionConverters._
+    val threads = Deltas.ReadProbe.threads.asScala.toSet
+    assert(threads.nonEmpty, "probe saw no delta-position reads at all")
+    val offExecutor = threads.filterNot(_.startsWith("Executor task launch worker"))
+    assert(offExecutor.isEmpty,
+      s"delta positions were materialized outside executor tasks: $offExecutor")
+  }
+
   test("metadata MIN/MAX answers are disabled under deltas (stats may be stale)") {
     val t = mk()
     t.delete(col("k") >= 3990L) // shaves the max

@@ -51,6 +51,25 @@ class OrderingSpec extends AnyFunSuite {
     assert(scanOrdering(t.read.select("v")).isEmpty)
   }
 
+  test("split planning runs once per executed scan (ordering consult is memoized)") {
+    val src = spark.range(0, 2000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, tmp(), src.schema, sortColumns = Seq("k"))
+    t.insert(src)
+    val df = t.read.select("k", "v")
+    // force the full pipeline: pushdown finalization consults
+    // outputOrdering (which needs the planned chains), then execution
+    // plans the batch — both must hit the same memoized planning pass
+    assert(scanOrdering(df).nonEmpty)
+    assert(df.collect().length == 2000)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case cs: graft.engine.source.CarbonishScan => cs }
+    assert(scans.nonEmpty, "expected a carbonish scan in the executed plan")
+    scans.foreach(cs => assert(cs.planInvocations.get == 1,
+      s"expected exactly one split-planning pass, got ${cs.planInvocations.get}"))
+  }
+
   test("co-bucketed sorted tables: merge join with no shuffle and no sort") {
     val wh = Files.createTempDirectory("graft_owh_").toString
     spark.conf.set("spark.sql.catalog.go", "graft.engine.catalog.GraftCatalog")
