@@ -234,12 +234,12 @@ class CarbonishTable(path: String, tableSchema: StructType)
     // `insegment('0,2')`-style pinned reads (reference CarbonEnv.scala:100)
     val pinned = Option(options.get("segments")).map(_.split(",").map(_.trim.toLong).toSet)
     val visible = status.visible.filter(s => pinned.forall(_.contains(s.id)))
-    // the DSv2 scan delegates to the parquet reader; mixed-format tables
-    // must be read through GraftTable.read (union plan)
+    // mixed-format tables (ADD SEGMENT csv/json/orc, reference
+    // MixedFormatHandler.scala:56,155): one sub-scan per format, their
+    // partitions concatenated — SELECT … FROM graft.ns.t serves the union
     val foreign = visible.filter(_.format != "parquet")
-    if (foreign.nonEmpty) throw new IllegalStateException(
-      s"table has non-parquet segments ${foreign.map(s => s"${s.id}(${s.format})").mkString(",")}; " +
-        "read it via GraftTable.read, which plans the mixed-format union")
+    if (foreign.nonEmpty)
+      return new MixedScanBuilder(spark, layout, visible, tableSchema, options)
     // metadata count(*) is only sound when every visible segment carries
     // an exact row count (external ADD SEGMENT files may not)
     val totalRows =
@@ -1109,4 +1109,112 @@ case class BucketUnwrapReaderFactory(
     delegate.createColumnarReader(unwrap(p))
   override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
     delegate.supportColumnarReads(unwrap(p))
+}
+
+// --------------------------------------------------- mixed-format scans
+
+/** Catalog-name reads of tables holding non-parquet segments (reference
+  * MixedFormatHandler.scala:56,155,219-221 serves foreign segments
+  * through its one relation): one sub-scan per format — the parquet
+  * segments keep the FULL carbonish scan (segment stats pruning, delta
+  * masking), each foreign format gets Spark's own DSv2 scan over that
+  * format's segment files — and the batch concatenates their
+  * partitions. Filters are NOT pushed (Spark re-applies every filter
+  * above a scan that declines them — correctness first; foreign
+  * segments are ADD SEGMENT adjuncts by design); column pruning IS
+  * pushed to every sub-scan. */
+class MixedScanBuilder(
+    spark: SparkSession,
+    layout: TableLayout,
+    visible: Seq[SegmentMeta],
+    schema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  override def pruneColumns(requested: StructType): Unit = required = requested
+  override def build(): Scan =
+    new MixedScan(spark, layout, visible, schema, required, options)
+}
+
+class MixedScan(
+    spark: SparkSession,
+    layout: TableLayout,
+    visible: Seq[SegmentMeta],
+    schema: StructType,
+    required: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+
+  override def readSchema(): StructType = required
+  override def description(): String = {
+    val counts = visible.groupBy(_.format).view.mapValues(_.size).toMap
+    s"carbonish mixed ${counts.map { case (f, n) => s"$f:$n" }.mkString(",")}"
+  }
+
+  private def subScan(format: String, segs: Seq[SegmentMeta]): Scan = {
+    import org.apache.spark.sql.execution.datasources.v2.csv.CSVScanBuilder
+    import org.apache.spark.sql.execution.datasources.v2.json.JsonScanBuilder
+    import org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder
+    val idx = new SegmentFileIndex(spark, layout, segs, schema)
+    val b: ScanBuilder = format match {
+      case "parquet" =>
+        // the full carbonish ladder for the managed segments
+        new CarbonishScanBuilder(spark, layout, segs, schema, options, None)
+      case "csv" =>
+        // match GraftTable.readForeignSegment: header'd CSV
+        val opts = new CaseInsensitiveStringMap(
+          (options.asScala ++ Map("header" -> "true")).asJava)
+        CSVScanBuilder(spark, idx, schema, schema, opts)
+      case "json" => JsonScanBuilder(spark, idx, schema, schema, options)
+      case "orc" => OrcScanBuilder(spark, idx, schema, schema, options)
+      case other => throw new IllegalStateException(s"segment format $other")
+    }
+    b match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(required)
+      case _ =>
+    }
+    b.build()
+  }
+
+  private lazy val subs: Seq[Scan] =
+    visible.groupBy(_.format).toSeq.sortBy(_._1)
+      .map { case (f, segs) => subScan(f, segs) }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+        subs.zipWithIndex.flatMap { case (s, i) =>
+          s.toBatch.planInputPartitions().map(p =>
+            SubScanPartition(i, p): org.apache.spark.sql.connector.read.InputPartition)
+        }.toArray
+      override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        SubScanReaderFactory(subs.map(_.toBatch.createReaderFactory()))
+    }
+}
+
+/** An InputPartition tagged with the index of the sub-scan it belongs
+  * to, so the dispatching reader factory routes it to the right reader. */
+case class SubScanPartition(
+    subIndex: Int, inner: org.apache.spark.sql.connector.read.InputPartition)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Row-based everywhere: formats differ in columnar support, and Spark
+  * requires all partitions of one scan to agree. */
+case class SubScanReaderFactory(
+    factories: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+  override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    throw new UnsupportedOperationException("mixed-format scans are row-based")
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SubScanPartition]
+    factories(sp.subIndex).createReader(sp.inner)
+  }
 }

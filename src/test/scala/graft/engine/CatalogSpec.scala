@@ -116,6 +116,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.dml.d").count() == 0)
   }
 
+  test("mixed-format table reads by catalog name after ADD SEGMENT csv") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mix")
+    spark.sql("CREATE TABLE graft.mix.m (k INT, v STRING) USING carbonish")
+    spark.sql("INSERT INTO graft.mix.m VALUES (1,'a'), (2,'b')")
+    import spark.implicits._
+    val ext = Files.createTempDirectory("graft_mixcsv_").toString
+    Seq((3, "c"), (4, "d")).toDF("k", "v")
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(ext)
+    GraftTable.at(spark, s"$wh/mix/m").addSegment(ext, "csv")
+    spark.catalog.clearCache()
+    val got = spark.sql("SELECT k, v FROM graft.mix.m ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // filters still apply (residual above the mixed scan)
+    assert(spark.sql("SELECT k FROM graft.mix.m WHERE v = 'c'").collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("ALTER TABLE add/rename/drop column + properties, RENAME table") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
