@@ -41,10 +41,12 @@ object GraftSql {
     val sourceDf: DataFrame = tables.get(source).map(_.read)
       .getOrElse(spark.table(source))
 
+    // quote-aware: an alias inside a string literal stays untouched, and
+    // aliases are matched literally (no regex metacharacter surprises)
     def norm(e: String): String = {
       var r = e
-      (Seq(target) ++ tAlias).foreach(a => r = r.replaceAll(s"(?i)\\b$a\\.", "t."))
-      (Seq(source) ++ sAlias).foreach(a => r = r.replaceAll(s"(?i)\\b$a\\.", "s."))
+      (Seq(target) ++ tAlias).foreach(a => r = replaceAlias(r, a, "t"))
+      (Seq(source) ++ sAlias).foreach(a => r = replaceAlias(r, a, "s"))
       r
     }
 
@@ -138,7 +140,119 @@ object GraftSql {
     val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val CreateLike = """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+LIKE\s+(\S+)\s*$""".r
     val ShowSummary = """(?is)^\s*SHOW\s+SUMMARY\s+FOR\s+TABLE\s+(\S+)\s*$""".r
+    // driver metadata cache observability (reference
+    // CarbonShowCacheCommand.scala, parser :613-619)
+    val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
+    val DropMetacache = """(?is)^\s*DROP\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
+    // stream DDL (reference CarbonCreateStreamCommand.scala:43, parser
+    // CarbonSpark2SqlParser.scala:154-179): the AS SELECT must read a
+    // STREAMING relation (a readStream temp view); STMPROPERTIES carry
+    // 'interval' (ProcessingTime trigger), 'checkpoint', 'handoff_bytes'.
+    val CreateStream = """(?is)^\s*CREATE\s+STREAM\s+(\w+)\s+ON\s+TABLE\s+(\S+)(?:\s+STMPROPERTIES\s*\(([^)]*)\))?\s+AS\s+(.+)$""".r
+    val DropStream = """(?is)^\s*DROP\s+STREAM\s+(\w+)\s*$""".r
+    val ShowStreams = """(?is)^\s*SHOW\s+STREAMS\s*$""".r
+    def parseProps(s: String): Map[String, String] =
+      splitTopLevel(s, ",").map { kv =>
+        val m = """(?s)^\s*'([^']*)'\s*=\s*'([^']*)'\s*$""".r
+        kv match {
+          case m(k, v) => k.toLowerCase -> v
+          case other => throw new IllegalArgumentException(s"bad STMPROPERTIES item: $other")
+        }
+      }.toMap
+    // index DDL (reference CarbonCreateIndexCommand.scala:49, parser
+    // CarbonSpark2SqlParser.scala:192,733-788): kinds 'carbondata' (SI),
+    // 'lucene' (text posting index), 'bloomfilter' (parquet bloom on
+    // future writes). The name → (kind, column, path) registry lives in
+    // table properties so SHOW/DROP/REFRESH address indexes by name.
+    val CreateIndex = """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+?)\s*\((\w+)\)\s+AS\s+'(\w+)'(?:\s+STORED\s+AT\s+'([^']+)')?\s*$""".r
+    val DropIndex = """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
+    val ShowIndexes = """(?is)^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
+    val RefreshIndex = """(?is)^\s*REFRESH\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
+    def indexReg(t0: GraftTable): Map[String, (String, String, String)] =
+      t0.meta.properties.collect { case (k, v) if k.startsWith("sqlindex.") =>
+        v.split(",", 3) match {
+          case Array(kind, c, p) => k.stripPrefix("sqlindex.") -> (kind, c, p)
+        }
+      }
     sql match {
+      case ShowMetacache(tRef) =>
+        val key = Option(tRef).map(r => table(r).path)
+        Some(graft.engine.format.MetaCache.entries(key)
+          .toDF("table_path", "kind", "entries", "bytes", "hits", "misses"))
+      case DropMetacache(tRef) =>
+        graft.engine.format.MetaCache.drop(Option(tRef).map(r => table(r).path))
+        Some(done)
+      case CreateStream(name, tRef, props, select) =>
+        import org.apache.spark.sql.streaming.Trigger
+        val t0 = table(tRef)
+        val p = Option(props).map(parseProps).getOrElse(Map.empty)
+        val src = spark.sql(select)
+        require(src.isStreaming,
+          "CREATE STREAM requires a streaming source (create the view with readStream)")
+        val trigger = p.get("interval")
+          .map(Trigger.ProcessingTime(_)).getOrElse(Trigger.ProcessingTime(0))
+        graft.engine.streaming.StreamManager.createStream(
+          name, t0, src, trigger, p.get("checkpoint"),
+          p.get("handoff_bytes").map(_.toLong).getOrElse(Long.MaxValue))
+        Some(done)
+      case DropStream(name) =>
+        graft.engine.streaming.StreamManager.dropStream(name); Some(done)
+      case ShowStreams() =>
+        Some(graft.engine.streaming.StreamManager.showStreams
+          .toDF("name", "table_path", "status"))
+      case CreateIndex(name, tRef, colName, kind0, at) =>
+        val t0 = table(tRef)
+        val kind = kind0.toLowerCase
+        require(!indexReg(t0).contains(name), s"index $name already exists")
+        val path = Option(at).getOrElse(s"${t0.path}/_indexes/$name")
+        kind match {
+          case "carbondata" => index.Si.create(t0, colName, path)
+          case "lucene" => index.TextIndex.create(t0, colName, path)
+          case "bloomfilter" =>
+            val cur = t0.meta.properties.get("bloom_columns")
+              .map(_.split(",").toSeq).getOrElse(Nil)
+            t0.setProperties(Map(
+              "bloom_columns" -> (cur :+ colName).distinct.mkString(",")))
+          case other => throw new IllegalArgumentException(
+            s"unknown index kind '$other' (carbondata|lucene|bloomfilter)")
+        }
+        t0.layout.updateTableMeta(m => m.copy(properties =
+          m.properties + (s"sqlindex.$name" -> s"$kind,$colName,$path")))
+        Some(done)
+      case DropIndex(ifExists, name, tRef) =>
+        val t0 = table(tRef)
+        indexReg(t0).get(name) match {
+          case None =>
+            require(ifExists != null, s"no such index $name")
+            Some(done)
+          case Some((kind, colName, _)) =>
+            kind match {
+              case "carbondata" => index.Si.drop(t0, colName)
+              case "lucene" => index.TextIndex.drop(t0, colName)
+              case "bloomfilter" =>
+                val cur = t0.meta.properties.get("bloom_columns")
+                  .map(_.split(",").toSeq).getOrElse(Nil)
+                t0.setProperties(Map("bloom_columns" ->
+                  cur.filterNot(_ == colName).mkString(",")))
+              case _ =>
+            }
+            t0.layout.updateTableMeta(m => m.copy(properties =
+              m.properties - s"sqlindex.$name"))
+            Some(done)
+        }
+      case ShowIndexes(tRef) =>
+        Some(indexReg(table(tRef)).toSeq.sortBy(_._1)
+          .map { case (n, (k, c, p)) => (n, k, c, p) }
+          .toDF("name", "kind", "column", "path"))
+      case RefreshIndex(name, tRef) =>
+        val t0 = table(tRef)
+        indexReg(t0).get(name) match {
+          case None => throw new IllegalArgumentException(s"no such index $name")
+          case Some(("carbondata", colName, _)) => index.Si.refresh(t0, colName)
+          case Some(("lucene", colName, _)) => index.TextIndex.refresh(t0, colName)
+          case Some(_) => // bloom applies at write time — nothing to rebuild
+        }
+        Some(done)
       case ShowSummary(t) => Some(table(t).describeFiles)
       // reference CarbonCreateTableLikeCommand: an empty table carrying
       // the source's schema, sort spec, partitioning, bucketing and
@@ -178,6 +292,29 @@ object GraftSql {
         mv.Mv.drop(spark, name); Some(done)
       case _ => None
     }
+  }
+
+  /** Replace `alias.` with `to.` outside single-quoted literals only,
+    * at identifier boundaries, case-insensitively, matching the alias
+    * as a literal string (never as a regex). */
+  private[engine] def replaceAlias(s: String, alias: String, to: String): String = {
+    def identChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '.'
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    val al = alias.length
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQ = !inQ; sb.append(c); i += 1 }
+      else if (!inQ && s.regionMatches(true, i, alias, 0, al) &&
+          i + al < s.length && s.charAt(i + al) == '.' &&
+          (i == 0 || !identChar(s.charAt(i - 1)))) {
+        sb.append(to).append('.')
+        i += al + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Split on a regex only at paren/quote top level. */

@@ -77,6 +77,11 @@ object TextIndex {
     * since the last refresh) are ALWAYS candidates — the index can only
     * prune within the segments it has seen; retired seg_ids drop out
     * via the visibility intersection. */
+  /** SQL-rule entry: candidate segments, None = no index on column. */
+  private[index] def candidates(
+      t: GraftTable, column: String, query: String): Option[Set[Long]] =
+    candidateSegments(t, column, query)
+
   private def candidateSegments(
       t: GraftTable, column: String, query: String): Option[Set[Long]] = {
     val clauses = graft.functions.GraftFunctions.parseQuery(query)

@@ -210,6 +210,11 @@ object StreamManager {
       (j.name, j.tablePath, if (j.query.isActive) "RUNNING" else "STOPPED")).toSeq
   }
 
+  /** The registered job's query (tests drive processAllAvailable). */
+  def query(name: String): Option[StreamingQuery] = synchronized {
+    jobs.get(name).map(_.query)
+  }
+
   /** DROP STREAM: stop the job, keep the data. */
   def dropStream(name: String): Unit = synchronized {
     jobs.remove(name).foreach(_.query.stop())

@@ -170,6 +170,16 @@ object EngineQueries {
       TextIndex.readMatching(docs3(s, d), "text", "row data OR und")
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // text_match() as a SQL function: the marker UDF is rewritten by
+    // TextMatchRule into index-pruned segments + exact token residual
+    // (reference TextMatchUDF.scala:23-30). The UDF body THROWS, so
+    // this row FAILS outright if the rewrite doesn't fire.
+    "q_sql_text_match" -> ((s, d) => {
+      graft.engine.index.TextMatchSql.enable(s)
+      docs3(s, d).read.createOrReplaceTempView("docs3_sql")
+      s.sql("""SELECT lang, count(*) AS cnt FROM docs3_sql
+               WHERE text_match('text:row data OR und') GROUP BY lang""")
+    }),
     // text_match_with_limit: cap applied at the index layer (candidate
     // segments probed in order, scan stops at `limit` matches); counting
     // the capped result makes the row order-insensitive
@@ -323,6 +333,13 @@ object EngineQueries {
     "q_partition_groupby_meta" ->
       "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
     "q_text_index" -> {
+      val toks = "string_split(lower(trim(text)), ' ')"
+      s"""SELECT lang, count(*) AS cnt FROM documents
+          WHERE (list_contains($toks, 'row') AND list_contains($toks, 'data'))
+             OR list_contains($toks, 'und')
+          GROUP BY lang"""
+    },
+    "q_sql_text_match" -> {
       val toks = "string_split(lower(trim(text)), ' ')"
       s"""SELECT lang, count(*) AS cnt FROM documents
           WHERE (list_contains($toks, 'row') AND list_contains($toks, 'data'))

@@ -50,6 +50,50 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (2L, "B"), (3L, "new_C")))
   }
 
+  test("MERGE alias normalization is quote-aware (aliases inside literals survive)") {
+    val root = Files.createTempDirectory("graft_msql3_").toString
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, s"$root/t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("qsrc")
+    // 'a.' and 'qsrc.' inside the string literal must NOT be rewritten;
+    // the same tokens outside literals must be
+    GraftSql.mergeInto(spark,
+      """MERGE INTO qt AS a USING qsrc ON a.k = qsrc.k
+         WHEN MATCHED THEN UPDATE SET v = concat(qsrc.v, ' a.b qsrc.c ', a.v)""",
+      Map("qt" -> t))
+    val got = t.read.as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x a.b qsrc.c a"), (2L, "b")))
+  }
+
+  test("CREATE STREAM / SHOW STREAMS / DROP STREAM SQL") {
+    val root = Files.createTempDirectory("graft_strsql_").toString
+    import spark.implicits._
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    val t = GraftTable.create(spark, s"$root/sink", schema, Seq("id"))
+    val srcDir = s"$root/in"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    spark.readStream.schema(schema).parquet(srcDir)
+      .createOrReplaceTempView("stream_in")
+    assert(GraftSql.command(spark,
+      s"""CREATE STREAM ssql ON TABLE ${t.path}
+          STMPROPERTIES('checkpoint'='$root/ckpt')
+          AS SELECT id, v FROM stream_in""").isDefined)
+    try {
+      graft.engine.streaming.StreamManager.query("ssql").get.processAllAvailable()
+      assert(t.read.count() == 2)
+      val shown = GraftSql.command(spark, "SHOW STREAMS").get.collect()
+      assert(shown.exists(r => r.getString(0) == "ssql" && r.getString(2) == "RUNNING"))
+    } finally GraftSql.command(spark, "DROP STREAM ssql")
+    assert(graft.engine.streaming.StreamManager.query("ssql").isEmpty)
+    // a non-streaming source is rejected loudly
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("not_stream")
+    val e = intercept[IllegalArgumentException](GraftSql.command(spark,
+      s"CREATE STREAM s2 ON TABLE ${t.path} AS SELECT * FROM not_stream"))
+    assert(e.getMessage.contains("streaming source"))
+  }
+
   test("SCD2 history action archives pre-images of updated/deleted rows") {
     val root = Files.createTempDirectory("graft_scd2_").toString
     import spark.implicits._

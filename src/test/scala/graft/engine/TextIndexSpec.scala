@@ -57,6 +57,77 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.readMatching(t, "body", "charlie").count() == 2)
   }
 
+  test("SQL index DDL + text_match() UDF rewrite prunes segments") {
+    val root = Files.createTempDirectory("graft_tisql_").toString
+    import spark.implicits._
+    val seg0 = Seq((0L, "alpha shared"), (1L, "alpha bravo"))
+    val seg1 = Seq((10L, "charlie shared"), (11L, "charlie delta"))
+    val seg2 = Seq((20L, "echo foxtrot"), (21L, "echo shared"))
+    val t = GraftTable.create(spark, s"$root/t", seg0.toDF("id", "body").schema)
+    Seq(seg0, seg1, seg2).foreach(s0 => t.insert(s0.toDF("id", "body")))
+
+    // CREATE INDEX … AS 'lucene' through the SQL command surface
+    assert(GraftSql.command(spark, s"CREATE INDEX bidx ON TABLE ${t.path} (body) AS 'lucene'").isDefined)
+    val shown = GraftSql.command(spark, s"SHOW INDEXES ON TABLE ${t.path}").get.collect()
+    assert(shown.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("bidx", "lucene", "body")))
+
+    graft.engine.index.TextMatchSql.enable(spark)
+    t.read.createOrReplaceTempView("tisql_v")
+    val q = spark.sql("SELECT id FROM tisql_v WHERE text_match('body:charlie')")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    // rewrite fired: no marker UDF survives optimization
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))),
+      s"text_match marker must be rewritten away:\n$opt")
+    // index prune: only segment 1 is scanned
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collect { case cs: graft.engine.source.CarbonishScan =>
+      cs.visible.map(_.id).sorted }
+    assert(scanned == Seq(Seq(1L)), s"expected only segment 1 scanned, got $scanned")
+
+    // composes with other predicates (residual + pruning intact)
+    val q2 = spark.sql(
+      "SELECT id FROM tisql_v WHERE text_match('body:shared OR delta') AND id >= 10")
+    assert(q2.collect().map(_.getLong(0)).toSet == Set(10L, 11L, 21L))
+
+    // text_match_with_limit caps at the index layer
+    val q3 = spark.sql(
+      "SELECT count(*) AS c FROM tisql_v WHERE text_match_with_limit('body:shared', 2)")
+    assert(q3.collect().head.getLong(0) == 2L)
+
+    // provably-empty term folds to an empty scan
+    assert(spark.sql("SELECT id FROM tisql_v WHERE text_match('body:zulu')").count() == 0)
+
+    // a non-carbonish relation fails loudly instead of matching nothing
+    Seq((1L, "alpha")).toDF("id", "body").createOrReplaceTempView("plain_v")
+    val e = intercept[Exception] {
+      spark.sql("SELECT id FROM plain_v WHERE text_match('body:alpha')").collect()
+    }
+    assert(e.getMessage != null)
+
+    // DROP INDEX clears the registry and the index table
+    GraftSql.command(spark, s"DROP INDEX bidx ON TABLE ${t.path}")
+    assert(GraftSql.command(spark, s"SHOW INDEXES ON TABLE ${t.path}").get.collect().isEmpty)
+    assert(t.meta.properties.get("textindex.body").isEmpty)
+  }
+
+  test("SQL bloomfilter index DDL toggles bloom_columns") {
+    val root = Files.createTempDirectory("graft_tibloom_").toString
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"$root/t",
+      Seq((1L, "x")).toDF("id", "body").schema)
+    GraftSql.command(spark, s"CREATE INDEX idb ON TABLE ${t.path} (id) AS 'bloomfilter'")
+    assert(t.meta.properties("bloom_columns") == "id")
+    GraftSql.command(spark, s"REFRESH INDEX idb ON TABLE ${t.path}") // no-op, must not throw
+    GraftSql.command(spark, s"DROP INDEX idb ON TABLE ${t.path}")
+    assert(t.meta.properties.getOrElse("bloom_columns", "") == "")
+    // IF EXISTS tolerates a missing name
+    GraftSql.command(spark, s"DROP INDEX IF EXISTS nope ON TABLE ${t.path}")
+  }
+
   test("text_match_with_limit caps at the index layer with early stop") {
     val root = Files.createTempDirectory("graft_ti_").toString
     import spark.implicits._
