@@ -84,6 +84,16 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * covering files are opened, located from footer live row counts. */
   def page(offset: Long, limit: Int): DataFrame = Pagination.page(this, offset, limit)
 
+  /** Arrow export (reference SDK ArrowCarbonReader,
+    * sdk/sdk/src/main/java/org/apache/carbondata/sdk/file/
+    * ArrowCarbonReader.java): the table's live rows as serialized Arrow
+    * record batches, produced DISTRIBUTED (one batch stream per scan
+    * partition, `spark.sql.execution.arrow.maxRecordsPerBatch` rows per
+    * batch) — the consumer decides whether to collect or keep them on
+    * the executors. Pair with [[read]]`.schema.json` to deserialize. */
+  def toArrowBatches: org.apache.spark.rdd.RDD[Array[Byte]] =
+    org.apache.spark.sql.graft.Shims.toArrowBatchRdd(read)
+
   /** Metadata-only count(*) (reference CarbonCountStar.scala:44-50).
     * External ADD SEGMENT files carry a -1 row-count sentinel — those
     * segments are counted with a real scan rather than poisoning the
@@ -643,10 +653,28 @@ class GraftTable private (val spark: SparkSession, val path: String)
       .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
       .filterNot(_.getPath.getName.startsWith("."))
     require(files.nonEmpty, s"no data files at $externalPath")
-    val rowCount =
-      if (format == "parquet")
-        spark.read.parquet(externalPath).count()
-      else -1L
+    // parquet adoption is metadata-only: row counts AND per-file stats
+    // come from the footers (driver-local reads, zero Spark jobs — the
+    // count() job this replaces scanned the whole location), so file-
+    // grain pruning works on adopted segments too. An unreadable footer
+    // falls back to a counting scan with no fileMeta (old behavior).
+    val conf = spark.sessionState.newHadoopConf()
+    val wantCols = schema.fields.map(f => f.name -> f.dataType).toMap
+    val footers: Option[Map[String, graft.engine.format.FileMeta]] =
+      if (format != "parquet") None
+      else {
+        val metas = files.toSeq.map(f =>
+          f.getPath.getName -> graft.engine.format.FileFooters.read(
+            conf, f.getPath, f.getLen, wantCols))
+        if (metas.forall(_._2.isDefined))
+          Some(metas.map { case (n, m) => n -> m.get }.toMap)
+        else None
+      }
+    val rowCount = footers match {
+      case Some(fm) => fm.values.map(_.rows).sum
+      case None if format == "parquet" => spark.read.parquet(externalPath).count()
+      case None => -1L
+    }
     var id = -1L
     layout.commit { st =>
       id = st.nextSegmentId
@@ -654,7 +682,8 @@ class GraftTable private (val spark: SparkSession, val path: String)
         id, SegmentStatus.Success, format,
         files.map(_.getPath.getName).toSeq.sorted, rowCount,
         files.map(_.getLen).sum, Map.empty, Nil,
-        System.currentTimeMillis(), externalPath = Some(externalPath)))
+        System.currentTimeMillis(), externalPath = Some(externalPath),
+        fileMeta = footers.getOrElse(Map.empty)))
     }
     id
   }

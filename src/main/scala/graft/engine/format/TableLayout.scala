@@ -76,26 +76,51 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   def writeTableMeta(meta: TableMeta): Unit = {
     fs.mkdirs(metaDir); fs.mkdirs(segmentsDir)
     writeJsonAtomic(tableMetaPath, meta)
+    try MetaCache.putMeta(root.toString, fs.getFileStatus(tableMetaPath), meta)
+    catch { case scala.util.control.NonFatal(_) => MetaCache.drop(Some(root.toString)) }
   }
-  def readTableMeta(): TableMeta = readJson(tableMetaPath, classOf[TableMeta])
+
+  /** Stat-validated cached read (one getFileStatus call when the file is
+    * unchanged — see [[MetaCache]]); commit paths use the uncached form. */
+  def readTableMeta(): TableMeta =
+    MetaCache.metaFor(root.toString, tableMetaPath,
+      fs.getFileStatus(tableMetaPath), readTableMetaUncached())
+  def readTableMetaUncached(): TableMeta = readJson(tableMetaPath, classOf[TableMeta])
 
   /** Locked read-modify-write of the table meta — ALTER-style metadata
     * changes go through here so concurrent writers can't lose updates
     * (same two-layer lock as the tablestatus commit). */
   def updateTableMeta(f: TableMeta => TableMeta): Unit = withLock {
-    writeTableMeta(f(readTableMeta()))
+    writeTableMeta(f(readTableMetaUncached()))
   }
 
   // ---- tablestatus commit log ----
+  /** Stat-validated cached snapshot; a reader racing a commit may see
+    * the immediately-previous COMPLETE snapshot (same as reading a
+    * moment earlier). Commit paths read uncached under the lock. */
   def readStatus(): TableStatus =
+    if (fs.exists(statusPath))
+      MetaCache.statusFor(root.toString, statusPath,
+        fs.getFileStatus(statusPath), readStatusUncached())
+    else TableStatus(0L, Nil)
+
+  def readStatusUncached(): TableStatus =
     if (fs.exists(statusPath)) readJson(statusPath, classOf[TableStatus])
     else TableStatus(0L, Nil)
 
+  private def publishStatus(next: TableStatus): Unit = {
+    writeJsonAtomic(statusPath, next)
+    // write-through: the committer's JVM serves its own commit
+    // immediately, regardless of filesystem timestamp granularity
+    try MetaCache.putStatus(root.toString, fs.getFileStatus(statusPath), next)
+    catch { case scala.util.control.NonFatal(_) => MetaCache.drop(Some(root.toString)) }
+  }
+
   /** Read-modify-write of the commit log under the table lock. */
   def commit(update: TableStatus => TableStatus): TableStatus = withLock {
-    val next0 = update(readStatus())
+    val next0 = update(readStatusUncached())
     val next = next0.copy(version = next0.version + 1)
-    writeJsonAtomic(statusPath, next)
+    publishStatus(next)
     next
   }
 
@@ -105,9 +130,9 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * them is the residual risk a two-file layout cannot close. */
   def commitWithMeta(newMeta: TableMeta)(update: TableStatus => TableStatus): TableStatus =
     withLock {
-      val next0 = update(readStatus())
+      val next0 = update(readStatusUncached())
       val next = next0.copy(version = next0.version + 1)
-      writeJsonAtomic(statusPath, next)
+      publishStatus(next)
       writeTableMeta(newMeta)
       next
     }

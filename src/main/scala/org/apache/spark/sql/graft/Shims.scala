@@ -40,6 +40,28 @@ object Shims {
     org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       .ROW_INDEX_TEMPORARY_COLUMN_NAME
 
+  /** Arrow IPC record batches of a DataFrame (private[sql]
+    * Dataset.toArrowBatchRdd) — one serialized batch per
+    * `spark.sql.execution.arrow.maxRecordsPerBatch` rows. */
+  def toArrowBatchRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[Array[Byte]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .toArrowBatchRdd
+
+  /** The reverse: Arrow batches + schema JSON back to a DataFrame. */
+  def fromArrowBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: Iterator[Array[Byte]],
+      schemaJson: String): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.execution.arrow.ArrowConverters.toDataFrame(
+      batches, schemaJson,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
+  /** Drain the listener bus (private[spark]) — specs that count Spark
+    * jobs via a listener need the events delivered before asserting. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** v1 parquet relation over a caller-supplied FileIndex. Unlike the
     * DSv2 FileTable path this exposes the `_metadata` columns (tupleId),
     * while the custom index keeps segment-level pruning in the loop. */

@@ -60,7 +60,7 @@ class DdlSpec extends AnyFunSuite {
     assert(q.count() == 7)
   }
 
-  test("mixed-format table: csv segment unions into reads; DSv2 scan refuses") {
+  test("mixed-format table: csv segment unions into reads, incl. the DSv2 scan") {
     val src = spark.read.parquet(s"$sf/nation.parquet")
     val t = GraftTable.createAsSelect(spark, tmpTable(), src.filter(col("n_nationkey") < 10))
     val ext = Files.createTempDirectory("graft_csv_").toString
@@ -69,10 +69,52 @@ class DdlSpec extends AnyFunSuite {
     t.addSegment(ext, "csv")
     assert(t.read.count() == 25)
     assert(t.read.agg(sum("n_nationkey")).collect().head.getLong(0) == (0 until 25).sum)
-    val e = intercept[Exception](
-      spark.read.format("carbonish").load(t.path).count())
-    assert(e.getMessage.contains("non-parquet") ||
-      Option(e.getCause).exists(_.getMessage.contains("non-parquet")))
+    // the DSv2 scan itself (and with it catalog-name reads) plans the
+    // per-format union too — MixedScan, one sub-scan per format
+    val direct = spark.read.format("carbonish").load(t.path)
+    assert(direct.count() == 25)
+    assert(direct.agg(sum("n_nationkey")).collect().head.getLong(0) == (0 until 25).sum)
+    // column pruning reaches the union's sub-scans
+    assert(direct.select("n_name").distinct().count() == 25)
+  }
+
+  test("ADD SEGMENT parquet registers from footers: zero Spark jobs, file stats on") {
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src.filter(col("n_nationkey") < 10))
+    val ext = Files.createTempDirectory("graft_extpq_").toString
+    src.filter(col("n_nationkey") >= 10).coalesce(2)
+      .write.mode("overwrite").parquet(ext)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val id = t.addSegment(ext, "parquet")
+      org.apache.spark.sql.graft.Shims.waitListenerBus(spark)
+      assert(jobs.get == 0, s"ADD SEGMENT parquet must not run Spark jobs, ran ${jobs.get}")
+      val seg = t.status.visible.find(_.id == id).get
+      assert(seg.rowCount == 15, "footer row counts must be exact")
+      assert(seg.fileMeta.nonEmpty, "adopted files must carry footer stats")
+      assert(seg.fileMeta.values.map(_.rows).sum == 15)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(t.read.count() == 25)
+  }
+
+  test("Arrow export round-trips the table through IPC batches") {
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    val t = GraftTable.createAsSelect(spark, tmpTable(), src, Seq("n_nationkey"))
+    val batches = t.toArrowBatches.collect()
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    val back = org.apache.spark.sql.graft.Shims.fromArrowBatches(
+      spark, batches.iterator, t.read.schema.json)
+    assert(back.schema == t.read.schema)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("n_nationkey")).collect().head.getLong(0) ==
+      src.agg(sum("n_nationkey")).collect().head.getLong(0))
   }
 
   test("auto_compact_threshold merges small loads automatically") {

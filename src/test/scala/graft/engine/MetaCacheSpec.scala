@@ -1,0 +1,73 @@
+package graft.engine
+
+import graft.engine.format.{MetaCache, TableLayout}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Driver metadata cache: tablestatus/tablemeta snapshots served from a
+  * stat-validated cache (one getFileStatus instead of a full JSON
+  * read+parse per query — at 100k segments the parse is the driver
+  * bottleneck), write-through on same-JVM commits, SHOW/DROP METACACHE
+  * observability (reference CarbonShowCacheCommand). */
+class MetaCacheSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft_mc_").toString + "/t"
+
+  test("status reads hit the cache; commits write through immediately") {
+    val path = tmp()
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    MetaCache.drop() // clean slate for counters
+    val key = t.layout.root.toString
+
+    val v1 = t.layout.readStatus().version
+    val before = MetaCache.entries(Some(key))
+      .find(_._2 == "tablestatus").map(e => (e._5, e._6)).getOrElse((0L, 0L))
+    t.layout.readStatus(); t.layout.readStatus()
+    val after = MetaCache.entries(Some(key))
+      .find(_._2 == "tablestatus").map(e => (e._5, e._6)).get
+    assert(after._1 >= before._1 + 2, s"repeat reads must be cache hits: $before -> $after")
+
+    // a commit is visible to the very next read (write-through)
+    t.insert(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.layout.readStatus().version > v1)
+    assert(t.read.count() == 2)
+
+    // a fresh layout instance on the same path shares the cache
+    val l2 = new TableLayout(path, spark.sessionState.newHadoopConf())
+    assert(l2.readStatus().version == t.layout.readStatus().version)
+  }
+
+  test("cross-instance external commit invalidates via the stat check") {
+    val path = tmp()
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    // warm this JVM's cache, then commit through a DIFFERENT layout
+    // instance (same JVM cache is write-through, so simulate an external
+    // writer by dropping the cache after its commit and checking the
+    // stat-validation path re-reads)
+    val v1 = t.layout.readStatus().version
+    val other = GraftTable.at(spark, path)
+    other.insert(Seq((2L, "b")).toDF("k", "v"))
+    MetaCache.drop() // forget everything this JVM knows
+    assert(t.layout.readStatus().version > v1, "stat check must observe the new file")
+    assert(t.layout.readStatus().segments.count(_.isVisible) == 2)
+  }
+
+  test("SHOW METACACHE / DROP METACACHE SQL") {
+    val path = tmp()
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    t.layout.readStatus(); t.meta // populate both kinds
+    val rows = GraftSql.command(spark, s"SHOW METACACHE FOR TABLE ${t.path}").get.collect()
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("tablestatus", "tablemeta")))
+    assert(rows.nonEmpty)
+    GraftSql.command(spark, s"DROP METACACHE FOR TABLE ${t.path}")
+    assert(GraftSql.command(spark, s"SHOW METACACHE FOR TABLE ${t.path}").get.collect().isEmpty)
+    // global SHOW still works (other tables may be cached)
+    assert(GraftSql.command(spark, "SHOW METACACHE").isDefined)
+    GraftSql.command(spark, "DROP METACACHE")
+    assert(GraftSql.command(spark, "SHOW METACACHE").get.collect().isEmpty)
+  }
+}
