@@ -229,26 +229,20 @@ object EngineQueries {
     "q_stream_source" -> ((s, d) => {
       val tbl = orders3(s, d)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_q_").toString
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val out = java.nio.file.Files.createTempDirectory("graft_ss_out_").toString
+      // drained micro-batches land in a parquet sink (distributed —
+      // rows never touch the driver) and the result reads them back
       val q = s.readStream.format("carbonish").load(tbl.path)
-        .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).cast("double").as("price"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).cast("double").as("price"))
         .writeStream
+        .format("parquet")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.collect().foreach(acc.add); ()
-        }
+        .option("path", out)
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
         .start()
       try q.processAllAvailable() finally q.stop()
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(acc.asScala.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("o_orderkey",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("o_orderstatus",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("price",
-            org.apache.spark.sql.types.DoubleType))))
+      s.read.parquet(out)
     })
   )
 
