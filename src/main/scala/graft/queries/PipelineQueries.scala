@@ -132,6 +132,18 @@ object PipelineQueries {
       Ann.cosinePairsExact(emb, 0.4).select("id_a", "id_b", "cos")
     }),
 
+    // ---- sequence packing: docs → fixed token-budget bins (the
+    // training-sequence chunking op); shard-local windows — one hash
+    // shuffle on shard, never a total sort, identical at any
+    // parallelism ----
+    "q_pack_bins" -> ((s, d) => {
+      import graft.ops.Pack
+      Pack.packBins(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id",
+        size(split(lower(trim(col("text"))), " ")).cast("long"),
+        budget = 2048L, shardSize = 256L)
+    }),
     // ---- text_match-lite full-text predicate (native contains tree) ----
     "q_text_match" -> ((s, d) => {
       t(s, d, "documents")
@@ -261,6 +273,18 @@ object PipelineQueries {
       "q_ann_topk" -> oAnnTop5,
       // full-probe IVF ≡ brute force: same oracle by design
       "q_ann_ivf" -> oAnnTop5,
+      "q_pack_bins" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+               doc_id // 256 AS shard
+             FROM documents),
+           c AS (
+             SELECT doc_id, n_tokens, shard,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM d)
+           SELECT doc_id, n_tokens, shard, cb // 2048 AS bin FROM c""",
       "q_text_match" ->
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "row data OR the end")}

@@ -136,4 +136,38 @@ class PipelineSpec extends AnyFunSuite {
       .select(Ann.dotQ(col("a"), col("b"))).collect().head.getLong(0)
     assert(ok == 32L)
   }
+
+  test("sequence packing: shard-local bins, budget-aligned, parallelism-invariant") {
+    import spark.implicits._
+    import graft.ops.Pack
+    // deterministic pseudo-random token counts, ids with gaps
+    val docs = (0L until 1000L).map(i => (i * 3, (i * 37 % 190) + 10))
+      .toDF("id", "tok")
+    val budget = 500L
+    val packed = Pack.packBins(docs, "id", col("tok"), budget, shardSize = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    // identical assignment regardless of input partitioning
+    val repacked = Pack.packBins(docs.repartition(7), "id", col("tok"), budget, 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(packed.sameElements(repacked), "packing must not depend on parallelism")
+
+    // per shard: bins contiguous from 0; each doc's bin = pre-tokens div budget
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins.head == 0L && bins.sameElements(0L to bins.last))
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, tok, _, bin) =>
+        assert(bin == cum / budget)
+        cum += tok
+      }
+    }
+
+    // manifest aggregates agree with the per-doc view
+    val man = Pack.binManifest(docs, "id", col("tok"), budget, 300L).collect()
+    assert(man.map(_.getLong(2)).sum == 1000L) // n_docs covers every doc
+    assert(man.map(_.getLong(3)).sum == packed.map(_._2).sum) // token totals match
+  }
 }
