@@ -132,6 +132,16 @@ object PipelineQueries {
       Ann.cosinePairsExact(emb, 0.4).select("id_a", "id_b", "cos")
     }),
 
+    // ---- deterministic split assignment: portable multiplicative-hash
+    // buckets (no engine hash), one pure projection — reproducible
+    // train/val/test membership with no join at any scale ----
+    "q_sample_split" -> ((s, d) => {
+      import graft.ops.Sample
+      Sample.assignSplit(t(s, d, "documents").select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+    }),
     // ---- sequence packing: docs → fixed token-budget bins (the
     // training-sequence chunking op); shard-local windows — one hash
     // shuffle on shard, never a total sort, identical at any
@@ -273,6 +283,15 @@ object PipelineQueries {
       "q_ann_topk" -> oAnnTop5,
       // full-probe IVF ≡ brute force: same oracle by design
       "q_ann_ivf" -> oAnnTop5,
+      "q_sample_split" ->
+        """WITH b AS (
+             SELECT doc_id,
+               ((doc_id % 1000000000) * 2654435761) % 1000000007 % 10000 AS bkt
+             FROM documents)
+           SELECT CASE WHEN bkt < 9000 THEN 'train'
+                       WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM b GROUP BY 1""",
       "q_pack_bins" ->
         """WITH d AS (
              SELECT doc_id,

@@ -137,6 +137,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok == 32L)
   }
 
+  test("deterministic sampling: stable buckets, accurate fractions, disjoint splits") {
+    import spark.implicits._
+    import graft.ops.Sample
+    val ids = (0L until 20000L).toDF("id")
+
+    // reproducible under reshuffling
+    val a = Sample.sampleFraction(ids, "id", 0.3).collect().map(_.getLong(0)).sorted
+    val b = Sample.sampleFraction(ids.repartition(13), "id", 0.3)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // fraction lands near target (multiplicative hash spreads well)
+    assert(math.abs(a.length / 20000.0 - 0.3) < 0.02, s"got ${a.length / 20000.0}")
+
+    // splits are a disjoint cover with weights respected
+    val splits = Sample.assignSplit(ids, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == 20000L)
+    assert(math.abs(splits("train") / 20000.0 - 0.8) < 0.02)
+
+    // a sub-1.0 spec leaves the remainder unassigned (null split)
+    val dropped = Sample.assignSplit(ids, "id", Seq("keep" -> 0.5))
+      .filter(col("split").isNull).count()
+    assert(math.abs(dropped / 20000.0 - 0.5) < 0.02)
+
+    // mixture: per-source fractions + source tag
+    val mix = Sample.mixture(Seq(
+      ("web", ids, 0.25), ("books", ids, 1.0)), "id")
+    val bySrc = mix.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("books") == 20000L)
+    assert(math.abs(bySrc("web") / 20000.0 - 0.25) < 0.02)
+  }
+
   test("sequence packing: shard-local bins, budget-aligned, parallelism-invariant") {
     import spark.implicits._
     import graft.ops.Pack
