@@ -63,6 +63,13 @@ class GraftDmlStrategy extends SparkStrategy {
     // already expanded by the analyzer; expressions arrive resolved, and
     // are re-rendered with the builder's `t.`/`s.` aliases by exprId
     // ownership (target vs source output sets).
+    // schema evolution would silently widen the target mid-merge —
+    // reject with a specific message instead of the generic planner one
+    case m: MergeIntoTable
+        if m.withSchemaEvolution && carbonishPath(m.targetTable).isDefined =>
+      throw new UnsupportedOperationException(
+        "MERGE INTO ... WITH SCHEMA EVOLUTION is not supported on carbonish " +
+          "tables; ALTER TABLE ... ADD COLUMNS first, then merge")
     case m: MergeIntoTable if !m.withSchemaEvolution =>
       carbonishPath(m.targetTable) match {
         case Some(path) =>

@@ -70,14 +70,50 @@ object GraftFunctions {
   }
 
   /** SQL registration for the UDF-shaped surface (SQL queries can't call
-    * the Column builders directly). */
+    * the Column builders directly). Named `text_match_contains` — the
+    * row-level substring variant — so it can't collide with the indexed
+    * `text_match('col:query')` marker registered by
+    * [[graft.engine.index.TextMatchSql.enable]]. */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("text_match", (text: String, query: String) => {
+    spark.udf.register("text_match_contains", (text: String, query: String) => {
       if (text == null) false
       else {
         val lc = text.toLowerCase
         parseQuery(query).exists(_.forall(lc.contains))
       }
     })
+  }
+
+  // ---------------------------------------------------------- redaction
+
+  /** PII redaction for training corpora: emails → `<EMAIL>`,
+    * NNN-NNNN phone shapes → `<PHONE>`. Pure regexp_replace projection
+    * (codegen'd, embarrassingly parallel); the patterns are restricted
+    * to syntax Java regex and RE2 share, so the DuckDB oracle fragment
+    * below is bit-identical. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** DuckDB oracle fragment with identical semantics. */
+  def oRedactPii(cSql: String): String =
+    s"regexp_replace(regexp_replace($cSql, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+
+  /** Intra-document repetition (the Gopher-style duplicate-n-gram
+    * quality rule): fraction of n-grams that are repeats of an earlier
+    * n-gram in the same doc — 0.0 for docs too short to form one. Pure
+    * per-row array work (no shuffle); heavily templated/boilerplate
+    * text scores high and gets filtered before training. */
+  def duplicateNgramRatio(c: Column, n: Int = 3): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(lower(trim(c)), " ")
+    val count = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(1), count),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    when(count >= 1,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
   }
 }

@@ -94,6 +94,24 @@ object TextQueries {
         col("doc_id"),
         md5(norm(col("text"))).as("content_md5"),
         h32(concat_ws(" ", array_sort(array_distinct(toks)))).as("bow_fp"))
+    }),
+    // intra-doc repetition: duplicate-trigram fraction (Gopher-style
+    // quality rule) — pure per-row array work, no shuffle
+    "q_text_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.duplicateNgramRatio(col("text"), 3)
+          .as("dup3_ratio"))),
+    // PII redaction over a deterministically-injected corpus (the
+    // fixture text is clean, so both engines append the same synthetic
+    // email + phone per doc, redact, and compare the full strings)
+    "q_text_redact" -> ((s, d) => {
+      val dirty = concat(norm(col("text")),
+        lit(" contact user"), col("doc_id"), lit("@example-mail.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.redactPii(dirty).as("clean"))
     })
   )
 
@@ -140,7 +158,23 @@ object TextQueries {
       "q_text_fingerprint" ->
         s"""SELECT doc_id, md5($oNorm) AS content_md5,
             ${oH32(s"array_to_string(list_sort(list_distinct(string_split($oNorm, ' '))), ' ')")} AS bow_fp
+            FROM documents""",
+      "q_text_repetition" ->
+        s"""SELECT doc_id,
+            CASE WHEN len(grams) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            END AS dup3_ratio
+            FROM (SELECT doc_id,
+                    [array_to_string(toks[i:i+2], ' ')
+                     for i in generate_series(1, greatest(len(toks)-2, 0))] AS grams
+                  FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks
+                        FROM documents))""",
+      "q_text_redact" -> {
+        val oDirty = s"($oNorm || ' contact user' || doc_id || '@example-mail.com or 555-' || " +
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+        s"""SELECT doc_id, ${graft.functions.GraftFunctions.oRedactPii(oDirty)} AS clean
             FROM documents"""
+      }
     )
   }
 }

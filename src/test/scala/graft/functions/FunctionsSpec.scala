@@ -19,9 +19,32 @@ class FunctionsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     df.createOrReplaceTempView("tm_t")
     val sqlGot = spark.sql(
-      "SELECT t FROM tm_t WHERE text_match(t, 'big data OR carbon')")
+      "SELECT t FROM tm_t WHERE text_match_contains(t, 'big data OR carbon')")
       .collect().map(_.getString(0)).toSet
     assert(sqlGot == got)
+  }
+
+  test("duplicateNgramRatio: repeats score high, unique text scores 0, short text safe") {
+    import spark.implicits._
+    val got = Seq("a b c a b c d e", "x y", "w w w w w", "p q r s")
+      .toDF("t").select(GraftFunctions.duplicateNgramRatio(col("t"), 3))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got(0) == 1.0 - 5.0 / 6.0) // 'a b c' repeats once among 6 grams
+    assert(got(1) == 0.0)             // too short for a trigram
+    assert(got(2) == 1.0 - 1.0 / 3.0) // 'w w w' three times
+    assert(got(3) == 0.0)             // all grams unique
+  }
+
+  test("redactPii masks emails and phone shapes, leaves prose alone") {
+    import spark.implicits._
+    val got = Seq(
+      "mail me at jo.doe+x@corp-mail.co or 555-0199 today",
+      "no pii here, just 12-34 and a@b (not an email)")
+      .toDF("t").select(GraftFunctions.redactPii(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> or <PHONE> today",
+      "no pii here, just 12-34 and a@b (not an email)"))
   }
 
   test("tupleId addresses rows stably on a carbonish table") {
