@@ -205,6 +205,18 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // ---- skyline: Pareto-optimal orders (cheapest-and-most-recent
+    // front) via the exact two-phase distributed plan (local dominance
+    // buffers, pooled global pass — Skyline.scala, EDBT 2023) ----
+    "q_skyline" -> ((s, d) => {
+      import graft.ops.Skyline
+      val src = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), unix_timestamp(col("o_orderdate")).as("o_ts"))
+      Skyline.skyline(src,
+          Seq("o_totalprice" -> true, "o_ts" -> false))
+        .select("o_orderkey", "o_totalprice", "o_ts")
+    }),
+
     // ---- set ops (§2.6) ----
     "q_set_union" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -458,6 +470,16 @@ object RelationalQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_skyline" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice,
+             CAST(epoch(o_orderdate) AS BIGINT) AS o_ts
+           FROM orders)
+         SELECT o_orderkey, o_totalprice, o_ts FROM o a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM o b
+           WHERE b.o_totalprice <= a.o_totalprice AND b.o_ts >= a.o_ts
+             AND (b.o_totalprice < a.o_totalprice OR b.o_ts > a.o_ts))""",
     "q_set_union" ->
       """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
          UNION
