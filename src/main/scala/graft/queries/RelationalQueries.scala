@@ -205,6 +205,22 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // ---- as-of (point-in-time) join: each sampled event picks up the
+    // latest state checkpoint at or before its timestamp — union +
+    // running last() per key, ONE shuffle, no range explosion (AsOf
+    // .scala); DuckDB's native ASOF JOIN is the oracle. Timestamps
+    // compare at micros on both sides (ns-truncated identically). ----
+    "q_asof_join" -> ((s, d) => {
+      import graft.ops.AsOf
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      val state = e.filter(col("event_id") % 20 === 0)
+        .groupBy("user_id", "tsu").agg(max(col("value")).as("state"))
+      val probes = e.filter(col("event_id") % 7 === 0)
+        .select("event_id", "user_id", "tsu")
+      AsOf.asofJoin(probes, state, "user_id", "tsu", Seq("state"))
+    }),
+
     // ---- skyline: Pareto-optimal orders (cheapest-and-most-recent
     // front) via the exact two-phase distributed plan (local dominance
     // buffers, pooled global pass — Skyline.scala, EDBT 2023) ----
@@ -470,6 +486,17 @@ object RelationalQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_asof_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tsu, "value" FROM events),
+         state AS (
+           SELECT user_id, tsu, max("value") AS state
+           FROM e WHERE event_id % 20 = 0 GROUP BY 1, 2),
+         probes AS (
+           SELECT event_id, user_id, tsu FROM e WHERE event_id % 7 = 0)
+         SELECT p.event_id, p.user_id, p.tsu, s.state
+         FROM probes p ASOF LEFT JOIN state s
+           ON p.user_id = s.user_id AND p.tsu >= s.tsu""",
     "q_skyline" ->
       """WITH o AS (
            SELECT o_orderkey, o_totalprice,
