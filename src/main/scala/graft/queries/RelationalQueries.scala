@@ -205,6 +205,23 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // ---- range (interval) join: points⋈containing-intervals as a
+    // bucketized EQUI-join + exact residual (RangeJoin.scala — a raw
+    // BETWEEN would plan a nested loop); per-interval aggregate keeps
+    // the row's output compact while checking every containment ----
+    "q_range_join" -> ((s, d) => {
+      import graft.ops.RangeJoin
+      val pts = t(s, d, "customer")
+        .select(col("c_custkey").as("pid"), ((col("c_custkey") * 7) % 10000).as("x"))
+      val iv = t(s, d, "orders").filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey").as("iid"),
+          ((col("o_custkey") * 3) % 10000).as("lo"))
+        .withColumn("hi", col("lo") + (col("iid") % 97))
+      RangeJoin.rangeJoin(pts, iv, "x", "lo", "hi", bucketWidth = 64)
+        .groupBy(col("iid"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pid")).as("pid_sum"))
+    }),
+
     // ---- as-of (point-in-time) join: each sampled event picks up the
     // latest state checkpoint at or before its timestamp — union +
     // running last() per key, ONE shuffle, no range explosion (AsOf
@@ -486,6 +503,16 @@ object RelationalQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_range_join" ->
+      """WITH pts AS (
+           SELECT c_custkey AS pid, (c_custkey * 7) % 10000 AS x FROM customer),
+         iv AS (
+           SELECT o_orderkey AS iid, (o_custkey * 3) % 10000 AS lo,
+             (o_custkey * 3) % 10000 + (o_orderkey % 97) AS hi
+           FROM orders WHERE o_orderkey % 200 = 0)
+         SELECT iid, count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS pid_sum
+         FROM pts JOIN iv ON pts.x BETWEEN iv.lo AND iv.hi
+         GROUP BY iid""",
     "q_asof_join" ->
       """WITH e AS (
            SELECT event_id, user_id, epoch_us(ts) AS tsu, "value" FROM events),
