@@ -34,6 +34,20 @@ class TableLayout(val tablePath: String, conf: Configuration) {
 
   def fs: FileSystem = root.getFileSystem(conf)
 
+  private val isLocal = root.toUri.getScheme match {
+    case null | "file" => true
+    case _ => false
+  }
+
+  /** Metadata IO runs on the RAW local fs when the table is local:
+    * ChecksumFileSystem renames a file and its .crc sidecar separately
+    * and implements overwrite-rename as delete-then-rename — both break
+    * commit atomicity for racing readers. Raw fs + POSIX ATOMIC_MOVE
+    * restore the single-syscall swap; on HDFS the namenode rename is
+    * already atomic and checksums are server-side, so `fs` stays. */
+  private def metaFs: FileSystem =
+    if (isLocal) FileSystem.getLocal(conf).getRaw else fs
+
   def segmentDir(id: Long): Path = new Path(segmentsDir, id.toString)
   def tmpSegmentDir(id: Long): Path =
     new Path(segmentsDir, s".tmp-$id-${UUID.randomUUID().toString.take(8)}")
@@ -52,7 +66,25 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   }
 
   private def readJson[T](p: Path, clazz: Class[T]): T = {
-    val in = fs.open(p)
+    var attempts = 0
+    while (true) {
+      try return readJsonOnce(p, clazz)
+      catch {
+        // ChecksumFileSystem renames a file and its .crc sidecar
+        // SEPARATELY, so a reader racing the commit's atomic rename can
+        // briefly see new data under the old checksum. The data file
+        // itself is never torn — retry reads the settled pair. Persistent
+        // mismatch (real corruption) still surfaces.
+        case _: org.apache.hadoop.fs.ChecksumException if attempts < 8 =>
+          attempts += 1
+          Thread.sleep(10L * attempts)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readJsonOnce[T](p: Path, clazz: Class[T]): T = {
+    val in = metaFs.open(p)
     try {
       val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       val sb = new StringBuilder
@@ -64,12 +96,24 @@ class TableLayout(val tablePath: String, conf: Configuration) {
 
   private def writeJsonAtomic[T](p: Path, value: T): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
+    val out = metaFs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(value))
     finally out.close()
-    // FileContext.rename supports atomic OVERWRITE (plain FileSystem doesn't)
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+    if (isLocal) {
+      java.nio.file.Files.move(
+        new java.io.File(tmp.toUri.getPath).toPath,
+        new java.io.File(p.toUri.getPath).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // reclaim a checksum sidecar left by writes that predate raw-fs
+      // metadata IO — it would describe stale bytes forever
+      try metaFs.delete(new Path(p.getParent, s".${p.getName}.crc"), false)
+      catch { case scala.util.control.NonFatal(_) => }
+    } else {
+      // FileContext.rename supports atomic OVERWRITE (plain FileSystem doesn't)
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, Options.Rename.OVERWRITE)
+    }
   }
 
   // ---- table meta ----

@@ -28,6 +28,36 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.countStar == rows * 4L)
   }
 
+  test("reader storm during concurrent commits sees only complete snapshots") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_conc3_").toString + "/t"
+    val batch = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val t = GraftTable.createAsSelect(spark, path, batch)
+    // 4 concurrent inserts of 100 rows + 6 readers hammering reads:
+    // every observed count must be a whole number of committed batches
+    // (a torn/partial snapshot — e.g. a stale cached status paired with
+    // reclaimed files, or a half-applied commit — would break that)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (0 until 6).map { _ =>
+      Future {
+        (0 until 12).foreach { _ =>
+          val c = GraftTable.at(spark, path).read.count()
+          if (c < 100 || c > 500 || c % 100 != 0)
+            bad.compareAndSet(null, s"non-snapshot count $c")
+          val meta = GraftTable.at(spark, path).countStar
+          if (meta < 100 || meta > 500 || meta % 100 != 0)
+            bad.compareAndSet(null, s"non-snapshot metadata count $meta")
+        }
+      }
+    }
+    val writers = (0 until 4).map { _ =>
+      Future(GraftTable.at(spark, path).insert(batch))
+    }
+    Await.result(Future.sequence(readers ++ writers), 5.minutes)
+    assert(bad.get == null, s"reader saw ${bad.get}")
+    assert(t.read.count() == 500)
+  }
+
   test("concurrent delete + insert keep the commit log consistent") {
     val src = spark.read.parquet(s"$sf/nation.parquet")
     val path = Files.createTempDirectory("graft_conc2_").toString + "/t"
