@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time: …" line off stdout: the bench
+// driver parses a JSON line out of the LAST 2000 chars of output, and
+// that ~70-char suffix eats into the budget (VERDICT r8 Next #2).
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forward the forked runMain's stdout verbatim (no "[info] " prefix):
+// the bench JSON line must be bit-parseable from the raw stdout tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

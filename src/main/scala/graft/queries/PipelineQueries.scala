@@ -331,7 +331,7 @@ object PipelineQueries {
                COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
              FROM d)
-           SELECT doc_id, n_tokens, shard, cb // 2048 AS bin FROM c""",
+           SELECT doc_id, n_tokens, shard, CAST(cb // 2048 AS BIGINT) AS bin FROM c""",
       "q_text_match" ->
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "row data OR the end")}
