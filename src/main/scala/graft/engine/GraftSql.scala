@@ -170,9 +170,15 @@ object GraftSql {
     val RefreshIndex = """(?is)^\s*REFRESH\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     def indexReg(t0: GraftTable): Map[String, (String, String, String)] =
       t0.meta.properties.collect { case (k, v) if k.startsWith("sqlindex.") =>
-        v.split(",", 3) match {
-          case Array(kind, c, p) => k.stripPrefix("sqlindex.") -> (kind, c, p)
-        }
+        k.stripPrefix("sqlindex.") -> (v.split(",", 3) match {
+          case Array(kind, c, p) => (kind, c, p)
+          // malformed/legacy registry value: surface it in SHOW INDEXES
+          // and keep it DROP-able (DropIndex's unknown-kind branch only
+          // removes the property) instead of MatchError-ing every index
+          // statement on the table
+          case parts => (parts.headOption.getOrElse("corrupt"),
+            if (parts.length > 1) parts(1) else "", "")
+        })
       }
     sql match {
       case ShowMetacache(tRef) =>

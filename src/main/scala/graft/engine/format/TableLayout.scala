@@ -94,10 +94,23 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     } finally in.close()
   }
 
-  private def writeJsonAtomic[T](p: Path, value: T): Unit = {
+  /** Readers validate their [[MetaCache]] snapshot by (mtime, length)
+    * alone, and filesystem mtime granularity can make two back-to-back
+    * commits stamp identically. `pad` trailing spaces (legal JSON
+    * whitespace) force the LENGTH to differ between adjacent commits:
+    * status commits pass `version % 37` (strictly increasing under the
+    * table lock, so consecutive commits always differ); other writes
+    * draw from a nanoTime-salted sequence. */
+  private def writeJsonAtomic[T](p: Path, value: T, pad: Int = -1): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID().toString.take(8)}")
+    val padN =
+      (if (pad >= 0) pad
+       else ((TableLayout.padSeq.incrementAndGet() ^ (System.nanoTime() >>> 10)) & 0x7fffffff).toInt) % 37
     val out = metaFs.create(tmp, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(value))
+    try {
+      out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(value))
+      out.write(Array.fill[Byte](padN)(' '))
+    }
     finally out.close()
     if (isLocal) {
       java.nio.file.Files.move(
@@ -153,7 +166,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     else TableStatus(0L, Nil)
 
   private def publishStatus(next: TableStatus): Unit = {
-    writeJsonAtomic(statusPath, next)
+    writeJsonAtomic(statusPath, next, pad = (next.version % 37).toInt)
     // write-through: the committer's JVM serves its own commit
     // immediately, regardless of filesystem timestamp granularity
     try MetaCache.putStatus(root.toString, fs.getFileStatus(statusPath), next)
@@ -220,4 +233,7 @@ object TableLayout {
   /** JVM-wide per-table-path monitors backing withLock's first layer. */
   private[format] val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Sequence behind writeJsonAtomic's length-uniquifying pad. */
+  private[format] val padSeq =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime() & 0xff)
 }

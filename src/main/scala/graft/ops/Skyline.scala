@@ -81,9 +81,15 @@ object Skyline {
     }
 
     implicit val enc: Encoder[Row] = Encoders.row(schema)
+    // repartition (a SHUFFLE), not coalesce: coalesce(1) is a narrow
+    // dependency, which would pull every upstream partition INTO the
+    // single task and run the local-skyline phase serially over the
+    // whole input. The shuffle boundary keeps local skylines at input
+    // parallelism; only the surviving candidates move (VERDICT r8
+    // advice).
     keyed
       .mapPartitions(localSkyline)
-      .coalesce(1)
+      .repartition(1)
       .mapPartitions(globalSkyline)
       .drop("__sk")
   }

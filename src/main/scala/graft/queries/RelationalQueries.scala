@@ -235,7 +235,9 @@ object RelationalQueries {
         .groupBy("user_id", "tsu").agg(max(col("value")).as("state"))
       val probes = e.filter(col("event_id") % 7 === 0)
         .select("event_id", "user_id", "tsu")
-      AsOf.asofJoin(probes, state, "user_id", "tsu", Seq("state"))
+      // tsBuckets=4 exercises the skew-safe plan (window partitions on
+      // (key, ts-bucket) + carry-forward join) against the DuckDB oracle
+      AsOf.asofJoin(probes, state, "user_id", "tsu", Seq("state"), tsBuckets = 4)
     }),
 
     // ---- skyline: Pareto-optimal orders (cheapest-and-most-recent
