@@ -63,11 +63,22 @@ object TextIndex {
     t.layout.writeTableMeta(t.meta.copy(properties = t.meta.properties - key(column)))
   }
 
-  /** Token-membership residual predicate matching the index semantics. */
+  /** Token-membership residual predicate matching the index semantics:
+    * whole tokens for bare terms, token-prefix for `p*` wildcards,
+    * whole-token sequence (space-padded containment over the
+    * single-space corpus) for `"quoted phrases"`, `NOT` negation. */
   def tokenMatch(c: Column, query: String): Column = {
+    import graft.functions.GraftFunctions.{TextTerm, parseLucene}
     val toks = tokensOf(c)
-    graft.functions.GraftFunctions.parseQuery(query)
-      .map(_.map(term => array_contains(toks, term)).reduce(_ && _))
+    def one(t: TextTerm): Column = t match {
+      case TextTerm.Tok(s) => array_contains(toks, s)
+      case TextTerm.Prefix(p) => exists(toks, _.startsWith(p))
+      case TextTerm.Phrase(ws) =>
+        concat(lit(" "), lower(trim(c)), lit(" "))
+          .contains(" " + ws.mkString(" ") + " ")
+    }
+    parseLucene(query)
+      .map(_.map(l => if (l.negated) !one(l.term) else one(l.term)).reduce(_ && _))
       .reduce(_ || _)
   }
 
@@ -84,19 +95,45 @@ object TextIndex {
 
   private def candidateSegments(
       t: GraftTable, column: String, query: String): Option[Set[Long]] = {
-    val clauses = graft.functions.GraftFunctions.parseQuery(query)
+    import graft.functions.GraftFunctions.{TextTerm, parseLucene}
+    val clauses = parseLucene(query)
     t.meta.properties.get(key(column)).map { p =>
       val idx = GraftTable.at(t.spark, p)
       val visible = t.status.visible.map(_.id).toSet
       val uncovered = visible -- Si.indexedSegments(idx)
-      val allTerms = clauses.flatten.distinct
-      val found: Map[String, Set[Long]] = idx.read
-        .filter(col("term").isin(allTerms: _*))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-      val hits = clauses.map { terms =>
-        terms.map(tm => found.getOrElse(tm, Set.empty[Long]))
-          .reduce(_ intersect _)
+      // one index read serves every positive literal: exact terms by
+      // IN-list, wildcards by prefix predicate — the index is sorted by
+      // term, so both prune via segment min/max stats
+      val positives = clauses.flatten.filterNot(_.negated).map(_.term)
+      val exact = positives.flatMap {
+        case TextTerm.Tok(s) => Seq(s)
+        case TextTerm.Phrase(ws) => ws
+        case _ => Nil
+      }.distinct
+      val prefixes = positives.collect { case TextTerm.Prefix(p) => p }.distinct
+      val preds = (if (exact.nonEmpty) Seq(col("term").isin(exact: _*)) else Nil) ++
+        prefixes.map(p => col("term").startsWith(p))
+      val rows: Seq[(String, Long)] =
+        if (preds.isEmpty) Nil
+        else idx.read.filter(preds.reduce(_ || _))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      val byTerm: Map[String, Set[Long]] =
+        rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def postings(term: TextTerm): Set[Long] = term match {
+        case TextTerm.Tok(s) => byTerm.getOrElse(s, Set.empty)
+        // phrase: every word must appear in the segment (necessary
+        // condition; word order is the residual's job)
+        case TextTerm.Phrase(ws) =>
+          ws.map(w => byTerm.getOrElse(w, Set.empty[Long])).reduce(_ intersect _)
+        case TextTerm.Prefix(p) =>
+          rows.collect { case (tm, sid) if tm.startsWith(p) => sid }.toSet
+      }
+      val hits = clauses.map { lits =>
+        // negated literals can never EXCLUDE a segment (other rows in it
+        // may lack the term) — only positive literals prune
+        val pos = lits.filterNot(_.negated)
+        if (pos.isEmpty) visible
+        else pos.map(l => postings(l.term)).reduce(_ intersect _)
       }.reduce(_ union _)
       (hits & visible) ++ uncovered
     }

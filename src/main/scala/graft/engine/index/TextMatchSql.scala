@@ -81,11 +81,26 @@ class TextMatchRule extends Rule[LogicalPlan] {
   }
 
   /** Exact token-membership residual over the scan attribute — the
-    * resolved-expression form of [[TextIndex.tokenMatch]]. */
+    * resolved-expression form of [[TextIndex.tokenMatch]], covering the
+    * full lucene-subset grammar (tokens, `p*` prefixes, `"phrases"`,
+    * NOT). */
   private def residual(attr: Attribute, query: String): Expression = {
+    import graft.functions.GraftFunctions.TextTerm
     val toks = ArrayDistinct(StringSplit(Lower(StringTrim(attr)), Literal(" "), Literal(-1)))
-    graft.functions.GraftFunctions.parseQuery(query)
-      .map(_.map(t => ArrayContains(toks, Literal(t)): Expression).reduce(And(_, _)))
+    def one(t: TextTerm): Expression = t match {
+      case TextTerm.Tok(s) => ArrayContains(toks, Literal(s))
+      case TextTerm.Prefix(p) =>
+        val x = NamedLambdaVariable("x",
+          org.apache.spark.sql.types.StringType, nullable = true)
+        ArrayExists(toks, LambdaFunction(StartsWith(x, Literal(p)), Seq(x)))
+      case TextTerm.Phrase(ws) =>
+        Contains(
+          Concat(Seq(Literal(" "), Lower(StringTrim(attr)), Literal(" "))),
+          Literal(" " + ws.mkString(" ") + " "))
+    }
+    graft.functions.GraftFunctions.parseLucene(query)
+      .map(_.map(l => if (l.negated) Not(one(l.term)) else one(l.term))
+        .reduce(And(_, _)))
       .reduce(Or(_, _))
   }
 

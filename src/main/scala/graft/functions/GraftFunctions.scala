@@ -10,35 +10,151 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
+  // ---------------------------------------------------- text queries
+
+  /** One parsed text-query literal. The grammar is the lucene subset
+    * the reference's TEXT_MATCH exposes (TextMatchUDF.scala:23-30,
+    * lucene MatchExpression): `OR`-separated clauses; inside a clause,
+    * whitespace-separated literals that must ALL hold; a literal is a
+    * bare token, a `"quoted phrase"`, or a `prefix*` wildcard, each
+    * optionally negated with a preceding `NOT` (or a `-` prefix). */
+  sealed trait TextTerm
+  object TextTerm {
+    final case class Tok(s: String) extends TextTerm
+    final case class Prefix(s: String) extends TextTerm
+    final case class Phrase(words: Seq[String]) extends TextTerm
+  }
+  final case class TextLit(negated: Boolean, term: TextTerm)
+
   /** `text_match(column, query)` — lucene-lite full-text predicate
     * (reference TextMatchUDF.scala:23-30 backed by the lucene FG index;
     * here: native contains-conjunctions, SURVEY §4.2 "text_match-lite").
     *
-    * Query grammar: `OR`-separated clauses; each clause is whitespace-
-    * separated terms that must ALL occur (case-insensitive substring).
-    * e.g. "big data OR carbon" = (contains big AND contains data) OR
-    * contains carbon.
+    * Substring semantics (the unindexed row-level variant): a token or
+    * phrase matches as a case-insensitive substring; a `prefix*`
+    * wildcard matches when any whitespace token of the document starts
+    * with the prefix; `NOT` negates its literal.
+    * e.g. `"big data" NOT spark OR quer*` = (contains "big data" AND
+    * NOT contains "spark") OR (some token starts with "quer").
     */
   def textMatch(c: Column, query: String): Column = {
-    val clauses = parseQuery(query)
+    val clauses = parseLucene(query)
     require(clauses.nonEmpty, "empty text_match query")
     val lc = lower(c)
-    clauses.map(_.map(t => lc.contains(t)).reduce(_ && _)).reduce(_ || _)
+    def one(t: TextTerm): Column = t match {
+      case TextTerm.Tok(s) => lc.contains(s)
+      case TextTerm.Phrase(ws) => lc.contains(ws.mkString(" "))
+      case TextTerm.Prefix(p) =>
+        exists(split(lower(trim(c)), " "), _.startsWith(p))
+    }
+    clauses.map(_.map(l => if (l.negated) !one(l.term) else one(l.term))
+      .reduce(_ && _)).reduce(_ || _)
   }
 
-  private[graft] def parseQuery(query: String): Seq[Seq[String]] =
-    query.split("(?i) OR ").toSeq
-      .map(_.trim.split("\\s+").toSeq.map(_.toLowerCase).filter(_.nonEmpty))
-      .filter(_.nonEmpty)
+  /** Whitespace lexer that keeps `"quoted phrases"` as one token. */
+  private def lex(query: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < query.length) {
+      val ch = query(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '"') {
+        val j = query.indexOf('"', i + 1)
+        require(j > 0, s"unterminated phrase in text query '$query'")
+        out += query.substring(i, j + 1)
+        i = j + 1
+      } else {
+        var j = i
+        while (j < query.length && !query(j).isWhitespace) j += 1
+        out += query.substring(i, j)
+        i = j
+      }
+    }
+    out.toSeq
+  }
 
-  /** DuckDB oracle fragment with identical semantics. */
+  /** Parse the lucene-subset grammar into OR-of-AND-of-literals. */
+  private[graft] def parseLucene(query: String): Seq[Seq[TextLit]] = {
+    val clauses = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[TextLit])
+    var negateNext = false
+    lex(query).foreach { tok =>
+      if (tok.equalsIgnoreCase("OR")) {
+        require(!negateNext, s"dangling NOT before OR in '$query'")
+        clauses += scala.collection.mutable.ArrayBuffer.empty[TextLit]
+      } else if (tok.equalsIgnoreCase("NOT")) {
+        negateNext = true
+      } else {
+        val (neg0, body0) =
+          if (tok.startsWith("-") && tok.length > 1) (true, tok.drop(1))
+          else (false, tok)
+        val term =
+          if (body0.startsWith("\"") && body0.endsWith("\"") && body0.length >= 2)
+            TextTerm.Phrase(body0.substring(1, body0.length - 1)
+              .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+          else if (body0.endsWith("*") && body0.length > 1)
+            TextTerm.Prefix(body0.dropRight(1).toLowerCase)
+          else TextTerm.Tok(body0.toLowerCase)
+        val nonEmpty = term match {
+          case TextTerm.Phrase(ws) => ws.nonEmpty
+          case TextTerm.Prefix(p) => p.nonEmpty
+          case TextTerm.Tok(s) => s.nonEmpty
+        }
+        if (nonEmpty) {
+          clauses.last += TextLit(negateNext || neg0, term)
+          negateNext = false
+        }
+      }
+    }
+    require(!negateNext, s"dangling NOT at end of '$query'")
+    clauses.map(_.toSeq).toSeq.filter(_.nonEmpty)
+  }
+
+  /** Back-compat view for consumers that only need the positive flat
+    * token lists (e.g. simple conjunction building): phrases expand to
+    * their words, prefixes and negations are NOT representable — use
+    * [[parseLucene]] wherever those must be honored. */
+  private[graft] def parseQuery(query: String): Seq[Seq[String]] =
+    parseLucene(query).map(_.collect {
+      case TextLit(false, TextTerm.Tok(s)) => Seq(s)
+      case TextLit(false, TextTerm.Phrase(ws)) => ws
+    }.flatten).filter(_.nonEmpty)
+
+  private def sqlEsc(t: String): String = t.replace("'", "''")
+
+  /** DuckDB oracle fragment with [[textMatch]]'s exact semantics. */
   def oTextMatch(cSql: String, query: String): String =
-    parseQuery(query)
-      .map(_.map { t =>
-        val esc = t.replace("'", "''") // SQL string-literal escaping
-        s"contains(lower($cSql), '$esc')"
+    parseLucene(query)
+      .map(_.map { l =>
+        val base = l.term match {
+          case TextTerm.Tok(s) => s"contains(lower($cSql), '${sqlEsc(s)}')"
+          case TextTerm.Phrase(ws) =>
+            s"contains(lower($cSql), '${sqlEsc(ws.mkString(" "))}')"
+          case TextTerm.Prefix(p) =>
+            s"len(list_filter(string_split(lower(trim($cSql)), ' '), " +
+              s"x -> starts_with(x, '${sqlEsc(p)}'))) > 0"
+        }
+        if (l.negated) s"(NOT $base)" else base
       }.mkString("(", " AND ", ")"))
       .mkString("(", " OR ", ")")
+
+  /** DuckDB oracle fragment with [[graft.engine.index.TextIndex
+    * .tokenMatch]]'s exact whole-token semantics. */
+  def oTokenMatch(cSql: String, query: String): String = {
+    val toks = s"string_split(lower(trim($cSql)), ' ')"
+    parseLucene(query)
+      .map(_.map { l =>
+        val base = l.term match {
+          case TextTerm.Tok(s) => s"list_contains($toks, '${sqlEsc(s)}')"
+          case TextTerm.Phrase(ws) =>
+            s"contains(' ' || lower(trim($cSql)) || ' ', ' ${sqlEsc(ws.mkString(" "))} ')"
+          case TextTerm.Prefix(p) =>
+            s"len(list_filter($toks, x -> starts_with(x, '${sqlEsc(p)}'))) > 0"
+        }
+        if (l.negated) s"(NOT $base)" else base
+      }.mkString("(", " AND ", ")"))
+      .mkString("(", " OR ", ")")
+  }
 
   /** `text_match_with_limit` — reference caps hits at the index layer;
     * without an FG index the limit composes as a plain limit. */
@@ -79,7 +195,13 @@ object GraftFunctions {
       if (text == null) false
       else {
         val lc = text.toLowerCase
-        parseQuery(query).exists(_.forall(lc.contains))
+        lazy val toks = lc.trim.split(" ")
+        def one(t: TextTerm): Boolean = t match {
+          case TextTerm.Tok(s) => lc.contains(s)
+          case TextTerm.Phrase(ws) => lc.contains(ws.mkString(" "))
+          case TextTerm.Prefix(p) => toks.exists(_.startsWith(p))
+        }
+        parseLucene(query).exists(_.forall(l => one(l.term) != l.negated))
       }
     })
   }

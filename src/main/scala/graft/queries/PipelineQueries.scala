@@ -164,6 +164,15 @@ object PipelineQueries {
         .filter(graft.functions.GraftFunctions.textMatch(col("text"), "row data OR the end"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // lucene-grade grammar: "quoted phrase", NOT negation, prefix*
+    // wildcard in one predicate (reference TEXT_MATCH('name:n10*'),
+    // TextMatchUDF.scala:23-30 / lucene MatchExpression)
+    "q_text_phrase" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(graft.functions.GraftFunctions.textMatch(col("text"),
+          "\"big data\" NOT spark OR quer*"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
 
     // ---- geo: bbox range-list pruning path vs exact residual ----
     "q_geo_bbox" -> ((s, d) => {
@@ -335,6 +344,10 @@ object PipelineQueries {
       "q_text_match" ->
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "row data OR the end")}
+            GROUP BY lang""",
+      "q_text_phrase" ->
+        s"""SELECT lang, count(*) AS cnt FROM documents
+            WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "\"big data\" NOT spark OR quer*")}
             GROUP BY lang""",
       "q_geo_bbox" ->
         """SELECT event_type, count(*) AS cnt FROM (

@@ -57,6 +57,48 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.readMatching(t, "body", "charlie").count() == 2)
   }
 
+  test("lucene grammar: prefix wildcard prunes via index prefix scan; phrase and NOT") {
+    val root = Files.createTempDirectory("graft_tiwild_").toString
+    import spark.implicits._
+    // disjoint vocabularies per segment; n10/n11 live in segment 1 only
+    val seg0 = Seq((0L, "alpha bravo kilo"), (1L, "alpha big data golf"))
+    val seg1 = Seq((10L, "n10 shared"), (11L, "n115 delta"))
+    val seg2 = Seq((20L, "echo foxtrot"), (21L, "echo data big"))
+    val t = GraftTable.create(spark, s"$root/t", seg0.toDF("id", "body").schema)
+    Seq(seg0, seg1, seg2).foreach(s0 => t.insert(s0.toDF("id", "body")))
+    TextIndex.create(t, "body", s"$root/ti_body")
+
+    def scannedSegments(q: org.apache.spark.sql.DataFrame): Seq[String] =
+      q.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .headOption.map { s =>
+          TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq.flatMap(
+            "/segments/([0-9]+)/".r.findFirstMatchIn(_).map(_.group(1))).distinct.sorted
+        }.getOrElse(Nil)
+
+    // reference TEXT_MATCH('name:n10*'): prefix wildcard — the posting
+    // index answers it with a term-prefix scan and prunes to segment 1
+    val qw = TextIndex.readMatching(t, "body", "n1*")
+    assert(qw.select("id").collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    assert(scannedSegments(qw) == Seq("1"), "prefix candidates must prune the scan")
+
+    // phrase: words co-occur in segments 0 and 2, but IN ORDER only in 0
+    val qp = TextIndex.readMatching(t, "body", "\"big data\"")
+    assert(qp.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(scannedSegments(qp).toSet.subsetOf(Set("0", "2")),
+      "phrase candidates prune to segments containing every word")
+
+    // NOT cannot prune (other rows of a segment may lack the term) but
+    // must filter exactly
+    val qn = TextIndex.readMatching(t, "body", "echo NOT data")
+    assert(qn.select("id").collect().map(_.getLong(0)).toSet == Set(20L))
+
+    // SQL marker route understands the same grammar
+    graft.engine.index.TextMatchSql.enable(spark)
+    t.read.createOrReplaceTempView("tiwild_v")
+    val qs = spark.sql("SELECT id FROM tiwild_v WHERE text_match('body:n1* OR \"big data\"')")
+    assert(qs.collect().map(_.getLong(0)).toSet == Set(1L, 10L, 11L))
+  }
+
   test("SQL index DDL + text_match() UDF rewrite prunes segments") {
     val root = Files.createTempDirectory("graft_tisql_").toString
     import spark.implicits._
