@@ -129,7 +129,11 @@ object GraftSql {
     }
     def done: DataFrame = spark.emptyDataFrame
     val Describe = """(?is)^\s*DESC(?:RIBE)?\s+(?:FORMATTED\s+|EXTENDED\s+)?TABLE\s+(\S+)\s*$""".r
-    val ShowSegments = """(?is)^\s*SHOW\s+SEGMENTS\s+FOR\s+TABLE\s+(\S+)\s*$""".r
+    // SHOW SEGMENTS … [AS <query>] — the AS form exposes the segment
+    // registry as a queryable temp view `<table>_segments` (reference
+    // CarbonShowSegmentsAsSelectCommand.scala:130, parser :585-600)
+    val ShowSegments =
+      """(?is)^\s*SHOW\s+SEGMENTS\s+(?:FOR\s+TABLE|ON)\s+(\S+?)(?:\s+AS\s+(.+?))?\s*$""".r
     val Compact = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+COMPACT\s+'(\w+)'\s*(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*)?$""".r
     val CleanFiles = """(?is)^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\S+)\s*$""".r
     val DelSegIds = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*$""".r
@@ -144,6 +148,10 @@ object GraftSql {
     // CarbonShowCacheCommand.scala, parser :613-619)
     val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
     val DropMetacache = """(?is)^\s*DROP\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
+    // UPDATE t [AS a] SET (c1, …) = (SELECT …|e1, …) [WHERE …] — Spark's
+    // parser has no multi-column/subquery SET form, so it lives here
+    val UpdSubqHead =
+      """(?is)^\s*UPDATE\s+(\S+)(?:\s+(?:AS\s+)?(?!SET\s)(\w+))?\s+SET\s*(\(.+)$""".r
     // stream DDL (reference CarbonCreateStreamCommand.scala:43, parser
     // CarbonSpark2SqlParser.scala:154-179): the AS SELECT must read a
     // STREAMING relation (a readStream temp view); STMPROPERTIES carry
@@ -188,13 +196,80 @@ object GraftSql {
       case DropMetacache(tRef) =>
         graft.engine.format.MetaCache.drop(Option(tRef).map(r => table(r).path))
         Some(done)
+      case UpdSubqHead(tgt, alias, rest0) =>
+        // UPDATE … SET (…) = (SELECT …) — the reference's update-from-
+        // subquery form (CarbonSpark2SqlParser.scala:259,
+        // CarbonAnalysisRules.scala:40-52), routed through the
+        // MergeBuilder: the subquery's WHERE is the merge ON condition,
+        // the outer WHERE gates the matched-update.
+        val rest = rest0.trim
+        val close1 = matchingParen(rest, 0)
+        val cols = splitTopLevel(rest.substring(1, close1), ",")
+          .map(_.stripPrefix("`").stripSuffix("`"))
+        var i = close1 + 1
+        while (i < rest.length && rest(i).isWhitespace) i += 1
+        require(i < rest.length && rest(i) == '=',
+          s"expected '=' after the SET column list in: $sql")
+        i += 1
+        while (i < rest.length && rest(i).isWhitespace) i += 1
+        require(i < rest.length && rest(i) == '(',
+          "expected a parenthesized right-hand side after '='")
+        val close2 = matchingParen(rest, i)
+        val rhs = rest.substring(i + 1, close2).trim
+        val tail = rest.substring(close2 + 1).trim
+        val OuterWhere = """(?is)^WHERE\s+(.+)$""".r
+        val outer = tail match {
+          case "" => None
+          case OuterWhere(w) => Some(w)
+          case other => throw new IllegalArgumentException(
+            s"unexpected trailing text after UPDATE subquery: $other")
+        }
+        val t0 = table(tgt)
+        val SubSel =
+          """(?is)^SELECT\s+(.+?)\s+FROM\s+(\S+)(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?(?:\s+WHERE\s+(.+))?$""".r
+        rhs match {
+          case SubSel(selList, src, sAlias, joinCond) =>
+            require(joinCond != null, "UPDATE … SET (…) = (SELECT …) needs a " +
+              "correlated WHERE joining the subquery to the target table")
+            val exprs = splitTopLevel(selList, ",")
+            require(exprs.length == cols.length,
+              s"SET lists ${cols.length} columns but the subquery selects ${exprs.length}")
+            val srcClean = src.stripPrefix("`").stripSuffix("`")
+            val srcDf = tables.get(srcClean).map(_.read)
+              .getOrElse(scala.util.Try(table(srcClean).read)
+                .getOrElse(spark.table(srcClean)))
+            def norm(e: String): String = {
+              var r = e
+              (Seq(tgt) ++ Option(alias)).foreach(a => r = replaceAlias(r, a, "t"))
+              (Seq(src, srcClean) ++ Option(sAlias)).foreach(a => r = replaceAlias(r, a, "s"))
+              r
+            }
+            // strip the alias qualifiers the select exprs may carry; the
+            // update targets plain column names
+            t0.merge(srcDf, expr(norm(joinCond)))
+              .whenMatched(outer.map(o => expr(norm(o))).orNull)
+              .updateExpr(cols.zip(exprs.map(e => expr(norm(e)))).toMap)
+              .execute()
+            Some(done)
+          case _ =>
+            // tuple form: SET (a, b) = (e1, e2) — plain multi-assignment
+            // over unqualified column references
+            val exprs = splitTopLevel(rhs, ",")
+            require(exprs.length == cols.length,
+              s"SET lists ${cols.length} columns but the tuple has ${exprs.length}")
+            t0.update(expr(outer.getOrElse("true")),
+              cols.zip(exprs.map(expr)).toMap)
+            Some(done)
+        }
       case CreateStream(name, tRef, props, select) =>
         import org.apache.spark.sql.streaming.Trigger
         val t0 = table(tRef)
         val p = Option(props).map(parseProps).getOrElse(Map.empty)
-        val src = spark.sql(select)
+        val src = resolveStreamingSelect(spark, select,
+          ref => scala.util.Try(table(ref)).toOption)
         require(src.isStreaming,
-          "CREATE STREAM requires a streaming source (create the view with readStream)")
+          "CREATE STREAM requires a streaming source (a readStream temp view, " +
+            "or a table with TBLPROPERTIES 'streaming'='source')")
         val trigger = p.get("interval")
           .map(Trigger.ProcessingTime(_)).getOrElse(Trigger.ProcessingTime(0))
         graft.engine.streaming.StreamManager.createStream(
@@ -270,10 +345,22 @@ object GraftSql {
           s0.schema, m.sortColumns, m.sortScope, m.properties, m.partitionColumns)
         Some(done)
       case Describe(t) => Some(table(t).describe)
-      case ShowSegments(t) =>
-        Some(table(t).segments.map(s =>
+      case ShowSegments(t, q) =>
+        val t0 = table(t)
+        val seg = t0.segments.map(s =>
           (s.id, s.status, s.format, s.rowCount, s.sizeBytes, s.files.size))
-          .toDF("id", "status", "format", "row_count", "size_bytes", "file_count"))
+          .toDF("id", "status", "format", "row_count", "size_bytes", "file_count")
+        Option(q) match {
+          case None => Some(seg)
+          case Some(query) =>
+            // SHOW SEGMENTS … AS <select>: the registry queries like a
+            // table via the `<name>_segments` temp view (reference
+            // CarbonShowSegmentsAsSelectCommand)
+            val view = s"${t0.path.split('/').last}_segments"
+            seg.createOrReplaceTempView(view)
+            try Some(spark.sql(query))
+            finally spark.catalog.dropTempView(view)
+        }
       case Compact(t, kind, idList) =>
         table(t).compact(kind.toUpperCase,
           Option(idList).map(ids).getOrElse(Nil))
@@ -300,6 +387,21 @@ object GraftSql {
     }
   }
 
+  /** Index of the close paren matching the open paren at `open`,
+    * quote-aware. */
+  private def matchingParen(s: String, open: Int): Int = {
+    require(open < s.length && s.charAt(open) == '(', s"expected '(' at $open in: $s")
+    var depth = 0; var inQ = false; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
   /** Replace `alias.` with `to.` outside single-quoted literals only,
     * at identifier boundaries, case-insensitively, matching the alias
     * as a literal string (never as a regex). */
@@ -321,6 +423,83 @@ object GraftSql {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** CREATE STREAM builds its own source (reference
+    * CarbonCreateStreamCommand.scala:246-252 constructs file and
+    * socket/kafka sources itself; :149-181 parses delimited / JSON
+    * `value` payloads into the table schema): any relation in the AS
+    * SELECT that resolves to a graft table carrying TBLPROPERTIES
+    * `'streaming'='source'` is swapped in the parsed plan for a
+    * `readStream` relation built from the table's properties —
+    * `'format'` (csv|json|parquet|text|socket|rate), `'path'` (file
+    * formats), `'delimiter'`/`'header'` (csv/text), `'host'`/`'port'`/
+    * `'value_format'` (socket), `'rows_per_second'` (rate). An existing
+    * readStream temp view of the same name keeps precedence. */
+  private def resolveStreamingSelect(
+      spark: SparkSession, select: String,
+      resolve: String => Option[GraftTable]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val plan = spark.sessionState.sqlParser.parsePlan(select)
+    val swapped = plan.transformUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+          !spark.sessionState.catalog.getTempView(u.multipartIdentifier.head).isDefined =>
+        val nm = u.multipartIdentifier.head
+        resolve(nm) match {
+          case Some(srcT) if srcT.meta.properties.get("streaming").contains("source") =>
+            SubqueryAlias(nm.split('/').last,
+              buildStreamSource(spark, srcT).queryExecution.logical)
+          case _ => u
+        }
+      case other => other
+    }
+    org.apache.spark.sql.graft.Shims.ofRows(spark, swapped)
+  }
+
+  /** readStream relation from a streaming-source table's properties. */
+  private def buildStreamSource(spark: SparkSession, t: GraftTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = t.meta.properties
+    val schema = t.schema
+    def dir = p.getOrElse("path", throw new IllegalArgumentException(
+      s"streaming source table ${t.path} needs a 'path' property"))
+    def delim = p.getOrElse("delimiter", ",")
+    // the reference's split()-based value parsing (:149-181): one text
+    // line/value per row, delimiter-split, positional cast to schema
+    def parseDelimited(raw: DataFrame): DataFrame = {
+      val arr = split(col("value"), java.util.regex.Pattern.quote(delim))
+      raw.select(schema.fields.zipWithIndex.map { case (f, i) =>
+        element_at(arr, i + 1).cast(f.dataType).as(f.name) }.toSeq: _*)
+    }
+    def parseJsonValue(raw: DataFrame): DataFrame =
+      raw.select(from_json(col("value").cast("string"), schema).as("j"))
+        .select(schema.fieldNames.map(f => col(s"j.$f")).toSeq: _*)
+    p.getOrElse("format", "csv").toLowerCase match {
+      case "csv" =>
+        spark.readStream.format("csv")
+          .option("delimiter", delim)
+          .option("header", p.getOrElse("header", "false"))
+          .schema(schema).load(dir)
+      case "json" =>
+        spark.readStream.format("json").schema(schema).load(dir)
+      case "parquet" =>
+        spark.readStream.format("parquet").schema(schema).load(dir)
+      case "text" =>
+        parseDelimited(spark.readStream.format("text").load(dir))
+      case "socket" =>
+        val raw = spark.readStream.format("socket")
+          .option("host", p.getOrElse("host", "localhost"))
+          .option("port", p.getOrElse("port", "9999")).load()
+        if (p.get("value_format").contains("json")) parseJsonValue(raw)
+        else parseDelimited(raw)
+      case "rate" =>
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", p.getOrElse("rows_per_second", "1")).load()
+      case other => throw new IllegalArgumentException(
+        s"unsupported streaming source format '$other' " +
+          "(csv|json|parquet|text|socket|rate)")
+    }
   }
 
   /** Split on a regex only at paren/quote top level. */

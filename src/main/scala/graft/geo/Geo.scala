@@ -224,10 +224,97 @@ object Geo {
     f(lat, lng)
   }
 
+  // ---- SQL utility surface (reference GeoUtilUDFs.scala,
+  // InPolygonUDF.scala:37-74, spatial-index-guide.md:34-56) ----
+
+  /** Parse the reference's polygon string — `lng1 lat1, lng2 lat2, …`
+    * (longitude FIRST, per spatial-index-guide.md:34), optionally
+    * wrapped as `POLYGON ((…))` — into (lat, lng) pairs. */
+  private[geo] def parsePolygon(s: String): Seq[(Double, Double)] = {
+    val body = "(?is)^\\s*POLYGON\\s*\\(\\((.*)\\)\\)\\s*$".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse(s)
+    body.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val parts = p.split("\\s+")
+      require(parts.length == 2, s"bad polygon point '$p' (expected 'lng lat')")
+      (parts(1).toDouble, parts(0).toDouble)
+    }
+  }
+
+  private[geo] def parsePolygonList(s: String): Seq[Seq[(Double, Double)]] = {
+    val polys = "(?is)POLYGON\\s*\\(\\(([^)]*)\\)\\)".r
+      .findAllMatchIn(s).map(m => parsePolygon(m.group(1))).toSeq
+    require(polys.nonEmpty, s"no POLYGON ((…)) found in: $s")
+    polys
+  }
+
+  /** `RANGELIST (lo hi, lo hi, …)` groups from the reference's
+    * IN_POLYGON_RANGE_LIST argument (spatial-index-guide.md:183). */
+  private[geo] def parseRangeLists(s: String): Seq[Seq[(Long, Long)]] = {
+    val lists = "(?is)RANGELIST\\s*\\(([^)]*)\\)".r.findAllMatchIn(s).map { m =>
+      m.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { r =>
+        val parts = r.split("\\s+")
+        require(parts.length == 2, s"bad range '$r' (expected 'lo hi')")
+        (parts(0).toLong, parts(1).toLong)
+      }
+    }.toSeq
+    require(lists.nonEmpty, s"no RANGELIST (…) found in: $s")
+    lists
+  }
+
+  /** ToRangeList analog: morton ranges covering the polygon. The
+    * reference rasterizes the exact polygon (GeoHashUtils.getRangeList);
+    * here the covering is the polygon's bbox cells — a SUPERSET, so
+    * pairing with the exact `in_polygon` residual (as every range-list
+    * consumer does) yields identical results while the BETWEENs stay
+    * pushdown-eligible. */
+  def toRangeListScalar(polygon: String, maxRanges: Int = 64): Seq[Array[Long]] = {
+    val pts = parsePolygon(polygon)
+    require(pts.nonEmpty, "empty polygon")
+    val lats = pts.map(_._1); val lngs = pts.map(_._2)
+    bboxRanges(lats.min, lats.max, lngs.min, lngs.max, maxRanges)
+      .map { case (lo, hi) => Array(lo, hi) }
+  }
+
+  /** GeoIdToGridXy analog: morton id → [x, y] grid coordinates. */
+  def geoIdToGridXyScalar(id: Long): Array[Long] = {
+    val (x, y) = deinterleave(id); Array(x, y)
+  }
+
+  /** IN_POLYGON_RANGE_LIST membership. The reference UDF receives the
+    * spatial-index column implicitly (carbon applies the filter); the
+    * Spark-native form takes the geoId column explicitly. */
+  def inPolygonRangeListScalar(geoId: Long, rangeLists: String, opType: String): Boolean = {
+    val op = opType.toUpperCase
+    require(op == "OR" || op == "AND", s"opType must be OR or AND, got $opType")
+    val lists = parseRangeLists(rangeLists)
+    def hit(rs: Seq[(Long, Long)]) = rs.exists { case (lo, hi) => geoId >= lo && geoId <= hi }
+    if (op == "OR") lists.exists(hit) else lists.forall(hit)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("lat_lng_to_geo_id", latLngToGeoIdScalar _)
     spark.udf.register("geo_id_to_lat", (id: Long) => geoIdToLatLngScalar(id)._1)
     spark.udf.register("geo_id_to_lng", (id: Long) => geoIdToLatLngScalar(id)._2)
     spark.udf.register("to_upper_layer_geo_id", toUpperLayerScalar _)
+    // reference GeoUtilUDFs.registerUDFs + GeoFilterUDFs.registerUDFs
+    spark.udf.register("geo_id_to_grid_xy", geoIdToGridXyScalar _)
+    spark.udf.register("to_range_list", (p: String) => toRangeListScalar(p))
+    spark.udf.register("to_range_list_as_string", (p: String) =>
+      toRangeListScalar(p).map(r => s"${r(0)} ${r(1)}")
+        .mkString("RANGELIST (", ", ", ")"))
+    spark.udf.register("in_polygon_range_list",
+      (g: Long, rl: String, op: String) => inPolygonRangeListScalar(g, rl, op))
+    spark.udf.register("in_polygon", (lat: Double, lng: Double, poly: String) =>
+      pointInPolygon(lat, lng, parsePolygon(poly)))
+    spark.udf.register("in_polygon_list",
+      (lat: Double, lng: Double, polys: String, op: String) => {
+        val ps = parsePolygonList(polys)
+        op.toUpperCase match {
+          case "OR" => ps.exists(p => pointInPolygon(lat, lng, p))
+          case "AND" => ps.forall(p => pointInPolygon(lat, lng, p))
+          case other => throw new IllegalArgumentException(
+            s"opType must be OR or AND, got $other")
+        }
+      })
   }
 }

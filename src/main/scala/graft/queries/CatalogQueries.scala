@@ -106,6 +106,22 @@ object CatalogQueries {
       s.sql(s"SELECT o_orderpriority, count(*) AS cnt " +
         s"FROM $cat.default.sqlupd GROUP BY o_orderpriority")
     }),
+    // UPDATE … SET (…) = (SELECT …) — the reference's update-from-
+    // subquery form (CarbonSpark2SqlParser.scala:259), routed through
+    // the MergeBuilder by GraftSql.command: stamp each high-value
+    // order's clerk with its customer's name.
+    "q_sql_update_subquery" -> ((s, d) => {
+      val cat = freshCatalogTable(s, d, "sqlupdsq", t(s, d, "orders"), Seq("o_orderkey"))
+      val base = new java.io.File(d).getName
+      val p = s"/tmp/graft_tables/$base/warehouse/default/sqlupdsq"
+      t(s, d, "customer").createOrReplaceTempView("updsq_cust")
+      graft.engine.GraftSql.command(s,
+        s"""UPDATE $p AS o SET (o_orderpriority) = (
+              SELECT c.c_name FROM updsq_cust c WHERE c.c_custkey = o.o_custkey)
+            WHERE o.o_totalprice > 400000.0""")
+      s.sql(s"SELECT o_orderpriority, count(*) AS cnt " +
+        s"FROM $cat.default.sqlupdsq GROUP BY o_orderpriority")
+    }),
     // Native MERGE INTO through spark.sql against a catalog table name:
     // Spark parses + resolves the statement, GraftDmlStrategy routes it
     // to the single-projection copy-on-write MergeBuilder. Exercises
@@ -148,6 +164,12 @@ object CatalogQueries {
       """SELECT CASE WHEN o_totalprice > 400000.0 THEN 'X-SQL' ELSE o_orderpriority END
            AS o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY 1""",
+    "q_sql_update_subquery" ->
+      """SELECT CASE WHEN o.o_totalprice > 400000.0 AND c.c_custkey IS NOT NULL
+                THEN c.c_name ELSE o.o_orderpriority END AS o_orderpriority,
+           count(*) AS cnt
+         FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+         GROUP BY 1""",
     "q_sql_merge" ->
       """WITH merged AS (
            SELECT c_custkey, c_name,

@@ -94,6 +94,69 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("streaming source"))
   }
 
+  test("CREATE STREAM builds its own source from a streaming-source table") {
+    val root = Files.createTempDirectory("graft_strsrc_").toString
+    import spark.implicits._
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    val sink = GraftTable.create(spark, s"$root/sink2", schema, Seq("id"))
+    // raw csv landing dir — no pre-registered readStream view anywhere
+    val csvDir = s"$root/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(csvDir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$csvDir/batch0.csv"),
+      "1,a\n2,b\n3,c\n".getBytes)
+    // the SOURCE table: schema + TBLPROPERTIES describe the feed
+    // (reference CarbonCreateStreamCommand builds the reader from these)
+    val src = GraftTable.create(spark, s"$root/feed", schema)
+    src.setProperties(Map(
+      "streaming" -> "source", "format" -> "csv", "path" -> csvDir))
+    assert(GraftSql.command(spark,
+      s"""CREATE STREAM scsv ON TABLE ${sink.path}
+          STMPROPERTIES('checkpoint'='$root/ckpt2')
+          AS SELECT id, v FROM `${src.path}`""").isDefined)
+    try {
+      graft.engine.streaming.StreamManager.query("scsv").get.processAllAvailable()
+      assert(sink.read.as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // new files keep flowing
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$csvDir/batch1.csv"),
+        "4,d\n".getBytes)
+      graft.engine.streaming.StreamManager.query("scsv").get.processAllAvailable()
+      assert(sink.read.count() == 4)
+    } finally GraftSql.command(spark, "DROP STREAM scsv")
+    // an unknown source format fails loudly at CREATE time
+    val bad = GraftTable.create(spark, s"$root/badfeed", schema)
+    bad.setProperties(Map(
+      "streaming" -> "source", "format" -> "avro2", "path" -> csvDir))
+    val e2 = intercept[IllegalArgumentException](GraftSql.command(spark,
+      s"CREATE STREAM s3 ON TABLE ${sink.path} AS SELECT * FROM `${bad.path}`"))
+    assert(e2.getMessage.contains("unsupported streaming source format"))
+  }
+
+  test("UPDATE … SET (…) = (SELECT …) and tuple form route through the engine") {
+    val root = Files.createTempDirectory("graft_updsq_").toString
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, s"$root/t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "v", "x"))
+    Seq((1L, "A1"), (3L, "C3"), (9L, "Z9")).toDF("k", "nv")
+      .createOrReplaceTempView("updsq_src")
+    // correlated subquery form → MergeBuilder; outer WHERE gates rows
+    assert(GraftSql.command(spark,
+      s"""UPDATE ${t.path} AS u SET (v) = (
+            SELECT s.nv FROM updsq_src s WHERE s.k = u.k)
+          WHERE u.x < 25.0""").isDefined)
+    assert(t.read.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "A1", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // tuple form: plain multi-assignment
+    assert(GraftSql.command(spark,
+      s"UPDATE ${t.path} SET (v, x) = ('zz', x + 1.0) WHERE k = 2").isDefined)
+    assert(t.read.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "A1", 10.0), (2L, "zz", 21.0), (3L, "c", 30.0)))
+    // column/select arity mismatch fails loudly
+    val e = intercept[IllegalArgumentException](GraftSql.command(spark,
+      s"UPDATE ${t.path} SET (v, x) = (SELECT s.nv FROM updsq_src s WHERE s.k = k)"))
+    assert(e.getMessage.contains("columns"))
+  }
+
   test("SCD2 history action archives pre-images of updated/deleted rows") {
     val root = Files.createTempDirectory("graft_scd2_").toString
     import spark.implicits._
@@ -129,6 +192,19 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(segs.count() == 4)
     assert(segs.columns.toSeq ==
       Seq("id", "status", "format", "row_count", "size_bytes", "file_count"))
+
+    // SHOW SEGMENTS … AS <select>: the registry is queryable as
+    // <table>_segments (reference CarbonShowSegmentsAsSelectCommand)
+    val asSel = GraftSql.command(spark,
+      """SHOW SEGMENTS FOR TABLE tt AS
+         SELECT id, row_count FROM t_segments
+         WHERE row_count >= 1 AND status = 'SUCCESS' ORDER BY id""", tbls).get
+    assert(asSel.columns.toSeq == Seq("id", "row_count"))
+    assert(asSel.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // aggregates over the registry work too
+    val agg = GraftSql.command(spark,
+      "SHOW SEGMENTS ON tt AS SELECT sum(row_count) AS r FROM t_segments", tbls).get
+    assert(agg.collect().head.getLong(0) == 4L)
 
     // CUSTOM compaction of two named segments
     GraftSql.command(spark, "ALTER TABLE tt COMPACT 'CUSTOM' WHERE SEGMENT.ID IN (0, 1)", tbls)

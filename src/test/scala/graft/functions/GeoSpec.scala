@@ -57,6 +57,52 @@ class GeoSpec extends AnyFunSuite {
     assert(gotL == wantL)
   }
 
+  test("SQL utility UDFs: to_range_list / geo_id_to_grid_xy / in_polygon_range_list") {
+    Geo.register(spark)
+    import spark.implicits._
+    // grid xy round-trips the morton id
+    val id = Geo.latLngToGeoIdScalar(15.0, 35.0)
+    val xy = spark.sql(s"SELECT geo_id_to_grid_xy(${id}L) AS xy")
+      .collect().head.getSeq[Long](0)
+    assert(xy.length == 2)
+    val rt = spark.sql(
+      s"SELECT lat_lng_to_geo_id(geo_id_to_lat(${id}L), geo_id_to_lng(${id}L)) AS r")
+      .collect().head.getLong(0)
+    assert(rt == id)
+    // to_range_list over the reference's 'lng lat, …' polygon string —
+    // a covering superset of the polygon's points
+    val poly = "30.0 10.0, 40.0 10.0, 40.0 20.0, 30.0 20.0, 30.0 10.0"
+    val ranges = spark.sql(s"SELECT to_range_list('$poly') AS r")
+      .collect().head.getSeq[scala.collection.Seq[Long]](0)
+    assert(ranges.nonEmpty)
+    assert(ranges.exists(r => id >= r(0) && id <= r(1)),
+      "a point inside the polygon bbox must fall in some covering range")
+    // in_polygon_range_list via the string RANGELIST form, OR and AND
+    val rlStr = spark.sql(s"SELECT to_range_list_as_string('$poly') AS s")
+      .collect().head.getString(0)
+    assert(rlStr.startsWith("RANGELIST ("))
+    val dfp = Seq((id, 15.0, 35.0), (Geo.latLngToGeoIdScalar(-50.0, -120.0), -50.0, -120.0))
+      .toDF("geo_id", "lat", "lng")
+    dfp.createOrReplaceTempView("geo_udf_pts")
+    val hits = spark.sql(
+      s"""SELECT lat FROM geo_udf_pts
+          WHERE in_polygon_range_list(geo_id, '$rlStr', 'OR')""")
+      .collect().map(_.getDouble(0)).toSet
+    assert(hits == Set(15.0))
+    // exact residual via the SQL in_polygon over the same string
+    val exact = spark.sql(
+      s"SELECT lat FROM geo_udf_pts WHERE in_polygon(lat, lng, '$poly')")
+      .collect().map(_.getDouble(0)).toSet
+    assert(exact == Set(15.0))
+    // polygon LIST with POLYGON ((…)) wrappers, AND of two overlapping
+    val polyList = "POLYGON ((30.0 10.0, 40.0 10.0, 40.0 20.0, 30.0 20.0, 30.0 10.0)), " +
+      "POLYGON ((32.0 12.0, 38.0 12.0, 38.0 18.0, 32.0 18.0, 32.0 12.0))"
+    val inBoth = spark.sql(
+      s"SELECT lat FROM geo_udf_pts WHERE in_polygon_list(lat, lng, '$polyList', 'AND')")
+      .collect().map(_.getDouble(0)).toSet
+    assert(inBoth == Set(15.0))
+  }
+
   test("stored geoId range-list filter skips segments") {
     val t = graft.queries.GeoQueries.geopts(spark, sf)
     assert(t.status.visible.size == 3)
