@@ -176,6 +176,10 @@ object GraftSql {
     val DropIndex = """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     val ShowIndexes = """(?is)^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     val RefreshIndex = """(?is)^\s*REFRESH\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
+    // REINDEX [INDEX TABLE name] ON t [WHERE SEGMENT.ID IN (…)] —
+    // incremental repair (reference IndexRepairCommand, parser :750-760)
+    val Reindex =
+      """(?is)^\s*REINDEX(?:\s+INDEX\s+TABLE\s+(\w+))?\s+ON\s+(?:TABLE\s+)?(\S+?)(?:\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\))?\s*$""".r
     def indexReg(t0: GraftTable): Map[String, (String, String, String)] =
       t0.meta.properties.collect { case (k, v) if k.startsWith("sqlindex.") =>
         k.stripPrefix("sqlindex.") -> (v.split(",", 3) match {
@@ -334,6 +338,21 @@ object GraftSql {
           case Some(_) => // bloom applies at write time — nothing to rebuild
         }
         Some(done)
+      case Reindex(name, tRef, idList) =>
+        val t0 = table(tRef)
+        val segs = Option(idList).map(ids)
+        val reg = indexReg(t0)
+        val targets = Option(name) match {
+          case Some(n) => Seq(reg.getOrElse(n,
+            throw new IllegalArgumentException(s"no such index $n")))
+          case None => reg.values.toSeq
+        }
+        targets.foreach {
+          case ("carbondata", colName, _) => index.Si.repair(t0, colName, segs)
+          case ("lucene", colName, _) => index.TextIndex.repair(t0, colName, segs)
+          case _ => // bloom applies at write time — nothing to repair
+        }
+        Some(done)
       case ShowSummary(t) => Some(table(t).describeFiles)
       // reference CarbonCreateTableLikeCommand: an empty table carrying
       // the source's schema, sort spec, partitioning, bucketing and
@@ -362,8 +381,17 @@ object GraftSql {
             finally spark.catalog.dropTempView(view)
         }
       case Compact(t, kind, idList) =>
-        table(t).compact(kind.toUpperCase,
-          Option(idList).map(ids).getOrElse(Nil))
+        // reference CompactionType includes the stream-management kinds
+        // (CarbonAlterTableCompactionCommand.scala:58): STREAMING =
+        // hand off the closed streaming segment, CLOSE_STREAMING =
+        // finish the stream then hand off
+        kind.toUpperCase match {
+          case "STREAMING" =>
+            graft.engine.streaming.GraftStreaming.handoff(table(t))
+          case "CLOSE_STREAMING" =>
+            graft.engine.streaming.StreamManager.finishStreaming(table(t))
+          case k => table(t).compact(k, Option(idList).map(ids).getOrElse(Nil))
+        }
         Some(done)
       case CleanFiles(t) =>
         val removed = table(t).cleanFiles()

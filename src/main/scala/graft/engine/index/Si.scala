@@ -65,6 +65,30 @@ object Si {
     recordIndexedSegments(si, snapshot)
   }
 
+  /** REINDEX (reference IndexRepairCommand, parser :750-760):
+    * INCREMENTAL repair — only segments missing from the coverage
+    * ledger (optionally restricted to `segIds`) are scanned and their
+    * rows appended, so repairing a 100 TB table after a few loads reads
+    * the new segments, not the table. REFRESH remains the full
+    * rebuild. */
+  def repair(t: GraftTable, column: String, segIds: Option[Seq[Long]] = None): Unit = {
+    val siPath = t.meta.properties.getOrElse(siPathsKey(column),
+      throw new IllegalArgumentException(s"no SI on $column"))
+    val si = GraftTable.at(t.spark, siPath)
+    val covered = indexedSegments(si)
+    val visible = t.status.visible
+    val want = segIds.map(_.toSet).getOrElse(visible.map(_.id).toSet)
+    val missing = visible.filter(s => want.contains(s.id) && !covered.contains(s.id))
+    if (missing.nonEmpty) {
+      val files = missing.flatMap(t.layout.segmentFilePaths)
+      val rows = t.spark.read.schema(t.schema).parquet(files: _*)
+        .select(col(column).as("v"), segIdFromPath.as("seg_id"))
+        .distinct()
+      si.insert(rows)
+      recordIndexedSegments(si, covered ++ missing.map(_.id))
+    }
+  }
+
   /** SHOW INDEXES. */
   def show(t: GraftTable): Seq[(String, String)] =
     t.meta.properties.collect {

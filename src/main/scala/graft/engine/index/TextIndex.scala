@@ -27,11 +27,12 @@ object TextIndex {
   private def tokensOf(c: Column): Column =
     array_distinct(split(lower(trim(c)), " "))
 
-  private def postings(t: GraftTable, column: String): DataFrame = {
-    val files = t.status.visible.flatMap(t.layout.segmentFilePaths)
+  private def postings(t: GraftTable, column: String,
+      segments: Option[Seq[graft.engine.format.SegmentMeta]] = None): DataFrame = {
+    val files = segments.getOrElse(t.status.visible).flatMap(t.layout.segmentFilePaths)
     val segId = regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1)
       .cast("long")
-    t.spark.read.schema(t.schema).parquet(files: _*)
+    t.spark.read.schema(t.schema).parquet(files.toSeq: _*)
       .select(explode(tokensOf(col(column))).as("term"), segId.as("seg_id"))
       .distinct()
   }
@@ -56,6 +57,23 @@ object TextIndex {
     val idx = GraftTable.at(t.spark, p)
     idx.insert(postings(t, column), overwrite = true)
     Si.recordIndexedSegments(idx, snapshot)
+  }
+
+  /** REINDEX analog of [[Si.repair]]: append postings for segments the
+    * coverage ledger is missing (optionally restricted to `segIds`) —
+    * incremental, reads only the new segments. */
+  def repair(t: GraftTable, column: String, segIds: Option[Seq[Long]] = None): Unit = {
+    val p = t.meta.properties.getOrElse(key(column),
+      throw new IllegalArgumentException(s"no text index on $column"))
+    val idx = GraftTable.at(t.spark, p)
+    val covered = Si.indexedSegments(idx)
+    val visible = t.status.visible
+    val want = segIds.map(_.toSet).getOrElse(visible.map(_.id).toSet)
+    val missing = visible.filter(s => want.contains(s.id) && !covered.contains(s.id))
+    if (missing.nonEmpty) {
+      idx.insert(postings(t, column, Some(missing)))
+      Si.recordIndexedSegments(idx, covered ++ missing.map(_.id))
+    }
   }
 
   def drop(t: GraftTable, column: String): Unit = {

@@ -156,6 +156,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(t.meta.properties.get("textindex.body").isEmpty)
   }
 
+  test("REINDEX repairs incrementally: only uncovered segments are scanned") {
+    val root = Files.createTempDirectory("graft_reidx_").toString
+    import spark.implicits._
+    val seg0 = Seq((0L, "alpha bravo"), (1L, "alpha kilo"))
+    val t = GraftTable.create(spark, s"$root/t", seg0.toDF("id", "body").schema)
+    t.insert(seg0.toDF("id", "body"))
+    GraftSql.command(spark, s"CREATE INDEX ridx ON TABLE ${t.path} (body) AS 'lucene'")
+    val idxPath = t.meta.properties("textindex.body")
+    val idx = GraftTable.at(spark, idxPath)
+    val idxSegsAfterCreate = idx.status.visible.map(_.id).toSet
+
+    // new base segment appears; index is stale for it
+    t.insert(Seq((10L, "charlie delta")).toDF("id", "body"))
+    GraftSql.command(spark, s"REINDEX INDEX TABLE ridx ON ${t.path}")
+    // coverage caught up and the query uses the indexed path
+    val q = TextIndex.readMatching(t, "body", "charlie")
+    assert(q.select("id").collect().map(_.getLong(0)).toSet == Set(10L))
+    // incremental: repair APPENDED a segment (no full overwrite) …
+    val afterRepair = idx.status.visible.map(_.id).toSet
+    assert(idxSegsAfterCreate.subsetOf(afterRepair) &&
+      afterRepair.size == idxSegsAfterCreate.size + 1,
+      s"expected one appended index segment: $idxSegsAfterCreate -> $afterRepair")
+    // … and a second REINDEX with nothing uncovered is a metadata no-op
+    GraftSql.command(spark, s"REINDEX ON ${t.path}")
+    assert(idx.status.visible.map(_.id).toSet == afterRepair)
+
+    // WHERE SEGMENT.ID IN (…) restricts the repair set
+    t.insert(Seq((20L, "echo fox")).toDF("id", "body"))
+    t.insert(Seq((30L, "golf hotel")).toDF("id", "body"))
+    val baseNew = t.status.visible.map(_.id).sorted.takeRight(2)
+    GraftSql.command(spark,
+      s"REINDEX ON ${t.path} WHERE SEGMENT.ID IN (${baseNew.head})")
+    val covered = idx.meta.properties("indexed_segments")
+      .split(",").map(_.toLong).toSet
+    assert(covered.contains(baseNew.head) && !covered.contains(baseNew.last))
+  }
+
   test("SQL bloomfilter index DDL toggles bloom_columns") {
     val root = Files.createTempDirectory("graft_tibloom_").toString
     import spark.implicits._
