@@ -1,0 +1,111 @@
+package graft.functions
+
+import graft.engine.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the lucene-subset text grammar: the three
+  * evaluators — the codegen Column tree ([[GraftFunctions.textMatch]]),
+  * the plain-Scala UDF body (`text_match_contains`), and the DuckDB
+  * oracle fragment — must agree on ARBITRARY generated queries and
+  * documents, not just the shapes the unit specs use. (Plain
+  * scalacheck generators driven from a loop, as in SqlTextPropsSpec.) */
+class TextGrammarPropsSpec extends AnyFunSuite {
+  import TestSpark._
+  import GraftFunctions.{TextLit, TextTerm}
+
+  private val word: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+
+  private val term: Gen[String] = Gen.frequency(
+    5 -> word,
+    2 -> (for { a <- word; b <- word } yield s""""$a $b""""), // phrase
+    2 -> word.map(w => s"${w.take(3)}*"), // prefix wildcard
+    1 -> word.map(w => s"-$w")) // dash negation
+
+  private val clause: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    ts <- Gen.listOfN(n, term)
+    nots <- Gen.listOfN(n, Gen.frequency(4 -> Gen.const(""), 1 -> Gen.const("NOT ")))
+  } yield ts.zip(nots).map { case (t, p) =>
+    if (t.startsWith("-")) t else p + t }.mkString(" ")
+
+  private val query: Gen[String] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, clause)).map(_.mkString(" OR "))
+
+  private val doc: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  /** The reference evaluator: substring semantics, straight off the
+    * parsed literal list (independent of the Column builders). */
+  private def evalSubstring(text: String, clauses: Seq[Seq[TextLit]]): Boolean = {
+    val lc = text.toLowerCase
+    val toks = lc.trim.split(" ")
+    def one(t: TextTerm): Boolean = t match {
+      case TextTerm.Tok(s) => lc.contains(s)
+      case TextTerm.Phrase(ws) => lc.contains(ws.mkString(" "))
+      case TextTerm.Prefix(p) => toks.exists(_.startsWith(p))
+    }
+    clauses.exists(_.forall(l => one(l.term) != l.negated))
+  }
+
+  test("parseLucene never crashes and parses every generated query") {
+    for (q <- samples(query, 300)) {
+      val clauses = GraftFunctions.parseLucene(q)
+      assert(clauses.nonEmpty, s"query '$q' parsed to nothing")
+      assert(clauses.forall(_.nonEmpty))
+    }
+  }
+
+  test("textMatch Column tree agrees with the scalar evaluator on random docs") {
+    import spark.implicits._
+    val docs = samples(doc, 120).distinct
+    val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "text")
+    df.cache().count()
+    try {
+      for (q <- samples(query, 25)) {
+        val clauses = GraftFunctions.parseLucene(q)
+        val got = df.filter(GraftFunctions.textMatch(col("text"), q))
+          .select("id").collect().map(_.getLong(0)).toSet
+        val want = docs.zipWithIndex.collect {
+          case (d, i) if evalSubstring(d, clauses) => i.toLong
+        }.toSet
+        assert(got == want, s"query '$q'")
+      }
+    } finally df.unpersist()
+  }
+
+  test("text_match_contains UDF agrees with the Column tree") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = samples(doc, 80).distinct
+    val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "text")
+    df.createOrReplaceTempView("tg_props_docs")
+    for (q <- samples(query, 12)) {
+      val viaCol = df.filter(GraftFunctions.textMatch(col("text"), q))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val esc = q.replace("'", "''")
+      val viaUdf = spark.sql(
+        s"SELECT id FROM tg_props_docs WHERE text_match_contains(text, '$esc')")
+        .collect().map(_.getLong(0)).toSet
+      assert(viaCol == viaUdf, s"query '$q'")
+    }
+  }
+
+  test("OR inside a quoted phrase is a literal, not a clause separator") {
+    val clauses = GraftFunctions.parseLucene("\"a OR b\" OR c")
+    assert(clauses.size == 2)
+    assert(clauses.head == Seq(TextLit(false, TextTerm.Phrase(Seq("a", "or", "b")))))
+    assert(clauses(1) == Seq(TextLit(false, TextTerm.Tok("c"))))
+  }
+
+  test("dangling NOT and unterminated phrases fail loudly") {
+    intercept[IllegalArgumentException](GraftFunctions.parseLucene("a NOT"))
+    intercept[IllegalArgumentException](GraftFunctions.parseLucene("a NOT OR b"))
+    intercept[IllegalArgumentException](GraftFunctions.parseLucene("\"abc"))
+  }
+}
