@@ -129,11 +129,13 @@ object GraftSql {
     }
     def done: DataFrame = spark.emptyDataFrame
     val Describe = """(?is)^\s*DESC(?:RIBE)?\s+(?:FORMATTED\s+|EXTENDED\s+)?TABLE\s+(\S+)\s*$""".r
-    // SHOW SEGMENTS … [AS <query>] — the AS form exposes the segment
-    // registry as a queryable temp view `<table>_segments` (reference
-    // CarbonShowSegmentsAsSelectCommand.scala:130, parser :585-600)
+    // SHOW [HISTORY] SEGMENTS … [LIMIT n] [AS <query>] — HISTORY adds
+    // the entries CLEAN FILES garbage-collected (append-only ledger);
+    // the AS form exposes the registry as a queryable temp view
+    // `<table>_segments` (reference CarbonShowSegmentsCommand /
+    // CarbonShowSegmentsAsSelectCommand, parser :585-600)
     val ShowSegments =
-      """(?is)^\s*SHOW\s+SEGMENTS\s+(?:FOR\s+TABLE|ON)\s+(\S+?)(?:\s+AS\s+(.+?))?\s*$""".r
+      """(?is)^\s*SHOW\s+(HISTORY\s+)?SEGMENTS\s+(?:FOR\s+TABLE|ON)\s+(\S+?)(?:\s+LIMIT\s+(\d+))?(?:\s+AS\s+(.+?))?\s*$""".r
     val Compact = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+COMPACT\s+'(\w+)'\s*(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*)?$""".r
     val CleanFiles = """(?is)^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\S+)\s*$""".r
     val DelSegIds = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*$""".r
@@ -364,11 +366,15 @@ object GraftSql {
           s0.schema, m.sortColumns, m.sortScope, m.properties, m.partitionColumns)
         Some(done)
       case Describe(t) => Some(table(t).describe)
-      case ShowSegments(t, q) =>
+      case ShowSegments(hist, t, limit, q) =>
         val t0 = table(t)
-        val seg = t0.segments.map(s =>
+        val rows = t0.segments ++
+          (if (hist != null) t0.layout.readHistory() else Nil)
+        val seg0 = rows.map(s =>
           (s.id, s.status, s.format, s.rowCount, s.sizeBytes, s.files.size))
           .toDF("id", "status", "format", "row_count", "size_bytes", "file_count")
+          .orderBy(org.apache.spark.sql.functions.col("id").desc)
+        val seg = Option(limit).map(n => seg0.limit(n.toInt)).getOrElse(seg0)
         Option(q) match {
           case None => Some(seg)
           case Some(query) =>

@@ -452,6 +452,9 @@ class GraftTable private (val spark: SparkSession, val path: String)
           (s.status == SegmentStatus.InProgress &&
             System.currentTimeMillis() - s.createdAt > staleMs))
       removed = dead.map(_.id)
+      // history ledger: the GC'd entries remain visible to
+      // SHOW HISTORY SEGMENTS (append-only, outside the hot log)
+      layout.appendHistory(dead)
       val fs = layout.fs
       dead.filter(_.externalPath.isEmpty)
         .foreach(s => fs.delete(layout.segmentDir(s.id), true))

@@ -151,6 +151,35 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     writeTableMeta(f(readTableMetaUncached()))
   }
 
+  // ---- segment history ledger (SHOW HISTORY SEGMENTS) ----
+  // Append-only JSONL beside the commit log: CLEAN FILES moves the
+  // registry entries it garbage-collects here, so history survives GC
+  // without growing the hot tablestatus file (reference keeps a
+  // tablestatus.history the same way). Append-only lines sidestep the
+  // atomic-rewrite format-compat question entirely.
+  private def historyPath = new Path(metaDir, "history.jsonl")
+
+  def appendHistory(entries: Seq[SegmentMeta]): Unit = if (entries.nonEmpty) {
+    val out =
+      if (metaFs.exists(historyPath)) metaFs.append(historyPath)
+      else metaFs.create(historyPath, false)
+    try entries.foreach { e =>
+      out.write(mapper.writeValueAsBytes(e)); out.write('\n')
+    } finally out.close()
+  }
+
+  def readHistory(): Seq[SegmentMeta] =
+    if (!metaFs.exists(historyPath)) Nil
+    else {
+      val in = metaFs.open(historyPath)
+      try {
+        val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+        Iterator.continually(r.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty)
+          .map(l => mapper.readValue(l, classOf[SegmentMeta])).toList
+      } finally in.close()
+    }
+
   // ---- tablestatus commit log ----
   /** Stat-validated cached snapshot; a reader racing a commit may see
     * the immediately-previous COMPLETE snapshot (same as reading a

@@ -217,6 +217,14 @@ class GraftSqlSpec extends AnyFunSuite {
     val cleaned = GraftSql.command(spark, "CLEAN FILES FOR TABLE tt", tbls).get
     assert(cleaned.collect().map(_.getLong(0)).nonEmpty)
 
+    // the GC'd entries stay visible via SHOW HISTORY SEGMENTS …
+    val plainN = GraftSql.command(spark, "SHOW SEGMENTS FOR TABLE tt", tbls).get.count()
+    val histN = GraftSql.command(spark, "SHOW HISTORY SEGMENTS FOR TABLE tt", tbls).get.count()
+    assert(histN > plainN, s"history ($histN) must exceed current ($plainN)")
+    // … and LIMIT caps the (id-descending) listing
+    assert(GraftSql.command(spark,
+      "SHOW HISTORY SEGMENTS FOR TABLE tt LIMIT 2", tbls).get.count() == 2)
+
     // MAJOR compaction via SQL merges the remaining small segments
     GraftSql.command(spark, "ALTER TABLE tt COMPACT 'MAJOR'", tbls)
     assert(t.status.visible.size == 1)
