@@ -129,6 +129,13 @@ object GraftSql {
     }
     def done: DataFrame = spark.emptyDataFrame
     val Describe = """(?is)^\s*DESC(?:RIBE)?\s+(?:FORMATTED\s+|EXTENDED\s+)?TABLE\s+(\S+)\s*$""".r
+    // DESCRIBE COLUMN a.b.c ON t — drill into a complex column's
+    // children; DESCRIBE SHORT t — top-level columns, complex types
+    // abbreviated (reference CarbonDescribeColumnCommand /
+    // CarbonDescribeShortCommand, parser :121-134)
+    val DescColumn =
+      """(?is)^\s*DESC(?:RIBE)?\s+COLUMN\s+(\S+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
+    val DescShort = """(?is)^\s*DESC(?:RIBE)?\s+SHORT\s+(\S+)\s*$""".r
     // SHOW [HISTORY] SEGMENTS … [LIMIT n] [AS <query>] — HISTORY adds
     // the entries CLEAN FILES garbage-collected (append-only ledger);
     // the AS form exposes the registry as a queryable temp view
@@ -366,6 +373,49 @@ object GraftSql {
           s0.schema, m.sortColumns, m.sortScope, m.properties, m.partitionColumns)
         Some(done)
       case Describe(t) => Some(table(t).describe)
+      case DescColumn(fieldPath, tRef) =>
+        import org.apache.spark.sql.types._
+        val t0 = table(tRef)
+        var dt: DataType = t0.schema
+        fieldPath.split('.').foreach { p =>
+          dt = dt match {
+            case s: StructType => s.fields
+              .find(_.name.equalsIgnoreCase(p))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no field '$p' in ${s.simpleString}")).dataType
+            // drilling "through" a collection addresses its payload
+            case a: ArrayType => a.elementType match {
+              case s: StructType => s.fields
+                .find(_.name.equalsIgnoreCase(p))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"no field '$p' in ${s.simpleString}")).dataType
+              case other => throw new IllegalArgumentException(
+                s"cannot drill into ${other.simpleString} at '$p'")
+            }
+            case other => throw new IllegalArgumentException(
+              s"cannot drill into ${other.simpleString} at '$p'")
+          }
+        }
+        val rows = dt match {
+          case s: StructType =>
+            s.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+          case a: ArrayType => Seq(("element", a.elementType.simpleString))
+          case m: MapType =>
+            Seq(("key", m.keyType.simpleString), ("value", m.valueType.simpleString))
+          case other => Seq((fieldPath.split('.').last, other.simpleString))
+        }
+        Some(rows.toDF("child", "data_type"))
+      case DescShort(tRef) =>
+        import org.apache.spark.sql.types._
+        def brief(dt: DataType): String = dt match {
+          case _: StructType => "struct<...>"
+          case a: ArrayType => s"array<${brief(a.elementType)}>"
+          case _: MapType => "map<...>"
+          case other => other.simpleString
+        }
+        Some(table(tRef).schema.fields.toSeq
+          .map(f => (f.name, brief(f.dataType)))
+          .toDF("col_name", "data_type"))
       case ShowSegments(hist, t, limit, q) =>
         val t0 = table(t)
         val rows = t0.segments ++

@@ -232,6 +232,25 @@ class GraftSqlSpec extends AnyFunSuite {
     // DESCRIBE returns the schema + properties + metrics rows
     val desc = GraftSql.command(spark, "DESCRIBE FORMATTED TABLE tt", tbls).get
     assert(desc.filter(col("kind") === "column").count() == 2)
+
+    // DESCRIBE COLUMN drills into complex children; DESCRIBE SHORT
+    // abbreviates them (reference CarbonDescribeColumn/ShortCommand)
+    val nestedSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("name", StringType),
+        StructField("tags", org.apache.spark.sql.types.ArrayType(StringType)))))))
+    val tn = GraftTable.create(spark, s"$root/tnested", nestedSchema)
+    val tbls2 = Map("tn" -> tn)
+    val dc = GraftSql.command(spark, "DESC COLUMN meta ON TABLE tn", tbls2).get
+    assert(dc.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("name", "string"), ("tags", "array<string>")))
+    val dcDeep = GraftSql.command(spark, "DESCRIBE COLUMN meta.tags ON tn", tbls2).get
+    assert(dcDeep.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("element", "string")))
+    val ds = GraftSql.command(spark, "DESC SHORT tn", tbls2).get
+    assert(ds.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("id", "bigint"), ("meta", "struct<...>")))
     // non-command falls through
     assert(GraftSql.command(spark, "SELECT 1", tbls).isEmpty)
   }
