@@ -164,6 +164,18 @@ object PipelineQueries {
         .filter(graft.functions.GraftFunctions.textMatch(col("text"), "row data OR the end"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // benchmark decontamination: docs sharing >= 2 distinct word
+    // 3-grams with any one "benchmark" doc (the eval-set n-gram
+    // collision rule) — gram equi-join with the bench side broadcast,
+    // no pair explosion (Decontaminate.scala)
+    "q_decontaminate" -> ((s, d) => {
+      import graft.ops.Decontaminate
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 211 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.flagContaminated(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 3, minOverlap = 2)
+    }),
     // lucene-grade grammar: "quoted phrase", NOT negation, prefix*
     // wildcard in one predicate (reference TEXT_MATCH('name:n10*'),
     // TextMatchUDF.scala:23-30 / lucene MatchExpression)
@@ -349,6 +361,10 @@ object PipelineQueries {
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "\"big data\" NOT spark OR quer*")}
             GROUP BY lang""",
+      "q_decontaminate" -> graft.ops.Decontaminate.oFlagContaminated(
+        "documents", "doc_id", "text",
+        "(SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 211 = 0)",
+        "bench_id", "text", n = 3, minOverlap = 2),
       "q_geo_bbox" ->
         """SELECT event_type, count(*) AS cnt FROM (
              SELECT event_type,
