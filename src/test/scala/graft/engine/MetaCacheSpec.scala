@@ -39,6 +39,26 @@ class MetaCacheSpec extends AnyFunSuite {
     assert(l2.readStatus().version == t.layout.readStatus().version)
   }
 
+  test("consecutive commits always differ in file LENGTH (stat-check collision guard)") {
+    val path = tmp()
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    val statusPath = new org.apache.hadoop.fs.Path(t.layout.root, "_meta/tablestatus.json")
+    val fs = t.layout.fs
+    // metadata-only commits whose JSON payload length stays constant
+    // (single-digit version bumps notwithstanding) — the version%37 pad
+    // must still separate every adjacent pair, or a reader whose mtime
+    // check collides would pin a stale snapshot forever
+    var lens = List.empty[Long]
+    (0 until 8).foreach { _ =>
+      t.layout.commit(identity)
+      lens ::= fs.getFileStatus(statusPath).getLen
+    }
+    val adjacentEqual = lens.zip(lens.tail).filter { case (a, b) => a == b }
+    assert(adjacentEqual.isEmpty,
+      s"adjacent commits share a length: $lens")
+  }
+
   test("cross-instance external commit invalidates via the stat check") {
     val path = tmp()
     import spark.implicits._
