@@ -39,11 +39,46 @@ object TextMatchSql {
       spark.experimental.extraOptimizations :+ new TextMatchRule
   }
 
-  private[index] def parseArg(s: String): (String, String) = {
+  private[graft] def parseArg(s: String): (String, String) = {
     val i = s.indexOf(':')
     require(i > 0 && i < s.length - 1,
       s"text_match argument must be 'column:query', got '$s'")
-    (s.take(i).trim, s.drop(i + 1).trim)
+    val col = s.take(i).trim
+    (col, stripFieldPrefixes(s.drop(i + 1).trim, col))
+  }
+
+  /** Per-term field scoping, lucene-style (`TEXT_MATCH('name:n10* AND
+    * name:abc')`): a term-leading `field:` naming the indexed column is
+    * stripped; a DIFFERENT field is a loud error — one text index
+    * serves one column. Quoted phrases pass through untouched. */
+  private[graft] def stripFieldPrefixes(query: String, col: String): String = {
+    val FieldTerm = "^(-?)([A-Za-z_][A-Za-z0-9_]*):(.+)$".r
+    val out = new StringBuilder
+    var i = 0
+    while (i < query.length) {
+      val c = query(i)
+      if (c == '"') {
+        // phrases pass through verbatim, colons and all
+        val j = query.indexOf('"', i + 1)
+        val end = if (j < 0) query.length else j + 1
+        out.append(query.substring(i, end)); i = end
+      } else if (c.isWhitespace) {
+        out.append(c); i += 1
+      } else {
+        var j = i
+        while (j < query.length && !query(j).isWhitespace) j += 1
+        out.append(query.substring(i, j) match {
+          case FieldTerm(neg, f, rest) =>
+            require(f.equalsIgnoreCase(col),
+              s"text_match field '$f' does not match the indexed column '$col' " +
+                "(multi-field queries are not supported)")
+            neg + rest
+          case t => t
+        })
+        i = j
+      }
+    }
+    out.toString
   }
 }
 

@@ -82,6 +82,10 @@ object GraftFunctions {
       if (tok.equalsIgnoreCase("OR")) {
         require(!negateNext, s"dangling NOT before OR in '$query'")
         clauses += scala.collection.mutable.ArrayBuffer.empty[TextLit]
+      } else if (tok.equalsIgnoreCase("AND")) {
+        // lucene's explicit AND: terms in a clause already conjoin, so
+        // the keyword is a separator, never a literal
+        require(!negateNext, s"dangling NOT before AND in '$query'")
       } else if (tok.equalsIgnoreCase("NOT")) {
         negateNext = true
       } else {

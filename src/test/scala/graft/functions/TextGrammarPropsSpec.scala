@@ -103,6 +103,28 @@ class TextGrammarPropsSpec extends AnyFunSuite {
     assert(clauses(1) == Seq(TextLit(false, TextTerm.Tok("c"))))
   }
 
+  test("explicit AND is an operator (separator), never a literal term") {
+    val clauses = GraftFunctions.parseLucene("alpha AND bravo OR charlie")
+    assert(clauses == Seq(
+      Seq(TextLit(false, TextTerm.Tok("alpha")), TextLit(false, TextTerm.Tok("bravo"))),
+      Seq(TextLit(false, TextTerm.Tok("charlie")))))
+    // NOT composes with AND
+    assert(GraftFunctions.parseLucene("a AND NOT b") ==
+      Seq(Seq(TextLit(false, TextTerm.Tok("a")), TextLit(true, TextTerm.Tok("b")))))
+  }
+
+  test("per-term field scoping strips the indexed column, rejects others") {
+    import graft.engine.index.TextMatchSql
+    assert(TextMatchSql.parseArg("body:body:n10* AND body:abc") ==
+      ("body", "n10* AND abc"))
+    // lucene-style single-field query with the field on each term
+    assert(TextMatchSql.parseArg("name:n10*") == ("name", "n10*"))
+    assert(TextMatchSql.parseArg("body:\"a b:c\" x") == ("body", "\"a b:c\" x"))
+    val e = intercept[IllegalArgumentException](
+      TextMatchSql.parseArg("body:other:term"))
+    assert(e.getMessage.contains("does not match the indexed column"))
+  }
+
   test("dangling NOT and unterminated phrases fail loudly") {
     intercept[IllegalArgumentException](GraftFunctions.parseLucene("a NOT"))
     intercept[IllegalArgumentException](GraftFunctions.parseLucene("a NOT OR b"))
