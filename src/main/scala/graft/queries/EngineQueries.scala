@@ -170,6 +170,13 @@ object EngineQueries {
       TextIndex.readMatching(docs3(s, d), "text", "row data OR und")
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // indexed lucene grammar: prefix wildcard answered by a term-PREFIX
+    // scan over the sorted posting index + phrase/NOT residual
+    "q_text_wildcard" -> ((s, d) => {
+      import graft.engine.index.TextIndex
+      TextIndex.readMatching(docs3(s, d), "text", "quer* NOT spark OR \"row data\"")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
     // text_match() as a SQL function: the marker UDF is rewritten by
     // TextMatchRule into index-pruned segments + exact token residual
     // (reference TextMatchUDF.scala:23-30). The UDF body THROWS, so
@@ -340,6 +347,10 @@ object EngineQueries {
              OR list_contains($toks, 'und')
           GROUP BY lang"""
     },
+    "q_text_wildcard" ->
+      s"""SELECT lang, count(*) AS cnt FROM documents
+          WHERE ${graft.functions.GraftFunctions.oTokenMatch("text", "quer* NOT spark OR \"row data\"")}
+          GROUP BY lang""",
     "q_text_limit" -> {
       val toks = "string_split(lower(trim(text)), ' ')"
       s"""SELECT count(*) AS cnt FROM
