@@ -43,13 +43,20 @@ import org.apache.spark.sql.types.{DateType, StructType}
   */
 object AsOf {
 
+  /** `tsRange`: optional (min, max) of the right side's ts as doubles —
+    * supplies the bucket bounds WITHOUT the extra min/max pass over the
+    * right side (worth it when the state table is itself huge; segment
+    * or catalog stats usually know the range already). Bounds only
+    * steer bucketing — out-of-range timestamps saturate into the edge
+    * buckets, so approximate bounds stay correct. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       ts: String,
       payload: Seq[String],
-      tsBuckets: Int = 1): DataFrame = {
+      tsBuckets: Int = 1,
+      tsRange: Option[(Double, Double)] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(leftCols.contains(key) && leftCols.contains(ts),
       s"left must carry '$key' and '$ts'")
@@ -104,15 +111,20 @@ object AsOf {
         case _        => c.cast("double")
       }
       // bounds from the RIGHT side only (usually the smaller state
-      // table); left timestamps outside the range saturate into the
-      // first/last bucket, which preserves ordering
-      val bounds = ru.agg(min(tsNum(col(ts))), max(tsNum(col(ts)))).head()
-      if (bounds.isNullAt(0) || bounds.getDouble(0) == bounds.getDouble(1)) {
-        // no right rows / single timestamp: bucketing cannot spread
-        // anything, fall back to the single-window plan
-        return asofJoin(left, right, key, ts, payload, tsBuckets = 1)
+      // table) unless the caller supplied them; timestamps outside the
+      // range saturate into the first/last bucket, preserving ordering
+      val boundsOpt: Option[(Double, Double)] = tsRange.orElse {
+        val b = ru.agg(min(tsNum(col(ts))), max(tsNum(col(ts)))).head()
+        if (b.isNullAt(0)) None else Some((b.getDouble(0), b.getDouble(1)))
       }
-      val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+      boundsOpt match {
+        case None => return asofJoin(left, right, key, ts, payload, tsBuckets = 1)
+        case Some((a, b)) if a == b =>
+          // single timestamp: bucketing cannot spread anything
+          return asofJoin(left, right, key, ts, payload, tsBuckets = 1)
+        case _ =>
+      }
+      val (mn, mx) = boundsOpt.get
       val bkt = least(greatest(
         floor((tsNum(col(ts)) - lit(mn)) * tsBuckets / lit(mx - mn)), lit(0L)),
         lit(tsBuckets - 1L))

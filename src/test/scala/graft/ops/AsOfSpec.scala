@@ -62,6 +62,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("caller-supplied tsRange skips the bounds pass, same results (approx bounds ok)") {
+    import spark.implicits._
+    val r = (0L until 100L).map(i => (i % 5, i * 7, i.toDouble)).toDF("k", "ts", "v")
+    val l = (0L until 300L).map(i => (i, i % 5, i * 2 + 3)).toDF("id", "k", "ts")
+    val exact = AsOf.asofJoin(l, r, "k", "ts", Seq("v"), tsBuckets = 4)
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    // deliberately LOOSE bounds — saturation keeps it correct
+    val given = AsOf.asofJoin(l, r, "k", "ts", Seq("v"), tsBuckets = 4,
+        tsRange = Some((-50.0, 10000.0)))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(given == exact)
+  }
+
   test("NULL timestamps: right NULL-ts rows never match; left NULL-ts rows get null") {
     import spark.implicits._
     val r = Seq((1L, Some(10L), "real"), (1L, None: Option[Long], "phantom"))
