@@ -164,6 +164,20 @@ object PipelineQueries {
         .filter(graft.functions.GraftFunctions.textMatch(col("text"), "row data OR the end"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // weighted mixture: "30% of crawl + 100% of curated" as one
+    // join-free deterministic projection per source (Sample.mixture)
+    "q_sample_mixture" -> ((s, d) => {
+      import graft.ops.Sample
+      val docs = t(s, d, "documents")
+      val crawl = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+      val curated = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"))
+      Sample.mixture(Seq(
+          ("crawl", crawl, 0.3), ("curated", curated, 1.0)), "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+    }),
     // benchmark decontamination: docs sharing >= 2 distinct word
     // 3-grams with any one "benchmark" doc (the eval-set n-gram
     // collision rule) — gram equi-join with the bench side broadcast,
@@ -361,6 +375,19 @@ object PipelineQueries {
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "\"big data\" NOT spark OR quer*")}
             GROUP BY lang""",
+      "q_sample_mixture" ->
+        """WITH b AS (
+             SELECT doc_id, lang,
+               ((doc_id % 1000000000) * 2654435761) % 1000000007 % 10000 AS bkt
+             FROM documents)
+           SELECT source, lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM (
+             SELECT 'crawl' AS source, lang, doc_id FROM b
+             WHERE doc_id % 2 = 0 AND bkt < 3000
+             UNION ALL
+             SELECT 'curated' AS source, lang, doc_id FROM b
+             WHERE doc_id % 2 = 1 AND bkt < 10000)
+           GROUP BY source, lang""",
       "q_decontaminate" -> graft.ops.Decontaminate.oFlagContaminated(
         "documents", "doc_id", "text",
         "(SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 211 = 0)",
