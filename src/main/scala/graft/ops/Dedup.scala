@@ -147,4 +147,82 @@ object Dedup {
       s"CASE WHEN $vote >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
   }
+
+  /** Duplicate-cluster assignment: connected components over the verified
+    * candidate-pair graph, labelling every member with the minimum id in
+    * its component (the canonical representative).
+    *
+    * Pair detection (LSH + exact-Jaccard verify) yields PAIRS; real dedup
+    * needs CLUSTERS — (a,b) and (b,c) must collapse to one survivor, not
+    * two independent drops. This is min-label propagation: each round a
+    * node adopts the smallest label among itself and its neighbours
+    * (one equi-join + one min-groupBy = two shuffles per round), so
+    * convergence takes graph-diameter rounds. Near-dup graphs are
+    * near-cliques (every pair of a duplicated doc collides in some band),
+    * so the diameter is small — typically 2-3 rounds regardless of corpus
+    * size; `maxIter` is a loud upper bound, never a silent truncation.
+    * Lineage is truncated with a localCheckpoint per round, and
+    * convergence is detected by an exact decimal label-sum fixpoint
+    * (labels only ever decrease, so equal sums ⇒ no label moved).
+    *
+    * Input: (a, b) pair rows (any extra columns ignored).
+    * Output: (id, component) for every id appearing in a pair —
+    * singletons are by definition not duplicates and are left out. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id"), col("a").as("component"))
+      .union(edges.select(col("b").as("id"), col("b").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty pair set: already converged
+    var prev = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — the pair " +
+        "graph has a longer chain than near-dup clusters should produce; " +
+        "raise maxIter explicitly if chained similarity is expected")
+    labels
+  }
+
+  /** DuckDB oracle mirror of [[connectedComponents]] given a CTE named
+    * `pairsRel(a, b)`: min reachable id per node via a recursive CTE.
+    * Must be spliced into a `WITH RECURSIVE` clause. */
+  def oConnectedComponents(pairsRel: String): String =
+    s"""cc_e AS (SELECT a, b FROM $pairsRel UNION SELECT b, a FROM $pairsRel),
+        cc_n AS (SELECT DISTINCT a AS id FROM cc_e),
+        cc_reach(id, r) AS (
+          SELECT id, id FROM cc_n
+          UNION
+          SELECT cc_e.b AS id, cc_reach.r FROM cc_reach
+          JOIN cc_e ON cc_e.a = cc_reach.id)"""
+
+  /** Keeps one survivor per duplicate cluster: docs whose id is either
+    * not in any verified pair, or is its cluster's canonical (min) id.
+    * `components` is [[connectedComponents]] output. A plain left-anti
+    * join — the drop set can be a large fraction of the corpus at scale,
+    * so the broadcast-vs-shuffle choice is left to AQE. */
+  def keepCanonical(docs: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    val drops = components.filter(col("id") =!= col("component")).select(col("id"))
+    docs.join(drops, docs(idCol) === drops("id"), "left_anti")
+  }
 }

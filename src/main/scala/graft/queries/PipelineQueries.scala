@@ -54,6 +54,29 @@ object PipelineQueries {
         UNION ALL
         SELECT doc_id + 1000000 AS id, lower(trim($oMut)) AS norm FROM documents WHERE doc_id % 5 = 0"""
 
+  /** MinHash → banded LSH → exact-Jaccard-verified near-dup pairs.
+    * Tokenization is reused 3× (signature + both sides of the verify
+    * join) — persist it instead of re-reading + re-splitting; at
+    * cluster scale this would be a checkpoint/persist(DISK) as well.
+    * Re-invocations unpersist the previous run's cache (the result is
+    * consumed lazily, so the current cache must outlive this call). */
+  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+    lastMinhashToks.foreach(_.unpersist())
+    val toks = nearCorpus(t(s, d, "documents"))
+      .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .persist()
+    lastMinhashToks = Some(toks)
+    val sig = Dedup.minhashSignatures(toks, ShingleN, NumHashes)
+    val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)
+    val ta = toks.as("ta"); val tb = toks.as("tb")
+    pairs.join(ta, col("a") === col("ta.id"))
+      .join(tb, col("b") === col("tb.id"))
+      .select(col("a"), col("b"),
+        Dedup.jaccard(col("ta.toks"), col("tb.toks")).as("jacc"))
+      .filter(col("jacc") >= JaccThreshold)
+  }
+
   def queries: Map[String, QFn] = Map(
     // ---- exact dedup: hash-groupBy on content fingerprint ----
     "q_dedup_exact" -> ((s, d) => {
@@ -66,27 +89,12 @@ object PipelineQueries {
 
     // ---- near-dup: MinHash signatures → banded LSH buckets →
     //      in-bucket pair join → exact-Jaccard verify. No crossJoin. ----
-    "q_dedup_minhash" -> ((s, d) => {
-      // tokenization is reused 3× (signature + both sides of the verify
-      // join) — persist it instead of re-reading + re-splitting; at
-      // cluster scale this would be a checkpoint/persist(DISK) as well.
-      // Re-invocations unpersist the previous run's cache (the result is
-      // consumed lazily, so the current cache must outlive this call).
-      lastMinhashToks.foreach(_.unpersist())
-      val toks = nearCorpus(t(s, d, "documents"))
-        .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
-        .filter(size(col("toks")) >= ShingleN)
-        .persist()
-      lastMinhashToks = Some(toks)
-      val sig = Dedup.minhashSignatures(toks, ShingleN, NumHashes)
-      val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)
-      val ta = toks.as("ta"); val tb = toks.as("tb")
-      pairs.join(ta, col("a") === col("ta.id"))
-        .join(tb, col("b") === col("tb.id"))
-        .select(col("a"), col("b"),
-          Dedup.jaccard(col("ta.toks"), col("tb.toks")).as("jacc"))
-        .filter(col("jacc") >= JaccThreshold)
-    }),
+    "q_dedup_minhash" -> ((s, d) => minhashVerified(s, d)),
+
+    // ---- near-dup CLUSTERS: verified pairs → connected components.
+    //      (a,b)+(b,c) collapse to one cluster labelled min(a,b,c). ----
+    "q_dedup_cluster" -> ((s, d) =>
+      Dedup.connectedComponents(minhashVerified(s, d).select(col("a"), col("b")))),
 
     // ---- SimHash fingerprint: explode → bit votes → combine ----
     "q_dedup_simhash" -> ((s, d) => {
@@ -301,6 +309,27 @@ object PipelineQueries {
         .mkString(" || '_' || ")
       s"SELECT id, $b AS band, $key AS key, toks FROM sig"
     }.mkString(" UNION ALL ")
+    // shared CTE chain: corpus → shingled minhash → banded LSH pairs →
+    // exact-Jaccard verify (spliced into both pair and cluster oracles)
+    val oPairChain =
+      s"""corpus AS ($oNearCorpus),
+          toks0 AS (SELECT id, $oToks AS toks FROM corpus),
+          toks AS (SELECT id, toks FROM toks0 WHERE len(toks) >= $ShingleN),
+          sig0 AS (${Dedup.oMinhashSignatures("toks", ShingleN, NumHashes)}),
+          sig AS (SELECT s.id, s.sig, t.toks FROM sig0 s JOIN toks t ON s.id = t.id),
+          banded AS ($oBanded),
+          pairs AS (
+            SELECT DISTINCT l.id AS a, r.id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+          verified AS (
+            SELECT p.a, p.b,
+              CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE)
+              / CAST(len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
+                     - len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE) AS jacc
+            FROM pairs p
+            JOIN toks ta ON p.a = ta.id
+            JOIN toks tb ON p.b = tb.id)"""
     Map(
       "q_dedup_exact" ->
         s"""WITH corpus AS ($oExactCorpus)
@@ -308,25 +337,13 @@ object PipelineQueries {
                    min(id) AS min_id, max(id) AS max_id
             FROM corpus GROUP BY 1 HAVING count(*) > 1""",
       "q_dedup_minhash" ->
-        s"""WITH corpus AS ($oNearCorpus),
-            toks0 AS (SELECT id, $oToks AS toks FROM corpus),
-            toks AS (SELECT id, toks FROM toks0 WHERE len(toks) >= $ShingleN),
-            sig0 AS (${Dedup.oMinhashSignatures("toks", ShingleN, NumHashes)}),
-            sig AS (SELECT s.id, s.sig, t.toks FROM sig0 s JOIN toks t ON s.id = t.id),
-            banded AS ($oBanded),
-            pairs AS (
-              SELECT DISTINCT l.id AS a, r.id AS b
-              FROM banded l JOIN banded r
-                ON l.band = r.band AND l.key = r.key AND l.id < r.id),
-            verified AS (
-              SELECT p.a, p.b,
-                CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE)
-                / CAST(len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
-                       - len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE) AS jacc
-              FROM pairs p
-              JOIN toks ta ON p.a = ta.id
-              JOIN toks tb ON p.b = tb.id)
+        s"""WITH $oPairChain
             SELECT a, b, jacc FROM verified WHERE jacc >= $JaccThreshold""",
+      "q_dedup_cluster" ->
+        s"""WITH RECURSIVE $oPairChain,
+            vpairs AS (SELECT a, b FROM verified WHERE jacc >= $JaccThreshold),
+            ${Dedup.oConnectedComponents("vpairs")}
+            SELECT id, min(r) AS component FROM cc_reach GROUP BY id""",
       "q_dedup_simhash" ->
         s"""SELECT doc_id,
             ${Dedup.oSimhash16("string_split(lower(trim(text)), ' ')")} AS simhash16
