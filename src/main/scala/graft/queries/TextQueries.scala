@@ -32,6 +32,10 @@ object TextQueries {
     "zh" -> Seq(" shi ", " de2 ", " he "))
   private val langOrder = Seq("de", "en", "es", "fr", "zh") // tiebreak: asc
 
+  // BM25 retrieval row: query terms present in the fixture vocabulary
+  private val Bm25Terms = Seq("spark", "query", "merge")
+  private val Bm25K = 20
+
   def queries: Map[String, QFn] = Map(
     "q_text_lang" -> ((s, d) => {
       val padded = concat(lit(" "), norm(col("text")), lit(" "))
@@ -102,6 +106,15 @@ object TextQueries {
         col("doc_id"),
         graft.functions.GraftFunctions.duplicateNgramRatio(col("text"), 3)
           .as("dup3_ratio"))),
+    // BM25-family scored retrieval: postings filtered to the query
+    // terms BEFORE any shuffle, df stats broadcast, TakeOrdered top-k.
+    // The compared variant uses the rational idf + integer-cleared
+    // constants (see ops.Bm25) so scores are cross-engine exact.
+    "q_text_bm25" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id").as("id"), split(norm(col("text")), " ").as("toks"))
+      graft.ops.Bm25.topKRationalMicro(toks, "id", "toks", Bm25Terms, Bm25K)
+    }),
     // PII redaction over a deterministically-injected corpus (the
     // fixture text is clean, so both engines append the same synthetic
     // email + phone per doc, redact, and compare the full strings)
@@ -174,7 +187,12 @@ object TextQueries {
           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
         s"""SELECT doc_id, ${graft.functions.GraftFunctions.oRedactPii(oDirty)} AS clean
             FROM documents"""
-      }
+      },
+      "q_text_bm25" ->
+        s"""WITH toks AS (
+              SELECT doc_id AS id, string_split($oNorm, ' ') AS toks
+              FROM documents),
+            ${graft.ops.Bm25.oTopKRationalMicro("toks", Bm25Terms, Bm25K)}"""
     )
   }
 }
