@@ -386,8 +386,22 @@ object RelationalQueries {
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"),
           countDistinct(col("user_id")).as("users"))
-    })
+    }),
+
+    // gap-based sessionization: one shuffle on user_id reused by both
+    // window passes AND the final per-session agg (subset clustering)
+    "q_sessionize" -> ((s, d) =>
+      graft.ops.Sessionize.assign(t(s, d, "events"),
+          "user_id", "ts", "event_id", SessGapUs)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value")))
   )
+
+  // 8h inactivity gap: ~4.7k sessions over sf0.01's 10k events
+  private val SessGapUs = 480L * 60L * 1000000L
 
   def oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -622,6 +636,13 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
          min("value") AS min_v, max("value") AS max_v,
          count(DISTINCT user_id) AS users
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q_sessionize" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_id, "value" FROM events),
+          ${graft.ops.Sessionize.oSessions("ev", "user_id", "ts", "event_id", SessGapUs)}
+          SELECT user_id, session_seq,
+            min(ts) AS session_start, max(ts) AS session_end,
+            count(*) AS n_events, ${oDsum("\"value\"")} AS sum_value
+          FROM sessed GROUP BY user_id, session_seq"""
   )
 }
