@@ -236,6 +236,119 @@ object Ann {
       .filter(col("rnk") <= k)
   }
 
+  // ---- Product quantization (IVF-PQ) ------------------------------
+  //
+  // The memory/compute path for ANN at 100 TB: corpus vectors are
+  // stored as M small codes (one byte-ish each) instead of D floats —
+  // a 64-dim float vector becomes 8 codes — and candidate scoring is
+  // ADC (asymmetric distance computation): each QUERY precomputes an
+  // M×ksub lookup table of subvector·centroid partial dots ONCE, and
+  // every candidate pair costs M table lookups instead of D multiplies.
+  // In plan terms the LUT is a query-side column (tiny array), codes
+  // are a corpus-side column (precompute + store at scale), and the
+  // probe join stays the IVF cell equi-join — never a cartesian.
+
+  /** Per-block PQ codebooks: k-means (via [[trainCentroids]]) on each
+    * dim/M slice of a corpus sample. `sample`: (id, qv). */
+  def pqTrain(sample: DataFrame, m: Int, ksub: Int, iters: Int,
+      dim: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m blocks")
+    val dsub = dim / m
+    (0 until m).map { b =>
+      trainCentroids(
+        sample.select(col("id"), slice(col("qv"), b * dsub + 1, dsub).as("qv")),
+        ksub, iters)
+    }
+  }
+
+  /** PQ codes of a quantized vector: per block, the nearest codebook
+    * centroid's index (array<int>, one entry per block). At scale this
+    * column is computed once at ingest and stored with the table. */
+  def pqEncode(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    array(codebooks.zipWithIndex.map { case (cb, b) =>
+      nearestCell(slice(qv, b * dsub + 1, dsub), cb)
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: lut[b][c] = query-subvector · centroid
+    * partial dot — M×ksub doubles, computed once per query row. */
+  def pqLut(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    array(codebooks.zipWithIndex.map { case (cb, b) =>
+      val cbLit = typedLit(cb)
+      transform(sequence(lit(0), lit(cb.size - 1)), c =>
+        aggregate(
+          zip_with(slice(qv, b * dsub + 1, dsub),
+            element_at(cbLit, (c + 1).cast("int")),
+            (x, mm) => x.cast("double") * mm),
+          lit(0.0), (a, x) => a + x))
+    }: _*)
+  }
+
+  /** ADC approximate dot product: M lookups, no vector arithmetic. */
+  private def adcDot(lut: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, b) =>
+      acc + element_at(element_at(lut, b.cast("int")),
+        (element_at(codes, b.cast("int")) + 1).cast("int")))
+
+  /** IVF-PQ search with exact re-ranking: probe the `nprobe` nearest
+    * cells, score candidates by ADC (M lookups/pair), keep the top
+    * `rerank` per query, then re-score THOSE exactly and return the
+    * exact-cosine top-k. With nprobe = nlist and rerank ≥ corpus size
+    * this is exactly [[bruteForceTopK]] (the CORRECTNESS anchor);
+    * shrinking nprobe/rerank trades recall for probe + rescore cost.
+    * `queries`/`corpus`: (id, qv, nq). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]], rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
+    val m = codebooks.size
+    val cs = corpus
+      .withColumn("cell", nearestCell(col("qv"), centroids))
+      .withColumn("codes", pqEncode(col("qv"), codebooks))
+      .as("c")
+    val qs = queries
+      .withColumn("lut", pqLut(col("qv"), codebooks))
+      .withColumn("cell",
+        explode(transform(nearestCells(col("qv"), centroids, nprobe),
+          s => s.getField("cell"))))
+      .as("q")
+    // stage 1: ADC score — M lookups per candidate, no vector math.
+    // Only (ids, score) flow through the ranking shuffle; full vectors
+    // stay OUT of the candidate stream (that's PQ's memory win — at
+    // scale the corpus side of this join reads just cell+codes+nq).
+    val adc = qs.join(cs,
+        col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        (adcDot(col("q.lut"), col("c.codes"), m).cast("double") /
+          sqrt(col("q.nq").cast("double") * col("c.nq").cast("double")))
+          .as("adc_cos"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    val pool = adc
+      .withColumn("adc_rnk", row_number().over(wAdc))
+      .filter(col("adc_rnk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact rescoring of the small pool only — fetch vectors
+    // by id (queries broadcast; the corpus fetch is a rerank·|Q|-row
+    // equi-join, not a corpus-wide rescore)
+    val exact = pool
+      .join(broadcast(queries.select(col("id"), col("qv"), col("nq")).as("q2")),
+        col("query_id") === col("q2.id"))
+      .join(corpus.select(col("id"), col("qv"), col("nq")).as("c2"),
+        col("neighbor_id") === col("c2.id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(dotQ(col("q2.qv"), col("c2.qv")),
+          col("q2.nq"), col("c2.nq")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.select(col("query_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Bucketed ANN: equi-join on the SRP signature, then top-k within the
     * candidate set. Approximate — pairs in different buckets are missed.
     * `tables` > 1 turns on OR-amplification (the reference's multi-table

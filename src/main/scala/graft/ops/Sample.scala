@@ -59,4 +59,27 @@ object Sample {
     sources.map { case (name, df, frac) =>
       sampleFraction(df, idCol, frac).withColumn("source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Exact-count stratified sample: up to `n` rows per stratum, chosen
+    * by (bucketOf(id), id) rank — the eval-set / per-language-quota
+    * stage where "10% of each" isn't enough and exactly-n is required.
+    * Selection is a pure function of the ids, so it is identical on
+    * every run, engine, and parallelism (fraction sampling can't
+    * guarantee counts; engine-native `rand()` can't guarantee
+    * reproducibility). One shuffle on the stratum key; adds a `sel_rk`
+    * rank column (1-based within stratum). A pathologically hot stratum
+    * sorts in one task — if strata are few and huge, prefer
+    * [[sampleFraction]] per stratum instead. */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"per-stratum count must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(bucketOf(col(idCol)), col(idCol))
+    df.withColumn("sel_rk", row_number().over(w).cast("long"))
+      .filter(col("sel_rk") <= n)
+  }
+
+  /** DuckDB oracle fragment mirroring [[bucketOf]] (non-negative ids). */
+  def oBucketOf(id: String): String =
+    s"(($id % 1000000000) * $M) % $P % $Buckets"
 }

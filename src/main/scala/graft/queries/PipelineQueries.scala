@@ -135,6 +135,22 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- ANN, IVF-PQ: codes + per-query ADC lookup tables + exact
+    // rerank. Full probe + corpus-wide pool makes the OUTPUT equal
+    // brute force (same oracle); the production pruned shape
+    // (nprobe/rerank small, recall, byte-sized candidate stream) is
+    // PipelineSpec's job ----
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      val queries = emb.filter(col("id") % 50 === 0)
+      Ann.ivfPqTopK(queries, emb, 5, ivfCentroids(d, emb), nprobe = 8,
+          pqBooks(d, emb), rerank = 100000)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (exact baseline; the LSH
     // scale path is cosinePairsLsh, recall-spec'd in PipelineSpec) ----
     "q_dedup_embedding" -> ((s, d) => {
@@ -172,6 +188,12 @@ object PipelineQueries {
         .filter(graft.functions.GraftFunctions.textMatch(col("text"), "row data OR the end"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // exact-count stratified sample: exactly-25 docs per language,
+    // selected by portable-hash rank (reproducible on any engine)
+    "q_sample_stratified" -> ((s, d) =>
+      graft.ops.Sample.stratifiedExact(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", n = 25)),
     // weighted mixture: "30% of crawl + 100% of curated" as one
     // join-free deterministic projection per source (Sample.mixture)
     "q_sample_mixture" -> ((s, d) => {
@@ -280,6 +302,31 @@ object PipelineQueries {
     cs
   }
 
+  /** Deterministically-trained PQ codebooks (8 blocks × 16 codes over
+    * dim 64), persisted per sf like [[ivfCentroids]] — the codebooks are
+    * train-once artifacts; this row should measure encode + ADC probe +
+    * rerank, not training. */
+  private def pqBooks(
+      d: String, emb: DataFrame): Seq[Seq[Seq[Double]]] = centroidLock.synchronized {
+    val base = new java.io.File(d).getName
+    val f = new java.io.File(s"/tmp/graft_tables/$base/pq_books_8x16x2.csv")
+    if (f.exists) {
+      try {
+        val src = scala.io.Source.fromFile(f)
+        val rows = try src.getLines().map(_.split(",").map(_.toDouble).toSeq).toSeq
+          finally src.close()
+        if (rows.size == 8 * 16 && rows.forall(_.size == 8))
+          return rows.grouped(16).map(_.toSeq).toSeq
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    val books = Ann.pqTrain(emb.select("id", "qv"), m = 8, ksub = 16,
+      iters = 2, dim = 64)
+    f.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(f)
+    try books.foreach(_.foreach(c => w.println(c.mkString(",")))) finally w.close()
+    books
+  }
+
   /** Brute-force cosine top-5 for the %50 query subset — the oracle for
     * both q_ann_topk and the full-probe q_ann_ivf row. */
   private def oAnnTop5: String = {
@@ -363,6 +410,8 @@ object PipelineQueries {
       "q_ann_topk" -> oAnnTop5,
       // full-probe IVF ≡ brute force: same oracle by design
       "q_ann_ivf" -> oAnnTop5,
+      // full-probe + corpus-wide-rerank IVF-PQ ≡ brute force likewise
+      "q_ann_ivfpq" -> oAnnTop5,
       "q_sample_split" ->
         """WITH b AS (
              SELECT doc_id,
@@ -392,6 +441,14 @@ object PipelineQueries {
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "\"big data\" NOT spark OR quer*")}
             GROUP BY lang""",
+      "q_sample_stratified" ->
+        s"""SELECT doc_id, lang, sel_rk FROM (
+              SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY ${graft.ops.Sample.oBucketOf("doc_id")}, doc_id)
+                  AS BIGINT) AS sel_rk
+              FROM documents)
+            WHERE sel_rk <= 25""",
       "q_sample_mixture" ->
         """WITH b AS (
              SELECT doc_id, lang,

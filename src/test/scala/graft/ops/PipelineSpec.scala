@@ -104,6 +104,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must reproduce brute force exactly")
   }
 
+  test("IVF-PQ ANN: ADC probe + exact rerank; full probe+pool = exact; pruned recalls") {
+    val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", Ann.normQ(col("qv")))
+    val cents = Ann.trainCentroids(e.select("id", "qv"), nlist = 8, iters = 2)
+    val books = Ann.pqTrain(e.select("id", "qv"), m = 8, ksub = 16, iters = 2, dim = 64)
+    assert(books.size == 8 && books.forall(b => b.size == 16 && b.forall(_.size == 8)))
+
+    val queries = e.filter(col("id") % 20 === 0)
+    val exact = Ann.bruteForceTopK(queries, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // full probe + corpus-wide rerank pool: ADC ordering stops
+    // mattering, the exact rescore must reproduce brute force
+    val full = Ann.ivfPqTopK(queries, e, 5, cents, nprobe = 8, books, rerank = 500)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full probe + full pool must equal brute force")
+
+    // pruned probe + small rerank pool: the production shape — an
+    // equi-join probe (never cartesian) with useful recall
+    val pruned = Ann.ivfPqTopK(queries, e, 5, cents, nprobe = 3, books, rerank = 25)
+    assert(!pruned.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val prunedPairs = pruned.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & prunedPairs).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ nprobe=3/8 rerank=25 recall too low: $recall")
+    assert(prunedPairs.subsetOf(exactTopPairs(queries, e, 500)),
+      "IVF-PQ must never invent neighbors")
+  }
+
+  private def exactTopPairs(queries: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Long)] =
+    Ann.bruteForceTopK(queries, corpus, k).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("embedding near-dup pairs: LSH path recalls exact pairs, equi-join only") {
     val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
       .withColumn("nq", Ann.normQ(col("qv")))
@@ -171,6 +207,18 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySrc("books") == 20000L)
     assert(math.abs(bySrc("web") / 20000.0 - 0.25) < 0.02)
+
+    // exact-count stratified: exactly n per stratum (capped by stratum
+    // size), same selection at any parallelism
+    val strat = ids.withColumn("g", (col("id") % 4).cast("string"))
+    val s1 = Sample.stratifiedExact(strat, "g", "id", 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    val s2 = Sample.stratifiedExact(strat.repartition(17), "g", "id", 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    assert(s1 == s2 && s1.groupBy(_._1).values.forall(_.size == 7))
+    val tiny = Sample.stratifiedExact(
+      strat.filter(col("id") < 10), "g", "id", 7)
+    assert(tiny.count() == 10L) // strata smaller than n keep all rows
   }
 
   test("sequence packing: shard-local bins, budget-aligned, parallelism-invariant") {
