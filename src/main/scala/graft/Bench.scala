@@ -92,3 +92,98 @@ object Bench {
     spark.stop()
   }
 }
+
+/** The reference's concurrency anchor — "supports 20 concurrent queries
+  * with response < 10 s" (reference docs/usecases.md:104) — has no
+  * serial-bench proxy, so this main runs `threads` (default 20) driver
+  * threads of mixed READ queries against one shared SparkSession, each
+  * thread in its own FAIR scheduler pool (the multi-tenant serving
+  * shape: no query monopolizes the cluster while 19 others queue), and
+  * reports per-query latency p50/p95/max + aggregate throughput.
+  * Mutating queries are excluded: concurrent IUD is ConcurrencySpec's
+  * storm territory, not a latency anchor. Output is one JSON line;
+  * committed as BENCH_r{N}_concurrent.json. */
+object BenchConcurrent {
+  // 20 distinct read shapes: scans+filters, aggs, joins, windows,
+  // metadata-only, index/text, MV-rewritten, subqueries.
+  private val mix = Seq(
+    "q1_agg_carbonish", "q_filter_between_in", "q_filter_like",
+    "q_filter_complex_bool", "q_filter_not_in_null", "q_agg_rollup",
+    "q_agg_distinct", "q_join_inner", "q_join_broadcast",
+    "q_window_rank", "q_sort_limit", "q_engine_prune", "q_engine_topn",
+    "q_countstar_meta", "q_minmax_meta", "q_partition_prune",
+    "q_text_match", "q_subquery_in", "q_fn_string", "q_mv_rollup")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fns = mix.map(n => n -> SparkEntry.queries(n))
+    // Serial warm pass: fixture builds + codegen happen once, untimed —
+    // the concurrent pass measures steady-state serving latency.
+    try graft.queries.Q.views(spark, sfDir) catch { case _: Throwable => }
+    fns.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    val latencies = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val wall0 = System.nanoTime()
+    // Per-client shuffle sizing: with 20 tenants sharing the cores, a
+    // query's fair share is cores/20 — giving each query `cpus`-wide
+    // shuffle stages just multiplies task-scheduling contention. Size
+    // shuffles to ~2x the fair share (floor 4), the standard
+    // concurrent-serving conf. Overridable for A/B.
+    val clientShufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CLIENT_SHUFFLE",
+      math.max(4, 2 * cpus.toInt / math.max(1, threads)).toString)
+    val pool = (0 until threads).map { i =>
+      new Thread(() => {
+        // Each client gets its own cloned session (isolated SQLConf +
+        // temp views over the same shared SparkContext — the
+        // multi-tenant serving shape) and its own FAIR pool, so equal
+        // shares across tenants and no query monopolizes the cluster.
+        val sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", clientShufflePartitions)
+        sess.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        try graft.queries.Q.views(sess, sfDir) catch { case _: Throwable => }
+        sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
+        // Each thread runs the full mix once, phase-shifted so all 20
+        // shapes are in flight together rather than 20 copies of one.
+        (0 until fns.size).foreach { j =>
+          val (name, fn) = fns((i + j) % fns.size)
+          val t0 = System.nanoTime()
+          try {
+            fn(sess, sfDir).write.format("noop").mode("overwrite").save()
+            latencies.add(name -> (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            failures.add(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }, s"bench-client-$i")
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    val wall = (System.nanoTime() - wall0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val lats = latencies.asScala.map(_._2).toSeq.sorted
+    def pct(p: Double): Double =
+      if (lats.isEmpty) -1.0 else lats(math.min(lats.size - 1, (p * lats.size).toInt))
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val perQ = latencies.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, xs) =>
+        val s = xs.map(_._2).toSeq.sorted
+        "\"" + n + "\":" + f(s(s.size / 2))
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"concurrent_p95","value":${f(pct(0.95))},"unit":"sec","threads":$threads,"runs":${lats.size},"failed":${failures.size},"p50":${f(pct(0.50))},"p95":${f(pct(0.95))},"max":${f(if (lats.isEmpty) -1.0 else lats.last)},"wall":${f(wall)},"qps":${f(if (wall > 0) lats.size / wall else -1.0)},"median_by_query":$perQ,"sf":"${new java.io.File(sfDir).getName}"}""")
+    failures.asScala.take(5).foreach { case (n, e) => System.err.println(s"FAIL $n: $e") }
+    spark.stop()
+  }
+}
