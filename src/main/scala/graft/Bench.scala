@@ -29,10 +29,14 @@ object Bench {
     // query cost instead of charging whichever query alphabetically
     // touches a fixture first with its one-time build (q_agg_rollup
     // absorbed 16 s of that in the r5 driver run).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-    }
+    val onlyWarm = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
     // Materialize every column via a noop-format write (count() would let
     // Spark prune the projection and bench an empty scan — VERDICT r2).
     // Sub-second queries re-run to a 3-sample MEDIAN: at that scale the
@@ -52,7 +56,11 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (the warm pass is filtered the same way).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val first = runOnce(name, fn, recordErr = true)
       val t =
         if (first < 0 || first >= 1.0) first

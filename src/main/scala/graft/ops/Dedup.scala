@@ -161,26 +161,66 @@ object Dedup {
     * near-cliques (every pair of a duplicated doc collides in some band),
     * so the diameter is small — typically 2-3 rounds regardless of corpus
     * size; `maxIter` is a loud upper bound, never a silent truncation.
-    * Lineage is truncated with a localCheckpoint per round, and
-    * convergence is detected by an exact decimal label-sum fixpoint
+    * Convergence is detected by an exact decimal label-sum fixpoint
     * (labels only ever decrease, so equal sums ⇒ no label moved).
+    * Each round's labels are persisted (materialized by the fixpoint
+    * check — one job per round, not an eager-checkpoint job plus a sum
+    * job) and the previous round's blocks are dropped immediately; a
+    * localCheckpoint every few rounds truncates lineage so a
+    * pathologically deep graph can't grow the plan unboundedly.
+    *
+    * `assumeDistinct = true` skips the defensive edge-dedup shuffle —
+    * sound whenever the input is already distinct (a, b) pairs with
+    * a < b, as [[lshCandidates]] produces; duplicate edges would only
+    * cost join width, never change the result.
     *
     * Input: (a, b) pair rows (any extra columns ignored).
     * Output: (id, component) for every id appearing in a pair —
     * singletons are by definition not duplicates and are left out. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      assumeDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .persist()
-    var labels = edges.select(col("a").as("id"), col("a").as("component"))
-      .union(edges.select(col("b").as("id"), col("b").as("component")))
-      .groupBy("id").agg(min("component").as("component"))
-      .localCheckpoint()
+    val oriented = pairs.select(col("a"), col("b"))
+    // Distinct (a,b) with a < b stays distinct after adding the
+    // reversed copies, so the defensive dedup shuffle is skippable.
+    val sym = oriented.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val edgesWide = (if (assumeDistinct) sym else sym.distinct()).persist()
+    // Size the loop to the pair graph, not the session: the candidate
+    // graph is orders of magnitude smaller than the corpus (only
+    // near-dup members appear), but its stages inherit the session's
+    // shuffle width — dozens of tasks per round of pure scheduling
+    // overhead on a few thousand edges. coalesce (narrow, reads the
+    // cache, keeps map-side combine) to ~1M edges/task, capped at the
+    // session width so a genuinely huge graph keeps its parallelism.
+    val edgeCount = edgesWide.count()
+    val w = math.max(1L, math.min(
+      edgesWide.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      (edgeCount + 999999L) / 1000000L)).toInt
+    val edges = edgesWide.coalesce(w)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty pair set: already converged
+    // Seed with min(self ∪ neighbours) rather than min(self): over the
+    // symmetric edge set that is just min(least(a, b)) per node — one
+    // projection, one shuffle — and it IS the first propagation round:
+    // on near-clique duplicate graphs every member sees the canonical
+    // min immediately, so the loop below only runs the one confirming
+    // round the fixpoint check needs.
+    // Every round's labels are a LAZY localCheckpoint, materialized by
+    // the fixpoint-sum action — one job per round (an eager checkpoint
+    // would add a second). Checkpoint rather than persist() on purpose:
+    // a persisted round KEEPS its lineage, so unpersisting the previous
+    // round makes the CacheManager invalidate and lazily REBUILD the
+    // dependent round's buffers from scratch — rounds then recompute
+    // the whole chain and grow linearly (measured: 0.7 s → 1.1 s →
+    // 2.5 s). A checkpointed round has no lineage, so freeing its
+    // predecessor (Shims.freeLocalCheckpoint — block-level, invisible
+    // to the CacheManager) cannot invalidate it.
+    var labels = edges
+      .select(col("a").as("id"), least(col("a"), col("b")).as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+      .coalesce(w)
+      .localCheckpoint(eager = false)
     var prev = labelSum(labels)
     var converged = false
     var it = 0
@@ -189,14 +229,20 @@ object Dedup {
         .select(edges("a").as("id"), col("component"))
       val next = labels.union(prop)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .coalesce(w)
+        .localCheckpoint(eager = false)
       val cur = labelSum(next)
+      // next is fully materialized by the labelSum action; drop the
+      // previous round's pinned blocks NOW — checkpointed blocks are
+      // otherwise freed only by driver-GC-driven ContextCleaner, which
+      // a large-heap driver may not run for hours.
+      org.apache.spark.sql.graft.Shims.freeLocalCheckpoint(labels)
       converged = cur.compareTo(prev) == 0
       prev = cur
       labels = next
       it += 1
     }
-    edges.unpersist()
+    edgesWide.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — the pair " +
         "graph has a longer chain than near-dup clusters should produce; " +

@@ -77,4 +77,18 @@ object Shims {
       new ParquetFileFormat, Map.empty)(spark)
     org.apache.spark.sql.classic.Dataset.ofRows(spark, LogicalRelation(rel))
   }
+
+  /** Free the pinned blocks of a `localCheckpoint`ed DataFrame.
+    * `df.unpersist()` goes through the CacheManager, which only knows
+    * plans cached via `persist()` — a checkpointed frame's blocks are
+    * RDD-level and live until driver GC otherwise. Safe ONLY when the
+    * frame's contents are no longer needed: a checkpointed frame has
+    * no lineage, so the data cannot be recomputed after this. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpointed frame: nothing pinned here
+    }
 }
