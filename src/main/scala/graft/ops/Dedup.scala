@@ -271,4 +271,29 @@ object Dedup {
     val drops = components.filter(col("id") =!= col("component")).select(col("id"))
     docs.join(drops, docs(idCol) === drops("id"), "left_anti")
   }
+
+  /** Streaming exact dedup: keep the FIRST arrival of each content
+    * fingerprint, with state bounded by the event-time watermark — the
+    * continuous-ingest form of [[q_dedup_exact]]'s hash-groupBy.
+    *
+    * `dropDuplicatesWithinWatermark` is the scale-correct primitive: an
+    * unbounded `dropDuplicates` would grow the dedup state forever on a
+    * 100 TB feed, while the watermark form expires each fingerprint once
+    * no duplicate can still arrive (duplicates in real pipelines are
+    * re-crawls/re-sends clustered in time). Keys are the md5 of the
+    * normalized text, so state rows are fingerprint-sized, never
+    * document-sized, and the stateful exchange shuffles only
+    * (fingerprint, ts) plus pass-through columns.
+    *
+    * `events` must be a STREAMING DataFrame with `tsCol` an event-time
+    * timestamp column. Emits the input columns plus `content_md5`. */
+  def streamingExactDedup(events: DataFrame, textCol: String, tsCol: String,
+      dedupWindow: String): DataFrame = {
+    require(events.isStreaming,
+      "streamingExactDedup needs a streaming frame; use a hash-groupBy for batch")
+    events
+      .withColumn("content_md5", md5(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, dedupWindow)
+      .dropDuplicatesWithinWatermark("content_md5")
+  }
 }
