@@ -349,6 +349,48 @@ object Ann {
       .filter(col("rnk") <= k)
   }
 
+  // ---- Label-centroid audit --------------------------------------
+  //
+  // The label-noise QA step of a training-data pipeline: classify every
+  // embedding to its nearest LABEL CENTROID by cosine and cross-tabulate
+  // against the stored label — off-diagonal mass is candidate mislabels.
+  // Cosine is scale-invariant, so the un-divided integer SUM vector IS
+  // the centroid for classification purposes: everything up to the final
+  // sqrt/divide stays exact integers and the result is bit-identical
+  // across engines (the Q.scala determinism rule).
+
+  /** Per-label integer centroid sums: Σ qv over each label. One
+    * posexplode + groupBy shuffle over (label, pos); the result is
+    * labels × dim rows — metadata-sized, collected to the driver like
+    * the IVF centroids. `emb`: (id, qv, label). */
+  def labelCentroidSums(emb: DataFrame): Seq[(Int, Seq[Long])] =
+    emb.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum("v").as("s"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("s")).as("sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Nearest-centroid label by cosine (ties → smaller label). A pure
+    * broadcast projection — k cosines per row via the codegen'd dot,
+    * no join, no shuffle; the corpus streams once. */
+  def nearestLabelByCosine(qv: Column, nq: Column,
+      cents: Seq[(Int, Seq[Long])]): Column = {
+    require(cents.nonEmpty, "no label centroids")
+    val scored = cents.map { case (lbl, sv) =>
+      val ns = sv.map(x => x * x).sum // exact on the driver
+      struct(
+        cosineQ(dotQ(qv, typedLit(sv)), nq, lit(ns)).as("cos"),
+        lit(-lbl).as("negLabel"))
+    }
+    // array_max orders structs lexicographically: highest cosine, then
+    // highest negLabel = smallest label
+    (array_max(array(scored: _*)).getField("negLabel") * -1).cast("int")
+  }
+
   /** Bucketed ANN: equi-join on the SRP signature, then top-k within the
     * candidate set. Approximate — pairs in different buckets are missed.
     * `tables` > 1 turns on OR-amplification (the reference's multi-table

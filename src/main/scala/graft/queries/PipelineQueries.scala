@@ -177,6 +177,23 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- label-noise audit: nearest-centroid confusion matrix.
+    // Centroids are per-label integer SUM vectors (cosine is
+    // scale-invariant, so no division enters until the final cosine);
+    // classification is a broadcast projection — no join, no extra
+    // shuffle beyond the labels×dim centroid agg. ----
+    "q_label_confusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"),
+        col("label").cast("int").as("label"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      val cents = Ann.labelCentroidSums(emb)
+      emb.select(col("label").cast("long").as("label"),
+          Ann.nearestLabelByCosine(col("qv"), col("nq"), cents)
+            .cast("long").as("predicted"))
+        .groupBy("label", "predicted").agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (exact baseline; the LSH
     // scale path is cosinePairsLsh, recall-spec'd in PipelineSpec) ----
     "q_dedup_embedding" -> ((s, d) => {
@@ -438,6 +455,34 @@ object PipelineQueries {
       "q_ann_ivf" -> oAnnTop5,
       // full-probe + corpus-wide-rerank IVF-PQ ≡ brute force likewise
       "q_ann_ivfpq" -> oAnnTop5,
+      "q_label_confusion" -> {
+        val qv = Ann.oQuantize("embedding")
+        s"""WITH emb AS (
+              SELECT vec_id AS id, $qv AS qv,
+                CAST(label AS BIGINT) AS label, ${Ann.oNormQ(qv)} AS nq
+              FROM embeddings),
+            ex AS (
+              SELECT label, u.i AS i, u.v AS v FROM (
+                SELECT label, unnest(list_transform(range(1, len(qv) + 1),
+                  i -> {'i': i, 'v': qv[i]})) AS u FROM emb)),
+            sums AS (SELECT label, i, SUM(v) AS sv FROM ex GROUP BY label, i),
+            cents AS (
+              SELECT label AS cand, list(sv ORDER BY i) AS sv
+              FROM sums GROUP BY label),
+            scored AS (
+              SELECT e.id, e.label, c.cand,
+                CAST(${Ann.oDotQ("e.qv", "c.sv")} AS DOUBLE)
+                  / sqrt(CAST(e.nq AS DOUBLE)
+                       * CAST(${Ann.oNormQ("c.sv")} AS DOUBLE)) AS cos
+              FROM emb e CROSS JOIN cents c),
+            pred AS (
+              SELECT id, label, cand,
+                row_number() OVER (PARTITION BY id
+                  ORDER BY cos DESC, cand ASC) AS rn
+              FROM scored)
+            SELECT label, cand AS predicted, count(*) AS cnt
+            FROM pred WHERE rn = 1 GROUP BY 1, 2"""
+      },
       "q_sample_split" ->
         """WITH b AS (
              SELECT doc_id,

@@ -140,6 +140,32 @@ class PipelineSpec extends AnyFunSuite {
     Ann.bruteForceTopK(queries, corpus, k).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("label-centroid audit: centroid members classify home; plan is join-free") {
+    import spark.implicits._
+    // two orthogonal clusters: label 0 lives on axis x, label 1 on axis y;
+    // a mislabeled y-axis vector must be predicted 1 while labeled 0
+    val rows = Seq(
+      (1L, Seq(100L, 0L, 0L, 0L), 0),
+      (2L, Seq(90L, 10L, 0L, 0L), 0),
+      (3L, Seq(0L, 100L, 0L, 0L), 1),
+      (4L, Seq(10L, 90L, 0L, 0L), 1),
+      (5L, Seq(0L, 95L, 5L, 0L), 0)) // mislabeled
+      .toDF("id", "qv", "label")
+    val emb = rows.withColumn("nq", Ann.normQ(col("qv")))
+    val cents = Ann.labelCentroidSums(emb)
+    assert(cents.map(_._1) == Seq(0, 1))
+    val pred = emb.select(col("id"),
+        Ann.nearestLabelByCosine(col("qv"), col("nq"), cents).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pred(1) == 0 && pred(2) == 0 && pred(3) == 1 && pred(4) == 1)
+    assert(pred(5) == 1, "mislabeled vector must classify to its true cluster")
+    // classification is a projection: no join anywhere in the plan
+    val plan = emb.select(
+        Ann.nearestLabelByCosine(col("qv"), col("nq"), cents))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+  }
+
   test("embedding near-dup pairs: LSH path recalls exact pairs, equi-join only") {
     val e = emb.select(col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
       .withColumn("nq", Ann.normQ(col("qv")))
