@@ -78,21 +78,36 @@ object Bench {
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; sbt appends ~70 chars of its own
     // after us. ~95 full-name second-valued entries don't fit (r7+r8
-    // both truncated), so the line is size-optimized, self-describingly:
-    //  - "qunit":"ms"    — query values are INTEGER MILLISECONDS
-    //                      (identical precision to 3-decimal seconds)
-    //  - "qprefix":"q_"  — keys had a leading "q_" stripped; restore by
-    //                      prepending it to keys that don't start with
-    //                      "q" (q1_agg* keys are emitted untouched)
+    // both truncated), and at 100+ queries even "q_"-stripped flat keys
+    // brush the cap, so the line is size-optimized, self-describingly:
+    //  - "qunit":"ms"      — query values are INTEGER MILLISECONDS
+    //                        (identical precision to 3-decimal seconds)
+    //  - "qscheme":"fam"   — "queries" is nested one level by family:
+    //                        {"agg":{"cube":190,...},...} means
+    //                        q_agg_cube=190; the "@" family holds keys
+    //                        emitted VERBATIM (q1_agg and other names
+    //                        without a q_<fam>_ shape).
     // Top-level metric/value stay in seconds per the driver contract.
     // The full-name seconds-valued artifact is committed separately as
     // BENCH_r{N}_local.json.
     def fmtSec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      val key = if (k.startsWith("q_")) k.substring(2) else k
-      val ms = if (v < 0) "-1" else Math.round(v * 1000).toString
-      "\"" + key + "\":" + ms
+    def ms(v: Double): String =
+      if (v < 0) "-1" else Math.round(v * 1000).toString
+    val byFam = results.groupBy { case (k, _) =>
+      if (!k.startsWith("q_")) "@"
+      else {
+        val rest = k.substring(2)
+        val i = rest.indexOf('_')
+        if (i <= 0) "@" else rest.substring(0, i)
+      }
+    }
+    val qs = byFam.toSeq.sortBy(_._1).map { case (fam, es) =>
+      val inner = es.sortBy(_._1).map { case (k, v) =>
+        val key = if (fam == "@") k else k.substring(2 + fam.length + 1)
+        "\"" + key + "\":" + ms(v)
+      }.mkString("{", ",", "}")
+      "\"" + fam + "\":" + inner
     }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
@@ -100,7 +115,7 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qprefix":"q_","queries":$qs$errJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qscheme":"fam","queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
   }
 }
