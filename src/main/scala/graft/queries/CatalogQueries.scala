@@ -50,9 +50,7 @@ object CatalogQueries {
     GraftTable.drop(s, p)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$w/default"))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(pristine),
-      fs, new org.apache.hadoop.fs.Path(p), false, conf)
+    Q.cloneTable(pristine, p) // hardlinks the immutable data files
     // drop any cached resolution of the previous incarnation
     s.catalog.clearCache()
     cat

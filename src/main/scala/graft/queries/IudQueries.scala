@@ -32,10 +32,7 @@ object IudQueries {
         partitionColumns = partitionCols)
     }
     GraftTable.drop(s, p)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sessionState.newHadoopConf())
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(pristine),
-      fs, new org.apache.hadoop.fs.Path(p), false, s.sessionState.newHadoopConf())
+    Q.cloneTable(pristine, p) // hardlinks the immutable data files
     GraftTable.at(s, p)
   }
 

@@ -62,4 +62,30 @@ object Q {
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Clone a fixture table directory for a destructive run: immutable
+    * segment data files (*.parquet) are HARDLINKED — the engine never
+    * writes data files in place (mutations add new files and commit new
+    * metadata via atomic rename), so sharing inodes with the pristine
+    * copy is safe and turns the per-run clone into metadata ops — while
+    * everything else (the small _meta JSONs, csv/json segments of
+    * mixed-format fixtures) is byte-copied. Falls back to a byte copy
+    * if the filesystem refuses the link. */
+  def cloneTable(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val from = Paths.get(src)
+    val to = Paths.get(dst)
+    val st = Files.walk(from)
+    try {
+      st.forEach { (f: Path) =>
+        val t = to.resolve(from.relativize(f))
+        if (Files.isDirectory(f)) { val _ = Files.createDirectories(t) }
+        else if (f.getFileName.toString.endsWith(".parquet")) {
+          try { val _ = Files.createLink(t, f) }
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            val _ = Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING) }
+        } else { val _ = Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING) }
+      }
+    } finally st.close()
+  }
 }
