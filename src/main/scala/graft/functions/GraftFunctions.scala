@@ -250,4 +250,16 @@ object GraftFunctions {
         .otherwise(lit(0.0))
     }).getItem(0)
   }
+
+  /** Approximate top-k heavy hitters (Misra-Gries sketch) as an
+    * aggregate Column: `df.agg(approxTopK(col("token"), 200))` →
+    * array<struct<token,count>> sorted by count desc. Mergeable ≤ k
+    * counters per partition instead of a full distinct-token shuffle;
+    * every item with true frequency > N/(k+1) is guaranteed present,
+    * counts undercount by ≤ N/(k+1). Size k ~10× the wanted top-m. */
+  def approxTopK(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.MisraGries(
+        org.apache.spark.sql.graft.Shims.expression(c), k)
+        .toAggregateExpression())
 }

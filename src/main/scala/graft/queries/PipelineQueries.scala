@@ -263,6 +263,12 @@ object PipelineQueries {
       Decontaminate.flagContaminated(docs, "doc_id", "text",
         bench, "bench_id", "text", n = 3, minOverlap = 2)
     }),
+    // one-pass column profile: per-column rows/nulls/exact-distinct/
+    // min/max as expressions of ONE global agg (ops.Profile) — the
+    // first job a pipeline runs on an unfamiliar corpus
+    "q_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(t(s, d, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
     // lucene-grade grammar: "quoted phrase", NOT negation, prefix*
     // wildcard in one predicate (reference TEXT_MATCH('name:n10*'),
     // TextMatchUDF.scala:23-30 / lucene MatchExpression)
@@ -512,6 +518,16 @@ object PipelineQueries {
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "\"big data\" NOT spark OR quer*")}
             GROUP BY lang""",
+      // min/max cast to VARCHAR on both sides (exact for int/string
+      // columns — see ops.Profile)
+      "q_profile" -> Seq("doc_id", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count($c) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_s,
+              CAST(max($c) AS VARCHAR) AS max_s
+            FROM documents"""
+      }.mkString(" UNION ALL "),
       "q_sample_stratified" ->
         s"""SELECT doc_id, lang, sel_rk FROM (
               SELECT doc_id, lang,

@@ -125,6 +125,27 @@ object TextQueries {
       t(s, d, "documents").select(
         col("doc_id"),
         graft.functions.GraftFunctions.redactPii(dirty).as("clean"))
+    }),
+    // sliding-window chunking: fixed-size token windows with stride —
+    // projection + one explode, no shuffle (ops.Chunk)
+    "q_chunk" -> ((s, d) =>
+      graft.ops.Chunk.chunkTokens(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", split(norm(col("text")), " "), size = 32, stride = 24)),
+    // corpus heavy hitters THROUGH the Misra-Gries sketch aggregate:
+    // k (1024) exceeds the fixture vocabulary, so no counter is ever
+    // decremented and the sketch is provably exact — the oracle checks
+    // the aggregate's full update/merge/serialize path against plain
+    // GROUP BY counts; the pruned-k approximation regime (the 100 TB
+    // path) is HeavyHittersSpec's job
+    "q_token_topk" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(norm(col("text")), " ")).as("token"))
+      toks.agg(graft.functions.GraftFunctions.approxTopK(col("token"), 1024).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.token").as("token"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)
     })
   )
 
@@ -192,7 +213,27 @@ object TextQueries {
         s"""WITH toks AS (
               SELECT doc_id AS id, string_split($oNorm, ' ') AS toks
               FROM documents),
-            ${graft.ops.Bm25.oTopKRationalMicro("toks", Bm25Terms, Bm25K)}"""
+            ${graft.ops.Bm25.oTopKRationalMicro("toks", Bm25Terms, Bm25K)}""",
+      // chunk arithmetic is all-integer (see ops.Chunk); DuckDB list
+      // slicing toks[a:b] is 1-based inclusive = Spark slice(toks,a,32)
+      "q_chunk" ->
+        s"""WITH n AS (SELECT doc_id, string_split($oNorm, ' ') AS toks,
+                              CAST(len(string_split($oNorm, ' ')) AS BIGINT) AS n
+                       FROM documents),
+                 c AS (SELECT doc_id, toks, n,
+                              CASE WHEN n <= 32 THEN CAST(1 AS BIGINT)
+                                   ELSE 1 + (n - 32 + 23) // 24 END AS chunks
+                       FROM n)
+            SELECT doc_id, i AS chunk_id, i * 24 AS start_tok,
+                   least(CAST(32 AS BIGINT), n - i * 24) AS n_tok,
+                   array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+            FROM (SELECT doc_id, toks, n,
+                         unnest(generate_series(0, chunks - 1)) AS i
+                  FROM c)""",
+      "q_token_topk" ->
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split($oNorm, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"""
     )
   }
 }
