@@ -43,6 +43,18 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
   }
 
+  /** IN_POLYGON over a SPATIAL_INDEX table (reference InPolygonUDF —
+    * the index column is implicit): rows inside the `"lng lat, …"`
+    * polygon, filtered as morton-range BETWEENs on the stored geoId
+    * (segment + file + row-group pruning on the sorted id) plus the
+    * exact ray-cast residual. */
+  def inPolygon(polygon: String, maxRanges: Int = 64): DataFrame = {
+    val sp = graft.geo.SpatialIndex.of(meta.properties).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $path has no SPATIAL_INDEX table property"))
+    read.filter(graft.geo.SpatialIndex.inPolygonFilter(sp, polygon, maxRanges))
+  }
+
   private def readForeignSegment(s: SegmentMeta): DataFrame = {
     val files = layout.segmentFilePaths(s)
     s.format match {
@@ -115,8 +127,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
   def insert(df: DataFrame, overwrite: Boolean = false): Long = {
     val m = meta
     val target = schema
+    // spatial-index tables derive the generated geoId column at load
+    // time — the writer never supplies it (SpatialIndex.derive)
+    val incoming = graft.geo.SpatialIndex.of(m.properties)
+      .map(graft.geo.SpatialIndex.derive(df, _)).getOrElse(df)
     // align column order / types to the table schema by name
-    val aligned = df.select(target.fields.map(f =>
+    val aligned = incoming.select(target.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     var id = -1L
     layout.commit { st =>
@@ -165,7 +181,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
       options: Map[String, String] = Map.empty,
       badRecordsAction: String = "FAIL",
       badRecordsPath: Option[String] = None): Long = {
-    val target = schema
+    // spatial-index tables: the CSV carries only the source lat/lng —
+    // parse without the generated column; insert() derives it
+    val target = graft.geo.SpatialIndex.of(meta.properties) match {
+      case Some(sp) => StructType(schema.fields.filterNot(_.name == sp.name))
+      case None => schema
+    }
     val base = spark.read
       .options(Map("header" -> "true", "delimiter" -> ",") ++ options)
     val raw = badRecordsAction.toUpperCase match {
@@ -705,6 +726,29 @@ object GraftTable {
       sortScope: String = "GLOBAL_SORT",
       properties: Map[String, String] = Map.empty,
       partitionColumns: Seq[String] = Nil): GraftTable = {
+    // SPATIAL_INDEX tblproperties: append the generated geoId column to
+    // the schema and, when the user gave no sort, sort on it — sorted
+    // morton ids are what make bbox BETWEENs prune (reference
+    // spatial-index-guide.md:34-56 recommends SORT_COLUMNS=<index>)
+    val spatial = graft.geo.SpatialIndex.of(properties)
+    val schema0 = schema
+    val schema1 = spatial.map(graft.geo.SpatialIndex.addToSchema(schema0, _))
+      .getOrElse(schema0)
+    val sortColumns1 =
+      if (sortColumns.isEmpty) spatial.map(sp => Seq(sp.name)).getOrElse(Nil)
+      else sortColumns
+    create0(spark, path, schema1, sortColumns1, sortScope, properties,
+      partitionColumns)
+  }
+
+  private def create0(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      sortColumns: Seq[String],
+      sortScope: String,
+      properties: Map[String, String],
+      partitionColumns: Seq[String]): GraftTable = {
     val bad = sortColumns.filterNot(c => schema.fieldNames.contains(c))
     require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
     require(Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT").contains(sortScope),

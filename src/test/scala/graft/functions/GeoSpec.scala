@@ -124,4 +124,41 @@ class GeoSpec extends AnyFunSuite {
       .filter(col("lat").between(10, 20) && col("lng").between(30, 40)).count()
     assert(viaTable == viaRaw)
   }
+
+  test("SPATIAL_INDEX tblproperties: generated column, derived loads, implicit IN_POLYGON") {
+    import graft.engine.GraftTable
+    import graft.geo.SpatialIndex
+    import org.apache.spark.sql.types._
+    val p = "/tmp/graft_tables/spec/spatial_prop"
+    GraftTable.drop(spark, p)
+    val userSchema = StructType(Seq(
+      StructField("id", LongType), StructField("lng", DoubleType),
+      StructField("lat", DoubleType)))
+    val props = Map(
+      "SPATIAL_INDEX" -> "mygeohash",
+      "SPATIAL_INDEX.mygeohash.type" -> "geohash",
+      "SPATIAL_INDEX.mygeohash.sourcecolumns" -> "lng, lat")
+    val t = GraftTable.create(spark, p, userSchema, properties = props)
+    // CREATE appended the generated column and defaulted the sort to it
+    assert(t.schema.fieldNames.toSeq == Seq("id", "lng", "lat", "mygeohash"))
+    assert(t.meta.sortColumns == Seq("mygeohash"))
+    // loads never carry the column — it's derived
+    val src = pts.select(col("id"), col("lng"), col("lat"))
+    t.insert(src)
+    val got = t.read
+    assert(got.columns.contains("mygeohash"))
+    val mismatched = got.filter(
+      col("mygeohash") =!= Geo.latLngToGeoId(col("lat"), col("lng"))).count()
+    assert(mismatched == 0, "stored geoId must equal the derived morton id")
+    // implicit IN_POLYGON: equals brute-force ray-cast membership
+    val poly = "32.1 12.3, 35.6 18.7, 44.9 14.2" // lng lat, per the reference
+    val viaIndex = t.inPolygon(poly).select(col("id")).collect().map(_.getLong(0)).toSet
+    val brute = pts.filter(Geo.inPolygon(col("lat"), col("lng"), tri))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(viaIndex == brute)
+    // the rewritten filter is range BETWEENs on the stored id: pushable
+    val sp = SpatialIndex.of(t.meta.properties).get
+    assert(sp == SpatialIndex.Spec("mygeohash", "lng", "lat"))
+    GraftTable.drop(spark, p)
+  }
 }
