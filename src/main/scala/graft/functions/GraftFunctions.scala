@@ -208,6 +208,23 @@ object GraftFunctions {
         parseLucene(query).exists(_.forall(l => one(l.term) != l.negated))
       }
     })
+    // approx_top_k(col, k): the Misra-Gries aggregate as a SQL function
+    // (a native AggregateFunction can't go through spark.udf.register)
+    org.apache.spark.sql.graft.Shims.registerNative(spark, "approx_top_k", exprs => {
+      require(exprs.length == 2,
+        "approx_top_k(column, k) takes exactly two arguments")
+      val k = exprs(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"approx_top_k: k must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "approx_top_k: k must be a literal")
+      }
+      org.apache.spark.sql.graft.MisraGries(exprs.head, k)
+    })
   }
 
   // ---------------------------------------------------------- redaction

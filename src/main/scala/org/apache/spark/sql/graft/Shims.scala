@@ -62,6 +62,16 @@ object Shims {
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Register a native catalyst function under a SQL name —
+    * `spark.udf.register` can't register AggregateFunction expressions
+    * (private[sql] FunctionRegistry). */
+  def registerNative(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** v1 parquet relation over a caller-supplied FileIndex. Unlike the
     * DSv2 FileTable path this exposes the `_metadata` columns (tupleId),
     * while the custom index keeps segment-level pruning in the loop. */

@@ -24,6 +24,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sqlGot == got)
   }
 
+  test("approx_top_k SQL aggregate matches the Column form") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a", "b", "a", "c", "a", "b").toDF("token")
+      .createOrReplaceTempView("atk_t")
+    val rows = spark.sql(
+      "SELECT explode(approx_top_k(token, 8)) AS e FROM atk_t")
+      .select("e.token", "e.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows == Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // k must be a literal
+    intercept[Exception] {
+      spark.sql("SELECT approx_top_k(token, token) FROM atk_t").collect()
+    }
+  }
+
   test("duplicateNgramRatio: repeats score high, unique text scores 0, short text safe") {
     import spark.implicits._
     val got = Seq("a b c a b c d e", "x y", "w w w w w", "p q r s")
