@@ -271,6 +271,18 @@ object Ann {
     }: _*)
   }
 
+  /** Corpus-side PQ materialization: the (cell, codes) columns an
+    * ingest job computes ONCE and stores with the table — [[ivfPqTopK]]
+    * skips re-encoding when they're present. At 100 TB the search then
+    * reads only (id, cell, codes, nq): bytes per vector instead of the
+    * full embedding. */
+  def pqEncodeCorpus(corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus
+      .withColumn("cell", nearestCell(col("qv"), centroids))
+      .withColumn("codes", pqEncode(col("qv"), codebooks))
+
   /** Per-query ADC lookup table: lut[b][c] = query-subvector · centroid
     * partial dot — M×ksub doubles, computed once per query row. */
   def pqLut(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
@@ -286,11 +298,14 @@ object Ann {
     }: _*)
   }
 
-  /** ADC approximate dot product: M lookups, no vector arithmetic. */
-  private def adcDot(lut: Column, codes: Column, m: Int): Column =
-    aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, b) =>
-      acc + element_at(element_at(lut, b.cast("int")),
-        (element_at(codes, b.cast("int")) + 1).cast("int")))
+  /** ADC approximate dot product: M lookups, no vector arithmetic —
+    * a native codegen expression (the HOF double-element_at fold is
+    * interpreted per block per candidate and dominated the probe). */
+  private def adcDot(lut: Column, codes: Column, m: Int): Column = {
+    import org.apache.spark.sql.graft.{AdcDot, Shims}
+    val _ = m // block count carried by the arrays themselves
+    Shims.column(AdcDot(Shims.expression(lut), Shims.expression(codes)))
+  }
 
   /** IVF-PQ search with exact re-ranking: probe the `nprobe` nearest
     * cells, score candidates by ADC (M lookups/pair), keep the top
@@ -305,10 +320,10 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
     val m = codebooks.size
-    val cs = corpus
-      .withColumn("cell", nearestCell(col("qv"), centroids))
-      .withColumn("codes", pqEncode(col("qv"), codebooks))
-      .as("c")
+    // a corpus that already carries (cell, codes) — the stored-at-ingest
+    // shape ([[pqEncodeCorpus]]) — skips re-encoding
+    val cs = (if (Seq("cell", "codes").forall(corpus.columns.contains)) corpus
+      else pqEncodeCorpus(corpus, centroids, codebooks)).as("c")
     val qs = queries
       .withColumn("lut", pqLut(col("qv"), codebooks))
       .withColumn("cell",
