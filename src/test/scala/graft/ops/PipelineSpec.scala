@@ -133,6 +133,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF-PQ nprobe=3/8 rerank=25 recall too low: $recall")
     assert(prunedPairs.subsetOf(exactTopPairs(queries, e, 500)),
       "IVF-PQ must never invent neighbors")
+
+    // stored-at-ingest path: a pre-encoded corpus (pqEncodeCorpus) must
+    // give byte-identical results to encode-at-query
+    val preEncoded = Ann.pqEncodeCorpus(e, cents, books)
+    val viaStored = Ann.ivfPqTopK(queries, preEncoded, 5, cents,
+        nprobe = 8, books, rerank = 500)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStored == exact, "pre-encoded corpus must match encode-at-query")
   }
 
   private def exactTopPairs(queries: org.apache.spark.sql.DataFrame,
