@@ -82,4 +82,61 @@ object Sample {
   /** DuckDB oracle fragment mirroring [[bucketOf]] (non-negative ids). */
   def oBucketOf(id: String): String =
     s"(($id % 1000000000) * $M) % $P % $Buckets"
+
+  /** Seeded permutation key for [[trainingOrder]]: the same portable
+    * arithmetic as [[bucketOf]] with the seed mixed in before the
+    * multiply, kept far inside int64 (idr + seedr ≤ 2e9; × M ≈ 5.3e18). */
+  def shuffleKey(id: Column, seed: Long): Column =
+    pmod((pmod(id.cast("long"), lit(1000000000L)) + lit(seed % 1000000000L))
+      * lit(M), lit(P))
+
+  /** Deterministic training order: every row gets its 0-based position
+    * `pos` in a seeded global permutation — the "shuffle the corpus
+    * before epoch k" export stage, reproducible on any engine and any
+    * parallelism (engine `rand()` and `repartition` orders are not).
+    *
+    * The permutation is the total order (shuffleKey(id, seed), id), and
+    * the global rank is computed the scale-correct way: ONE range
+    * shuffle on the key (each task sorts only its slice — there is
+    * never a single-task global sort), an eager local checkpoint to pin
+    * the snapshot (an export staging write; it also makes the
+    * partition-local row ids stable across the two downstream jobs),
+    * one metadata-sized stat pass (count + min row-id per partition →
+    * driver, #partitions rows), and a broadcast join that turns the
+    * per-partition counts into cumulative offsets: pos = offset +
+    * local index. Range partition p holds keys below partition p+1's,
+    * so cumulative counts in partition-ordinal order ARE the global
+    * rank offsets. No window over the full data, no driver collect of
+    * rows, no 2^33 assumptions on the row-id layout (only that it is
+    * increasing within a partition, which `monotonically_increasing_id`
+    * guarantees). */
+  def trainingOrder(df: DataFrame, idCol: String, seed: Long,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("__tk", shuffleKey(col(idCol), seed))
+      .repartitionByRange(n, col("__tk"), col(idCol))
+      .sortWithinPartitions(col("__tk"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val stats = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mmin"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val bases = stats.map { r =>
+      val base = acc - r.getLong(2); acc += r.getLong(1)
+      (r.getInt(0), base)
+    }.toSeq
+    val offDf = spark.createDataFrame(bases).toDF("__pid", "__base")
+    ranged.join(broadcast(offDf), "__pid")
+      .withColumn("pos", col("__base") + col("__mid"))
+      .drop("__tk", "__pid", "__mid", "__base")
+  }
+
+  /** DuckDB oracle fragment mirroring [[shuffleKey]] (non-negative ids). */
+  def oShuffleKey(id: String, seed: Long): String =
+    s"(($id % 1000000000 + ${seed % 1000000000L}) * $M) % $P"
 }

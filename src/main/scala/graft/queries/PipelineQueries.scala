@@ -237,6 +237,13 @@ object PipelineQueries {
       graft.ops.Sample.stratifiedExact(
         t(s, d, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id", n = 25)),
+    // deterministic training order: seeded reproducible global
+    // permutation position — one RANGE shuffle + per-partition offset
+    // arithmetic, never a single-task global sort (Sample.trainingOrder)
+    "q_train_order" -> ((s, d) =>
+      graft.ops.Sample.trainingOrder(
+        t(s, d, "documents").select(col("doc_id")),
+        "doc_id", seed = 20260813L, partitions = 8)),
     // weighted mixture: "30% of crawl + 100% of curated" as one
     // join-free deterministic projection per source (Sample.mixture)
     "q_sample_mixture" -> ((s, d) => {
@@ -553,6 +560,12 @@ object PipelineQueries {
                   AS BIGINT) AS sel_rk
               FROM documents)
             WHERE sel_rk <= 25""",
+      "q_train_order" ->
+        s"""SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY ${graft.ops.Sample.oShuffleKey("doc_id", 20260813L)},
+                  doc_id) - 1 AS BIGINT) AS pos
+            FROM documents""",
       "q_sample_mixture" ->
         """WITH b AS (
              SELECT doc_id, lang,

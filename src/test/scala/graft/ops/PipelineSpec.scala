@@ -256,6 +256,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 10L) // strata smaller than n keep all rows
   }
 
+  test("training order: seeded bijective permutation, parallelism-invariant") {
+    import spark.implicits._
+    import graft.ops.Sample
+    val ids = (0L until 5000L).toDF("id")
+
+    val ordered = Sample.trainingOrder(ids, "id", seed = 42L, partitions = 8)
+    val got = ordered.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("pos"))).toMap
+    // bijection onto 0..n-1
+    assert(got.values.toSeq.sorted == (0L until 5000L),
+      "pos must be a permutation of 0..n-1")
+    // matches the single-task ground truth: rank of (shuffleKey, id)
+    val truth = ids.withColumn("k", Sample.shuffleKey(col("id"), 42L))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> i.toLong }.toMap
+    assert(got == truth, "pos must equal the global (key, id) rank")
+    // identical at any parallelism and input layout
+    val again = Sample.trainingOrder(ids.repartition(13), "id",
+        seed = 42L, partitions = 3)
+      .collect().map(r =>
+        r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("pos"))).toMap
+    assert(again == got, "permutation must not depend on partitioning")
+    // a different seed is a different permutation
+    val other = Sample.trainingOrder(ids, "id", seed = 7L, partitions = 8)
+      .collect().map(r =>
+        r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("pos"))).toMap
+    assert(other != got, "seed must change the order")
+    // scale shape: the rank really is computed across many range
+    // partitions (no single-task global sort)
+    assert(ordered.rdd.getNumPartitions > 1)
+  }
+
   test("sequence packing: shard-local bins, budget-aligned, parallelism-invariant") {
     import spark.implicits._
     import graft.ops.Pack
