@@ -66,17 +66,32 @@ object Sample {
     * Selection is a pure function of the ids, so it is identical on
     * every run, engine, and parallelism (fraction sampling can't
     * guarantee counts; engine-native `rand()` can't guarantee
-    * reproducibility). One shuffle on the stratum key; adds a `sel_rk`
-    * rank column (1-based within stratum). A pathologically hot stratum
-    * sorts in one task — if strata are few and huge, prefer
-    * [[sampleFraction]] per stratum instead. */
+    * reproducibility). Adds a `sel_rk` rank column (1-based within
+    * stratum).
+    *
+    * Skew-safe two-phase plan (a corpus has FEW, HUGE strata — a
+    * single window on the stratum would serialize each language into
+    * one task): phase 1 ranks within (stratum, input partition) — the
+    * hot stratum spreads over every input partition — and keeps each
+    * partition's local top-n, which must contain the global top-n;
+    * phase 2 ranks the ≤ n×partitions survivors per stratum exactly.
+    * Only survivors shuffle to the per-stratum window, so the final
+    * single-task-per-stratum sort sees at most n×partitions rows
+    * regardless of stratum size. */
   def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"per-stratum count must be positive: $n")
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__part"))
+      .orderBy(bucketOf(col(idCol)), col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(bucketOf(col(idCol)), col(idCol))
-    df.withColumn("sel_rk", row_number().over(w).cast("long"))
+    df.withColumn("__part", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local))
+      .filter(col("__lrk") <= n)
+      .withColumn("sel_rk", row_number().over(w).cast("long"))
       .filter(col("sel_rk") <= n)
+      .drop("__part", "__lrk")
   }
 
   /** DuckDB oracle fragment mirroring [[bucketOf]] (non-negative ids). */

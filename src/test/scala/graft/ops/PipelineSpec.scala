@@ -254,6 +254,21 @@ class PipelineSpec extends AnyFunSuite {
     val tiny = Sample.stratifiedExact(
       strat.filter(col("id") < 10), "g", "id", 7)
     assert(tiny.count() == 10L) // strata smaller than n keep all rows
+
+    // hot stratum: ONE stratum holding ~all rows must not serialize into
+    // a single window task — phase 1 ranks within (stratum, input
+    // partition), so the plan's first window shuffles on (g, __part) and
+    // only local top-n survivors reach the per-stratum exact rank
+    val hot = ids.repartition(16).withColumn("g", lit("all"))
+    val hotSel = Sample.stratifiedExact(hot, "g", "id", 7)
+    val hotPlan = hotSel.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*__part".r.findFirstIn(hotPlan).isDefined,
+      s"expected phase-1 hashpartitioning on (stratum, __part) in:\n$hotPlan")
+    // still exactly the n globally-smallest (bucket, id) rows
+    val expectHot = (0L until 20000L)
+      .map(i => (((i % 1000000000L) * 2654435761L) % 1000000007L % 10000L, i))
+      .sorted.take(7).map(_._2).toSet
+    assert(hotSel.collect().map(_.getLong(0)).toSet == expectHot)
   }
 
   test("training order: seeded bijective permutation, parallelism-invariant") {
