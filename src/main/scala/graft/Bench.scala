@@ -52,7 +52,15 @@ object Bench {
         // Only the FIRST run decides success/failure; a flaky median
         // re-run must not mark an already-timed query as errored
         // (VERDICT r8 advice).
-        if (recordErr) errors ::= (name -> esc(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        // Bounded: class + first line, hard-capped at 60 chars BEFORE
+        // escaping (a truncated escape sequence would break the JSON).
+        // A Spark analysis message embeds the whole plan tree; unbounded
+        // messages made BENCH_r9 unparseable.
+        if (recordErr) {
+          val firstLine = Option(e.getMessage).getOrElse("")
+            .linesIterator.toSeq.headOption.getOrElse("")
+          errors ::= (name -> esc(s"${e.getClass.getSimpleName}: $firstLine".take(60)))
+        }
         -1.0
       }
     }
@@ -109,10 +117,14 @@ object Bench {
       }.mkString("{", ",", "}")
       "\"" + fam + "\":" + inner
     }.mkString("{", ",", "}")
+    // At most 5 error entries ride the JSON line (plus a total count) so
+    // the artifact stays inside the driver's 2000-char stdout tail and
+    // degrades into something parseable instead of a null.
     val errJson =
       if (errors.isEmpty) ""
-      else ",\"errors\":" + errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString("{", ",", "}")
+      else ",\"errors_n\":" + errors.size + ",\"errors\":" +
+        errors.reverse.take(5).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qscheme":"fam","queries":$qs$errJson,"sf":"$sfName"}""")

@@ -14,9 +14,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * session seq) over the same partitioning — Catalyst plans a single
   * sort + exchange reused by both windows. Gap numbering is inherently a
   * per-key prefix scan, so — like any ordered-window op — a single
-  * pathologically hot key serializes into one task; for power-law keys,
-  * pre-split upstream (e.g. cap events per user per day at ingest) or
-  * sessionize per (user, day) when the domain allows it.
+  * pathologically hot key serializes into one task with the default
+  * plan; `tsBuckets = B > 1` switches to the skew-safe sub-bucketed
+  * plan (same trick as [[AsOf.asofJoin]]): rows are ranged into B
+  * ts-buckets per key so a hot key's window work spreads over B tasks,
+  * and the cross-bucket dependency — "does this bucket's FIRST row open
+  * a new session, and how many sessions came before it?" — is resolved
+  * on a keys × B per-bucket summary (last event ts + within-bucket new
+  * count) with a running window, then joined back. Results are
+  * B-invariant (spec-asserted); the price is the per-bucket summary agg
+  * + join and one min/max bounds pass over the events.
   *
   * Streaming form ([[streamingSessions]]): the same semantics as an
   * incremental `flatMapGroupsWithState` with event-time timeout —
@@ -28,24 +35,82 @@ object Sessionize {
 
   /** Per-event session assignment: adds `session_seq` (1-based per key).
     * `tieCol` must make (tsCol, tieCol) unique per key so the ordering —
-    * and therefore the numbering — is total and deterministic. */
+    * and therefore the numbering — is total and deterministic.
+    * `tsBuckets > 1` selects the skew-safe sub-bucketed plan; any B
+    * yields identical results. */
   def assign(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
-      gapUs: Long): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      gapUs: Long, tsBuckets: Int = 1): DataFrame = {
+    require(tsBuckets >= 1, s"tsBuckets must be >= 1, got $tsBuckets")
     val us = unix_micros(col(tsCol))
-    val marked = events.withColumn("__is_new",
-      when(lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) > gapUs, 1L)
-        .otherwise(0L))
-    marked.withColumn("session_seq",
-        sum(col("__is_new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("__is_new")
+    if (tsBuckets == 1) {
+      val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      val marked = events.withColumn("__is_new",
+        when(lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      marked.withColumn("session_seq",
+          sum(col("__is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__is_new")
+    } else {
+      // Bounds from one metadata-cheap min/max pass; ts outside them
+      // saturates into the edge buckets, so approximate bounds stay
+      // correct (same contract as AsOf).
+      val b = events.agg(min(us), max(us)).head()
+      if (b.isNullAt(0) || b.getLong(0) == b.getLong(1))
+        return assign(events, userCol, tsCol, tieCol, gapUs, tsBuckets = 1)
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val bkt = least(greatest(
+        floor((us - lit(mn)).cast("double") * tsBuckets / lit((mx - mn).toDouble)),
+        lit(0L)), lit(tsBuckets - 1L)).cast("long")
+
+      // Within-bucket pass: lag is NULL exactly on each bucket's first
+      // row; __inner_new counts only non-first boundaries, which do not
+      // depend on anything outside the bucket.
+      val wIn = Window.partitionBy(col(userCol), col("__bkt"))
+        .orderBy(col(tsCol), col(tieCol))
+      val marked = events
+        .withColumn("__bkt", bkt)
+        .withColumn("__lag", lag(us, 1).over(wIn))
+        .withColumn("__inner_new",
+          when(col("__lag").isNotNull && us - col("__lag") > gapUs, 1L)
+            .otherwise(0L))
+
+      // keys × B summary. Buckets are ts-ranges, so __last is
+      // nondecreasing across a key's buckets and lag(__last) IS the max
+      // event ts of all earlier (non-empty) buckets — the carry-in the
+      // first row's boundary flag needs. __offset accumulates the
+      // session-starts of earlier buckets.
+      val wKey = Window.partitionBy(col("__sk")).orderBy(col("__sb"))
+      val perBkt = marked
+        .groupBy(col(userCol).as("__sk"), col("__bkt").as("__sb"))
+        .agg(min(us).as("__first"), max(us).as("__last"),
+          sum(col("__inner_new")).as("__innern"))
+        .withColumn("__carry", lag(col("__last"), 1).over(wKey))
+        .withColumn("__firstnew",
+          when(col("__carry").isNull || col("__first") - col("__carry") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("__offset", coalesce(
+          sum(col("__firstnew") + col("__innern"))
+            .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__sk"), col("__sb"), col("__firstnew"), col("__offset"))
+
+      marked
+        .join(perBkt,
+          col(userCol) === col("__sk") && col("__bkt") === col("__sb"))
+        .withColumn("__is_new",
+          when(col("__lag").isNull, col("__firstnew")).otherwise(col("__inner_new")))
+        .withColumn("session_seq",
+          col("__offset") + sum(col("__is_new")).over(
+            wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__bkt", "__lag", "__inner_new", "__sk", "__sb", "__firstnew",
+          "__offset", "__is_new")
+    }
   }
 
   /** Per-session rollup: (user, session_seq, start, end, n_events). */
   def sessions(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
-      gapUs: Long): DataFrame =
-    assign(events, userCol, tsCol, tieCol, gapUs)
+      gapUs: Long, tsBuckets: Int = 1): DataFrame =
+    assign(events, userCol, tsCol, tieCol, gapUs, tsBuckets)
       .groupBy(col(userCol), col("session_seq"))
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),

@@ -274,8 +274,10 @@ object PipelineQueries {
     // min/max as expressions of ONE global agg (ops.Profile) — the
     // first job a pipeline runs on an unfamiliar corpus
     "q_profile" -> ((s, d) =>
+      // exact = true: the DuckDB oracle computes exact distincts; the
+      // library DEFAULT is the approx (HLL) plan
       graft.ops.Profile.profile(t(s, d, "documents"),
-        Seq("doc_id", "lang", "source", "n_chars"))),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = true)),
     // lucene-grade grammar: "quoted phrase", NOT negation, prefix*
     // wildcard in one predicate (reference TEXT_MATCH('name:n10*'),
     // TextMatchUDF.scala:23-30 / lucene MatchExpression)

@@ -56,11 +56,23 @@ object Q {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read it as a nanos long and convert to a micros timestamp.
+      // events.ts has shipped in two fixture layouts: parquet
+      // TIMESTAMP(NANOS) — which Spark 4 rejects unless read as an
+      // int64 — and plain timestamp[us]. Branch on the type the footer
+      // actually carries instead of pinning either layout.
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          // DuckDB reads a naive timestamp[us] as TIMESTAMP; cast to the
+          // session-TZ type (UTC everywhere here) so both engines hash
+          // identical values.
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Clone a fixture table directory for a destructive run: immutable

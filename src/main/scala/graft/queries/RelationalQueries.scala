@@ -397,6 +397,17 @@ object RelationalQueries {
         .agg(min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))),
+
+    // same rollup through the skew-safe (user, ts-bucket) plan — its own
+    // oracle row so the B>1 path carries driver evidence, not just specs
+    "q_sessionize_bucketed" -> ((s, d) =>
+      graft.ops.Sessionize.assign(t(s, d, "events"),
+          "user_id", "ts", "event_id", SessGapUs, tsBuckets = 4)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value")))
   )
 
@@ -638,6 +649,13 @@ object RelationalQueries {
          count(DISTINCT user_id) AS users
          FROM events GROUP BY 1, 2""",
     "q_sessionize" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_id, "value" FROM events),
+          ${graft.ops.Sessionize.oSessions("ev", "user_id", "ts", "event_id", SessGapUs)}
+          SELECT user_id, session_seq,
+            min(ts) AS session_start, max(ts) AS session_end,
+            count(*) AS n_events, ${oDsum("\"value\"")} AS sum_value
+          FROM sessed GROUP BY user_id, session_seq""",
+    "q_sessionize_bucketed" ->
       s"""WITH ev AS (SELECT user_id, ts, event_id, "value" FROM events),
           ${graft.ops.Sessionize.oSessions("ev", "user_id", "ts", "event_id", SessGapUs)}
           SELECT user_id, session_seq,
