@@ -516,9 +516,11 @@ object GraftSql {
     * SELECT that resolves to a graft table carrying TBLPROPERTIES
     * `'streaming'='source'` is swapped in the parsed plan for a
     * `readStream` relation built from the table's properties —
-    * `'format'` (csv|json|parquet|text|socket|rate), `'path'` (file
-    * formats), `'delimiter'`/`'header'` (csv/text), `'host'`/`'port'`/
-    * `'value_format'` (socket), `'rows_per_second'` (rate). An existing
+    * `'format'` (csv|json|parquet|text|socket|rate|kafka), `'path'`
+    * (file formats), `'delimiter'`/`'header'` (csv/text), `'host'`/
+    * `'port'`/`'value_format'` (socket), `'rows_per_second'` (rate),
+    * `'kafka.bootstrap.servers'` + `'topic'`/`'subscribe_pattern'` +
+    * `'starting_offsets'`/`'value_format'` (kafka). An existing
     * readStream temp view of the same name keeps precedence. */
   private def resolveStreamingSelect(
       spark: SparkSession, select: String,
@@ -541,24 +543,56 @@ object GraftSql {
     org.apache.spark.sql.graft.Shims.ofRows(spark, swapped)
   }
 
+  /** The reference's split()-based value parsing
+    * (CarbonCreateStreamCommand.scala:149-181): one text line / message
+    * value per row, delimiter-split, positional cast to the table
+    * schema. Works over string (text/socket) and binary (kafka) value
+    * columns — binary is cast to string first. */
+  private[engine] def parseDelimitedValue(raw: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, delim: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val arr = split(col("value").cast("string"),
+      java.util.regex.Pattern.quote(delim))
+    raw.select(schema.fields.zipWithIndex.map { case (f, i) =>
+      element_at(arr, i + 1).cast(f.dataType).as(f.name) }.toSeq: _*)
+  }
+
+  /** JSON message-value parsing into the table schema. */
+  private[engine] def parseJsonValue(raw: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.select(from_json(col("value").cast("string"), schema).as("j"))
+      .select(schema.fieldNames.map(f => col(s"j.$f")).toSeq: _*)
+  }
+
+  /** Kafka reader options from a streaming-source table's TBLPROPERTIES
+    * (the reference configures its kafka sources the same way,
+    * CarbonCreateStreamCommand.scala:82-85): bootstrap servers are
+    * required; exactly one of `topic` (→ subscribe) or
+    * `subscribe_pattern` (→ subscribePattern) selects the feed. */
+  private[engine] def kafkaSourceOptions(p: Map[String, String],
+      path: String): Map[String, String] = {
+    val bootstrap = p.get("kafka.bootstrap.servers")
+      .orElse(p.get("bootstrap_servers"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"kafka streaming source table $path needs 'kafka.bootstrap.servers'"))
+    val sub: (String, String) = p.get("topic").map("subscribe" -> _)
+      .orElse(p.get("subscribe_pattern").map("subscribePattern" -> _))
+      .getOrElse(throw new IllegalArgumentException(
+        s"kafka streaming source table $path needs 'topic' (or 'subscribe_pattern')"))
+    Map("kafka.bootstrap.servers" -> bootstrap,
+      "startingOffsets" -> p.getOrElse("starting_offsets", "earliest")) + sub
+  }
+
   /** readStream relation from a streaming-source table's properties. */
   private def buildStreamSource(spark: SparkSession, t: GraftTable): DataFrame = {
-    import org.apache.spark.sql.functions._
     val p = t.meta.properties
     val schema = t.schema
     def dir = p.getOrElse("path", throw new IllegalArgumentException(
       s"streaming source table ${t.path} needs a 'path' property"))
     def delim = p.getOrElse("delimiter", ",")
-    // the reference's split()-based value parsing (:149-181): one text
-    // line/value per row, delimiter-split, positional cast to schema
-    def parseDelimited(raw: DataFrame): DataFrame = {
-      val arr = split(col("value"), java.util.regex.Pattern.quote(delim))
-      raw.select(schema.fields.zipWithIndex.map { case (f, i) =>
-        element_at(arr, i + 1).cast(f.dataType).as(f.name) }.toSeq: _*)
-    }
-    def parseJsonValue(raw: DataFrame): DataFrame =
-      raw.select(from_json(col("value").cast("string"), schema).as("j"))
-        .select(schema.fieldNames.map(f => col(s"j.$f")).toSeq: _*)
+    def parseDelimited(raw: DataFrame): DataFrame =
+      parseDelimitedValue(raw, schema, delim)
     p.getOrElse("format", "csv").toLowerCase match {
       case "csv" =>
         spark.readStream.format("csv")
@@ -575,14 +609,25 @@ object GraftSql {
         val raw = spark.readStream.format("socket")
           .option("host", p.getOrElse("host", "localhost"))
           .option("port", p.getOrElse("port", "9999")).load()
-        if (p.get("value_format").contains("json")) parseJsonValue(raw)
+        if (p.get("value_format").contains("json")) parseJsonValue(raw, schema)
         else parseDelimited(raw)
       case "rate" =>
         spark.readStream.format("rate")
           .option("rowsPerSecond", p.getOrElse("rows_per_second", "1")).load()
+      case "kafka" =>
+        // the reference builds the kafka reader itself from the source
+        // table's properties (CarbonCreateStreamCommand.scala:82-85) and
+        // parses the message value into the table schema (:126-181).
+        // Needs the spark-sql-kafka connector on the classpath at load.
+        val raw = kafkaSourceOptions(p, t.path)
+          .foldLeft(spark.readStream.format("kafka")) {
+            case (r, (k, v)) => r.option(k, v) }
+          .load()
+        if (p.get("value_format").contains("json")) parseJsonValue(raw, schema)
+        else parseDelimited(raw)
       case other => throw new IllegalArgumentException(
         s"unsupported streaming source format '$other' " +
-          "(csv|json|parquet|text|socket|rate)")
+          "(csv|json|parquet|text|socket|rate|kafka)")
     }
   }
 

@@ -132,6 +132,56 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported streaming source format"))
   }
 
+  test("CREATE STREAM kafka source: options + value parsing (no broker: plan only)") {
+    import spark.implicits._
+    // option resolution from TBLPROPERTIES (reference
+    // CarbonCreateStreamCommand.scala:82-85)
+    val opts = GraftSql.kafkaSourceOptions(Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092", "topic" -> "events",
+      "starting_offsets" -> "latest"), "p")
+    assert(opts == Map("kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "events", "startingOffsets" -> "latest"))
+    assert(GraftSql.kafkaSourceOptions(Map(
+        "bootstrap_servers" -> "b:9092", "subscribe_pattern" -> "ev.*"), "p")
+      .get("subscribePattern").contains("ev.*"))
+    intercept[IllegalArgumentException](
+      GraftSql.kafkaSourceOptions(Map("topic" -> "t"), "p"))
+    intercept[IllegalArgumentException](
+      GraftSql.kafkaSourceOptions(Map("bootstrap_servers" -> "b"), "p"))
+
+    // the message-value parsers over a kafka-wire-shaped frame (key and
+    // value are BINARY on the wire) must yield exactly the table schema
+    val schema = Seq((0L, "x", 0.0)).toDF("id", "v", "w").schema
+    val wire = Seq(
+      ("k1".getBytes("UTF-8"), "7,a,1.5".getBytes("UTF-8"), "t", 0, 0L),
+      ("k2".getBytes("UTF-8"), "8,b,2.5".getBytes("UTF-8"), "t", 0, 1L))
+      .toDF("key", "value", "topic", "partition", "offset")
+    val parsed = GraftSql.parseDelimitedValue(wire, schema, ",")
+    assert(parsed.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(parsed.as[(Long, String, Double)].collect().toSet ==
+      Set((7L, "a", 1.5), (8L, "b", 2.5)))
+    val wireJ = Seq("""{"id": 7, "v": "a", "w": 1.5}""".getBytes("UTF-8"))
+      .toDF("value")
+    assert(GraftSql.parseJsonValue(wireJ, schema)
+      .as[(Long, String, Double)].collect().toSet == Set((7L, "a", 1.5)))
+
+    // CREATE STREAM really routes a kafka-format source table to the
+    // kafka provider: in this connector-less sandbox the load dies in
+    // data-source lookup NAMING kafka — proving the branch is wired
+    // (with spark-sql-kafka on the classpath it proceeds to ingest)
+    val root = Files.createTempDirectory("graft_kafka_").toString
+    val sink = GraftTable.create(spark, s"$root/sink", schema, Seq("id"))
+    val feed = GraftTable.create(spark, s"$root/feed", schema)
+    feed.setProperties(Map("streaming" -> "source", "format" -> "kafka",
+      "kafka.bootstrap.servers" -> "localhost:9092", "topic" -> "events"))
+    val e = intercept[Exception](GraftSql.command(spark,
+      s"""CREATE STREAM skafka ON TABLE ${sink.path}
+          STMPROPERTIES('checkpoint'='$root/ckpt')
+          AS SELECT id, v, w FROM `${feed.path}`"""))
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("UPDATE … SET (…) = (SELECT …) and tuple form route through the engine") {
     val root = Files.createTempDirectory("graft_updsq_").toString
     import spark.implicits._
