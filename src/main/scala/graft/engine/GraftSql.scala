@@ -111,6 +111,7 @@ object GraftSql {
     * DROP MATERIALIZED VIEW <name>
     * CREATE TABLE <t> LIKE <src>   -- empty clone of schema/sort/partitions/props
     * SHOW SUMMARY FOR TABLE <t>    -- CarbonCli-style per-file metadata
+    * SHOW BENCHMARK FOR TABLE <t> [LIMIT n] -- CarbonCli-style per-file scan timings
     * }}}
     */
   def command(
@@ -153,6 +154,8 @@ object GraftSql {
     val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val CreateLike = """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+LIKE\s+(\S+)\s*$""".r
     val ShowSummary = """(?is)^\s*SHOW\s+SUMMARY\s+FOR\s+TABLE\s+(\S+)\s*$""".r
+    // CarbonCli's other half: per-file scan timings (ScanBenchmark.java)
+    val ShowBenchmark = """(?is)^\s*SHOW\s+BENCHMARK\s+FOR\s+TABLE\s+(\S+)(?:\s+LIMIT\s+(\d+))?\s*$""".r
     // driver metadata cache observability (reference
     // CarbonShowCacheCommand.scala, parser :613-619)
     val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
@@ -363,6 +366,8 @@ object GraftSql {
         }
         Some(done)
       case ShowSummary(t) => Some(table(t).describeFiles)
+      case ShowBenchmark(t, lim) => Some(graft.tools.ScanBench.run(
+        table(t), Option(lim).map(_.toInt).getOrElse(1)))
       // reference CarbonCreateTableLikeCommand: an empty table carrying
       // the source's schema, sort spec, partitioning, bucketing and
       // user properties (no data, no segments)

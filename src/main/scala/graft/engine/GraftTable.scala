@@ -71,6 +71,24 @@ class GraftTable private (val spark: SparkSession, val path: String)
   def readSegments(ids: Seq[Long]): DataFrame =
     spark.read.format("carbonish").option("segments", ids.mkString(",")).load(path)
 
+  /** Position-grain read: only the named files (relative paths, as they
+    * appear in `SegmentMeta.files`) of the given segments — the SI
+    * pushdown target (the reference ships matched block positions into
+    * the scan via BroadCastSIFilterPushJoin; file grain is our
+    * equivalent over parquet, whose row groups then self-prune via
+    * footer stats). Metadata-only count/min-max answers are disabled on
+    * this path by the scan builder. Falls back to whole-segment reads if
+    * a path would break the comma/colon option encoding. */
+  def readFiles(files: Map[Long, Seq[String]]): DataFrame =
+    if (files.exists { case (_, fs) => fs.exists(f => f.contains(",") || f.contains(":")) })
+      readSegments(files.keys.toSeq.sorted)
+    else
+      spark.read.format("carbonish")
+        .option("segments", files.keys.toSeq.sorted.mkString(","))
+        .option("files", files.toSeq.sortBy(_._1)
+          .flatMap { case (s, fs) => fs.map(f => s"$s:$f") }.mkString(","))
+        .load(path)
+
   /** Read with a stable per-row address column (getTupleId analog) —
     * a v1 parquet relation over the segment-pruning file index: the
     * `_metadata` columns tupleId needs only exist on the v1 path (DSv2
@@ -201,11 +219,15 @@ class GraftTable private (val spark: SparkSession, val path: String)
         val df = base.option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .schema(withCorrupt).csv(csvPath).cache()
-        badRecordsPath.foreach { p =>
-          df.filter(col("_corrupt_record").isNotNull)
-            .select(col("_corrupt_record"))
-            .write.mode("append").text(p)
-        }
+        // raw rejected rows always land somewhere inspectable — with no
+        // explicit path, a per-load timestamped dir under the table,
+        // mirroring the reference's redirect layout
+        // (docs/dml-of-carbondata.md:68-71)
+        val quarantine = badRecordsPath.getOrElse(
+          s"$path/badrecords/${System.currentTimeMillis()}")
+        val bad = df.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record"))
+        if (!bad.isEmpty) bad.write.mode("append").text(quarantine)
         df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       case other => throw new IllegalArgumentException(s"bad records action: $other")
     }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * SURVEY §2.3 #15).
   *
   * Spark-first shape: the SI is itself a carbonish table mapping indexed
-  * value → segment id, sorted by value (so SI lookups prune via segment
-  * stats). A query filtering on the indexed column first consults the SI
-  * (a tiny scan), then reads only the main-table segments that contain
-  * the value — the reference pushes matched blocklets the same way, we
-  * push matched segments. At 100 TB the SI is ~|distinct values ×
-  * segments| rows — negligible next to the fact table.
+  * value → (segment id, file), sorted by value (so SI lookups prune via
+  * segment stats). A query filtering on the indexed column first
+  * consults the SI (a tiny scan), then reads only the main-table FILES
+  * that contain the value — position-grain, like the reference's
+  * BroadCastSIFilterPushJoin shipping matched block/blocklet positions
+  * into the main scan (joins/BroadCastSIFilterPushJoin.scala:60); row
+  * groups within a matched file then self-prune via parquet footer
+  * stats. At 100 TB the SI is ~|distinct values × files| rows —
+  * still negligible next to the fact table, and a selective lookup over
+  * a few huge segments now opens a few files, not the segments.
   */
 object Si {
 
@@ -22,6 +26,11 @@ object Si {
 
   private val segIdFromPath: Column =
     regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1).cast("long")
+
+  /** Relative path within the segment dir — the same form as
+    * `SegmentMeta.files` entries (incl. partition subdirs). */
+  private val fileFromPath: Column =
+    regexp_extract(col("_metadata.file_path"), "/segments/[0-9]+/(.*)$", 1)
 
   /** Which base segments an index table has folded in (its coverage
     * ledger) — segments outside this set must be scanned unindexed or
@@ -51,7 +60,8 @@ object Si {
     val vis = t.status.visible
     val files = vis.flatMap(t.layout.segmentFilePaths)
     t.spark.read.schema(t.schema).parquet(files: _*)
-      .select(col(column).as("v"), segIdFromPath.as("seg_id"))
+      .select(col(column).as("v"), segIdFromPath.as("seg_id"),
+        fileFromPath.as("file"))
       .distinct()
   }
 
@@ -82,7 +92,8 @@ object Si {
     if (missing.nonEmpty) {
       val files = missing.flatMap(t.layout.segmentFilePaths)
       val rows = t.spark.read.schema(t.schema).parquet(files: _*)
-        .select(col(column).as("v"), segIdFromPath.as("seg_id"))
+        .select(col(column).as("v"), segIdFromPath.as("seg_id"),
+          fileFromPath.as("file"))
         .distinct()
       si.insert(rows)
       recordIndexedSegments(si, covered ++ missing.map(_.id))
@@ -102,32 +113,65 @@ object Si {
       properties = t.meta.properties - siPathsKey(column)))
   }
 
-  /** SI-accelerated equality/IN read: consult the index for the segment
-    * set containing any of `values`, then scan only those segments with
-    * the exact predicate applied (residual, like the reference's
-    * position-filter join). Falls back to a plain filtered read when no
-    * SI exists on the column. */
+  /** A selective lookup names few (segment, file) hits; past this many
+    * the per-file option encoding stops paying for itself and the read
+    * degrades to segment grain (loud in the plan, not in results). */
+  private val FileGrainMaxHits = 10000
+
+  /** SI-accelerated equality/IN read: consult the index for the FILES
+    * containing any of `values`, then scan only those files with the
+    * exact predicate applied (residual) — position-grain, like the
+    * reference's BroadCastSIFilterPushJoin. SIs built before the file
+    * column, and lookups matching more than [[FileGrainMaxHits]] files,
+    * use segment-grain pruning. Falls back to a plain filtered read when
+    * no SI exists on the column. */
   def readWhereIn(t: GraftTable, column: String, values: Seq[Any]): DataFrame = {
     val pred = col(column).isin(values: _*)
     t.meta.properties.get(siPathsKey(column)) match {
       case None => t.read.filter(pred)
       case Some(siPath) =>
         val si = GraftTable.at(t.spark, siPath)
-        val visible = t.status.visible.map(_.id).toSet
+        val visSegs = t.status.visible
+        val visible = visSegs.map(_.id).toSet
         // segments the index has never seen (inserted/compacted since the
         // last refresh) must be scanned unindexed — the index can only
         // prune within its coverage; retired seg_ids drop out via the
         // visibility intersection (their rows live in uncovered
         // successors, which are scanned)
         val uncovered = visible -- indexedSegments(si)
-        val hits = si.read
-          .filter(col("v").isin(values: _*))
-          .select("seg_id").distinct()
-          .collect().map(_.getLong(0)).toSet
-        val target = ((hits & visible) ++ uncovered).toSeq.sorted
-        if (target.isEmpty)
-          t.read.filter(pred).limit(0) // provably empty
-        else t.readSegments(target).filter(pred)
+        def segmentGrain(): DataFrame = {
+          val hits = si.read
+            .filter(col("v").isin(values: _*))
+            .select("seg_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          val target = ((hits & visible) ++ uncovered).toSeq.sorted
+          if (target.isEmpty)
+            t.read.filter(pred).limit(0) // provably empty
+          else t.readSegments(target).filter(pred)
+        }
+        if (!si.schema.fieldNames.contains("file")) segmentGrain()
+        else {
+          // the hit list is metadata-sized for a selective lookup
+          // (bounded by matched files, and hard-capped below)
+          val hits = si.read
+            .filter(col("v").isin(values: _*))
+            .select("seg_id", "file").distinct()
+            .limit(FileGrainMaxHits + 1)
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+            .filter { case (sId, _) => visible.contains(sId) }
+          if (hits.length > FileGrainMaxHits) segmentGrain()
+          else {
+            // uncovered segments contribute ALL their files; a file the
+            // index knew that a partition-drop removed from `files`
+            // simply no longer resolves (its rows are gone)
+            val uncov = visSegs.filter(s => uncovered.contains(s.id))
+              .flatMap(s => s.files.map(f => (s.id, f)))
+            val wanted = (hits ++ uncov).groupBy(_._1)
+              .view.mapValues(_.map(_._2).distinct.toSeq).toMap
+            if (wanted.isEmpty) t.read.filter(pred).limit(0)
+            else t.readFiles(wanted).filter(pred)
+          }
+        }
     }
   }
 }

@@ -233,7 +233,20 @@ class CarbonishTable(path: String, tableSchema: StructType)
     val status = layout.readStatus()
     // `insegment('0,2')`-style pinned reads (reference CarbonEnv.scala:100)
     val pinned = Option(options.get("segments")).map(_.split(",").map(_.trim.toLong).toSet)
-    val visible = status.visible.filter(s => pinned.forall(_.contains(s.id)))
+    val segVisible = status.visible.filter(s => pinned.forall(_.contains(s.id)))
+    // position-grain reads (the SI pushdown target — reference
+    // BroadCastSIFilterPushJoin ships matched block positions into the
+    // main scan the same way): "files" restricts the scan to the named
+    // "segId:relativePath" entries; a segment left with no named files
+    // drops out entirely
+    val filePin = Option(options.get("files"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val visible = filePin match {
+      case None => segVisible
+      case Some(fp) =>
+        segVisible.map(s => s.copy(files = s.files.filter(f => fp.contains(s"${s.id}:$f"))))
+          .filter(_.files.nonEmpty)
+    }
     // mixed-format tables (ADD SEGMENT csv/json/orc, reference
     // MixedFormatHandler.scala:56,155): one sub-scan per format, their
     // partitions concatenated — SELECT … FROM graft.ns.t serves the union
@@ -241,9 +254,11 @@ class CarbonishTable(path: String, tableSchema: StructType)
     if (foreign.nonEmpty)
       return new MixedScanBuilder(spark, layout, visible, tableSchema, options)
     // metadata count(*) is only sound when every visible segment carries
-    // an exact row count (external ADD SEGMENT files may not)
+    // an exact row count (external ADD SEGMENT files may not), and never
+    // on a file-pinned read (segment rowCount covers ALL its files)
     val totalRows =
-      if (visible.forall(_.rowCount >= 0)) Some(visible.map(_.rowCount).sum)
+      if (filePin.isEmpty && visible.forall(_.rowCount >= 0))
+        Some(visible.map(_.rowCount).sum)
       else None
     new CarbonishScanBuilder(spark, layout, visible, tableSchema, options, totalRows)
   }
@@ -563,7 +578,10 @@ class CarbonishScanBuilder(
   private def metadataAggValues(aggregation: Aggregation): Option[Seq[Any]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Max => VMax, Min => VMin}
-    if (sawFilters || visible.isEmpty) return None
+    // a file-pinned (position-grain) read must never answer from
+    // segment-level stats: they describe ALL the segment's files,
+    // including the excluded ones
+    if (sawFilters || visible.isEmpty || options.containsKey("files")) return None
     if (aggregation.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {

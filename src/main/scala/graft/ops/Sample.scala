@@ -111,44 +111,46 @@ object Sample {
     * parallelism (engine `rand()` and `repartition` orders are not).
     *
     * The permutation is the total order (shuffleKey(id, seed), id), and
-    * the global rank is computed the scale-correct way: ONE range
-    * shuffle on the key (each task sorts only its slice — there is
-    * never a single-task global sort), an eager local checkpoint to pin
-    * the snapshot (an export staging write; it also makes the
-    * partition-local row ids stable across the two downstream jobs),
-    * one metadata-sized stat pass (count + min row-id per partition →
-    * driver, #partitions rows), and a broadcast join that turns the
-    * per-partition counts into cumulative offsets: pos = offset +
-    * local index. Range partition p holds keys below partition p+1's,
-    * so cumulative counts in partition-ordinal order ARE the global
-    * rank offsets. No window over the full data, no driver collect of
-    * rows, no 2^33 assumptions on the row-id layout (only that it is
-    * increasing within a partition, which `monotonically_increasing_id`
-    * guarantees). */
+    * the global rank is computed the scale-correct way, CHECKPOINT- and
+    * SAMPLING-FREE: the key is a ~uniform hash in [0, P), so
+    * `bucket = (key × n) div P` is a pure, balanced, ORDER-PRESERVING
+    * coarse partitioner — no RangePartitioner, whose sampled boundaries
+    * are seeded by the RDD id and so disagree between jobs (that
+    * nondeterminism is what previously forced an eager localCheckpoint
+    * pinning a full corpus copy on executor storage). One count-only
+    * aggregation (map-side partials → n rows on the driver) turns
+    * bucket counts into cumulative offsets; the final pass ranks within
+    * each bucket — buckets are hash-uniform, so the per-bucket window
+    * never sees a hot-key skew — and adds the offset:
+    * pos = offset(bucket) + rank_in_bucket. No window over one global
+    * partition, no driver collect of rows, and both passes are pure
+    * functions of the values, so they agree on ANY partitioning.
+    *
+    * The input is scanned twice (counts, then rank). For a LIVE input
+    * that could change between the two jobs, `pinSnapshot = true`
+    * localCheckpoints the keyed rows first — one scan, at the price of
+    * a full corpus copy on executor storage for the duration. */
   def trainingOrder(df: DataFrame, idCol: String, seed: Long,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, pinSnapshot: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val keyed0 = df
       .withColumn("__tk", shuffleKey(col(idCol), seed))
-      .repartitionByRange(n, col("__tk"), col(idCol))
-      .sortWithinPartitions(col("__tk"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
-    val stats = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mmin"))
-      .orderBy(col("__pid")).collect()
+      .withColumn("__bk", expr(s"(__tk * ${n}L) div ${P}L"))
+    val keyed = if (pinSnapshot) keyed0.localCheckpoint() else keyed0
+    val counts = keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__bk")).collect()
     var acc = 0L
-    val bases = stats.map { r =>
-      val base = acc - r.getLong(2); acc += r.getLong(1)
-      (r.getInt(0), base)
+    val bases = counts.map { r =>
+      val base = (r.getLong(0), acc); acc += r.getLong(1); base
     }.toSeq
-    val offDf = spark.createDataFrame(bases).toDF("__pid", "__base")
-    ranged.join(broadcast(offDf), "__pid")
-      .withColumn("pos", col("__base") + col("__mid"))
-      .drop("__tk", "__pid", "__mid", "__base")
+    val offDf = spark.createDataFrame(bases).toDF("__bk", "__base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("__tk"), col(idCol))
+    keyed.join(broadcast(offDf), "__bk")
+      .withColumn("pos", col("__base") + row_number().over(w) - lit(1L))
+      .drop("__tk", "__bk", "__base")
   }
 
   /** DuckDB oracle fragment mirroring [[shuffleKey]] (non-negative ids). */

@@ -65,7 +65,11 @@ object Sessionize {
 
       // Within-bucket pass: lag is NULL exactly on each bucket's first
       // row; __inner_new counts only non-first boundaries, which do not
-      // depend on anything outside the bucket.
+      // depend on anything outside the bucket. The running sum shares
+      // the same partitioning + order, so Catalyst computes both in ONE
+      // Window over one shuffle — and because the first row's inner
+      // flag is 0, the final numbering needs no second window:
+      // session_seq = offset + firstnew + running inner sum.
       val wIn = Window.partitionBy(col(userCol), col("__bkt"))
         .orderBy(col(tsCol), col(tieCol))
       val marked = events
@@ -74,6 +78,10 @@ object Sessionize {
         .withColumn("__inner_new",
           when(col("__lag").isNotNull && us - col("__lag") > gapUs, 1L)
             .otherwise(0L))
+        .withColumn("__innerrun",
+          sum(when(col("__lag").isNotNull && us - col("__lag") > gapUs, 1L)
+            .otherwise(0L)).over(
+              wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
       // keys × B summary. Buckets are ts-ranges, so __last is
       // nondecreasing across a key's buckets and lag(__last) IS the max
@@ -97,13 +105,10 @@ object Sessionize {
       marked
         .join(perBkt,
           col(userCol) === col("__sk") && col("__bkt") === col("__sb"))
-        .withColumn("__is_new",
-          when(col("__lag").isNull, col("__firstnew")).otherwise(col("__inner_new")))
         .withColumn("session_seq",
-          col("__offset") + sum(col("__is_new")).over(
-            wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .drop("__bkt", "__lag", "__inner_new", "__sk", "__sb", "__firstnew",
-          "__offset", "__is_new")
+          col("__offset") + col("__firstnew") + col("__innerrun"))
+        .drop("__bkt", "__lag", "__inner_new", "__innerrun", "__sk", "__sb",
+          "__firstnew", "__offset")
     }
   }
 

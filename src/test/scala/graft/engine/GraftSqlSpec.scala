@@ -132,6 +132,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported streaming source format"))
   }
 
+  test("SHOW BENCHMARK FOR TABLE times footer/scan/per-column reads per file") {
+    val root = Files.createTempDirectory("graft_sbench_").toString
+    import spark.implicits._
+    val t = GraftTable.createAsSelect(spark, s"$root/t",
+      (0L until 500L).map(i => (i, s"v$i", i * 0.5)).toDF("k", "v", "w"))
+    val out = GraftSql.command(spark,
+      s"SHOW BENCHMARK FOR TABLE `${t.path}` LIMIT 2").get.collect()
+    val ops = out.map(_.getString(2)).toSet
+    assert(ops.contains("footer") && ops.contains("scan_all"))
+    assert(Set("scan:k", "scan:v", "scan:w").subsetOf(ops), s"got $ops")
+    assert(out.forall(_.getLong(3) >= 0L))
+    val files = out.map(r => (r.getLong(0), r.getString(1))).distinct
+    assert(files.nonEmpty && files.length <= 2)
+  }
+
   test("CREATE STREAM kafka source: options + value parsing (no broker: plan only)") {
     import spark.implicits._
     // option resolution from TBLPROPERTIES (reference

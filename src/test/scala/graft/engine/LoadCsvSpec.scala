@@ -57,4 +57,22 @@ class LoadCsvSpec extends AnyFunSuite {
     val quarantined = spark.read.text(bad).collect().map(_.getString(0))
     assert(quarantined.length == 1 && quarantined.head.startsWith("oops"))
   }
+
+  test("REDIRECT without a path quarantines under the table's badrecords dir") {
+    val csv = writeCsv(Seq("1,10.5,a", "oops,xx,b", "3,30.0,c"))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_t_").toString + "/t", schema)
+    t.loadCsv(csv, badRecordsAction = "REDIRECT")
+    assert(t.read.count() == 2)
+    // a timestamped dir under <table>/badrecords holds the raw row
+    val dirs = new java.io.File(s"${t.path}/badrecords").listFiles()
+    assert(dirs != null && dirs.length == 1, "expected one per-load redirect dir")
+    val quarantined = spark.read.text(dirs.head.toString)
+      .collect().map(_.getString(0))
+    assert(quarantined.toSeq == Seq("oops,xx,b"))
+    // a clean load writes no redirect dir at all
+    val csv2 = writeCsv(Seq("7,1.0,z"))
+    t.loadCsv(csv2, badRecordsAction = "REDIRECT")
+    assert(new java.io.File(s"${t.path}/badrecords").listFiles().length == 1)
+  }
 }

@@ -54,4 +54,37 @@ class SiSpec extends AnyFunSuite {
     // falls back to plain filtered read
     assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10)
   }
+
+  test("SI file-grain: selective lookup opens fewer files than the segment holds") {
+    val root = Files.createTempDirectory("graft_si_fg_").toString
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"name${i % 97}")).toDF("k", "name")
+    val t = GraftTable.create(spark, s"$root/t", df.schema)
+    // ONE segment whose rows are range-split over many files: a point
+    // lookup's matches live in exactly one of them
+    t.insert(df.repartitionByRange(8, col("k")))
+    val segFiles = t.status.visible.head.files
+    assert(t.status.visible.size == 1 && segFiles.size >= 4,
+      s"fixture wants a multi-file segment, got ${segFiles.size} files")
+    Si.create(t, "k", s"$root/si_k")
+
+    val q = Si.readWhereIn(t, "k", Seq(7L))
+    assert(q.count() == 1)
+    // plan-asserted position grain: the scan's file index holds only the
+    // SI-matched file(s), not the whole segment (segment-grain pruning
+    // alone would still open all of them)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head match {
+      case s => TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq
+    }
+    assert(scanned.nonEmpty && scanned.size < segFiles.size,
+      s"expected < ${segFiles.size} files in the planned scan, got: $scanned")
+
+    // metadata-only answers must NOT come from segment-wide stats on a
+    // file-pinned read: min/max over one file's read is computed, and
+    // differs from the segment-wide bounds
+    val mm = Si.readWhereIn(t, "k", Seq(7L)).agg(min(col("k")), max(col("k"))).head()
+    assert(mm.getLong(0) == 7L && mm.getLong(1) == 7L)
+  }
 }

@@ -299,9 +299,27 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r =>
         r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("pos"))).toMap
     assert(other != got, "seed must change the order")
-    // scale shape: the rank really is computed across many range
-    // partitions (no single-task global sort)
-    assert(ordered.rdd.getNumPartitions > 1)
+    // scale shape: the rank is computed per hash-uniform bucket (the
+    // window shuffles on __bk), never as one global sort — AQE is free
+    // to coalesce the tiny test OUTPUT afterwards, so partition count
+    // is not the signal; the partitioning key is
+    val plan = ordered.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*__bk".r.findFirstIn(plan).isDefined,
+      s"expected per-bucket rank partitioning in:\n$plan")
+    // and the fixture really spans several buckets
+    val nBk = ids.withColumn("b",
+        expr(s"((${42L % 1000000000L} + id % 1000000000) * 2654435761 % 1000000007 * 8) div 1000000007"))
+      .select("b").distinct().count()
+    assert(nBk > 1, "fixture must span multiple coarse buckets")
+    // the checkpoint-free default and the pinned-snapshot variant are
+    // the same permutation (the stat and final passes recompute the
+    // ranged plan deterministically; pinning only changes the storage/
+    // recompute trade, never the result)
+    val pinned = Sample.trainingOrder(ids, "id", seed = 42L, partitions = 8,
+        pinSnapshot = true)
+      .collect().map(r =>
+        r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("pos"))).toMap
+    assert(pinned == got, "pinSnapshot must not change the permutation")
   }
 
   test("sequence packing: shard-local bins, budget-aligned, parallelism-invariant") {
