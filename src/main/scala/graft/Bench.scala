@@ -70,12 +70,15 @@ object Bench {
       .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val first = runOnce(name, fn, recordErr = true)
-      // Median-of-3 for anything under the interactive anchor (3 s):
-      // single-shot write jobs (IUD rows) showed 1.3 s -> 2.3 s
-      // run-to-run swings while every 3-run-median row stayed within
-      // a few percent across the same sessions.
+      // Median-of-3 for any plausibly-interactive row: single-shot
+      // write jobs (IUD rows) showed 1.3 s -> 2.3 s run-to-run swings
+      // while every 3-run-median row stayed within a few percent across
+      // the same sessions. The cutoff sits well ABOVE the 3 s anchor:
+      // a codegen-heavy first run can land at 3-4 s with a ~1 s steady
+      // state, and skipping the median there would publish the one-time
+      // cost as the query's number.
       val t =
-        if (first < 0 || first >= 3.0) first
+        if (first < 0 || first >= 5.0) first
         else {
           val samples = Seq(first, runOnce(name, fn, recordErr = false),
             runOnce(name, fn, recordErr = false)).filter(_ >= 0)

@@ -78,15 +78,19 @@ object GraftFunctions {
     val clauses = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[TextLit])
     var negateNext = false
+    // operators are UPPERCASE-ONLY, like lucene's QueryParser — the
+    // lowercase words "or"/"and"/"not" are legitimate search terms
+    // (treating them as operators made the word "or" unsearchable and
+    // 'NOT or' a parse error)
     lex(query).foreach { tok =>
-      if (tok.equalsIgnoreCase("OR")) {
+      if (tok == "OR") {
         require(!negateNext, s"dangling NOT before OR in '$query'")
         clauses += scala.collection.mutable.ArrayBuffer.empty[TextLit]
-      } else if (tok.equalsIgnoreCase("AND")) {
+      } else if (tok == "AND") {
         // lucene's explicit AND: terms in a clause already conjoin, so
         // the keyword is a separator, never a literal
         require(!negateNext, s"dangling NOT before AND in '$query'")
-      } else if (tok.equalsIgnoreCase("NOT")) {
+      } else if (tok == "NOT") {
         negateNext = true
       } else {
         val (neg0, body0) =

@@ -296,4 +296,115 @@ object Dedup {
       .withWatermark(tsCol, dedupWindow)
       .dropDuplicatesWithinWatermark("content_md5")
   }
+
+  /** Per-ROW MinHash signature — the same hash family, shingling, and
+    * constants as [[minhashSignatures]], evaluated as one expression
+    * instead of an explode+groupBy (spec-asserted equal). The HOF form
+    * re-hashes each shingle once per seed (the batch doc explains why
+    * explode+combine wins there); per arriving document on a stream
+    * that trade reverses: no shuffle, no state, just a projection. */
+  def rowMinhashSig(toks: Column, shingleN: Int, numHashes: Int): Column = {
+    require(numHashes <= P1.size, s"at most ${P1.size} hash functions")
+    val sh = shingles(toks, shingleN)
+    array((0 until numHashes).map { j =>
+      array_min(transform(sh, { s =>
+        val h = md5(s)
+        (conv(substring(h, 1, 8), 16, 10).cast("long") * P1(j) +
+          conv(substring(h, 9, 8), 16, 10).cast("long") * P2(j) + lit(j.toLong)) % M
+      }))
+    }: _*)
+  }
+
+  /** A streaming near-dup hit: `id` arrived while `dup_of` (an earlier
+    * arrival) was still in LSH-bucket state, with signature-estimated
+    * jaccard `est`. The same pair can surface from up to `bands`
+    * buckets — distinct() downstream (the emission is append-only). */
+  case class NearDupHit(id: Long, dup_of: Long, est: Double)
+  /** Internal wire/state rows of [[streamingNearDup]] — public only
+    * because encoder codegen must construct them. */
+  case class BandedDoc(bucket: String, id: Long, ts_us: Long,
+      sig: Seq[Long], et: java.sql.Timestamp)
+  case class BucketState(entries: List[(Long, Seq[Long])], lastUs: Long)
+
+  /** Streaming MinHash near-dup: the continuous-ingest form of the
+    * LSH pipeline — each arriving document's per-row signature routes
+    * it to its band buckets ([[lshCandidates]]' exact keys), and a
+    * `flatMapGroupsWithState` per bucket flags it against the
+    * signatures still held there (estimated jaccard = matching minhash
+    * fraction ≥ `tau`).
+    *
+    * State is doubly bounded, which is what makes this viable on an
+    * unbounded feed: event-time timeout drops a bucket once the
+    * watermark passes its last arrival + `windowUs` (near-dups in real
+    * pipelines are re-crawls clustered in time — the exact-dedup
+    * argument), and each bucket holds at most `maxBucket` recent
+    * signatures (a bucket hotter than that is a degenerate band — keys
+    * are minhash tuples, so natural buckets are tiny; the cap sheds the
+    * OLDEST first and only ever costs recall against pathological
+    * input, never correctness of what is emitted).
+    *
+    * `docs` must be a streaming frame carrying `idCol` (long),
+    * `toksCol` (array&lt;string&gt;), and event-time `tsCol`. Emitted
+    * hits orient later-arrival → earlier-arrival, append-only. */
+  def streamingNearDup(docs: DataFrame, idCol: String, toksCol: String,
+      tsCol: String, windowUs: Long, shingleN: Int = 3, numHashes: Int = 6,
+      bands: Int = 3, tau: Double = 0.5,
+      maxBucket: Int = 64): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(docs.isStreaming,
+      "streamingNearDup needs a streaming frame; use minhashSignatures + " +
+        "lshCandidates for batch")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    require(windowUs > 0 && tau > 0 && tau <= 1 && maxBucket > 0)
+    val rows = numHashes / bands
+    val sig = rowMinhashSig(col(toksCol), shingleN, numHashes)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(tsCol).as("et"), sig.as("sig"))
+      // docs too short to shingle have null minhashes — nothing to match
+      .filter(size(col("sig")) === numHashes &&
+        !exists(col("sig"), s => s.isNull))
+      .withWatermark("et", s"$windowUs microseconds")
+      .select(explode(array((0 until bands).map { b =>
+          concat_ws("_", lit(b) +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*)
+        }: _*)).as("bucket"),
+        col("id"), col("ts_us"), col("sig"), col("et"))
+
+    implicit val inEnc: Encoder[BandedDoc] = Encoders.product[BandedDoc]
+    implicit val outEnc: Encoder[NearDupHit] = Encoders.product[NearDupHit]
+    implicit val stEnc: Encoder[BucketState] = Encoders.product[BucketState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / numHashes
+
+    def fn(bucket: String, it: Iterator[BandedDoc],
+        state: GroupState[BucketState]): Iterator[NearDupHit] = {
+      if (it.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      var lastUs = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      // micro-batch arrivals are unordered; process in event order so
+      // in-batch pairs orient later → earlier like cross-batch ones
+      it.toArray.sortBy(d => (d.ts_us, d.id)).foreach { d =>
+        entries.iterator
+          .filter { case (eid, esig) => eid != d.id && est(esig, d.sig) >= tau }
+          .foreach { case (eid, esig) => out += NearDupHit(d.id, eid, est(esig, d.sig)) }
+        entries = ((d.id, d.sig) :: entries).take(maxBucket)
+        lastUs = math.max(lastUs, d.ts_us)
+      }
+      state.update(BucketState(entries, lastUs))
+      state.setTimeoutTimestamp(lastUs / 1000L + windowUs / 1000L + 1L)
+      out.iterator
+    }
+
+    banded.as[BandedDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }
