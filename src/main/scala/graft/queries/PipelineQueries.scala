@@ -288,6 +288,16 @@ object PipelineQueries {
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
 
+    // lowercase "or"/"not" are TERMS, not operators (lucene QueryParser
+    // treats only the uppercase forms as syntax) — regression row for
+    // the r10 uppercase-only parser fix
+    "q_text_opcase" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(graft.functions.GraftFunctions.textMatch(col("text"),
+          "data NOT or OR not"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- geo: bbox range-list pruning path vs exact residual ----
     "q_geo_bbox" -> ((s, d) => {
       import graft.geo.Geo
@@ -543,6 +553,10 @@ object PipelineQueries {
       "q_text_phrase" ->
         s"""SELECT lang, count(*) AS cnt FROM documents
             WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "\"big data\" NOT spark OR quer*")}
+            GROUP BY lang""",
+      "q_text_opcase" ->
+        s"""SELECT lang, count(*) AS cnt FROM documents
+            WHERE ${graft.functions.GraftFunctions.oTextMatch("text", "data NOT or OR not")}
             GROUP BY lang""",
       // min/max cast to VARCHAR on both sides (exact for int/string
       // columns — see ops.Profile)
