@@ -377,6 +377,59 @@ object RelationalQueries {
                WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
                GROUP BY c_mktsegment""")
     }),
+    // correlated EXISTS / NOT EXISTS (planned as semi/anti joins)
+    "q_subquery_exists" -> ((s, d) => {
+      views(s, d)
+      s.sql("""SELECT c_mktsegment, count(*) AS cnt FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+                 AND NOT EXISTS (SELECT 1 FROM orders o2
+                                 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+               GROUP BY c_mktsegment""")
+    }),
+    // null-safe equality join (IS NOT DISTINCT FROM) over derived
+    // nullable keys
+    "q_join_nullsafe" -> ((s, d) => {
+      views(s, d)
+      s.sql("""SELECT a.k AS k, count(*) AS cnt FROM
+                 (SELECT nullif(c_nationkey % 5, 0) AS k FROM customer) a
+               JOIN (SELECT nullif(n_nationkey % 5, 0) AS k FROM nation) b
+                 ON a.k IS NOT DISTINCT FROM b.k
+               GROUP BY a.k""")
+    }),
+    // ntile / percent_rank / cume_dist — rank-family beyond q_window_rank
+    "q_window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+    // date arithmetic: date_add / add_months / datediff vs a fixed pin
+    "q_fn_datearith" -> ((s, d) => {
+      // fixture o_orderdate is a timestamp; date arithmetic is pinned
+      // to DATE on both engines
+      val od = col("o_orderdate").cast("date")
+      t(s, d, "orders")
+        .groupBy(year(od).cast("long").as("y"))
+        .agg(count(lit(1)).as("cnt"),
+          // dates travel as strings: a DATE column stringifies with a
+          // midnight suffix in some readers, breaking the hash contract
+          min(date_add(od, 30)).cast("string").as("min_plus30"),
+          max(add_months(od, 2)).cast("string").as("max_plus2m"),
+          sum(datediff(lit("1998-12-01").cast("date"), od)
+            .cast("long")).as("sum_dd"))
+    }),
+    // NULLS LAST ordering drives the LIMIT selection (nulls must lose)
+    "q_sort_nulls" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(nullif(col("o_custkey") % 7, lit(3)).as("k"), col("o_orderkey"))
+        .orderBy(col("k").asc_nulls_last, col("o_orderkey"))
+        .limit(50)
+    }),
 
     // ---- events / streaming-shaped batch query ----
     "q_events_hourly" -> ((s, d) => {
@@ -643,6 +696,37 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
          WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
          GROUP BY c_mktsegment""",
+    "q_subquery_exists" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+         GROUP BY c_mktsegment""",
+    "q_join_nullsafe" ->
+      """SELECT a.k AS k, CAST(count(*) AS BIGINT) AS cnt FROM
+           (SELECT nullif(c_nationkey % 5, 0) AS k FROM customer) a
+         JOIN (SELECT nullif(n_nationkey % 5, 0) AS k FROM nation) b
+           ON a.k IS NOT DISTINCT FROM b.k
+         GROUP BY a.k""",
+    "q_window_ntile" ->
+      """SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS nt,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY CAST(o_totalprice AS DECIMAL(12,4)), o_orderkey)""",
+    "q_fn_datearith" ->
+      """SELECT CAST(EXTRACT(year FROM od) AS BIGINT) AS y,
+           count(*) AS cnt,
+           CAST(min(od + 30) AS VARCHAR) AS min_plus30,
+           CAST(CAST(max(od + INTERVAL 2 MONTH) AS DATE) AS VARCHAR) AS max_plus2m,
+           CAST(sum(datediff('day', od, DATE '1998-12-01')) AS BIGINT) AS sum_dd
+         FROM (SELECT CAST(o_orderdate AS DATE) AS od FROM orders) GROUP BY 1""",
+    "q_sort_nulls" ->
+      """SELECT nullif(o_custkey % 7, 3) AS k, o_orderkey FROM orders
+         ORDER BY k ASC NULLS LAST, o_orderkey LIMIT 50""",
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
          min("value") AS min_v, max("value") AS max_v,
