@@ -22,8 +22,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a new session, and how many sessions came before it?" — is resolved
   * on a keys × B per-bucket summary (last event ts + within-bucket new
   * count) with a running window, then joined back. Results are
-  * B-invariant (spec-asserted); the price is the per-bucket summary agg
-  * + join and one min/max bounds pass over the events.
+  * B-invariant (spec-asserted); the price is one min/max bounds pass
+  * plus a second, column-pruned evaluation of the within-bucket window
+  * feeding the summary agg (the summary side shares no stage with the
+  * per-row side) — roughly 2× the B=1 plan, traded for hot keys not
+  * serializing.
   *
   * Streaming form ([[streamingSessions]]): the same semantics as an
   * incremental `flatMapGroupsWithState` with event-time timeout —
