@@ -1,18 +1,27 @@
 #!/usr/bin/env python3
-"""Convert Bench's compact family-keyed ms JSON line to the
-BENCH_rN_local.json format (full names, seconds)."""
+"""Produce BENCH_rN_local.json (full names, seconds) from either the
+full per-query JSON file Bench writes (SPARK_GRAFT_BENCH_FULL, default
+/tmp/graft_bench_full.json) or an sbt log containing the family-compact
+stdout line."""
 import sys, json, re
 
-log = open(sys.argv[1]).read()
-m = re.findall(r'^(?:\[info\] )?(\{"metric".*\})\s*$', log, re.M)
-assert m, "no bench JSON line found"
-d = json.loads(m[-1])
-assert d.get("qscheme") == "fam" and d.get("qunit") == "ms", d.keys()
+src = open(sys.argv[1]).read()
 queries = {}
-for fam, inner in d["queries"].items():
-    for k, ms in inner.items():
-        name = k if fam == "@" else f"q_{fam}_{k}"
-        queries[name] = round(ms / 1000.0, 3)
+d = None
+try:
+    d = json.loads(src)
+except ValueError:
+    m = re.findall(r'^(?:\[info\] )?(\{"metric".*\})\s*$', src, re.M)
+    assert m, "no bench JSON line found"
+    d = json.loads(m[-1])
+assert d.get("qunit") == "ms", d.keys()
+if d.get("qscheme") == "fam":
+    for fam, inner in d["queries"].items():
+        for k, ms in inner.items():
+            name = k if fam == "@" else f"q_{fam}_{k}"
+            queries[name] = round(ms / 1000.0, 3)
+else:  # full flat format from the file
+    queries = {k: round(ms / 1000.0, 3) for k, ms in d["queries"].items()}
 out = {
     "metric": "total", "value": d["value"], "unit": "sec", "warm": True,
     "queries": dict(sorted(queries.items())), "sf": d.get("sf"),

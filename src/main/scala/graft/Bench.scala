@@ -130,7 +130,37 @@ object Bench {
           .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qscheme":"fam","queries":$qs$errJson,"sf":"$sfName"}""")
+    // The complete full-name per-query map always lands in a FILE (the
+    // committed BENCH_r{N}_local.json derives from it) — stdout only
+    // carries what fits the driver's tail window.
+    val fullJson = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString(
+        s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","queries":{""",
+        ",", s"""}$errJson,"sf":"$sfName"}""")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+    catch { case _: Throwable => }
+    val famLine =
+      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qscheme":"fam","queries":$qs$errJson,"sf":"$sfName"}"""
+    // The driver parses the JSON line out of the LAST 2000 stdout chars,
+    // and sbt appends ~70 chars of its own AFTER us — past ~1800 chars
+    // the line's head would slide out of the window and parse as null
+    // (r7-r9 all lost their driver bench this way). Degrade to
+    // per-family subtotal SECONDS, self-describingly ("qscheme":
+    // "famsum"); the full per-query map is in the file + committed
+    // artifact.
+    val line =
+      if (famLine.length <= 1800) famLine
+      else {
+        val sums = byFam.toSeq.sortBy(_._1).map { case (fam, es) =>
+          val famSec = es.collect { case (_, v) if v >= 0 => v }.sum
+          "\"" + fam + "\":" + fmtSec(famSec)
+        }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"sec","qscheme":"famsum","queries_n":${results.size},"queries":$sums$errJson,"sf":"$sfName"}"""
+      }
+    println(line)
     spark.stop()
   }
 }
