@@ -233,7 +233,22 @@ class CarbonishTable(path: String, tableSchema: StructType)
     val status = layout.readStatus()
     // `insegment('0,2')`-style pinned reads (reference CarbonEnv.scala:100)
     val pinned = Option(options.get("segments")).map(_.split(",").map(_.trim.toLong).toSet)
-    val segVisible = status.visible.filter(s => pinned.forall(_.contains(s.id)))
+    // A pinned read (insegment / readSegments / readFiles / SI) names
+    // explicit segment ids: resolve them against the full commit log,
+    // not just the currently-visible set. A compaction that commits
+    // between the caller's resolve and this plan RETIRES those ids but
+    // keeps their files until CLEAN FILES — retention exists for
+    // exactly this snapshot stability — so the pinned read stays
+    // consistent (the retired segments' own delete deltas still apply)
+    // instead of silently dropping rows. Uncommitted (IN_PROGRESS) and
+    // user-deleted (MARKED_FOR_DELETE) segments stay excluded: the
+    // former is not yet data, the latter's content was explicitly
+    // removed and must not resurface through a pin.
+    val segVisible = pinned match {
+      case None => status.visible
+      case Some(ids) => status.segments.filter(s => ids.contains(s.id) &&
+        (s.isVisible || s.status == SegmentStatus.Compacted))
+    }
     // position-grain reads (the SI pushdown target — reference
     // BroadCastSIFilterPushJoin ships matched block positions into the
     // main scan the same way): "files" restricts the scan to the named

@@ -74,4 +74,25 @@ class ConcurrencySpec extends AnyFunSuite {
         assert(t.layout.fs.exists(new org.apache.hadoop.fs.Path(f)), s"missing $f"))
     }
   }
+
+  test("pinned reads survive a compaction committing between resolve and scan") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_conc3_").toString + "/t"
+    val mk = (a: Long, b: Long) =>
+      (a until b).map(i => (i, i * 2.0)).toDF("k", "v")
+    val t = GraftTable.create(spark, path, mk(0, 1).schema)
+    t.insert(mk(0, 50)); t.insert(mk(50, 100))
+    // resolve ids 0,1 NOW; the scan plans lazily at collect
+    val pinned = t.readSegments(Seq(0L, 1L))
+    // compaction retires 0,1 into 2 — files stay until CLEAN FILES
+    assert(t.compact("MAJOR").nonEmpty)
+    assert(t.status.visible.map(_.id) == Seq(2L))
+    // the pinned read must still see every row (the old silent outcome
+    // was 0 rows: retired ids vanished from the visible set)
+    assert(pinned.count() == 100)
+    // but a user-DELETED segment must NOT resurface through a pin
+    t.insert(mk(100, 110)) // segment 3
+    t.deleteSegmentsById(Seq(3L))
+    assert(t.readSegments(Seq(3L)).count() == 0)
+  }
 }
