@@ -100,6 +100,50 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction preserves the bucket layout: SPJ stays shuffle-free after MAJOR") {
+    val wh = Files.createTempDirectory("graft_bwh2_").toString
+    spark.conf.set("spark.sql.catalog.gbc", "graft.engine.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbc.ns")
+    spark.sql(s"CREATE TABLE gbc.ns.fact (k BIGINT, v DOUBLE) USING carbonish " +
+      s"PARTITIONED BY (bucket($N, k)) TBLPROPERTIES ('sort_columns'='k')")
+    spark.sql(s"CREATE TABLE gbc.ns.dim (k BIGINT, w DOUBLE) USING carbonish " +
+      s"PARTITIONED BY (bucket($N, k)) TBLPROPERTIES ('sort_columns'='k')")
+    // several small inserts → several segments, then compact them away
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO gbc.ns.fact SELECT id, CAST(id AS DOUBLE) " +
+        s"FROM range(${i * 500}, ${(i + 1) * 500})"))
+    spark.sql("INSERT INTO gbc.ns.dim SELECT id * 2, CAST(id AS DOUBLE) FROM range(0, 400)")
+    val t = GraftTable.at(spark, s"$wh/ns/fact")
+    assert(t.status.visible.size == 3)
+    assert(t.compact("MAJOR").nonEmpty)
+    assert(t.status.visible.size == 1)
+    // the compacted segment's files are still bucket-exclusive
+    val seg = t.status.visible.head
+    assert(seg.files.forall(f => Buckets.tagOf(f).exists(b => b >= 0 && b < N)),
+      seg.files.take(3).toString)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.sql(
+        """SELECT f.k AS k, f.v AS v, d.w AS w
+           FROM gbc.ns.fact f JOIN gbc.ns.dim d ON f.k = d.k""")
+      assert(joined.collect().length == 400)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        "compaction must not break storage-partitioned joins")
+    }
+    // and bucket pruning still fires on the compacted segment
+    val b = Buckets.bucketIdExternal(N, Seq((123L,
+      org.apache.spark.sql.types.LongType)))
+    val pruned = plannedFiles(t.read.filter(col("k") === 123L).select("k"))
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.contains(s"${Buckets.TagPrefix}$b")), pruned.toString)
+  }
+
   test("equality filter on the bucket column prunes to one bucket's files") {
     val t = mkBucketed(tmp(), 4000, 3)
     val all = plannedFiles(t.read.select("k"))
