@@ -87,4 +87,29 @@ class SiSpec extends AnyFunSuite {
     val mm = Si.readWhereIn(t, "k", Seq(7L)).agg(min(col("k")), max(col("k"))).head()
     assert(mm.getLong(0) == 7L && mm.getLong(1) == 7L)
   }
+
+  test("SI file-grain round-trips partition subdir paths") {
+    val root = Files.createTempDirectory("graft_si_part_").toString
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, (i % 3).toInt, s"u${i % 11}"))
+      .toDF("k", "p", "u")
+    val t = GraftTable.create(spark, s"$root/t", df.schema,
+      partitionColumns = Seq("p"))
+    t.insert(df)
+    // partitioned layout: SegmentMeta.files carry the __p_p=<v>/ prefix
+    assert(t.status.visible.head.files.forall(_.startsWith("__p_p=")),
+      t.status.visible.head.files.take(3).toString)
+    Si.create(t, "u", s"$root/si_u")
+    val q = Si.readWhereIn(t, "u", Seq("u7"))
+    val expect = df.filter(col("u") === "u7").count()
+    assert(q.count() == expect && expect > 0)
+    // the planned scan resolved the partition-prefixed rel paths
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head match {
+      case s => TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq
+    }
+    assert(scanned.nonEmpty && scanned.forall(_.contains("__p_p=")),
+      scanned.take(3).toString)
+  }
 }
