@@ -125,7 +125,8 @@ object Si {
     * column, and lookups matching more than [[FileGrainMaxHits]] files,
     * use segment-grain pruning. Falls back to a plain filtered read when
     * no SI exists on the column. */
-  def readWhereIn(t: GraftTable, column: String, values: Seq[Any]): DataFrame = {
+  def readWhereIn(t: GraftTable, column: String, values: Seq[Any],
+      maxFileHits: Int = FileGrainMaxHits): DataFrame = {
     val pred = col(column).isin(values: _*)
     t.meta.properties.get(siPathsKey(column)) match {
       case None => t.read.filter(pred)
@@ -152,15 +153,19 @@ object Si {
         if (!si.schema.fieldNames.contains("file")) segmentGrain()
         else {
           // the hit list is metadata-sized for a selective lookup
-          // (bounded by matched files, and hard-capped below)
-          val hits = si.read
+          // (bounded by matched files, and hard-capped below); the
+          // overflow check runs on the RAW collected count — a stale SI
+          // full of retired seg_ids could otherwise consume limit slots,
+          // pass the cap after the visibility filter, and proceed with a
+          // silently truncated file list
+          val raw = si.read
             .filter(col("v").isin(values: _*))
             .select("seg_id", "file").distinct()
-            .limit(FileGrainMaxHits + 1)
+            .limit(maxFileHits + 1)
             .collect().map(r => (r.getLong(0), r.getString(1)))
-            .filter { case (sId, _) => visible.contains(sId) }
-          if (hits.length > FileGrainMaxHits) segmentGrain()
+          if (raw.length > maxFileHits) segmentGrain()
           else {
+            val hits = raw.filter { case (sId, _) => visible.contains(sId) }
             // uncovered segments contribute ALL their files; a file the
             // index knew that a partition-drop removed from `files`
             // simply no longer resolves (its rows are gone)

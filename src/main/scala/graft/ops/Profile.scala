@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Long-format profile: one row per column —
-    * (col_name, n_rows, n_null, n_distinct, min_s, max_s). */
+    * (col_name, n_rows, n_null, n_distinct, min_s, max_s).
+    *
+    * OUTPUT CONTRACT: `n_distinct` is an HLL ESTIMATE (~2% rsd) unless
+    * `exact = true` — callers comparing profiles across runs, or feeding
+    * n_distinct into equality-sensitive logic (e.g. a uniqueness check),
+    * must opt into `exact`. The column name is the same in both modes so
+    * downstream schemas don't fork on an accuracy knob. */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>

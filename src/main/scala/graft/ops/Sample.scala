@@ -126,10 +126,15 @@ object Sample {
     * partition, no driver collect of rows, and both passes are pure
     * functions of the values, so they agree on ANY partitioning.
     *
-    * The input is scanned twice (counts, then rank). For a LIVE input
-    * that could change between the two jobs, `pinSnapshot = true`
-    * localCheckpoints the keyed rows first — one scan, at the price of
-    * a full corpus copy on executor storage for the duration. */
+    * DETERMINISM REQUIREMENT: the input is scanned twice (counts, then
+    * rank), so `df` must evaluate to the same rows in both jobs — true
+    * for any table/file-backed input, which is the export use case. For
+    * a LIVE or otherwise non-deterministic input (an unpinned stream
+    * sink, a query over a table being written) the two scans can
+    * disagree, producing duplicate or gapped `pos` values; pass
+    * `pinSnapshot = true` there — it localCheckpoints the keyed rows
+    * first, one scan, at the price of a full corpus copy on executor
+    * storage for the duration. */
   def trainingOrder(df: DataFrame, idCol: String, seed: Long,
       partitions: Int = 0, pinSnapshot: Boolean = false): DataFrame = {
     val spark = df.sparkSession

@@ -107,7 +107,12 @@ object Sessionize {
 
       marked
         .join(perBkt,
-          col(userCol) === col("__sk") && col("__bkt") === col("__sb"))
+          // null-safe on both sides: the B=1 window plan sessionizes
+          // NULL user keys (partitionBy groups nulls) and a NULL ts
+          // yields a NULL bucket — a plain equi-join would silently
+          // drop those rows and break the "any B yields identical
+          // results" contract
+          (col(userCol) <=> col("__sk")) && (col("__bkt") <=> col("__sb")))
         .withColumn("session_seq",
           col("__offset") + col("__firstnew") + col("__innerrun"))
         .drop("__bkt", "__lag", "__inner_new", "__innerrun", "__sk", "__sb",

@@ -88,6 +88,44 @@ class SiSpec extends AnyFunSuite {
     assert(mm.getLong(0) == 7L && mm.getLong(1) == 7L)
   }
 
+  test("file-grain overflow check runs on the RAW hit count, not post-visibility") {
+    // A stale SI holding retired seg_ids must not let them consume limit
+    // slots and sneak a truncated file list under the cap: the degrade
+    // decision is made on the raw collected count, BEFORE the visibility
+    // filter, so an over-cap lookup always falls back to segment grain.
+    val root = Files.createTempDirectory("graft_si_ovf_").toString
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i % 2, i)).toDF("flag", "k")
+    val t = GraftTable.create(spark, s"$root/t", df.schema)
+    // two segments, 'flag' values live in every file of both
+    t.insert(df.filter(col("k") < 2000L).repartition(4))
+    t.insert(df.filter(col("k") >= 2000L).repartition(4))
+    Si.create(t, "flag", s"$root/si_flag")
+    // compaction retires segs 0+1; REINDEX folds the successor in but
+    // the stale seg-0/1 postings remain in the SI table
+    t.compact("MAJOR")
+    Si.repair(t, "flag")
+    val vis = t.status.visible
+    assert(vis.size == 1 && vis.head.id > 1L, "compaction must retire segs 0+1")
+    val visFiles = vis.head.files.size
+    val stale = GraftTable.at(spark, s"$root/si_flag").read
+      .filter(col("seg_id") < 2L).count()
+    assert(stale > 0, "fixture wants stale retired-segment postings in the SI")
+
+    // cap below the raw hit count (stale + fresh): must degrade to
+    // segment grain — ALL the visible segment's files planned, none
+    // silently dropped
+    val q = Si.readWhereIn(t, "flag", Seq(1L), maxFileHits = 2)
+    assert(q.count() == 2000L)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head match {
+      case s => TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq
+    }
+    assert(scanned.size == visFiles,
+      s"over-cap lookup must scan the whole segment ($visFiles files), got ${scanned.size}")
+  }
+
   test("SI file-grain round-trips partition subdir paths") {
     val root = Files.createTempDirectory("graft_si_part_").toString
     import spark.implicits._

@@ -90,6 +90,24 @@ class SessionizeSpec extends AnyFunSuite {
     assert(base.count(_._1 == 1L) == 2)
   }
 
+  test("tsBuckets: NULL user keys sessionize identically to the B=1 plan") {
+    import spark.implicits._
+    // the B=1 window groups NULL keys into one partition; the bucketed
+    // plan joins back through (user <=> __sk) so those rows must survive
+    val ev = (Seq((None, 0L, 1L), (None, 5L, 2L), (None, 100L, 3L)) ++
+        (0 until 50).map(i => (Some(1L), i * 2L, 10L + i)))
+      .map { case (u, sec, id) => (u, new java.sql.Timestamp(sec * 1000L), id) }
+      .toDF("user_id", "ts", "event_id")
+    val base = Sessionize.assign(ev, "user_id", "ts", "event_id", GapUs)
+      .select(col("event_id"), col("session_seq")).as[(Long, Long)].collect().toMap
+    assert(base.size == 53, "fixture rows with NULL keys must be assigned")
+    for (bq <- Seq(4, 16)) {
+      val m = Sessionize.assign(ev, "user_id", "ts", "event_id", GapUs, tsBuckets = bq)
+        .select(col("event_id"), col("session_seq")).as[(Long, Long)].collect().toMap
+      assert(m == base, s"tsBuckets=$bq drops or renumbers NULL-key rows")
+    }
+  }
+
   test("streaming: sessions emit once closed, matching batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
