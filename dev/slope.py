@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Per-family scale slope between two full-name bench artifacts
+(BENCH_r{N}_local.json shape: {"queries": {"q_fam_x": <ms or sec>}}).
+Usage: slope.py <sf0.1.json> <sf1.json> [data_ratio]"""
+import sys, json
+from collections import defaultdict
+
+a = json.load(open(sys.argv[1]))
+b = json.load(open(sys.argv[2]))
+ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+
+
+def fam(k):
+    if not k.startswith("q_"):
+        return "@"
+    rest = k[2:]
+    i = rest.find("_")
+    return rest[:i] if i > 0 else "@"
+
+
+def fams(d):
+    out = defaultdict(float)
+    for k, v in d["queries"].items():
+        if isinstance(v, dict):  # famsum scheme
+            continue
+        if v is not None and v >= 0:
+            out[fam(k)] += float(v)
+    return out
+
+
+fa, fb = fams(a), fams(b)
+rows = []
+for f in sorted(set(fa) | set(fb)):
+    x, y = fa.get(f, 0.0), fb.get(f, 0.0)
+    slope = (y / x) if x > 0 else float("nan")
+    rows.append((f, x, y, slope))
+
+print(f"| family | sf0.1 (ms) | sf1 (ms) | slope (x{ratio:.0f} data) | per-row |")
+print("|---|---|---|---|---|")
+ta = tb = 0.0
+for f, x, y, s in rows:
+    ta += x; tb += y
+    per = s / ratio if s == s else float("nan")
+    flag = " ⚠" if s == s and s > 2 * ratio else ""
+    print(f"| {f} | {x:.0f} | {y:.0f} | {s:.1f}x{flag} | {per:.2f} |")
+print(f"| **total** | {ta:.0f} | {tb:.0f} | {tb/ta:.1f}x | {tb/ta/ratio:.2f} |")

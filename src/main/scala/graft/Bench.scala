@@ -66,23 +66,37 @@ object Bench {
     }
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
     // queries (the warm pass is filtered the same way).
+    // Median-of-3 for EVERY successful row, bounded by a global
+    // extra-run time budget instead of the old ">= 5 s skips the
+    // median" cutoff: in the r10 driver run the codegen-heavy families
+    // (ann/geo) landed their cold first run ABOVE the cutoff (8.9 s vs
+    // a 1.7 s steady state), so exactly the rows that most needed a
+    // median never got one and the famsum overstated ~40%. The budget
+    // keeps total bench time bounded at any SF; rows that exhaust it
+    // fall back to their single shot. With only 1 extra sample the
+    // steady-state estimate is the MIN (one cold + one warm — the
+    // 2-sample "median" would re-publish the cold run).
+    var extraBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_SEC", "150").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val first = runOnce(name, fn, recordErr = true)
-      // Median-of-3 for any plausibly-interactive row: single-shot
-      // write jobs (IUD rows) showed 1.3 s -> 2.3 s run-to-run swings
-      // while every 3-run-median row stayed within a few percent across
-      // the same sessions. The cutoff sits well ABOVE the 3 s anchor:
-      // a codegen-heavy first run can land at 3-4 s with a ~1 s steady
-      // state, and skipping the median there would publish the one-time
-      // cost as the query's number.
-      val t =
-        if (first < 0 || first >= 5.0) first
+      def extraRun(): Double =
+        if (extraBudget <= 0) -1.0
         else {
-          val samples = Seq(first, runOnce(name, fn, recordErr = false),
-            runOnce(name, fn, recordErr = false)).filter(_ >= 0)
-          samples.sorted.apply(samples.size / 2)
+          val v = runOnce(name, fn, recordErr = false)
+          if (v >= 0) extraBudget -= v
+          v
+        }
+      val t =
+        if (first < 0) first
+        else {
+          val samples = first +: Seq(extraRun(), extraRun()).filter(_ >= 0)
+          samples.size match {
+            case 1 => first
+            case 2 => samples.min
+            case _ => samples.sorted.apply(samples.size / 2)
+          }
         }
       name -> t
     }

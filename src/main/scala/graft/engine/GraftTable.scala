@@ -180,6 +180,20 @@ class GraftTable private (val spark: SparkSession, val path: String)
         else st.segments
       st.copy(segments = others.map(s => if (s.id == id) seg else s))
     }
+    // load-time index maintenance (reference SILoadEventListener family,
+    // index/secondary-index/): fold ONLY the new segment into every
+    // registered SI / text index — incremental, reads the fresh segment,
+    // not the table. Runs strictly AFTER the publish commit, so a failed
+    // load never records phantom coverage. `index.autorefresh=false`
+    // opts a bulk backfill out (scans stay correct via the uncovered-
+    // segment fallback until a manual REINDEX).
+    if (m.properties.getOrElse("index.autorefresh", "true").toBoolean) {
+      m.properties.keys.filter(_.startsWith("si.")).foreach(k =>
+        graft.engine.index.Si.repair(this, k.stripPrefix("si."), Some(Seq(id))))
+      m.properties.keys.filter(_.startsWith("textindex.")).foreach(k =>
+        graft.engine.index.TextIndex.repair(this,
+          k.stripPrefix("textindex."), Some(Seq(id))))
+    }
     // auto load merge (reference auto-compaction, docs/usecases.md:91-93):
     // when the visible segment count reaches the threshold, run a MINOR
     // compaction so read amplification stays bounded under many small loads
@@ -193,45 +207,80 @@ class GraftTable private (val spark: SparkSession, val path: String)
   /** LOAD DATA (CSV) with bad-record handling via Spark's PERMISSIVE
     * mode (reference CarbonLoadDataCommand.scala:50; bad-record actions
     * docs/dml-of-carbondata.md:68-71). `badRecordsAction`:
-    * FAIL | IGNORE | REDIRECT(badRecordsPath). */
+    * FAIL | IGNORE | REDIRECT(badRecordsPath).
+    *
+    * ARRAY/STRUCT/MAP columns are ingested from
+    * COMPLEX_DELIMITER_LEVEL_1/2/3-delimited cells
+    * (docs/dml-of-carbondata.md:161-184): the CSV parser reads them as
+    * strings, [[format.ComplexCsv]] rebuilds the typed values with
+    * codegen'd split/transform expressions, and malformed complex cells
+    * route through the SAME action matrix as malformed scalar rows. */
   def loadCsv(
       csvPath: String,
       options: Map[String, String] = Map.empty,
       badRecordsAction: String = "FAIL",
       badRecordsPath: Option[String] = None): Long = {
+    import graft.engine.format.ComplexCsv
     // spatial-index tables: the CSV carries only the source lat/lng —
     // parse without the generated column; insert() derives it
     val target = graft.geo.SpatialIndex.of(meta.properties) match {
       case Some(sp) => StructType(schema.fields.filterNot(_.name == sp.name))
       case None => schema
     }
+    // complex columns come off the CSV parser as raw strings
+    val parseSchema = ComplexCsv.csvSchema(target)
+    val action = badRecordsAction.toUpperCase
+    // raw rejected rows always land somewhere inspectable — with no
+    // explicit path, a per-load timestamped dir under the table,
+    // mirroring the reference's redirect layout
+    // (docs/dml-of-carbondata.md:68-71)
+    lazy val quarantine = badRecordsPath.getOrElse(
+      s"$path/badrecords/${System.currentTimeMillis()}")
     val base = spark.read
       .options(Map("header" -> "true", "delimiter" -> ",") ++ options)
-    val raw = badRecordsAction.toUpperCase match {
+    val raw = action match {
       case "FAIL" =>
-        base.option("mode", "FAILFAST").schema(target).csv(csvPath)
+        base.option("mode", "FAILFAST").schema(parseSchema).csv(csvPath)
       case "IGNORE" =>
-        base.option("mode", "DROPMALFORMED").schema(target).csv(csvPath)
+        base.option("mode", "DROPMALFORMED").schema(parseSchema).csv(csvPath)
       case "REDIRECT" =>
-        val withCorrupt = StructType(target.fields :+
+        val withCorrupt = StructType(parseSchema.fields :+
           org.apache.spark.sql.types.StructField("_corrupt_record",
             org.apache.spark.sql.types.StringType, true))
         val df = base.option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .schema(withCorrupt).csv(csvPath).cache()
-        // raw rejected rows always land somewhere inspectable — with no
-        // explicit path, a per-load timestamped dir under the table,
-        // mirroring the reference's redirect layout
-        // (docs/dml-of-carbondata.md:68-71)
-        val quarantine = badRecordsPath.getOrElse(
-          s"$path/badrecords/${System.currentTimeMillis()}")
         val bad = df.filter(col("_corrupt_record").isNotNull)
           .select(col("_corrupt_record"))
         if (!bad.isEmpty) bad.write.mode("append").text(quarantine)
         df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       case other => throw new IllegalArgumentException(s"bad records action: $other")
     }
-    insert(raw)
+    val complexFields = target.fields.filter(f => ComplexCsv.isComplex(f.dataType))
+    val typed = if (complexFields.isEmpty) raw else {
+      val delims = ComplexCsv.delimsFrom(options)
+      val ok = complexFields.map(f =>
+        ComplexCsv.wellFormed(col(f.name), f.dataType, delims)).reduce(_ && _)
+      val good = action match {
+        case "FAIL" =>
+          val sample = raw.filter(!ok).limit(1).collect()
+          if (sample.nonEmpty) throw new IllegalArgumentException(
+            s"malformed complex cell in load (BAD_RECORDS_ACTION=FAIL): ${sample.head}")
+          raw
+        case "IGNORE" => raw.filter(ok)
+        case "REDIRECT" =>
+          val bad = raw.filter(!ok)
+            .select(concat_ws(",", parseSchema.fieldNames.map(c =>
+              col(c).cast("string")).toSeq: _*))
+          if (!bad.isEmpty) bad.write.mode("append").text(quarantine)
+          raw.filter(ok)
+      }
+      good.select(target.fields.map(f =>
+        if (ComplexCsv.isComplex(f.dataType))
+          ComplexCsv.parse(col(f.name), f.dataType, delims).as(f.name)
+        else col(f.name)).toSeq: _*)
+    }
+    insert(typed)
   }
 
   // ----------------------------------------------------------------- IUD

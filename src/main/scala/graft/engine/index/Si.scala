@@ -35,7 +35,7 @@ object Si {
   /** Which base segments an index table has folded in (its coverage
     * ledger) — segments outside this set must be scanned unindexed or
     * the index would silently drop their rows. */
-  private[index] def indexedSegments(idx: GraftTable): Set[Long] =
+  private[engine] def indexedSegments(idx: GraftTable): Set[Long] =
     idx.meta.properties.get("indexed_segments").toSet[String]
       .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toLong)
 

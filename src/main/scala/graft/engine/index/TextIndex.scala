@@ -4,17 +4,21 @@ import graft.engine.GraftTable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Term-posting text index (the reference's lucene fine-grain index,
-  * LuceneFineGrainIndex.java:63, collapsed to segment grain like the
-  * rest of the pruning ladder).
+/** Term-posting text index (the reference's lucene FINE-grain index,
+  * LuceneFineGrainIndex.java:63,137-142 — postings carry the position
+  * inside the segment, not just the segment).
   *
-  * The index is a carbonish table (term, seg_id) holding the distinct
-  * whole tokens per segment, sorted by term so lookups prune via
+  * The index is a carbonish table (term, seg_id, file) holding the
+  * distinct whole tokens per FILE, sorted by term so lookups prune via
   * segment stats. `readMatching` evaluates a text query of
-  * OR-separated clauses of AND-terms: each clause's candidate segments
+  * OR-separated clauses of AND-terms: each clause's candidate files
   * are the intersection of its terms' posting sets; the union over
-  * clauses bounds the scan, and an exact token-membership residual
-  * filter runs on the survivors.
+  * clauses bounds the scan to the matched files (position grain, the
+  * same ladder rung `Si.readWhereIn` sits on), and an exact
+  * token-membership residual filter runs on the survivors. Lookups
+  * matching more than a capped number of files — and indexes built
+  * before the file column existed — degrade to segment-grain pruning;
+  * segments outside the coverage ledger are scanned unindexed.
   *
   * Semantics note: like lucene, this matches whole TOKENS —
   * `GraftFunctions.textMatch` (substring contains) is the unindexed
@@ -32,8 +36,11 @@ object TextIndex {
     val files = segments.getOrElse(t.status.visible).flatMap(t.layout.segmentFilePaths)
     val segId = regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1)
       .cast("long")
+    val relFile = regexp_extract(col("_metadata.file_path"),
+      "/segments/[0-9]+/(.*)$", 1)
     t.spark.read.schema(t.schema).parquet(files.toSeq: _*)
-      .select(explode(tokensOf(col(column))).as("term"), segId.as("seg_id"))
+      .select(explode(tokensOf(col(column))).as("term"), segId.as("seg_id"),
+        relFile.as("file"))
       .distinct()
   }
 
@@ -100,24 +107,52 @@ object TextIndex {
       .reduce(_ || _)
   }
 
-  /** Candidate segment ids for a text query, from the posting index.
-    * None = no index on the column (caller falls back to a full scan).
-    * Segments outside the index's coverage ledger (inserted/compacted
-    * since the last refresh) are ALWAYS candidates — the index can only
-    * prune within the segments it has seen; retired seg_ids drop out
-    * via the visibility intersection. */
-  /** SQL-rule entry: candidate segments, None = no index on column. */
-  private[index] def candidates(
-      t: GraftTable, column: String, query: String): Option[Set[Long]] =
-    candidateSegments(t, column, query)
+  /** Same role and value as [[Si.FileGrainMaxHits]]: a selective text
+    * query names few (segment, file) hits; past this many the read
+    * degrades to segment grain. */
+  private val FileGrainMaxHits = 10000
 
-  private def candidateSegments(
-      t: GraftTable, column: String, query: String): Option[Set[Long]] = {
+  /** Evaluate the clause structure over posting rows at any grain `K`
+    * (segment id, or (segment id, file)): per clause, positive literals
+    * intersect — phrase words are a necessary co-occurrence condition,
+    * word order is the residual's job; prefixes union their matching
+    * terms' postings — and clauses union. Negated literals can never
+    * EXCLUDE a hit (other rows in it may lack the term), so only
+    * positives prune; the caller guarantees every clause has one. */
+  private def evalClauses[K](
+      clauses: Seq[Seq[graft.functions.GraftFunctions.TextLit]],
+      rows: Seq[(String, K)]): Set[K] = {
+    import graft.functions.GraftFunctions.TextTerm
+    val byTerm: Map[String, Set[K]] =
+      rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def postingsOf(term: TextTerm): Set[K] = term match {
+      case TextTerm.Tok(s) => byTerm.getOrElse(s, Set.empty)
+      case TextTerm.Phrase(ws) =>
+        ws.map(w => byTerm.getOrElse(w, Set.empty[K])).reduce(_ intersect _)
+      case TextTerm.Prefix(p) =>
+        rows.collect { case (tm, k) if tm.startsWith(p) => k }.toSet
+    }
+    clauses.map(_.filterNot(_.negated).map(l => postingsOf(l.term))
+      .reduce(_ intersect _)).reduce(_ union _)
+  }
+
+  /** Candidate hits for a text query at the index's finest grain.
+    * Outer None = no index on the column (caller falls back to a full
+    * scan). `Left(segIds)` = segment grain — a pre-file-column index,
+    * an over-cap lookup, or a clause with no positive literal (which
+    * can never prune). `Right(segId -> files)` = file grain. Both
+    * already include uncovered segments (inserted/compacted since the
+    * last refresh — the index can only prune within its coverage) and
+    * are visibility-filtered; retired seg_ids drop out because their
+    * rows live in uncovered successors. */
+  private def candidateHits(t: GraftTable, column: String, query: String)
+      : Option[Either[Set[Long], Map[Long, Seq[String]]]] = {
     import graft.functions.GraftFunctions.{TextTerm, parseLucene}
     val clauses = parseLucene(query)
     t.meta.properties.get(key(column)).map { p =>
       val idx = GraftTable.at(t.spark, p)
-      val visible = t.status.visible.map(_.id).toSet
+      val visSegs = t.status.visible
+      val visible = visSegs.map(_.id).toSet
       val uncovered = visible -- Si.indexedSegments(idx)
       // one index read serves every positive literal: exact terms by
       // IN-list, wildcards by prefix predicate — the index is sorted by
@@ -131,43 +166,70 @@ object TextIndex {
       val prefixes = positives.collect { case TextTerm.Prefix(p) => p }.distinct
       val preds = (if (exact.nonEmpty) Seq(col("term").isin(exact: _*)) else Nil) ++
         prefixes.map(p => col("term").startsWith(p))
-      val rows: Seq[(String, Long)] =
-        if (preds.isEmpty) Nil
-        else idx.read.filter(preds.reduce(_ || _))
-          .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-      val byTerm: Map[String, Set[Long]] =
-        rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-      def postings(term: TextTerm): Set[Long] = term match {
-        case TextTerm.Tok(s) => byTerm.getOrElse(s, Set.empty)
-        // phrase: every word must appear in the segment (necessary
-        // condition; word order is the residual's job)
-        case TextTerm.Phrase(ws) =>
-          ws.map(w => byTerm.getOrElse(w, Set.empty[Long])).reduce(_ intersect _)
-        case TextTerm.Prefix(p) =>
-          rows.collect { case (tm, sid) if tm.startsWith(p) => sid }.toSet
+      def segmentGrain(): Either[Set[Long], Map[Long, Seq[String]]] = {
+        val rows: Seq[(String, Long)] =
+          idx.read.filter(preds.reduce(_ || _)).select("term", "seg_id")
+            .distinct().collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        Left((evalClauses[Long](clauses, rows) & visible) ++ uncovered)
       }
-      val hits = clauses.map { lits =>
-        // negated literals can never EXCLUDE a segment (other rows in it
-        // may lack the term) — only positive literals prune
-        val pos = lits.filterNot(_.negated)
-        if (pos.isEmpty) visible
-        else pos.map(l => postings(l.term)).reduce(_ intersect _)
-      }.reduce(_ union _)
-      (hits & visible) ++ uncovered
+      if (preds.isEmpty || clauses.exists(_.forall(_.negated)))
+        Left(visible) // nothing to prune with
+      else if (!idx.schema.fieldNames.contains("file")) segmentGrain()
+      else {
+        // the overflow check runs on the RAW collected count, BEFORE the
+        // visibility filter — stale retired-seg postings must not consume
+        // limit slots and mask a truncated file list (same invariant as
+        // Si.readWhereIn)
+        val raw = idx.read.filter(preds.reduce(_ || _))
+          .select("term", "seg_id", "file").distinct()
+          .limit(FileGrainMaxHits + 1).collect()
+        if (raw.length > FileGrainMaxHits) segmentGrain()
+        else {
+          val rows: Seq[(String, (Long, String))] = raw.toSeq
+            .map(r => (r.getString(0), (r.getLong(1), r.getString(2))))
+          val hits = evalClauses[(Long, String)](clauses, rows)
+            .filter { case (sId, _) => visible.contains(sId) }
+          // uncovered segments contribute ALL their files
+          val uncov = visSegs.filter(s => uncovered.contains(s.id))
+            .flatMap(s => s.files.map(f => (s.id, f)))
+          Right((hits.toSeq ++ uncov).groupBy(_._1)
+            .view.mapValues(_.map(_._2).distinct).toMap)
+        }
+      }
     }
   }
 
+  /** SQL-rule / probe-loop entry: candidate segments (file-grain hits
+    * collapse to their segments), None = no index on column. */
+  private[index] def candidates(
+      t: GraftTable, column: String, query: String): Option[Set[Long]] =
+    candidateSegments(t, column, query)
+
+  private def candidateSegments(
+      t: GraftTable, column: String, query: String): Option[Set[Long]] =
+    candidateHits(t, column, query).map {
+      case Left(segs) => segs
+      case Right(files) => files.keySet
+    }
+
   /** text_match-accelerated read: consult the posting index for the
-    * candidate segment set, scan only those, apply the exact residual.
-    * Falls back to a full filtered read without an index. */
+    * candidate FILES (position grain — the matched files are pinned
+    * into the scan exactly like `Si.readWhereIn`), scan only those,
+    * apply the exact residual. Over-cap and pre-file-column lookups use
+    * segment grain; falls back to a full filtered read without an
+    * index. */
   def readMatching(t: GraftTable, column: String, query: String): DataFrame =
-    candidateSegments(t, column, query) match {
+    candidateHits(t, column, query) match {
       case None => t.read.filter(tokenMatch(col(column), query))
-      case Some(candidates) =>
-        if (candidates.isEmpty)
+      case Some(Left(segs)) =>
+        if (segs.isEmpty)
           t.read.filter(tokenMatch(col(column), query)).limit(0)
-        else t.readSegments(candidates.toSeq.sorted)
+        else t.readSegments(segs.toSeq.sorted)
           .filter(tokenMatch(col(column), query))
+      case Some(Right(files)) =>
+        if (files.isEmpty)
+          t.read.filter(tokenMatch(col(column), query)).limit(0)
+        else t.readFiles(files).filter(tokenMatch(col(column), query))
     }
 
   /** text_match_with_limit (reference MatchExpression limit,

@@ -86,6 +86,66 @@ object CdcStreamer {
       .execute()
   }
 
+  /** Wire-envelope decode — the reference streamer's Debezium-shaped
+    * input (docs/scd-and-cdc-guide.md:136-211: an `op` field, a source
+    * ordering field like `ts_ms`, and the row images; avro there, JSON
+    * here — the payload format is transport plumbing, the envelope
+    * semantics are what the tool owns). Each kafka frame's binary
+    * `value` is one message:
+    * `{"before":{…},"after":{…},"op":"c|r|u|d","ts_ms":N}` — deletes
+    * carry the row image in `before`, everything else in `after`;
+    * `c`(reate) and `r`(snapshot read) both mean insert. Output is
+    * exactly the [[applyBatch]] input shape: the target's columns, the
+    * op column normalized onto `cfg`'s op vocabulary (unknown codes
+    * pass through raw so applyBatch's validation names them), and the
+    * ordering column. All codegen'd `from_json`/`when` — no UDF in the
+    * decode path. */
+  def decodeJsonEnvelope(raw: DataFrame,
+      rowSchema: org.apache.spark.sql.types.StructType, cfg: CdcConfig,
+      tsField: String = "ts_ms"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val env = StructType(Seq(
+      StructField("before", rowSchema), StructField("after", rowSchema),
+      StructField("op", StringType), StructField(tsField, LongType)))
+    val e = from_json(col("value").cast("string"), env)
+    val opRaw = e.getField("op")
+    val op = when(opRaw.isin("c", "r"), lit(cfg.insertOp))
+      .when(opRaw === "u", lit(cfg.updateOp))
+      .when(opRaw === "d", lit(cfg.deleteOp))
+      .otherwise(opRaw)
+    val row = when(op === cfg.deleteOp, e.getField("before"))
+      .otherwise(e.getField("after"))
+    val ordName = cfg.orderColumn.getOrElse(tsField)
+    raw.select(row.as("__r"), op.as(cfg.opColumn),
+        e.getField(tsField).as(ordName))
+      .select(col("__r.*") +: Seq(col(cfg.opColumn), col(ordName)): _*)
+  }
+
+  /** Continuous kafka CDC apply: transport options resolve from the
+    * SAME property vocabulary as streaming-source tables
+    * (`kafka.bootstrap.servers` + `topic`/`subscribe_pattern` +
+    * `starting_offsets`, [[graft.engine.GraftSql.kafkaSourceOptions]]),
+    * frames decode through [[decodeJsonEnvelope]], and each micro-batch
+    * merges via [[applyBatch]]. The envelope's `ts_ms` becomes the
+    * source ordering field when the config names none — a kafka batch
+    * can always carry several events per key. */
+  def startKafka(
+      name: String,
+      target: GraftTable,
+      props: Map[String, String],
+      cfg: CdcConfig,
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      checkpoint: Option[String] = None,
+      tsField: String = "ts_ms"): StreamingQuery = {
+    val c = if (cfg.orderColumn.isDefined) cfg
+      else cfg.copy(orderColumn = Some(tsField))
+    val raw = target.spark.readStream.format("kafka")
+      .options(graft.engine.GraftSql.kafkaSourceOptions(props, target.path))
+      .load()
+    start(name, target, decodeJsonEnvelope(raw, target.schema, c, tsField), c,
+      trigger, checkpoint)
+  }
+
   /** Start the continuous apply; registered under `name` in
     * [[StreamManager]] (SHOW STREAMS / DROP STREAM work on it). The
     * change stream must carry the target's columns plus the op (and

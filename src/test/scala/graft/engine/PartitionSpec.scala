@@ -219,6 +219,48 @@ class PartitionSpec extends AnyFunSuite {
     assert(ts.read.filter(col("p") === "x").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("UPDATE on a partition column relocates rows across partition dirs") {
+    // pinned semantics (SURVEY §7.4): the reference REJECTS updates to
+    // partition columns (CarbonProjectForUpdateCommand.scala:48 path);
+    // we are deliberately STRONGER — SegmentWriter re-derives partition
+    // dirs from row values, so the CoW rewrite physically relocates the
+    // row and every partition-level view stays consistent.
+    val t = mkPartitioned() // k 0..299, p = k % 3
+    val n = t.update(col("k") === 5L, Map("p" -> lit(9)))
+    assert(n == 1L)
+    // the row physically landed in the new partition dir
+    assert(t.status.visible.exists(_.files.exists(_.contains("__p_p=9"))),
+      t.status.visible.flatMap(_.files).mkString(","))
+    // value-level reads agree on both sides of the move
+    assert(t.read.filter(col("p") === 9).collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(t.read.filter(col("k") === 5L).select("p").head().getInt(0) == 9)
+    assert(t.read.filter(col("p") === 2).filter(col("k") === 5L).count() == 0)
+    assert(t.read.count() == 300)
+    // partition-pruned plans stay partition-pinned after the relocation
+    val newFiles = plannedFiles(t.read.filter(col("p") === 9).select("k"))
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("__p_p=9")), newFiles.toString)
+    val oldFiles = plannedFiles(t.read.filter(col("p") === 2).select("k"))
+    assert(oldFiles.nonEmpty && oldFiles.forall(_.contains("__p_p=2")), oldFiles.toString)
+    assert(t.read.filter(col("p") === 2).count() == 99) // lost exactly k=5
+  }
+
+  test("SQL UPDATE moving a partition value updates SHOW PARTITIONS") {
+    val wh = Files.createTempDirectory("graft_pwh2_").toString
+    graft.engine.catalog.GraftDml.enable(spark)
+    spark.conf.set("spark.sql.catalog.gpu", "graft.engine.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpu.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpu.ns")
+    spark.sql("CREATE TABLE gpu.ns.pm (k INT, dt STRING) USING carbonish PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO gpu.ns.pm VALUES (1, '2020-01-01'), (2, '2020-01-02')")
+    spark.sql("UPDATE gpu.ns.pm SET dt = '2020-03-03' WHERE k = 1")
+    val parts = spark.sql("SHOW PARTITIONS gpu.ns.pm").collect().map(_.getString(0)).sorted
+    assert(parts.contains("dt=2020-03-03"), parts.mkString(","))
+    assert(!parts.contains("dt=2020-01-01"),
+      s"emptied partition should drop from data-derived SHOW PARTITIONS: ${parts.mkString(",")}")
+    assert(spark.sql("SELECT k FROM gpu.ns.pm WHERE dt = '2020-03-03'")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("compaction preserves the partition layout") {
     val mk = (lo: Int, hi: Int) => spark.range(lo, hi)
       .selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")

@@ -88,6 +88,50 @@ class SiSpec extends AnyFunSuite {
     assert(mm.getLong(0) == 7L && mm.getLong(1) == 7L)
   }
 
+  test("load-time auto-refresh: a fresh insert is index-covered without manual REINDEX") {
+    val root = Files.createTempDirectory("graft_si_auto_").toString
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"u${i % 10}")).toDF("k", "u")
+    val t = GraftTable.create(spark, s"$root/t", df.schema)
+    t.insert(df)
+    val si = Si.create(t, "u", s"$root/si_u")
+    // the reference's SILoadEventListener analog: insert folds the new
+    // segment in automatically (index.autorefresh defaults true)
+    t.insert(Seq((5000L, "u3")).toDF("k", "u"))
+    assert(Si.indexedSegments(GraftTable.at(spark, s"$root/si_u")) == Set(0L, 1L),
+      "new segment must enter the coverage ledger at load time")
+    val q = Si.readWhereIn(t, "u", Seq("u3"))
+    assert(q.count() == 101L)
+    // file-grain pruning works on the new segment too: the lookup scan
+    // is pinned to SI-matched files, not whole-segment fallbacks
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head match {
+      case s => TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq
+    }
+    val allFiles = t.status.visible.flatMap(_.files).size
+    assert(scanned.nonEmpty && scanned.size <= allFiles)
+
+    // opt-out for bulk backfills: coverage stays put, results stay
+    // correct via the uncovered-segment fallback
+    t.setProperties(Map("index.autorefresh" -> "false"))
+    t.insert(Seq((6000L, "u3")).toDF("k", "u"))
+    assert(Si.indexedSegments(GraftTable.at(spark, s"$root/si_u")) == Set(0L, 1L),
+      "opted-out insert must not touch the ledger")
+    assert(Si.readWhereIn(t, "u", Seq("u3")).count() == 102L)
+
+    // a FAILED load records no phantom coverage: the aligned ANSI cast
+    // blows up mid-write, the segment never publishes, ledger unchanged
+    t.setProperties(Map("index.autorefresh" -> "true"))
+    val before = Si.indexedSegments(GraftTable.at(spark, s"$root/si_u"))
+    intercept[Exception] {
+      t.insert(Seq(("boom", "zz")).toDF("k", "u"))
+    }
+    assert(Si.indexedSegments(GraftTable.at(spark, s"$root/si_u")) == before,
+      "failed load must not extend index coverage")
+    assert(Si.readWhereIn(t, "u", Seq("zz")).count() == 0L)
+  }
+
   test("file-grain overflow check runs on the RAW hit count, not post-visibility") {
     // A stale SI holding retired seg_ids must not let them consume limit
     // slots and sneak a truncated file list under the cap: the degrade

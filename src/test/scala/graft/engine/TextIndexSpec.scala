@@ -57,6 +57,53 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.readMatching(t, "body", "charlie").count() == 2)
   }
 
+  test("text index file grain: selective query opens fewer files than the segment holds") {
+    val root = Files.createTempDirectory("graft_ti_fg_").toString
+    import spark.implicits._
+    // ONE segment range-split over many files by id; each file gets its
+    // own marker token, plus a token shared by every file
+    val df = (0L until 4000L)
+      .map(i => (i, s"tok${i / 500} common filler w$i"))
+      .toDF("id", "body")
+    val t = GraftTable.create(spark, s"$root/t", df.schema)
+    t.insert(df.repartitionByRange(8, org.apache.spark.sql.functions.col("id")))
+    val segFiles = t.status.visible.head.files
+    assert(t.status.visible.size == 1 && segFiles.size >= 4,
+      s"fixture wants a multi-file segment, got ${segFiles.size} files")
+    TextIndex.create(t, "body", s"$root/ti_body")
+
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Seq[String] =
+      q.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .headOption.map(s =>
+          TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq).getOrElse(Nil)
+
+    // a marker token lives in one or two files — the planned scan must
+    // pin those files, not the whole segment (position grain, the
+    // FileGrainSpec assertion shape)
+    val q = TextIndex.readMatching(t, "body", "tok3")
+    assert(q.select("id").collect().map(_.getLong(0)).toSet ==
+      (1500L until 2000L).toSet)
+    val sf1 = scannedFiles(q)
+    assert(sf1.nonEmpty && sf1.size < segFiles.size,
+      s"expected < ${segFiles.size} files planned, got ${sf1.size}")
+
+    // a token in every file still answers right (no over-pruning)
+    assert(TextIndex.readMatching(t, "body", "common").count() == 4000L)
+
+    // a fresh insert auto-folds into the index at load time (the
+    // SILoadEventListener analog) — the new rows appear immediately and
+    // the lookup STILL prunes below the full file set
+    t.insert(Seq((9000L, "tok3 extra")).toDF("id", "body"))
+    val q2 = TextIndex.readMatching(t, "body", "tok3")
+    assert(q2.select("id").collect().map(_.getLong(0)).toSet ==
+      (1500L until 2000L).toSet + 9000L,
+      "rows loaded after index build must not be dropped")
+    val allFiles = t.status.visible.flatMap(_.files).size
+    val sf2 = scannedFiles(q2)
+    assert(sf2.nonEmpty && sf2.size < allFiles,
+      s"auto-refreshed lookup should stay file-pinned: $sf2")
+  }
+
   test("lucene grammar: prefix wildcard prunes via index prefix scan; phrase and NOT") {
     val root = Files.createTempDirectory("graft_tiwild_").toString
     import spark.implicits._
@@ -163,6 +210,9 @@ class TextIndexSpec extends AnyFunSuite {
     val t = GraftTable.create(spark, s"$root/t", seg0.toDF("id", "body").schema)
     t.insert(seg0.toDF("id", "body"))
     GraftSql.command(spark, s"CREATE INDEX ridx ON TABLE ${t.path} (body) AS 'lucene'")
+    // this test exercises the MANUAL repair path — opt out of the
+    // load-time auto-fold so inserts leave coverage stale on purpose
+    t.setProperties(Map("index.autorefresh" -> "false"))
     val idxPath = t.meta.properties("textindex.body")
     val idx = GraftTable.at(spark, idxPath)
     val idxSegsAfterCreate = idx.status.visible.map(_.id).toSet
