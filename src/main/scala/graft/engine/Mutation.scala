@@ -313,10 +313,11 @@ object Mutation extends org.apache.spark.internal.Logging {
     * against the fresh tablestatus (the rewrite is deterministic, so a
     * retry is safe). */
   private def rewriteAffected(
-      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
+      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame,
+      preservesOrder: Boolean = false): (Long, Long, Long) = {
     var attempts = 0
     while (true) {
-      try return rewriteAffectedOnce(t, cond, rewrite)
+      try return rewriteAffectedOnce(t, cond, rewrite, preservesOrder)
       catch {
         case e: Throwable if isRetryableConflict(e) =>
           attempts += 1
@@ -378,7 +379,8 @@ object Mutation extends org.apache.spark.internal.Logging {
   }
 
   private def rewriteAffectedOnce(
-      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame): (Long, Long, Long) = {
+      t: GraftTable, cond: Column, rewrite: DataFrame => DataFrame,
+      preservesOrder: Boolean): (Long, Long, Long) = {
     val segs = visibleFiles(t)
     val affected = affectedFiles(t, segs, cond)
     if (affected.isEmpty) return (0L, 0L, 0L)
@@ -389,7 +391,8 @@ object Mutation extends org.apache.spark.internal.Logging {
     val rows = deltaFilter(t, segs).map(raw.filter).getOrElse(raw)
     val id = reserve(t)
     val seg =
-      try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id)
+      try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id,
+        preservesOrder = preservesOrder)
       catch { case e: Throwable => retire(t, id); throw e }
     swap(t, fullVictims, Some(seg.copy(origin = "rewrite")), partialVictims,
       selected = segs.map(p => p._1.id -> p._1).toMap)
@@ -402,7 +405,8 @@ object Mutation extends org.apache.spark.internal.Logging {
   /** DELETE FROM t WHERE cond. Returns #rows deleted. */
   def delete(t: GraftTable, cond: Column): Long = {
     val (before, after, _) =
-      rewriteAffected(t, cond, rows => rows.filter(!coalesce(cond, lit(false))))
+      rewriteAffected(t, cond, rows => rows.filter(!coalesce(cond, lit(false))),
+        preservesOrder = true)
     before - after
   }
 
@@ -443,7 +447,7 @@ object Mutation extends org.apache.spark.internal.Logging {
           case None => col(f.name)
         }
       }.toSeq: _*)
-    })
+    }, preservesOrder = true)
     matched
   }
 
@@ -669,7 +673,11 @@ object Mutation extends org.apache.spark.internal.Logging {
       }.toSeq: _*)
       val id = reserve(t)
       val seg =
-        try SegmentWriter.write(t.layout, t.meta, updated, id)
+        // `updated` is narrow over the persisted victim scan — each
+        // cached partition is a sorted run, so the rewrite segment can
+        // skip the range re-shuffle
+        try SegmentWriter.write(t.layout, t.meta, updated, id,
+          preservesOrder = true)
         catch { case e: Throwable =>
           retire(t, id); dropOrphanDeltas(t, written); throw e }
       commitDeltas(t, byId, written, replacement = Some(seg.copy(origin = "rewrite")))

@@ -35,8 +35,26 @@ object SegmentWriter {
     * dynamic-partition writer over mirror columns (see [[Partitions]]):
     * clustering puts the partition columns FIRST in the shuffle key so
     * each task writes few partition dirs, and the sort columns after so
-    * rows stay sorted within every file. */
-  def write(layout: TableLayout, meta: TableMeta, df: DataFrame, id: Long): SegmentMeta = {
+    * rows stay sorted within every file.
+    *
+    * `preservesOrder = true` declares that `df` reaches this writer
+    * through narrow ops over already-sorted segment files (the
+    * copy-on-write rewrite shape: victim-file scan → filter/project) —
+    * each input partition is a sorted run (or a concatenation of a few,
+    * when the scan packs small files). Then a GLOBAL_SORT table skips
+    * the range re-shuffle and its sampling pass and writes each
+    * partition with a local sort: one output file per victim split,
+    * per-file sorted with tight footer ranges — the same clustering
+    * quality the victims had, at zero shuffles. A point UPDATE on a
+    * 100 TB table then rewrites its few victim files in place-parallel
+    * instead of range-exchanging them cluster-wide. Cross-file range
+    * disjointness is NOT preserved, which only means the scan's
+    * footer-verified ordering claim won't fire across these files —
+    * exactly as for any multi-segment table. Partitioned and bucketed
+    * tables keep the clustered write (their dir/bucket split needs the
+    * repartition). */
+  def write(layout: TableLayout, meta: TableMeta, df: DataFrame, id: Long,
+      preservesOrder: Boolean = false): SegmentMeta = {
     val spark = df.sparkSession
     val pCols = meta.partitionColumns.filter(df.columns.contains)
     val sortCols = meta.sortColumns.filter(df.columns.contains)
@@ -50,7 +68,12 @@ object SegmentWriter {
         df.withColumn("__b", Buckets.bucketExpr(bs))
           .repartition(bs.count, col("__b"))
           .sortWithinPartitions(("__b" +: clusterCols).map(col): _*)
-      case None => (meta.sortScope, clusterCols) match {
+      case None =>
+        val scope =
+          if (preservesOrder && pCols.isEmpty && meta.sortScope != "NO_SORT")
+            "LOCAL_SORT"
+          else meta.sortScope
+        (scope, clusterCols) match {
         case (_, Nil) => df
         case ("NO_SORT", _) =>
           // still cluster rows by partition value (one shuffle) so a load
