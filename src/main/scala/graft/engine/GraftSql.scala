@@ -106,7 +106,7 @@ object GraftSql {
     * DELETE FROM TABLE <t> WHERE SEGMENT.ID IN (1,2)
     * DELETE FROM TABLE <t> WHERE SEGMENT.STARTTIME BEFORE '<ts millis or yyyy-MM-dd HH:mm:ss>'
     * ALTER TABLE <t> FINISH STREAMING
-    * CREATE MATERIALIZED VIEW <name> STORED AT '<path>' AS <select sql>
+    * CREATE MATERIALIZED VIEW <name> [WITH DEFERRED REFRESH] STORED AT '<path>' AS <select sql>
     * REFRESH MATERIALIZED VIEW <name>
     * DROP MATERIALIZED VIEW <name>
     * CREATE TABLE <t> LIKE <src>   -- empty clone of schema/sort/partitions/props
@@ -149,7 +149,7 @@ object GraftSql {
     val DelSegIds = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*$""".r
     val DelSegBefore = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.STARTTIME\s+BEFORE\s+'([^']+)'\s*$""".r
     val FinishStreaming = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+FINISH\s+STREAMING\s*$""".r
-    val CreateMv = """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+STORED\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
+    val CreateMv = """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+(WITH\s+DEFERRED\s+REFRESH\s+)?STORED\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
     val RefreshMv = """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val CreateLike = """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+LIKE\s+(\S+)\s*$""".r
@@ -466,8 +466,12 @@ object GraftSql {
         table(t).deleteSegmentsBefore(millis); Some(done)
       case FinishStreaming(t) =>
         graft.engine.streaming.StreamManager.finishStreaming(table(t)); Some(done)
-      case CreateMv(name, path, query) =>
-        mv.Mv.create(spark, name, spark.sql(query), path); Some(done)
+      case CreateMv(name, deferredKw, path, query) =>
+        // WITH DEFERRED REFRESH (docs/mv-guide.md:147-161): deferred MVs
+        // skip refresh-on-commit and wait for REFRESH MATERIALIZED VIEW
+        mv.Mv.create(spark, name, spark.sql(query), path,
+          deferred = deferredKw != null)
+        Some(done)
       case RefreshMv(name) =>
         mv.Mv.refreshIncremental(spark, name); Some(done)
       case DropMv(name) =>

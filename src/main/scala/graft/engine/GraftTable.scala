@@ -194,6 +194,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
         graft.engine.index.TextIndex.repair(this,
           k.stripPrefix("textindex."), Some(Seq(id))))
     }
+    // MV refresh-on-commit (reference "Loading data on commit",
+    // docs/mv-guide.md:138-146): non-deferred MVs over this table catch
+    // up right after the publish; mv.autorefresh=false opts the table
+    // out (their serving gate keeps stale MVs unserved either way)
+    if (m.properties.getOrElse("mv.autorefresh", "true").toBoolean)
+      graft.engine.mv.Mv.autoRefreshFor(spark, path)
     // auto load merge (reference auto-compaction, docs/usecases.md:91-93):
     // when the visible segment count reaches the threshold, run a MINOR
     // compaction so read amplification stays bounded under many small loads

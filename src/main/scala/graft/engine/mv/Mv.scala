@@ -27,7 +27,11 @@ case class MvDef(
     agg: Aggregate, // optimized MV plan (avg expanded) — used for matching
     build: LogicalPlan, // analyzed plan (avg expanded) — re-resolves base
                         // table state at materialization time
-    path: String)
+    path: String,
+    // WITH DEFERRED REFRESH (docs/mv-guide.md:147-161): deferred MVs
+    // only catch up on an explicit REFRESH; non-deferred ones are
+    // refreshed by the base table's load commit
+    deferred: Boolean = false)
 
 /** In-memory session catalog. Persistence lives in [[MvStore]]: every
   * create/refresh ALSO writes `<mvPath>/_meta/mvdef.bin`, and
@@ -40,13 +44,15 @@ object MvCatalog {
   // row count: file-grain mutation and metadata DROP PARTITION shrink a
   // segment IN PLACE (same id, fewer rows), so an id-only watermark
   // would serve / incrementally fold a stale MV
-  private val refreshed = scala.collection.mutable.HashMap.empty[String, Map[Long, Long]]
+  // keyed by base-table path: a join MV folds several carbonish bases,
+  // and each base's visible-segment fingerprints gate serving/refresh
+  private val refreshed = scala.collection.mutable.HashMap.empty[String, Map[String, Map[Long, Long]]]
   def register(d: MvDef): Unit = synchronized { views(d.name) = d }
   def drop(name: String): Unit = synchronized { views.remove(name); refreshed.remove(name) }
   def all: Seq[MvDef] = synchronized { views.values.toSeq }
   def get(name: String): Option[MvDef] = synchronized { views.get(name) }
-  def refreshedSegments(name: String): Map[Long, Long] = synchronized { refreshed.getOrElse(name, Map.empty) }
-  def setRefreshedSegments(name: String, s: Map[Long, Long]): Unit = synchronized { refreshed(name) = s }
+  def refreshedSegments(name: String): Map[String, Map[Long, Long]] = synchronized { refreshed.getOrElse(name, Map.empty) }
+  def setRefreshedSegments(name: String, s: Map[String, Map[Long, Long]]): Unit = synchronized { refreshed(name) = s }
 }
 
 object Mv {
@@ -61,7 +67,7 @@ object Mv {
     * avg(x) is expanded to sum(x)+count(x) so rollups can reconstruct it
     * (reference AggregatePushDown.scala:73-78). */
   def create(spark: SparkSession, name: String, df: DataFrame, path: String,
-      sortColumns: Seq[String] = Nil): MvDef = {
+      sortColumns: Seq[String] = Nil, deferred: Boolean = false): MvDef = {
     def asAgg(p: LogicalPlan, what: String): Aggregate = p match {
       case a: Aggregate => a
       case other => throw new IllegalArgumentException(
@@ -75,7 +81,7 @@ object Mv {
     val snapshot = baseSegmentSnapshot(spark, buildPlan) // before materializing
     GraftTable.drop(spark, path)
     GraftTable.createAsSelect(spark, path, mvDf, sortColumns)
-    val d = MvDef(name, matchPlan, buildPlan, path)
+    val d = MvDef(name, matchPlan, buildPlan, path, deferred)
     MvCatalog.register(d)
     snapshot.foreach(s => MvCatalog.setRefreshedSegments(name, s))
     persist(spark, d)
@@ -100,20 +106,19 @@ object Mv {
       d
     }
 
-  /** Visible base segments (id → rowCount fingerprint) when the MV base
-    * is one carbonish table. */
+  /** Visible base segments (path → id → rowCount fingerprint) for every
+    * carbonish table in the build plan — one entry per base of a join
+    * MV. None when no base is carbonish (parquet-directory bases are
+    * treated as immutable). */
   private def baseSegmentSnapshot(
-      spark: SparkSession, build: LogicalPlan): Option[Map[Long, Long]] = {
+      spark: SparkSession, build: LogicalPlan): Option[Map[String, Map[Long, Long]]] = {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-    build.collectLeaves().collect { case r: DataSourceV2Relation => r } match {
-      case Seq(r) => r.table match {
-        case t: graft.engine.source.CarbonishTable =>
-          Some(GraftTable.at(spark, t.tablePath).status.visible
-            .map(s => s.id -> s.rowCount).toMap)
-        case _ => None
-      }
-      case _ => None
-    }
+    val paths = build.collectLeaves().collect {
+      case r: DataSourceV2Relation => r.table
+    }.collect { case t: graft.engine.source.CarbonishTable => t.tablePath }.distinct
+    if (paths.isEmpty) None
+    else Some(paths.map(p => p -> GraftTable.at(spark, p).status.visible
+      .map(s => s.id -> s.rowCount).toMap).toMap)
   }
 
   /** REFRESH MATERIALIZED VIEW: full rebuild (reference supports
@@ -137,6 +142,30 @@ object Mv {
     MvCatalog.get(name).foreach(d => GraftTable.drop(spark, d.path))
     MvCatalog.drop(name)
   }
+
+  /** Refresh-on-commit hook (reference "Loading data on commit",
+    * docs/mv-guide.md:138-146): after a base-table load publishes,
+    * every registered NON-deferred MV reading that table catches up —
+    * incrementally when its aggregates decompose, full otherwise.
+    * A failed MV refresh must never fail the load that triggered it:
+    * the MV simply stays stale, and the serving gate already refuses
+    * stale MVs. Deferred MVs wait for an explicit REFRESH. */
+  def autoRefreshFor(spark: SparkSession, basePath: String): Unit =
+    MvCatalog.all.filterNot(_.deferred).foreach { d =>
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      val bases = d.build.collectLeaves().collect {
+        case r: DataSourceV2Relation => r.table
+      }.collect { case t: graft.engine.source.CarbonishTable => t.tablePath }
+      if (bases.contains(basePath)) {
+        try refreshIncremental(spark, d.name)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger("graft.engine.mv.Mv").warn(
+              s"refresh-on-commit of MV '${d.name}' after load to $basePath " +
+                s"failed — MV stays stale and will not serve", e)
+        }
+      }
+    }
 
   /** SHOW MATERIALIZED VIEWS. */
   def show: Seq[(String, String)] = MvCatalog.all.map(d => (d.name, d.path))
@@ -187,7 +216,7 @@ object Mv {
 
     val base = GraftTable.at(spark, path)
     val vis = base.status.visible.map(s => s.id -> s.rowCount).toMap
-    val done = MvCatalog.refreshedSegments(name)
+    val done = MvCatalog.refreshedSegments(name).getOrElse(path, Map.empty)
     // every folded segment must still be visible WITH ITS FOLDED ROW
     // COUNT — file-grain mutation / metadata DROP PARTITION shrink a
     // segment in place, and folding only the delta would double-count
@@ -234,7 +263,7 @@ object Mv {
     // the write ACTION must also run with rewriting off — the rule fires
     // at optimization time, not DataFrame-construction time
     MvRewriteRule.withoutRewrite { mvT.insert(combined, overwrite = true) }
-    MvCatalog.setRefreshedSegments(name, vis)
+    MvCatalog.setRefreshedSegments(name, Map(path -> vis))
     persist(spark, d)
     true
   }

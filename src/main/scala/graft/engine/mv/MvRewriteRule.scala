@@ -101,12 +101,6 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def bareParquetScan(s: org.apache.spark.sql.connector.read.Scan): Boolean =
-    unwrap(s) match {
-      case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-        ps.pushedFilters.isEmpty && ps.partitionFilters.isEmpty && ps.dataFilters.isEmpty
-      case _ => false
-    }
 
   /** A parquet scan acceptable on the QUERY side: bare, or carrying only
     * data filters that are conjuncts of the residual Filter above it
@@ -130,15 +124,24 @@ class MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** Map query-child attributes into MV-child attributes, or None if the
-    * children don't line up. Two supported shapes:
+    * children don't line up. Supported shapes:
     *   - both children are bare scans of the same DSv2 (carbonish) table:
     *     column pruning happens inside the relation, so map by NAME;
+    *   - both are Joins of the same type: branches match recursively
+    *     (each branch may be pruned differently — a rollup query reads
+    *     fewer columns than its MV) and the join conditions must be
+    *     canonically equal once query attributes are mapped into MV
+    *     attributes (reference MVMatcher join subsumption,
+    *     MVMatcher.scala SelectSelectNoChildDelta over joins);
+    *   - both are Filters: equal conditions under the map, recurse;
     *   - otherwise the pruning-stripped plans must be canonically equal
     *     (covers arbitrary plans over file relations) → map by position. */
   private def childAttrMap(
       qChild0: LogicalPlan, mChild0: LogicalPlan,
-      allowedFilterCanon: Set[Expression] = Set.empty): Option[AttributeMap[Attribute]] = {
+      allowedFilterCanon: Set[Expression] = Set.empty,
+      mvFilterCanon: Set[Expression] = Set.empty): Option[AttributeMap[Attribute]] = {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     val qChild = stripPruning(qChild0)
     val mChild = stripPruning(mChild0)
     // a pinned-segment read (insegment) is NOT the same relation as the
@@ -146,15 +149,39 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     // partial data
     def pin(r: DataSourceV2ScanRelation): String =
       Option(r.relation.options.get("segments")).getOrElse("")
+    def mapped(m: AttributeMap[Attribute], e: Expression): Expression =
+      e.transform { case a: Attribute => m.getOrElse(a, a) }
     (qChild, mChild) match {
       case (q: DataSourceV2ScanRelation, m: DataSourceV2ScanRelation)
-          if queryParquetScan(q.scan, allowedFilterCanon) && bareParquetScan(m.scan) &&
+          if queryParquetScan(q.scan, allowedFilterCanon) &&
+            queryParquetScan(m.scan, mvFilterCanon) &&
             q.relation.table.name == m.relation.table.name &&
             pin(q) == pin(m) =>
         val byName = m.output.map(a => a.name -> a).toMap
         if (q.output.forall(a => byName.contains(a.name)))
           Some(AttributeMap(q.output.map(a => a -> byName(a.name))))
         else None
+      case (qj: Join, mj: Join) if qj.joinType == mj.joinType =>
+        for {
+          lm <- childAttrMap(qj.left, mj.left)
+          rm <- childAttrMap(qj.right, mj.right)
+          combined = AttributeMap(lm.toSeq ++ rm.toSeq)
+          if ((qj.condition.map(c => mapped(combined, c).canonicalized),
+            mj.condition.map(_.canonicalized)) match {
+            case (None, None) => true
+            case (Some(a), Some(b)) => a == b
+            case _ => false
+          })
+        } yield combined
+      case (Filter(qc, qin), Filter(mc, min)) =>
+        // both sides keep their residual Filter while its conjuncts are
+        // pushed into the scan below — thread each side's conjuncts down
+        // so the scan comparison accepts exactly those pushed filters
+        childAttrMap(qin, min,
+          allowedFilterCanon ++ conjuncts(qc).map(_.canonicalized),
+          mvFilterCanon ++ conjuncts(mc).map(_.canonicalized)).flatMap { m =>
+          if (mapped(m, qc).canonicalized == mc.canonicalized) Some(m) else None
+        }
       case _ if qChild.canonicalized == mChild.canonicalized =>
         Some(AttributeMap(qChild.output.zip(mChild.output)))
       case _ => None
@@ -215,34 +242,43 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     // bail and let the query hit the base. Parquet-directory bases have
     // no segment ledger and are treated as immutable (the reference
     // tracks the same thing via loadName watermarks in its MV status).
-    stripPruning(mvChild) match {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        r.relation.table match {
-          case ct: graft.engine.source.CarbonishTable =>
-            val visibleNow = new graft.engine.format.TableLayout(
-              ct.tablePath, spark.sessionState.newHadoopConf())
-              .readStatus().visible.map(s => s.id -> s.rowCount).toMap
-            val folded = MvCatalog.refreshedSegments(mv.name)
-            // strict equality over (id → rowCount) fingerprints, not
-            // just id additions: DELETE SEGMENT / truncate shrink the
-            // visible SET, and file-grain mutation / metadata DROP
-            // PARTITION shrink a segment IN PLACE (same id, fewer
-            // rows) — serving the MV in either case would still
-            // include the dropped rows. Mirrors refreshIncremental's
-            // fingerprint invalidation.
-            if (visibleNow != folded) {
-              val added = (visibleNow.keySet -- folded.keySet).toSeq.sorted
-              val removed = (folded.keySet -- visibleNow.keySet).toSeq.sorted
-              val shrunk = folded.keys.filter(id =>
-                visibleNow.get(id).exists(_ != folded(id))).toSeq.sorted
-              logInfo(s"[graft] MV '${mv.name}' is stale (base segments " +
-                s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}] " +
-                s"resized=[${shrunk.mkString(",")}]) — not rewriting")
-              return None
-            }
-          case _ =>
+    locally {
+      // every carbonish base in the MV child (a join MV has several) —
+      // an unknown or drifted base means serving would drop/duplicate
+      // rows, so any mismatch bails to the base tables
+      val carbonPaths = mvChild.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table match {
+            case ct: graft.engine.source.CarbonishTable => Some(ct.tablePath)
+            case _ => None
+          }
+      }.flatten.distinct
+      val foldedByPath = MvCatalog.refreshedSegments(mv.name)
+      carbonPaths.foreach { p =>
+        val visibleNow = new graft.engine.format.TableLayout(
+          p, spark.sessionState.newHadoopConf())
+          .readStatus().visible.map(s => s.id -> s.rowCount).toMap
+        // a base with no recorded snapshot (pre-upgrade def) can't be
+        // verified fresh — treat as stale
+        val folded = foldedByPath.getOrElse(p, Map.empty[Long, Long])
+        // strict equality over (id → rowCount) fingerprints, not
+        // just id additions: DELETE SEGMENT / truncate shrink the
+        // visible SET, and file-grain mutation / metadata DROP
+        // PARTITION shrink a segment IN PLACE (same id, fewer
+        // rows) — serving the MV in either case would still
+        // include the dropped rows. Mirrors refreshIncremental's
+        // fingerprint invalidation.
+        if (visibleNow != folded) {
+          val added = (visibleNow.keySet -- folded.keySet).toSeq.sorted
+          val removed = (folded.keySet -- visibleNow.keySet).toSeq.sorted
+          val shrunk = folded.keys.filter(id =>
+            visibleNow.get(id).exists(_ != folded(id))).toSeq.sorted
+          logInfo(s"[graft] MV '${mv.name}' is stale (base $p segments " +
+            s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}] " +
+            s"resized=[${shrunk.mkString(",")}]) — not rewriting")
+          return None
         }
-      case _ =>
+      }
     }
     def remap(e: Expression): Expression =
       e.transform { case a: Attribute => attrMap.getOrElse(a, a) }

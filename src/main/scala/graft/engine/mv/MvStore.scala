@@ -31,17 +31,20 @@ private[mv] case class MvLeafStub(
   * recomputed at load time (its scan leaves can't be persisted, and
   * re-optimizing reproduces exactly what a fresh query session plans
   * against). */
-/** The watermark is an (id → rowCount) fingerprint map: a segment that
+/** The watermark is a per-base-path (id → rowCount) fingerprint map
+  * (a join MV has one entry per carbonish base): a segment that
   * shrank in place (file-grain mutation / metadata DROP PARTITION)
   * must invalidate incremental refresh and MV serving. Old defs
-  * serialized with the Set[Long] watermark fail deserialization
-  * (serialVersionUID change) and load as "no MV" with a warning —
+  * serialized with earlier watermark shapes fail deserialization
+  * (serialVersionUID bump) and load as "no MV" with a warning —
   * recreate them. */
+@SerialVersionUID(3L)
 private[mv] case class MvPersisted(
     name: String,
     path: String,
     buildStubbed: LogicalPlan,
-    refreshedSegments: Option[Map[Long, Long]])
+    refreshedSegments: Option[Map[String, Map[Long, Long]]],
+    deferred: Boolean)
 
 /** Persistence for [[MvDef]]s: one `_meta/mvdef.bin` per MV table, so
   * the MV (and its incremental-refresh watermark) survives the session
@@ -150,7 +153,8 @@ object MvStore {
   def save(spark: SparkSession, d: MvDef): Unit = {
     val persisted = MvPersisted(
       d.name, d.path, stubLeaves(d.build),
-      Some(MvCatalog.refreshedSegments(d.name)).filter(_.nonEmpty))
+      Some(MvCatalog.refreshedSegments(d.name)).filter(_.nonEmpty),
+      d.deferred)
     val bos = new ByteArrayOutputStream()
     val oos = new ObjectOutputStream(bos)
     oos.writeObject(persisted); oos.close()
@@ -170,7 +174,8 @@ object MvStore {
 
   /** Load the def stored at `mvPath` (None if absent/unreadable) and
     * recompute the optimized match plan. Does NOT register it. */
-  def load(spark: SparkSession, mvPath: String): Option[(MvDef, Option[Map[Long, Long]])] = {
+  def load(spark: SparkSession, mvPath: String)
+      : Option[(MvDef, Option[Map[String, Map[Long, Long]]])] = {
     val layout = new TableLayout(mvPath, spark.sessionState.newHadoopConf())
     val p = defPath(layout)
     if (!layout.fs.exists(p)) return None
@@ -202,7 +207,8 @@ object MvStore {
         case other => throw new IllegalStateException(
           s"persisted MV ${persisted.name} no longer optimizes to an Aggregate: ${other.nodeName}")
       }
-      Some((MvDef(persisted.name, agg, build, persisted.path), persisted.refreshedSegments))
+      Some((MvDef(persisted.name, agg, build, persisted.path, persisted.deferred),
+        persisted.refreshedSegments))
     } catch {
       case scala.util.control.NonFatal(e) =>
         // a corrupt / rejected / plan-incompatible def must be VISIBLE —

@@ -220,6 +220,16 @@ object EngineQueries {
       mvServedTs(s, d, t(s, d, "events")
         .groupBy(graft.functions.GraftFunctions.timeseries(col("ts"), "day").as("bucket"))
         .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("cnt")))),
+    // join MV (reference MVMatcher join subsumption): a coarser rollup
+    // over the orders⋈customer join is served by the join MV — branch
+    // pruning differs between query and MV, so this row fails if the
+    // branch-wise matcher regresses
+    "q_mv_join" -> ((s, d) =>
+      mvServedJoin(s, d, t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("cnt")))),
     // paged read (PaginationCarbonReader analog): committed order on the
     // orders3 fixture IS (o_orderdate, o_orderkey) order — loads arrived
     // in date-range order and each is GLOBAL_SORT — so page(1234, 200)
@@ -276,6 +286,34 @@ object EngineQueries {
     val plan = q.queryExecution.optimizedPlan.toString
     require(plan.contains("mv_ev_ts"),
       s"timeseries MV rewrite did not fire; plan:\n$plan")
+    q
+  }
+
+  /** Ensure the shared orders⋈customer join MV exists and serves
+    * `query` (a coarser rollup over the same join — the reference's
+    * MVMatcher join subsumption). */
+  private def mvServedJoin(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
+    import graft.engine.mv.{Mv, MvCatalog}
+    val base = new java.io.File(d).getName
+    val mvPath = s"/tmp/graft_tables/$base/mv_oc_join"
+    def rewrites: Boolean = {
+      Mv.install(s)
+      query.queryExecution.optimizedPlan.toString.contains("mv_oc_join")
+    }
+    val ready =
+      (MvCatalog.get("mv_oc_join").isDefined || Mv.load(s, mvPath).isDefined) && rewrites
+    if (!ready) {
+      val mvq = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(sum(dec(col("o_totalprice"))).as("pp"), count(lit(1)).as("pc"))
+      Mv.drop(s, "mv_oc_join")
+      Mv.create(s, "mv_oc_join", mvq, mvPath)
+    }
+    val q = query
+    val plan = q.queryExecution.optimizedPlan.toString
+    require(plan.contains("mv_oc_join"),
+      s"join MV rewrite did not fire; plan:\n$plan")
     q
   }
 
@@ -368,6 +406,11 @@ object EngineQueries {
       s"""SELECT date_trunc('day', ts) AS bucket, ${oDsum("value")} AS sum_value,
           count(*) AS cnt
           FROM events GROUP BY 1""",
+    "q_mv_join" ->
+      s"""SELECT c_mktsegment, ${oDsum("o_totalprice")} AS sum_price,
+          count(*) AS cnt
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment""",
     "q_page" ->
       s"""SELECT o_orderkey, o_orderstatus,
           CAST(${oDec("o_totalprice")} AS DOUBLE) AS price

@@ -84,7 +84,9 @@ class MvSpec extends AnyFunSuite {
     val base = GraftTable.createAsSelect(spark, s"$root/base",
       Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "x"), Seq("k"))
     def q = base.read.groupBy("k").agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
-    Mv.create(spark, "mv_stale", q, s"$root/mv_stale")
+    // deferred: this test pins the staleness GATE, so refresh-on-commit
+    // (the non-deferred default) must not catch the MV up behind it
+    Mv.create(spark, "mv_stale", q, s"$root/mv_stale", deferred = true)
     try {
       assert(q.queryExecution.optimizedPlan.toString.contains("mv_stale"))
       // base grows: the MV must stop serving queries (no silent staleness)
@@ -371,5 +373,111 @@ class MvSpec extends AnyFunSuite {
       assert(q.queryExecution.optimizedPlan.toString.contains("mv_fresh"))
       assert(q.agg(sum("cnt")).collect().head.getLong(0) == 1200)
     } finally Mv.drop(spark, "mv_fresh")
+  }
+
+  test("join MV: fact-dim join aggregate served from the MV, incl. rollup") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    def joined = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    val mvq = joined.groupBy("c_mktsegment", "o_orderstatus")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"),
+        count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_join", mvq, s"${tmp()}/mv_join")
+    try {
+      // exact: same join, same groupings
+      def qe = joined.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+      val planE = qe.queryExecution.optimizedPlan.toString
+      assert(planE.contains("mv_join"), s"exact join query should hit MV:\n$planE")
+      val expE = graft.engine.mv.MvRewriteRule.withoutRewrite { qe.collect() }
+      assert(qe.collect().map(_.toString).sorted
+        .sameElements(expE.map(_.toString).sorted))
+      // rollup: coarser grouping answered by the join MV — the query's
+      // join branches prune harder than the MV's (o_orderstatus gone
+      // from the orders side), which the branch-wise matcher absorbs
+      def qr = joined.groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+      val planR = qr.queryExecution.optimizedPlan.toString
+      assert(planR.contains("mv_join"), s"join rollup should hit MV:\n$planR")
+      val expR = graft.engine.mv.MvRewriteRule.withoutRewrite { qr.collect() }
+      assert(qr.collect().map(_.toString).sorted
+        .sameElements(expR.map(_.toString).sorted))
+      // a different join condition must never be served by this MV
+      val other = orders.join(customer, col("o_custkey") === col("c_nationkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("mv_join"),
+        "different join condition must block the rewrite")
+    } finally Mv.drop(spark, "mv_join")
+  }
+
+  test("join MV over carbonish bases: growth of EITHER base disables serving") {
+    val path = tmp()
+    val o = GraftTable.createAsSelect(spark, s"$path/ordc",
+      spark.read.parquet(s"$sf/orders.parquet").limit(2000))
+    val c = GraftTable.createAsSelect(spark, s"$path/custc",
+      spark.read.parquet(s"$sf/customer.parquet").limit(500))
+    def joined = o.read.join(c.read, col("o_custkey") === col("c_custkey"))
+    def q = joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    val mvq = joined.groupBy("c_mktsegment", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+    // deferred: pins the multi-base staleness gate itself (non-deferred
+    // MVs would be caught up by refresh-on-commit before the assert)
+    Mv.create(spark, "mv_join_c", mvq, s"$path/mv_join_c", deferred = true)
+    try {
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_join_c"),
+        "fresh join MV over carbonish bases should serve")
+      // grow the DIM side only — the MV is stale for both
+      c.insert(spark.read.parquet(s"$sf/customer.parquet")
+        .limit(600).except(spark.read.parquet(s"$sf/customer.parquet").limit(500)))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("mv_join_c"),
+        "dim-side growth must disable the join MV")
+      Mv.refresh(spark, "mv_join_c")
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_join_c"),
+        "refresh must re-enable serving")
+      // and the served answer equals the base answer
+      val exp = graft.engine.mv.MvRewriteRule.withoutRewrite { q.collect() }
+      assert(q.collect().map(_.toString).sorted
+        .sameElements(exp.map(_.toString).sorted))
+    } finally Mv.drop(spark, "mv_join_c")
+  }
+
+  test("refresh-on-commit: base load refreshes non-deferred MVs, DEFERRED waits") {
+    val path = tmp()
+    val t = GraftTable.createAsSelect(spark, s"$path/fact", lineitem.limit(1000))
+    Mv.create(spark, "mv_oncommit",
+      t.read.groupBy("l_returnflag").agg(count(lit(1)).as("cnt")),
+      s"$path/mv_oncommit")
+    // the SQL surface carries the deferred flag
+    GraftSql.command(spark,
+      s"""CREATE MATERIALIZED VIEW mv_defer WITH DEFERRED REFRESH
+          STORED AT '$path/mv_defer_sql' AS
+          SELECT l_linestatus, count(*) AS cnt
+          FROM parquet.`$sf/lineitem.parquet` GROUP BY l_linestatus""")
+    assert(MvCatalog.get("mv_defer").exists(_.deferred),
+      "SQL WITH DEFERRED REFRESH must set the deferred flag")
+    Mv.drop(spark, "mv_defer")
+    Mv.create(spark, "mv_defer",
+      t.read.groupBy("l_linestatus").agg(count(lit(1)).as("cnt")),
+      s"$path/mv_defer", deferred = true)
+    try {
+      t.insert(lineitem.limit(1200).except(lineitem.limit(1000)))
+      // non-deferred MV caught up inside the load commit: serves and
+      // covers the new rows without any manual refresh
+      val q = t.read.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_oncommit"),
+        "non-deferred MV should serve right after the load")
+      assert(q.agg(sum("cnt")).collect().head.getLong(0) == 1200)
+      // deferred MV did not refresh: stale, so not served
+      def qd = t.read.groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+      assert(!qd.queryExecution.optimizedPlan.toString.contains("mv_defer"),
+        "deferred MV must stay unserved until REFRESH")
+      Mv.refreshIncremental(spark, "mv_defer")
+      assert(qd.queryExecution.optimizedPlan.toString.contains("mv_defer"),
+        "deferred MV serves after an explicit refresh")
+      assert(qd.agg(sum("cnt")).collect().head.getLong(0) == 1200)
+    } finally { Mv.drop(spark, "mv_oncommit"); Mv.drop(spark, "mv_defer") }
   }
 }
