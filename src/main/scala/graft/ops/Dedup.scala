@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** md5 prefix as a long via the native [[Md5Prefix64]] expression —
+    * one digest, no hex-string round-trip. Halves recover the oracle's
+    * CONV(SUBSTRING(md5(x), 1|9, 8), 16, 10) values exactly. */
+  private def md5p64(c: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.Md5Prefix64(
+        org.apache.spark.sql.graft.Shims.expression(c)))
+  private val LoMask = 4294967295L // low 32 bits
+
   /** 32-bit-ish seeded hash, cross-engine reproducible:
     * first 8 md5 hex chars of "seed|x" as a BIGINT. */
   def h32(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 8), 16, 10).cast("long")
+    shiftrightunsigned(md5p64(concat(lit(s"$seed|"), c)), 32)
   def oH32(seed: Int, x: String): String =
     s"CAST('0x' || substr(md5('$seed|' || $x), 1, 8) AS BIGINT)"
 
@@ -55,10 +64,13 @@ object Dedup {
     require(numHashes <= P1.size, s"at most ${P1.size} hash functions")
     val ex = toks.select(col("id"),
       explode(shingles(col("toks"), shingleN)).as("s"))
-    val h = md5(col("s"))
-    val ab = ex.select(col("id"),
-      conv(substring(h, 1, 8), 16, 10).cast("long").as("a"),
-      conv(substring(h, 9, 8), 16, 10).cast("long").as("b"))
+    // one digest per shingle; the two projections stay separate
+    // (CollapseProject keeps non-cheap exprs single-use), so the hash
+    // runs once and the halves are long arithmetic
+    val ab = ex.select(col("id"), md5p64(col("s")).as("h"))
+      .select(col("id"),
+        shiftrightunsigned(col("h"), 32).as("a"),
+        col("h").bitwiseAND(lit(LoMask)).as("b"))
     ab.groupBy("id").agg(
       array((0 until numHashes).map(j =>
         min((col("a") * P1(j) + col("b") * P2(j) + j) % M)): _*).as("sig"))
@@ -308,9 +320,9 @@ object Dedup {
     val sh = shingles(toks, shingleN)
     array((0 until numHashes).map { j =>
       array_min(transform(sh, { s =>
-        val h = md5(s)
-        (conv(substring(h, 1, 8), 16, 10).cast("long") * P1(j) +
-          conv(substring(h, 9, 8), 16, 10).cast("long") * P2(j) + lit(j.toLong)) % M
+        val h = md5p64(s)
+        (shiftrightunsigned(h, 32) * P1(j) +
+          h.bitwiseAND(lit(LoMask)) * P2(j) + lit(j.toLong)) % M
       }))
     }: _*)
   }

@@ -38,10 +38,12 @@ object Q {
   def oDavg(c: String): String = s"(CAST(sum(${oDec(c)}) AS DOUBLE) / count($c))"
 
   /** Cross-engine 32-bit-ish hash: first 8 hex chars of md5 → BIGINT.
-    * Spark: conv(substring(md5(x),1,8),16,10)::long
+    * Spark: high half of the native md5-prefix expression
     * DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT)                  */
   def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    shiftrightunsigned(org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.Md5Prefix64(
+        org.apache.spark.sql.graft.Shims.expression(c))), 32)
   def oH32(c: String): String = s"CAST('0x' || substr(md5($c), 1, 8) AS BIGINT)"
 
   type QFn = (SparkSession, String) => DataFrame

@@ -13,6 +13,31 @@ class PipelineSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("md5_prefix64 halves equal the hex-string CONV formulation") {
+    import spark.implicits._
+    // covers empty, multi-byte UTF-8, and a spread of short strings —
+    // the native digest must reproduce the oracle-parity hex path on
+    // every input or signatures silently drift from the DuckDB oracle
+    val df = (Seq("", "a", "hello world", "héllo ünïcode £€", "0|tok",
+      "a b c", "\t x ") ++ (1 to 500).map(i => s"doc $i token ${i * 37}")).toDF("s")
+    val h = org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.Md5Prefix64(
+        org.apache.spark.sql.graft.Shims.expression(col("s"))))
+    val bad = df.select(
+      shiftrightunsigned(h, 32).as("a1"),
+      h.bitwiseAND(lit(4294967295L)).as("b1"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("a2"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("b2"))
+      .filter(col("a1") =!= col("a2") || col("b1") =!= col("b2"))
+    assert(bad.count() == 0, s"digest halves diverge: ${bad.take(3).mkString}")
+    // null flows through as null, like every unary expression
+    assert(Seq[String](null).toDF("s")
+      .select(shiftrightunsigned(org.apache.spark.sql.graft.Shims.column(
+        org.apache.spark.sql.graft.Md5Prefix64(
+          org.apache.spark.sql.graft.Shims.expression(col("s")))), 32).as("h"))
+      .collect().head.isNullAt(0))
+  }
+
   test("minhash LSH recalls seeded near-duplicate pairs, no cartesian join") {
     val base = docs.select(col("doc_id").as("id"), lower(trim(col("text"))).as("norm"))
     val copies = docs.filter(col("doc_id") % 5 === 0)
