@@ -689,6 +689,21 @@ class GraftTable private (val spark: SparkSession, val path: String)
           logWarning(s"[graft] compaction aborted: ${e.getMessage}")
           return None
       }
+      // post-publish maintenance, mirroring the load hook (reference SI
+      // compaction listeners): fold the merged segment into registered
+      // SI/text indexes (retired victims drop out via visibility), and
+      // rebase MV watermarks — compaction rewrites rows UNCHANGED
+      // (deltas folded in), so an MV that had folded exactly the
+      // victims stays data-fresh and keeps serving.
+      if (meta.properties.getOrElse("index.autorefresh", "true").toBoolean) {
+        meta.properties.keys.filter(_.startsWith("si.")).foreach(k =>
+          graft.engine.index.Si.repair(this, k.stripPrefix("si."), Some(Seq(id))))
+        meta.properties.keys.filter(_.startsWith("textindex.")).foreach(k =>
+          graft.engine.index.TextIndex.repair(this,
+            k.stripPrefix("textindex."), Some(Seq(id))))
+      }
+      graft.engine.mv.Mv.rebaseAfterCompaction(spark, path,
+        victims.map(s => s.id -> s.rowCount).toMap, id, seg.rowCount)
       Some(id)
     }
   }

@@ -143,6 +143,31 @@ object Mv {
     MvCatalog.drop(name)
   }
 
+  /** Compaction rewrites rows unchanged (MoR deltas folded in), so an
+    * MV that had folded exactly the victim segments is still DATA-fresh
+    * afterwards — rebase its watermark onto the merged segment instead
+    * of forcing a recompute. Applies only with identity evidence: every
+    * victim must appear in the folded snapshot with its pre-compaction
+    * fingerprint AND the merged row count must equal the victims' sum.
+    * Anything else leaves the watermark alone and the serving gate
+    * refuses, exactly as before. Metadata-only, so it covers deferred
+    * MVs too. */
+  def rebaseAfterCompaction(spark: SparkSession, basePath: String,
+      victims: Map[Long, Long], newId: Long, newRows: Long): Unit =
+    MvCatalog.all.foreach { d =>
+      val byPath = MvCatalog.refreshedSegments(d.name)
+      byPath.get(basePath).foreach { folded =>
+        val identity = victims.nonEmpty &&
+          victims.forall { case (id, n) => folded.get(id).contains(n) } &&
+          victims.values.sum == newRows
+        if (identity) {
+          val rebased = (folded -- victims.keys) + (newId -> newRows)
+          MvCatalog.setRefreshedSegments(d.name, byPath + (basePath -> rebased))
+          persist(spark, d)
+        }
+      }
+    }
+
   /** Refresh-on-commit hook (reference "Loading data on commit",
     * docs/mv-guide.md:138-146): after a base-table load publishes,
     * every registered NON-deferred MV reading that table catches up —

@@ -444,6 +444,39 @@ class MvSpec extends AnyFunSuite {
     } finally Mv.drop(spark, "mv_join_c")
   }
 
+  test("MV keeps serving through base compaction (rows unchanged)") {
+    import spark.implicits._
+    val path = tmp()
+    val t = GraftTable.create(spark, s"$path/fact",
+      Seq((0L, 0.0)).toDF("k", "x").schema)
+    (0 until 4).foreach { b =>
+      t.insert((0L until 100L).map(i => (i % 7, (b * 100 + i).toDouble)).toDF("k", "x"))
+    }
+    def q = t.read.groupBy("k").agg(sum(col("x").cast("decimal(18,4)")).as("sx"),
+      count(lit(1)).as("c"))
+    Mv.create(spark, "mv_compact", q, s"$path/mv_compact")
+    try {
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_compact"))
+      val before = canonRows(q)
+      // compaction rewrites the same rows into one segment: the
+      // watermark rebases onto the merged segment and the MV keeps
+      // serving — no recompute, no staleness window
+      assert(t.compact("MINOR", minorThreshold = 4).isDefined)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_compact"),
+        s"MV must keep serving after compaction:\n$plan")
+      assert(canonRows(q) == before)
+      // growth after the rebase: refresh-on-commit catches the MV up
+      // inside the load, so the ANSWER must include the new row
+      t.insert(Seq((1L, 9999.0)).toDF("k", "x"))
+      assert(q.agg(sum("c")).collect().head.getLong(0) == 401L,
+        "post-compaction insert must be visible through the MV path")
+    } finally Mv.drop(spark, "mv_compact")
+  }
+
+  private def canonRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
   test("refresh-on-commit: base load refreshes non-deferred MVs, DEFERRED waits") {
     val path = tmp()
     val t = GraftTable.createAsSelect(spark, s"$path/fact", lineitem.limit(1000))

@@ -194,4 +194,25 @@ class SiSpec extends AnyFunSuite {
     assert(scanned.nonEmpty && scanned.forall(_.contains("__p_p=")),
       scanned.take(3).toString)
   }
+
+  test("compaction folds the merged segment into SI coverage automatically") {
+    val root = Files.createTempDirectory("graft_si_compact_").toString
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"$root/t",
+      Seq((0L, "u0")).toDF("k", "u").schema)
+    (0 until 4).foreach { b =>
+      t.insert((0L until 250L).map(i => (b * 1000L + i, s"u${i % 10}")).toDF("k", "u"))
+    }
+    Si.create(t, "u", s"$root/si_u")
+    assert(Si.indexedSegments(GraftTable.at(spark, s"$root/si_u")) == Set(0L, 1L, 2L, 3L))
+    val merged = t.compact("MINOR", minorThreshold = 4)
+    assert(merged.isDefined, "four small segments should minor-compact")
+    // the reference SI compaction-listener analog: the merged segment
+    // enters the ledger without a manual REINDEX, so lookups keep their
+    // index pruning (retired victims drop out via visibility)
+    assert(Si.indexedSegments(GraftTable.at(spark, s"$root/si_u"))
+      .contains(merged.get),
+      "merged segment must be index-covered after compaction")
+    assert(Si.readWhereIn(t, "u", Seq("u3")).count() == 100L)
+  }
 }
