@@ -187,13 +187,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // load never records phantom coverage. `index.autorefresh=false`
     // opts a bulk backfill out (scans stay correct via the uncovered-
     // segment fallback until a manual REINDEX).
-    if (m.properties.getOrElse("index.autorefresh", "true").toBoolean) {
-      m.properties.keys.filter(_.startsWith("si.")).foreach(k =>
-        graft.engine.index.Si.repair(this, k.stripPrefix("si."), Some(Seq(id))))
-      m.properties.keys.filter(_.startsWith("textindex.")).foreach(k =>
-        graft.engine.index.TextIndex.repair(this,
-          k.stripPrefix("textindex."), Some(Seq(id))))
-    }
+    maintainIndexesFor(id, m)
     // MV refresh-on-commit (reference "Loading data on commit",
     // docs/mv-guide.md:138-146): non-deferred MVs over this table catch
     // up right after the publish; mv.autorefresh=false opts the table
@@ -695,18 +689,27 @@ class GraftTable private (val spark: SparkSession, val path: String)
       // rebase MV watermarks — compaction rewrites rows UNCHANGED
       // (deltas folded in), so an MV that had folded exactly the
       // victims stays data-fresh and keeps serving.
-      if (meta.properties.getOrElse("index.autorefresh", "true").toBoolean) {
-        meta.properties.keys.filter(_.startsWith("si.")).foreach(k =>
-          graft.engine.index.Si.repair(this, k.stripPrefix("si."), Some(Seq(id))))
-        meta.properties.keys.filter(_.startsWith("textindex.")).foreach(k =>
-          graft.engine.index.TextIndex.repair(this,
-            k.stripPrefix("textindex."), Some(Seq(id))))
-      }
+      maintainIndexesFor(id)
       graft.engine.mv.Mv.rebaseAfterCompaction(spark, path,
         victims.map(s => s.id -> s.rowCount).toMap, id, seg.rowCount)
       Some(id)
     }
   }
+
+  /** Post-publish index maintenance shared by load, compaction, and
+    * streaming handoff (reference SILoadEventListener family): fold
+    * one freshly-published segment into every registered SI and text
+    * index incrementally. `index.autorefresh=false` opts the table out
+    * (scans stay correct via the uncovered-segment fallback). */
+  private[engine] def maintainIndexesFor(
+      segId: Long, m: TableMeta = meta): Unit =
+    if (m.properties.getOrElse("index.autorefresh", "true").toBoolean) {
+      m.properties.keys.filter(_.startsWith("si.")).foreach(k =>
+        graft.engine.index.Si.repair(this, k.stripPrefix("si."), Some(Seq(segId))))
+      m.properties.keys.filter(_.startsWith("textindex.")).foreach(k =>
+        graft.engine.index.TextIndex.repair(this,
+          k.stripPrefix("textindex."), Some(Seq(segId))))
+    }
 
   /** HORIZONTAL compaction (reference: configuration-parameters.md:120):
     * when a data file accrues more delete-delta files than

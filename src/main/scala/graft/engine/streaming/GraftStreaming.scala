@@ -153,6 +153,12 @@ object GraftStreaming {
           else x
         })
       }
+      // post-publish maintenance like load/compaction: the columnar
+      // copy enters index coverage, and an MV that had folded the
+      // streaming segment rebases onto it (same rows, new id)
+      t.maintainIndexesFor(id)
+      graft.engine.mv.Mv.rebaseAfterCompaction(t.spark, t.path,
+        Map(s.id -> s.rowCount), id, seg.rowCount)
       Some(id)
     }
   }
