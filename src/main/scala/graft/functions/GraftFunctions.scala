@@ -212,6 +212,30 @@ object GraftFunctions {
         parseLucene(query).exists(_.forall(l => one(l.term) != l.negated))
       }
     })
+    // timeseries(col, 'granularity') as a SQL function (reference
+    // TimeSeriesUDF registration, TimeSeriesFunction.scala): resolves
+    // to the very TruncTimestamp the Column builder produces, so
+    // timeseries MVs rewrite identically whether the query came from
+    // SQL or the DataFrame API (a udf-wrapped variant would be opaque
+    // to the matcher)
+    org.apache.spark.sql.graft.Shims.registerNative(spark, "timeseries", exprs => {
+      require(exprs.length == 2,
+        "timeseries(column, granularity) takes exactly two arguments")
+      val g = exprs(1) match {
+        case e if e.foldable => Option(e.eval())
+          .map(_.toString.trim.toLowerCase)
+          .getOrElse(throw new IllegalArgumentException(
+            "timeseries: granularity must be a non-null string literal"))
+        case _ => throw new IllegalArgumentException(
+          "timeseries: granularity must be a literal")
+      }
+      g match {
+        case "second" | "minute" | "hour" | "day" | "week" | "month" | "year" =>
+        case other => throw new IllegalArgumentException(s"granularity: $other")
+      }
+      org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
+        org.apache.spark.sql.catalyst.expressions.Literal(g), exprs.head)
+    })
     // approx_top_k(col, k): the Misra-Gries aggregate as a SQL function
     // (a native AggregateFunction can't go through spark.udf.register)
     org.apache.spark.sql.graft.Shims.registerNative(spark, "approx_top_k", exprs => {

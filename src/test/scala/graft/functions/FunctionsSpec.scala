@@ -108,6 +108,25 @@ class FunctionsSpec extends AnyFunSuite {
       GraftFunctions.timeseries(col("ts"), "fortnight"))
   }
 
+  test("timeseries SQL registration resolves to the same date_trunc expression") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("2024-03-15 10:23:45", "2024-03-15 11:59:59").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+      .createOrReplaceTempView("ts_reg_v")
+    val viaSql = spark.sql(
+      "SELECT CAST(timeseries(ts, 'HOUR') AS STRING) b FROM ts_reg_v")
+      .collect().map(_.getString(0)).sorted
+    assert(viaSql.sameElements(Array("2024-03-15 10:00:00", "2024-03-15 11:00:00")))
+    // resolves to TruncTimestamp, not an opaque UDF — so MV matching
+    // sees SQL and DataFrame timeseries buckets as the same expression
+    val plan = spark.sql("SELECT timeseries(ts, 'hour') FROM ts_reg_v")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("date_trunc") && !plan.contains("UDF"), plan)
+    intercept[Exception](
+      spark.sql("SELECT timeseries(ts, 'fortnight') FROM ts_reg_v").collect())
+  }
+
   test("geo: geoId roundtrip, upper layer, polygon, bbox ranges") {
     val pts = Seq((37.77, -122.42), (0.0, 0.0), (-33.86, 151.21), (89.99, 179.99))
     pts.foreach { case (lat, lng) =>
