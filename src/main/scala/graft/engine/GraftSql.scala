@@ -109,6 +109,7 @@ object GraftSql {
     * CREATE MATERIALIZED VIEW <name> [WITH DEFERRED REFRESH] STORED AT '<path>' AS <select sql>
     * REFRESH MATERIALIZED VIEW <name>
     * DROP MATERIALIZED VIEW <name>
+    * SHOW MATERIALIZED VIEWS [ON TABLE <t>]  -- status/refresh-mode/trigger
     * CREATE TABLE <t> LIKE <src>   -- empty clone of schema/sort/partitions/props
     * SHOW SUMMARY FOR TABLE <t>    -- CarbonCli-style per-file metadata
     * SHOW BENCHMARK FOR TABLE <t> [LIMIT n] -- CarbonCli-style per-file scan timings
@@ -151,6 +152,7 @@ object GraftSql {
     val FinishStreaming = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+FINISH\s+STREAMING\s*$""".r
     val CreateMv = """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+(WITH\s+DEFERRED\s+REFRESH\s+)?STORED\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
     val RefreshMv = """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
+    val ShowMvs = """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*(?:ON\s+TABLE\s+(\S+)\s*)?$""".r
     val DropMv = """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val CreateLike = """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+LIKE\s+(\S+)\s*$""".r
     val ShowSummary = """(?is)^\s*SHOW\s+SUMMARY\s+FOR\s+TABLE\s+(\S+)\s*$""".r
@@ -474,6 +476,11 @@ object GraftSql {
         Some(done)
       case RefreshMv(name) =>
         mv.Mv.refreshIncremental(spark, name); Some(done)
+      case ShowMvs(onT) =>
+        // reference column set (docs/mv-guide.md:225-245)
+        import spark.implicits._
+        Some(mv.Mv.showDetailed(spark, Option(onT))
+          .toDF("name", "status", "refresh_mode", "refresh_trigger_mode", "path"))
       case DropMv(name) =>
         mv.Mv.drop(spark, name); Some(done)
       case _ => None

@@ -195,6 +195,66 @@ object Mv {
   /** SHOW MATERIALIZED VIEWS. */
   def show: Seq[(String, String)] = MvCatalog.all.map(d => (d.name, d.path))
 
+  /** Carbonish base paths of an MV's build plan (empty for pure
+    * parquet-directory bases, which are treated as immutable). */
+  private[mv] def carbonishBases(d: MvDef): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    d.build.collectLeaves().collect { case r: DataSourceV2Relation => r.table }
+      .collect { case t: graft.engine.source.CarbonishTable => t.tablePath }
+      .distinct
+  }
+
+  /** Would the serving gate pass right now? Same per-base fingerprint
+    * test [[MvRewriteRule]] applies before rewriting. */
+  def isFresh(spark: SparkSession, d: MvDef): Boolean = {
+    val folded = MvCatalog.refreshedSegments(d.name)
+    carbonishBases(d).forall { p =>
+      val vis = new graft.engine.format.TableLayout(
+        p, spark.sessionState.newHadoopConf())
+        .readStatus().visible.map(s => s.id -> s.rowCount).toMap
+      folded.getOrElse(p, Map.empty[Long, Long]) == vis
+    }
+  }
+
+  /** Whether [[refreshIncremental]] can take the delta path: exactly
+    * one carbonish scan leaf and every output a grouping column or a
+    * non-distinct, unfiltered SUM/COUNT/MIN/MAX. Mirrors the kinds
+    * check inside refreshIncremental — keep the two in sync. */
+  def incrementalCapable(d: MvDef): Boolean = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val rels = d.build.collectLeaves().collect { case r: DataSourceV2Relation => r }
+    val singleCarbonish = rels match {
+      case Seq(r) => r.table.isInstanceOf[graft.engine.source.CarbonishTable]
+      case _ => false
+    }
+    val groupCanon = d.agg.groupingExpressions.map(_.canonicalized).toSet
+    singleCarbonish && d.agg.aggregateExpressions.forall { ne =>
+      val core = ne match { case Alias(c, _) => c; case other => other }
+      groupCanon.contains(core.canonicalized) || (core match {
+        case AggregateExpression(f, _, false, None, _) =>
+          f.isInstanceOf[Sum] || f.isInstanceOf[Count] ||
+            f.isInstanceOf[Min] || f.isInstanceOf[Max]
+        case _ => false
+      })
+    }
+  }
+
+  /** SHOW MATERIALIZED VIEWS [ON TABLE p] rows, reference column set
+    * (docs/mv-guide.md:225-245): status mirrors the serving gate,
+    * refresh mode mirrors the incremental capability, trigger mode is
+    * the deferred flag. */
+  def showDetailed(spark: SparkSession, onTable: Option[String] = None)
+      : Seq[(String, String, String, String, String)] =
+    MvCatalog.all
+      .filter(d => onTable.forall(p => carbonishBases(d).contains(p)))
+      .map { d =>
+        (d.name,
+          if (isFresh(spark, d)) "ENABLED" else "DISABLED",
+          if (incrementalCapable(d)) "INCREMENTAL" else "FULL",
+          if (d.deferred) "ON_MANUAL" else "ON_COMMIT",
+          d.path)
+      }
+
   /** Incremental refresh (reference mv-guide "incremental refresh"):
     * when the MV's base is a single carbonish table that has only grown
     * since the last refresh, fold ONLY the new segments' delta aggregate

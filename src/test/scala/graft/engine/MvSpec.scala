@@ -477,6 +477,35 @@ class MvSpec extends AnyFunSuite {
   private def canonRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("SHOW MATERIALIZED VIEWS reports status, refresh mode and trigger") {
+    val path = tmp()
+    val t = GraftTable.createAsSelect(spark, s"$path/fact", lineitem.limit(500))
+    Mv.create(spark, "mv_show_a",
+      t.read.groupBy("l_returnflag").agg(count(lit(1)).as("cnt")), s"$path/mva")
+    Mv.create(spark, "mv_show_b",
+      t.read.groupBy("l_returnflag").agg(avg(col("l_discount")).as("ad")),
+      s"$path/mvb", deferred = true)
+    try {
+      val rows = GraftSql.command(spark, "SHOW MATERIALIZED VIEWS").get
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+      assert(rows("mv_show_a") == (("ENABLED", "INCREMENTAL", "ON_COMMIT")))
+      // avg keeps a composite output → FULL refresh; deferred → manual
+      assert(rows("mv_show_b")._2 == "FULL", rows("mv_show_b"))
+      assert(rows("mv_show_b")._3 == "ON_MANUAL")
+      // growth: the non-deferred MV is caught up by refresh-on-commit,
+      // the deferred one reports DISABLED until a manual refresh
+      t.insert(lineitem.limit(600).except(lineitem.limit(500)))
+      val rows2 = GraftSql.command(spark,
+        s"SHOW MATERIALIZED VIEWS ON TABLE $path/fact").get
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows2.keySet == Set("mv_show_a", "mv_show_b"),
+        "ON TABLE must filter to this base's MVs")
+      assert(rows2("mv_show_a") == "ENABLED")
+      assert(rows2("mv_show_b") == "DISABLED")
+    } finally { Mv.drop(spark, "mv_show_a"); Mv.drop(spark, "mv_show_b") }
+  }
+
   test("refresh-on-commit: base load refreshes non-deferred MVs, DEFERRED waits") {
     val path = tmp()
     val t = GraftTable.createAsSelect(spark, s"$path/fact", lineitem.limit(1000))
