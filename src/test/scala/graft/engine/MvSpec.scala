@@ -477,6 +477,44 @@ class MvSpec extends AnyFunSuite {
   private def canonRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("MV defined WITH a filter serves same-filter queries and rollups") {
+    val base = lineitem
+    val mvq = base.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("sp"),
+        count(lit(1)).as("cnt"))
+    Mv.create(spark, "mv_fdef", mvq, s"${tmp()}/mv_fdef")
+    try {
+      // exact: same filter, same groupings
+      def qe = base.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("sp"),
+          count(lit(1)).as("cnt"))
+      assert(qe.queryExecution.optimizedPlan.toString.contains("mv_fdef"),
+        s"same-filter query should hit the filtered MV:\n${qe.queryExecution.optimizedPlan}")
+      val expE = graft.engine.mv.MvRewriteRule.withoutRewrite { qe.collect() }
+      assert(canonRows(qe) == expE.map(_.toString).sorted.toSeq)
+      // rollup over the filtered child
+      def qr = base.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+      assert(qr.queryExecution.optimizedPlan.toString.contains("mv_fdef"),
+        s"rollup over the filtered child should hit the MV:\n${qr.queryExecution.optimizedPlan}")
+      val expR = graft.engine.mv.MvRewriteRule.withoutRewrite { qr.collect() }
+      assert(canonRows(qr) == expR.map(_.toString).sorted.toSeq)
+      // a DIFFERENT filter must never be served by this MV — its rows
+      // are simply not all there
+      val qd = base.filter(col("l_quantity") > 5)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      assert(!qd.queryExecution.optimizedPlan.toString.contains("mv_fdef"),
+        "weaker filter must block the filtered-MV rewrite")
+      // and the UNFILTERED query must not be served either
+      val qu = base.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      assert(!qu.queryExecution.optimizedPlan.toString.contains("mv_fdef"),
+        "unfiltered query must block the filtered-MV rewrite")
+    } finally Mv.drop(spark, "mv_fdef")
+  }
+
   test("SHOW MATERIALIZED VIEWS reports status, refresh mode and trigger") {
     val path = tmp()
     val t = GraftTable.createAsSelect(spark, s"$path/fact", lineitem.limit(500))
