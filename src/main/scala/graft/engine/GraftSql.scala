@@ -102,7 +102,7 @@ object GraftSql {
     * DESCRIBE [FORMATTED|EXTENDED] TABLE <t>
     * SHOW SEGMENTS FOR TABLE <t>
     * ALTER TABLE <t> COMPACT 'MINOR'|'MAJOR'|'CUSTOM' [WHERE SEGMENT.ID IN (1,2)]
-    * CLEAN FILES FOR TABLE <t>
+    * CLEAN FILES FOR TABLE <t> [OPTIONS('dryrun'='true')]
     * DELETE FROM TABLE <t> WHERE SEGMENT.ID IN (1,2)
     * DELETE FROM TABLE <t> WHERE SEGMENT.STARTTIME BEFORE '<ts millis or yyyy-MM-dd HH:mm:ss>'
     * ALTER TABLE <t> FINISH STREAMING
@@ -146,7 +146,7 @@ object GraftSql {
     val ShowSegments =
       """(?is)^\s*SHOW\s+(HISTORY\s+)?SEGMENTS\s+(?:FOR\s+TABLE|ON)\s+(\S+?)(?:\s+LIMIT\s+(\d+))?(?:\s+AS\s+(.+?))?\s*$""".r
     val Compact = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+COMPACT\s+'(\w+)'\s*(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*)?$""".r
-    val CleanFiles = """(?is)^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\S+)\s*$""".r
+    val CleanFiles = """(?is)^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\S+)\s*(?:OPTIONS\s*\(\s*'dryrun'\s*=\s*'(true|false)'\s*\)\s*)?$""".r
     val DelSegIds = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*$""".r
     val DelSegBefore = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.STARTTIME\s+BEFORE\s+'([^']+)'\s*$""".r
     val FinishStreaming = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+FINISH\s+STREAMING\s*$""".r
@@ -456,9 +456,16 @@ object GraftSql {
           case k => table(t).compact(k, Option(idList).map(ids).getOrElse(Nil))
         }
         Some(done)
-      case CleanFiles(t) =>
-        val removed = table(t).cleanFiles()
-        Some(removed.map(Tuple1(_)).toDF("removed_segment_id"))
+      case CleanFiles(t, dry) =>
+        if (dry != null && dry.toBoolean) {
+          // reference clean-files.md "DRY RUN OPTION": report what the
+          // real run would reclaim, touch nothing
+          Some(table(t).cleanFilesDryRun()
+            .toDF("segment_id", "status", "size_bytes"))
+        } else {
+          val removed = table(t).cleanFiles()
+          Some(removed.map(Tuple1(_)).toDF("removed_segment_id"))
+        }
       case DelSegIds(t, idList) =>
         table(t).deleteSegmentsById(ids(idList)); Some(done)
       case DelSegBefore(t, ts) =>

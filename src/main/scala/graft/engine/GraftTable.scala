@@ -528,6 +528,22 @@ class GraftTable private (val spark: SparkSession, val path: String)
       else s))
   }
 
+  /** CLEAN FILES dry run (reference clean-files.md "DRY RUN OPTION"):
+    * report the segments the next [[cleanFiles]] would reclaim —
+    * (id, status, sizeBytes) — WITHOUT touching disk or the commit
+    * log. Read-only: safe to run any time, races change nothing. */
+  def cleanFilesDryRun(): Seq[(Long, String, Long)] = {
+    val staleMs = meta.properties.get("stale_inprogress_timeout_ms")
+      .map(_.toLong).getOrElse(24L * 3600 * 1000)
+    layout.readStatus().segments
+      .filter(s =>
+        s.status == SegmentStatus.MarkedForDelete ||
+          s.status == SegmentStatus.Compacted ||
+          (s.status == SegmentStatus.InProgress &&
+            System.currentTimeMillis() - s.createdAt > staleMs))
+      .map(s => (s.id, s.status.toString, s.sizeBytes))
+  }
+
   /** CLEAN FILES: physically remove non-visible segments and stale tmp
     * dirs, then drop them from the commit log (CarbonCleanFilesCommand).
     * IN_PROGRESS records are only reclaimed after

@@ -168,6 +168,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read.count() == 15)
     t.deleteSegmentsById(Seq(1))
     assert(t.read.count() == 10)
+    // dry run first (reference clean-files.md DRY RUN OPTION): reports
+    // the doomed segment with its size, deletes nothing
+    val dry = GraftSql.command(spark,
+      s"CLEAN FILES FOR TABLE $path OPTIONS('dryrun'='true')").get.collect()
+    assert(dry.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(dry.head.getString(1) == "MARKED_FOR_DELETE" && dry.head.getLong(2) > 0)
+    assert(t.layout.fs.exists(t.layout.segmentDir(1)),
+      "dry run must not delete anything")
     val removed = t.cleanFiles()
     assert(removed == Seq(1))
     assert(!t.layout.fs.exists(t.layout.segmentDir(1)))
