@@ -31,10 +31,14 @@ class CdcSpec extends AnyFunSuite {
     try {
       // batch 1: update k=2, insert k=4, and an insert+delete churn on
       // k=5 (latest event per key wins → k=5 never lands)
+      // ONE file per feed batch: a multi-file write can straddle two
+      // micro-batches in arbitrary file order, and cross-batch ordering
+      // is the FEED's contract in CDC (kafka preserves per-key order) —
+      // a split here once applied the k=5 delete before its insert
       Seq((2L, "TWO", "u", 1L), (4L, "four", "i", 1L),
         (5L, "five", "i", 1L), (5L, "five", "d", 2L))
         .toDF("k", "v", "_op", "_ver")
-        .write.mode("append").parquet(srcDir)
+        .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
       assert(target.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
         .toSeq == Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (4L, "four")))
@@ -42,7 +46,7 @@ class CdcSpec extends AnyFunSuite {
       // batch 2: delete k=1, update k=4; SHOW STREAMS sees the job
       Seq((1L, "one", "d", 3L), (4L, "FOUR", "u", 3L))
         .toDF("k", "v", "_op", "_ver")
-        .write.mode("append").parquet(srcDir)
+        .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
       assert(target.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
         .toSeq == Seq((2L, "TWO"), (3L, "three"), (4L, "FOUR")))

@@ -91,8 +91,11 @@ class StreamingSpec extends AnyFunSuite {
         (java.sql.Timestamp.valueOf(t), 1L)).toDF("ts", "v")
       // window [10:00,10:05) fills; nothing emits until the watermark
       // passes its end
+      // one file per feed batch: a multi-file write can straddle
+      // micro-batches in arbitrary order, and a batch seeing only the
+      // latest event would advance the watermark past the earlier ones
       ev("2024-01-01 10:00:30", "2024-01-01 10:02:00", "2024-01-01 10:04:59")
-        .write.mode("append").parquet(srcDir)
+        .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
       assert(sink.read.count() == 0, "open window must not emit in append mode")
       // an event at 10:10 advances the watermark; the first window closes
