@@ -66,32 +66,36 @@ object Bench {
     }
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
     // queries (the warm pass is filtered the same way).
-    // Median-of-3 for EVERY successful row, bounded by a global
-    // extra-run time budget instead of the old ">= 5 s skips the
-    // median" cutoff: in the r10 driver run the codegen-heavy families
-    // (ann/geo) landed their cold first run ABOVE the cutoff (8.9 s vs
-    // a 1.7 s steady state), so exactly the rows that most needed a
-    // median never got one and the famsum overstated ~40%. The budget
-    // keeps total bench time bounded at any SF; rows that exhaust it
-    // fall back to their single shot. With only 1 extra sample the
-    // steady-state estimate is the MIN (one cold + one warm — the
-    // 2-sample "median" would re-publish the cold run).
+    // Sampling policy (r12 — made ENVIRONMENT-INDEPENDENT after the
+    // r11 driver artifact showed an unexplainable agg famsum 3x the
+    // same-tree local number): every successful row ALWAYS gets one
+    // extra (warm) run — the steady-state estimate is then min(cold,
+    // warm), which is what kills the cold-median noise the old
+    // budget-gated scheme re-published whenever the budget ran dry
+    // mid-alphabet (agg sorts early but the budget was drained by @/ann
+    // cold runs in the driver env). The BUDGET now gates only the
+    // OPTIONAL 3rd sample (median-of-3 for rows that got it); with
+    // budget 0 the bench still produces warm numbers for every row at
+    // a bounded worst case of 2x the serial total.
     var extraBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_SEC", "150").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val first = runOnce(name, fn, recordErr = true)
-      def extraRun(): Double =
-        if (extraBudget <= 0) -1.0
-        else {
-          val v = runOnce(name, fn, recordErr = false)
-          if (v >= 0) extraBudget -= v
-          v
-        }
       val t =
         if (first < 0) first
         else {
-          val samples = first +: Seq(extraRun(), extraRun()).filter(_ >= 0)
+          // Guaranteed warm run (not budget-gated).
+          val warm = runOnce(name, fn, recordErr = false)
+          // Optional 3rd sample, budget-gated.
+          val third =
+            if (extraBudget <= 0) -1.0
+            else {
+              val v = runOnce(name, fn, recordErr = false)
+              if (v >= 0) extraBudget -= v
+              v
+            }
+          val samples = Seq(first, warm, third).filter(_ >= 0)
           samples.size match {
             case 1 => first
             case 2 => samples.min
@@ -144,29 +148,47 @@ object Bench {
           .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfName = new java.io.File(sfDir).getName
-    // The complete full-name per-query map always lands in a FILE (the
-    // committed BENCH_r{N}_local.json derives from it) — stdout only
-    // carries what fits the driver's tail window.
+    // The complete full-name per-query map always lands in a FILE.
+    // Default path (r12): INSIDE THE REPO — the driver auto-commits
+    // uncommitted work at round end, so the per-query numbers FROM THE
+    // GATE RUN ITSELF land in git as BENCH_DRIVER_FULL.json (the r11
+    // agg famsum swing could not be localized because only famsums
+    // survived the 2000-char stdout tail). The stdout "value" matching
+    // this file's "value" proves they are the same run.
     val fullJson = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString(
         s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","queries":{""",
         ",", s"""}$errJson,"sf":"$sfName"}""")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/tmp/graft_bench_full.json")
+      new java.io.File("BENCH_DRIVER_FULL.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
     catch { case _: Throwable => }
     val famLine =
       s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qscheme":"fam","queries":$qs$errJson,"sf":"$sfName"}"""
     // The driver parses the JSON line out of the LAST 2000 stdout chars,
-    // and sbt appends ~70 chars of its own AFTER us — past ~1800 chars
+    // and sbt appends ~70 chars of its own AFTER us — past ~1750 chars
     // the line's head would slide out of the window and parse as null
-    // (r7-r9 all lost their driver bench this way). Degrade to
-    // per-family subtotal SECONDS, self-describingly ("qscheme":
-    // "famsum"); the full per-query map is in the file + committed
-    // artifact.
+    // (r7-r9 all lost their driver bench this way). Degrade path (r12):
+    // per-query DECISECONDS ("qunit":"ds" — 0.1 s precision, enough to
+    // localize any family-level swing), then per-family subtotal
+    // SECONDS ("qscheme":"famsum"); the full-precision per-query map is
+    // always in BENCH_DRIVER_FULL.json.
+    // "qscheme":"famarr": per-family ARRAYS of integer-ms values, one
+    // per query, ordered by full query name ascending within the family
+    // (the same sort every artifact uses) — names are recoverable from
+    // that order + BENCH_DRIVER_FULL.json / SparkEntry.queries. ~60%
+    // smaller than the named form at full ms precision.
+    val famArrLine = {
+      val qsArr = byFam.toSeq.sortBy(_._1).map { case (fam, es) =>
+        "\"" + fam + "\":" + es.sortBy(_._1).map(e => ms(e._2))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qscheme":"famarr","queries":$qsArr$errJson,"sf":"$sfName"}"""
+    }
     val line =
-      if (famLine.length <= 1800) famLine
+      if (famLine.length <= 1750) famLine
+      else if (famArrLine.length <= 1750) famArrLine
       else {
         val sums = byFam.toSeq.sortBy(_._1).map { case (fam, es) =>
           val famSec = es.collect { case (_, v) if v >= 0 => v }.sum

@@ -203,6 +203,40 @@ object PipelineQueries {
       Ann.cosinePairsExact(emb, 0.4).select("id_a", "id_b", "cos")
     }),
 
+    // ---- embedding near-dup pairs, PRODUCTION SHAPE (bench row, no
+    // SQL oracle — approximate by design): multi-table SRP LSH buckets
+    // → equi-join candidates → exact-cosine residual. Parameters are
+    // exactly the ones PipelineSpec's recall test gates (dim 64,
+    // 3 planes × 8 tables, recall >= 0.5 vs the exact row) — this is
+    // the plan a 100 TB near-dup job runs; q_dedup_embedding times the
+    // O(n^2) exact baseline for the oracle. ----
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      Ann.cosinePairsLsh(emb, dim = 64, numPlanes = 3, tables = 8,
+          minCos = 0.4)
+        .select("id_a", "id_b", "cos")
+    }),
+
+    // ---- ANN, PRODUCTION SHAPE (bench row, no SQL oracle —
+    // approximate by design): IVF-PQ with nprobe = 3 of 8 cells and a
+    // rerank pool of 25 — the ADC-probe + bounded-exact-rerank plan a
+    // 100 TB search runs (PipelineSpec gates recall >= 0.3 at these
+    // exact parameters). q_ann_ivfpq times the degenerate full-probe
+    // shape for the oracle. Reads the STORED (cell, codes) corpus, so
+    // the timed work is LUT + probe join + rerank only. ----
+    "q_ann_pruned" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      val queries = emb.filter(col("id") % 50 === 0)
+      Ann.ivfPqTopK(queries, pqEncoded(d, emb), 5, ivfCentroids(d, emb),
+          nprobe = 3, pqBooks(d, emb), rerank = 25)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
     // ---- deterministic split assignment: portable multiplicative-hash
     // buckets (no engine hash), one pure projection — reproducible
     // train/val/test membership with no join at any scale ----
