@@ -110,7 +110,16 @@ object SegmentWriter {
     // bucketed: the __b id column splits bucket dirs the same way.
     val toWrite = pCols.foldLeft(observed)((d, c) =>
       d.withColumn(Partitions.mirror(c), col(c)))
-    val writer = bloomCols.foldLeft(toWrite.write.mode("overwrite")) { (w, c) =>
+    // parquet.* table properties pass through as writer options —
+    // row-group size (parquet.block.size), page size, bloom NDV hints
+    // etc. are per-table tuning knobs exactly like the reference's
+    // table-level TBLPROPERTIES; bloom_columns then layers its
+    // per-column enables on top.
+    val parquetOpts = meta.properties.filter(_._1.startsWith("parquet."))
+    val writer0 = parquetOpts.foldLeft(toWrite.write.mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }
+    val writer = bloomCols.foldLeft(writer0) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     val dirCols = pCols.map(Partitions.mirror) ++

@@ -24,14 +24,21 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
   */
 case class MvDef(
     name: String,
-    agg: Aggregate, // optimized MV plan (avg expanded) — used for matching
+    plan: LogicalPlan, // optimized MV plan (avg expanded) — used for
+                       // matching; an Aggregate (groupby MV) or an SPJ
+                       // plan (select-only MV: Project/Filter/Join only)
     build: LogicalPlan, // analyzed plan (avg expanded) — re-resolves base
                         // table state at materialization time
     path: String,
     // WITH DEFERRED REFRESH (docs/mv-guide.md:147-161): deferred MVs
     // only catch up on an explicit REFRESH; non-deferred ones are
     // refreshed by the base table's load commit
-    deferred: Boolean = false)
+    deferred: Boolean = false) {
+  /** The groupby-MV view of the plan, when it is one. */
+  def asAgg: Option[Aggregate] = plan match {
+    case a: Aggregate => Some(a); case _ => None
+  }
+}
 
 /** In-memory session catalog. Persistence lives in [[MvStore]]: every
   * create/refresh ALSO writes `<mvPath>/_meta/mvdef.bin`, and
@@ -53,6 +60,18 @@ object MvCatalog {
   def get(name: String): Option[MvDef] = synchronized { views.get(name) }
   def refreshedSegments(name: String): Map[String, Map[Long, Long]] = synchronized { refreshed.getOrElse(name, Map.empty) }
   def setRefreshedSegments(name: String, s: Map[String, Map[Long, Long]]): Unit = synchronized { refreshed(name) = s }
+  /** Atomic read-modify-write of a watermark: rebase-after-compaction
+    * must not compute from a snapshot another thread's refresh is about
+    * to replace and then overwrite it (two separate get/set calls leave
+    * exactly that window). `f` runs INSIDE the catalog lock — keep it
+    * pure. */
+  def updateRefreshedSegments(name: String)(
+      f: Map[String, Map[Long, Long]] => Map[String, Map[Long, Long]]): Map[String, Map[Long, Long]] =
+    synchronized {
+      val next = f(refreshed.getOrElse(name, Map.empty))
+      refreshed(name) = next
+      next
+    }
 }
 
 object Mv {
@@ -63,18 +82,41 @@ object Mv {
       spark.experimental.extraOptimizations :+ new MvRewriteRule
   }
 
+  /** An MV plan that is not an Aggregate must be pure
+    * select-project-join: Project/Filter/Join over leaves, everything
+    * deterministic. Windows, unions, limits, generators etc. have no
+    * matcher and must not silently register as unservable MVs. */
+  private def requireSpj(p: LogicalPlan, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p.foreach {
+      case _: Project | _: Filter | _: Join | _: LeafNode | _: SubqueryAlias => ()
+      case other => throw new IllegalArgumentException(
+        s"MV must be an aggregation or a select-project-join query, " +
+          s"got ${other.nodeName} ($what)")
+    }
+    p.foreach {
+      case n if n.expressions.exists(!_.deterministic) =>
+        throw new IllegalArgumentException(
+          s"MV plan contains a non-deterministic expression ($what)")
+      case _ => ()
+    }
+  }
+
   /** CREATE MATERIALIZED VIEW name AS <df> stored at `path`.
     * avg(x) is expanded to sum(x)+count(x) so rollups can reconstruct it
-    * (reference AggregatePushDown.scala:73-78). */
+    * (reference AggregatePushDown.scala:73-78). A non-aggregate
+    * (select-only) query is accepted when it is pure SPJ — the
+    * reference MVMatcher's SelectSelectNoChildDelta class
+    * (MVMatcher.scala:613) serves projection/filter caches the same
+    * way. */
   def create(spark: SparkSession, name: String, df: DataFrame, path: String,
       sortColumns: Seq[String] = Nil, deferred: Boolean = false): MvDef = {
-    def asAgg(p: LogicalPlan, what: String): Aggregate = p match {
-      case a: Aggregate => a
-      case other => throw new IllegalArgumentException(
-        s"MV must be an aggregation query, got ${other.nodeName} ($what)")
+    def prep(p: LogicalPlan, what: String): LogicalPlan = p match {
+      case a: Aggregate => expandAvg(a)
+      case other => requireSpj(other, what); other
     }
-    val matchPlan = expandAvg(asAgg(df.queryExecution.optimizedPlan, "optimized"))
-    val buildPlan = expandAvg(asAgg(df.queryExecution.analyzed, "analyzed"))
+    val matchPlan = prep(df.queryExecution.optimizedPlan, "optimized")
+    val buildPlan = prep(df.queryExecution.analyzed, "analyzed")
     val mvDf = MvRewriteRule.withoutRewrite {
       org.apache.spark.sql.graft.Shims.ofRows(spark, buildPlan)
     }
@@ -155,17 +197,23 @@ object Mv {
   def rebaseAfterCompaction(spark: SparkSession, basePath: String,
       victims: Map[Long, Long], newId: Long, newRows: Long): Unit =
     MvCatalog.all.foreach { d =>
-      val byPath = MvCatalog.refreshedSegments(d.name)
-      byPath.get(basePath).foreach { folded =>
-        val identity = victims.nonEmpty &&
-          victims.forall { case (id, n) => folded.get(id).contains(n) } &&
-          victims.values.sum == newRows
-        if (identity) {
-          val rebased = (folded -- victims.keys) + (newId -> newRows)
-          MvCatalog.setRefreshedSegments(d.name, byPath + (basePath -> rebased))
-          persist(spark, d)
+      // read-check-rebase runs as ONE atomic update inside the catalog
+      // lock: a refresh/load racing this rebase could otherwise publish
+      // a new watermark between our read and write and have it silently
+      // overwritten with one derived from the pre-refresh snapshot
+      var changed = false
+      MvCatalog.updateRefreshedSegments(d.name) { byPath =>
+        byPath.get(basePath) match {
+          case Some(folded)
+              if victims.nonEmpty &&
+                victims.forall { case (id, n) => folded.get(id).contains(n) } &&
+                victims.values.sum == newRows =>
+            changed = true
+            byPath + (basePath -> ((folded -- victims.keys) + (newId -> newRows)))
+          case _ => byPath
         }
       }
+      if (changed) persist(spark, d)
     }
 
   /** Refresh-on-commit hook (reference "Loading data on commit",
@@ -182,13 +230,28 @@ object Mv {
         case r: DataSourceV2Relation => r.table
       }.collect { case t: graft.engine.source.CarbonishTable => t.tablePath }
       if (bases.contains(basePath)) {
-        try refreshIncremental(spark, d.name)
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            org.slf4j.LoggerFactory.getLogger("graft.engine.mv.Mv").warn(
-              s"refresh-on-commit of MV '${d.name}' after load to $basePath " +
-                s"failed — MV stays stale and will not serve", e)
-        }
+        // only MVs whose catch-up is a DELTA fold run in the load path:
+        // a non-incremental MV (join MVs, avg/composite aggregates)
+        // would pay a FULL join+aggregate recompute inside every small
+        // load. Those stay stale behind the serving gate until an
+        // explicit REFRESH — same contract as deferred, minus the
+        // intent (set mv.fullrefresh_on_commit=true on the base table
+        // to opt a table's loads into full rebuilds anyway).
+        val fullOk = try {
+          GraftTable.at(spark, basePath).meta.properties
+            .get("mv.fullrefresh_on_commit").exists(_.equalsIgnoreCase("true"))
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (incrementalCapable(d) || fullOk) {
+          try refreshIncremental(spark, d.name)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger("graft.engine.mv.Mv").warn(
+                s"refresh-on-commit of MV '${d.name}' after load to $basePath " +
+                  s"failed — MV stays stale and will not serve", e)
+          }
+        } else org.slf4j.LoggerFactory.getLogger("graft.engine.mv.Mv").info(
+          s"MV '${d.name}' is not incremental-capable — staying stale after " +
+            s"load to $basePath (serving gate refuses until REFRESH)")
       }
     }
 
@@ -216,28 +279,54 @@ object Mv {
     }
   }
 
-  /** Whether [[refreshIncremental]] can take the delta path: exactly
-    * one carbonish scan leaf and every output a grouping column or a
-    * non-distinct, unfiltered SUM/COUNT/MIN/MAX. Mirrors the kinds
-    * check inside refreshIncremental — keep the two in sync. */
-  def incrementalCapable(d: MvDef): Boolean = {
+  /** Per-output delta-merge classification — the ONE place that decides
+    * whether an MV's outputs decompose over new-segment deltas. Used by
+    * both [[incrementalCapable]] (SHOW MATERIALIZED VIEWS refresh_mode,
+    * the on-commit gate) and [[refreshIncremental]]'s merge builder, so
+    * the advertised mode can never drift from actual refresh behavior.
+    * G = grouping column, S = sum-mergeable (sum/count), Mn/Mx =
+    * min/max-mergeable. None = a non-decomposable output (avg,
+    * distinct, filtered, composite). */
+  private[mv] sealed trait Kind
+  private[mv] case object G extends Kind; private[mv] case object S extends Kind
+  private[mv] case object Mn extends Kind; private[mv] case object Mx extends Kind
+  private[mv] def outputKinds(d: MvDef): Option[Seq[(String, Kind)]] =
+    d.asAgg.flatMap { agg =>
+      val groupCanon = agg.groupingExpressions.map(_.canonicalized).toSet
+      val kinds = agg.aggregateExpressions.map { ne =>
+        val core = ne match { case Alias(c, _) => c; case other => other }
+        if (groupCanon.contains(core.canonicalized)) Some(ne.name -> (G: Kind))
+        else core match {
+          case AggregateExpression(_: Sum, _, false, None, _) => Some(ne.name -> (S: Kind))
+          case AggregateExpression(_: Count, _, false, None, _) => Some(ne.name -> (S: Kind))
+          case AggregateExpression(_: Min, _, false, None, _) => Some(ne.name -> (Mn: Kind))
+          case AggregateExpression(_: Max, _, false, None, _) => Some(ne.name -> (Mx: Kind))
+          case _ => None // avg and composite expressions: not mergeable
+        }
+      }
+      if (kinds.exists(_.isEmpty)) None else Some(kinds.flatten)
+    }
+
+  /** The single-carbonish-base precondition both incremental paths
+    * share: the delta is definable only when exactly one scan leaf
+    * feeds the MV and it is a segment-ledgered (carbonish) table. */
+  private def singleCarbonishBase(d: MvDef): Boolean = {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-    val rels = d.build.collectLeaves().collect { case r: DataSourceV2Relation => r }
-    val singleCarbonish = rels match {
+    d.build.collectLeaves().collect { case r: DataSourceV2Relation => r } match {
       case Seq(r) => r.table.isInstanceOf[graft.engine.source.CarbonishTable]
       case _ => false
     }
-    val groupCanon = d.agg.groupingExpressions.map(_.canonicalized).toSet
-    singleCarbonish && d.agg.aggregateExpressions.forall { ne =>
-      val core = ne match { case Alias(c, _) => c; case other => other }
-      groupCanon.contains(core.canonicalized) || (core match {
-        case AggregateExpression(f, _, false, None, _) =>
-          f.isInstanceOf[Sum] || f.isInstanceOf[Count] ||
-            f.isInstanceOf[Min] || f.isInstanceOf[Max]
-        case _ => false
-      })
-    }
   }
+
+  /** Whether [[refreshIncremental]] can take a delta path: one
+    * carbonish base, and either every output decomposes
+    * ([[outputKinds]]) or the MV is select-only (a new segment's rows
+    * just APPEND — a projection/filter distributes over union). */
+  def incrementalCapable(d: MvDef): Boolean =
+    singleCarbonishBase(d) && (d.asAgg match {
+      case Some(_) => outputKinds(d).isDefined
+      case None => true // select-only: delta rows append
+    })
 
   /** SHOW MATERIALIZED VIEWS [ON TABLE p] rows, reference column set
     * (docs/mv-guide.md:225-245): status mirrors the serving gate,
@@ -282,22 +371,12 @@ object Mv {
     val (oldRel, path) = basePath.get
 
     // every output must be a grouping column or a self-decomposable agg
-    val groupCanon = d.agg.groupingExpressions.map(_.canonicalized).toSet
-    sealed trait Kind
-    case object G extends Kind; case object S extends Kind
-    case object Mn extends Kind; case object Mx extends Kind
-    val kinds: Seq[Option[(String, Kind)]] = d.agg.aggregateExpressions.map { ne =>
-      val core = ne match { case Alias(c, _) => c; case other => other }
-      if (groupCanon.contains(core.canonicalized)) Some(ne.name -> G)
-      else core match {
-        case AggregateExpression(_: Sum, _, false, None, _) => Some(ne.name -> S)
-        case AggregateExpression(_: Count, _, false, None, _) => Some(ne.name -> S)
-        case AggregateExpression(_: Min, _, false, None, _) => Some(ne.name -> Mn)
-        case AggregateExpression(_: Max, _, false, None, _) => Some(ne.name -> Mx)
-        case _ => None // avg and composite expressions: not mergeable
-      }
-    }
-    if (kinds.exists(_.isEmpty)) return fullRefresh()
+    // (shared classification — also SHOW MATERIALIZED VIEWS's
+    // refresh_mode); a select-only MV (no Aggregate) takes the
+    // append-delta branch below instead
+    val selectOnly = d.asAgg.isEmpty
+    val kindsOpt = outputKinds(d)
+    if (!selectOnly && kindsOpt.isEmpty) return fullRefresh()
 
     val base = GraftTable.at(spark, path)
     val vis = base.status.visible.map(s => s.id -> s.rowCount).toMap
@@ -326,28 +405,36 @@ object Mv {
       org.apache.spark.sql.graft.Shims.ofRows(spark, deltaPlan)
     }
 
-    // merge stored MV + delta by group, combining partials; an
-    // aggregate-free MV (SELECT DISTINCT shape — every output is a
-    // grouping column) combines by deduplication instead
     val mvT = GraftTable.at(spark, d.path)
-    val names = kinds.flatten
-    val groupNames = names.collect { case (n, G) => n }
-    val combiners = names.collect {
-      case (n, S) => sum(col(n)).as(n)
-      case (n, Mn) => min(col(n)).as(n)
-      case (n, Mx) => max(col(n)).as(n)
+    if (selectOnly) {
+      // select-only MV: the projection/filter distributes over union, so
+      // the new segments' projected rows simply APPEND as a new MV
+      // segment — no re-read of the stored MV at all (the 100 TB shape:
+      // a load folds in O(delta), not O(MV))
+      MvRewriteRule.withoutRewrite { mvT.insert(deltaDf, overwrite = false) }
+    } else {
+      // merge stored MV + delta by group, combining partials; an
+      // aggregate-free MV (SELECT DISTINCT shape — every output is a
+      // grouping column) combines by deduplication instead
+      val names = kindsOpt.get
+      val groupNames = names.collect { case (n, G) => n }
+      val combiners = names.collect {
+        case (n, S) => sum(col(n)).as(n)
+        case (n, Mn) => min(col(n)).as(n)
+        case (n, Mx) => max(col(n)).as(n)
+      }
+      val combined = MvRewriteRule.withoutRewrite {
+        val unioned = mvT.read.unionByName(deltaDf)
+        if (combiners.isEmpty) unioned.dropDuplicates(groupNames)
+        else unioned
+          .groupBy(groupNames.map(col): _*)
+          .agg(combiners.head, combiners.tail: _*)
+          .select(names.map { case (n, _) => col(n) }: _*)
+      }
+      // the write ACTION must also run with rewriting off — the rule
+      // fires at optimization time, not DataFrame-construction time
+      MvRewriteRule.withoutRewrite { mvT.insert(combined, overwrite = true) }
     }
-    val combined = MvRewriteRule.withoutRewrite {
-      val unioned = mvT.read.unionByName(deltaDf)
-      if (combiners.isEmpty) unioned.dropDuplicates(groupNames)
-      else unioned
-        .groupBy(groupNames.map(col): _*)
-        .agg(combiners.head, combiners.tail: _*)
-        .select(names.map { case (n, _) => col(n) }: _*)
-    }
-    // the write ACTION must also run with rewriting off — the rule fires
-    // at optimization time, not DataFrame-construction time
-    MvRewriteRule.withoutRewrite { mvT.insert(combined, overwrite = true) }
     MvCatalog.setRefreshedSegments(name, Map(path -> vis))
     persist(spark, d)
     true

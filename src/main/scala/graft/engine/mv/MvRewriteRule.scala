@@ -32,16 +32,32 @@ class MvRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRewriteRule.isDisabled || MvCatalog.all.isEmpty) plan
-    else plan.transformUp {
-      case agg: Aggregate =>
-        MvCatalog.all.view
-          .flatMap { mv =>
-            // an MV must never break a query: any matching hiccup means
-            // "no rewrite", not a failure
-            try tryRewrite(agg, mv)
-            catch { case scala.util.control.NonFatal(_) => None }
-          }
-          .headOption.getOrElse(agg)
+    else {
+      val afterAgg = plan.transformUp {
+        case agg: Aggregate =>
+          MvCatalog.all.view
+            .flatMap { mv =>
+              // an MV must never break a query: any matching hiccup means
+              // "no rewrite", not a failure
+              try tryRewrite(agg, mv)
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+            .headOption.getOrElse(agg)
+      }
+      // select-only (SPJ) MV serving — reference MVMatcher
+      // SelectSelectNoChildDelta (MVMatcher.scala:613): a filtered
+      // projection is served by a select-only MV whose filter it
+      // subsumes. Attempted at the plan ROOT only: rewriting interior
+      // Project/Filter nodes would break the canonical-equality matches
+      // of any enclosing Aggregate (and a groupby MV serving the whole
+      // aggregate always beats a select MV serving its input).
+      if (!afterAgg.fastEquals(plan)) afterAgg
+      else MvCatalog.all.view
+        .flatMap { mv =>
+          try trySelectRewrite(afterAgg, mv)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        .headOption.getOrElse(afterAgg)
     }
 
   private def stripAlias(e: Expression): Expression = e match {
@@ -213,9 +229,49 @@ class MvRewriteRule extends Rule[LogicalPlan] {
     case _ => agg
   }
 
+  /** Freshness gate shared by both matchers: every carbonish base under
+    * `mvPlan` must still show exactly the visible-segment fingerprints
+    * the MV folded in — anything else (growth, delete, in-place shrink)
+    * means serving would drop or duplicate rows. */
+  private def basesFresh(mv: MvDef, mvPlan: LogicalPlan,
+      spark: SparkSession): Boolean = {
+    val carbonPaths = mvPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case ct: graft.engine.source.CarbonishTable => Some(ct.tablePath)
+          case _ => None
+        }
+    }.flatten.distinct
+    val foldedByPath = MvCatalog.refreshedSegments(mv.name)
+    carbonPaths.forall { p =>
+      val visibleNow = new graft.engine.format.TableLayout(
+        p, spark.sessionState.newHadoopConf())
+        .readStatus().visible.map(s => s.id -> s.rowCount).toMap
+      // a base with no recorded snapshot (pre-upgrade def) can't be
+      // verified fresh — treat as stale. Strict equality over
+      // (id → rowCount) fingerprints, not just id additions: DELETE
+      // SEGMENT / truncate shrink the visible SET, and file-grain
+      // mutation / metadata DROP PARTITION shrink a segment IN PLACE
+      // (same id, fewer rows) — serving the MV in either case would
+      // still include the dropped rows.
+      val folded = foldedByPath.getOrElse(p, Map.empty[Long, Long])
+      val fresh = visibleNow == folded
+      if (!fresh) {
+        val added = (visibleNow.keySet -- folded.keySet).toSeq.sorted
+        val removed = (folded.keySet -- visibleNow.keySet).toSeq.sorted
+        val shrunk = folded.keys.filter(id =>
+          visibleNow.get(id).exists(_ != folded(id))).toSeq.sorted
+        logInfo(s"[graft] MV '${mv.name}' is stale (base $p segments " +
+          s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}] " +
+          s"resized=[${shrunk.mkString(",")}]) — not rewriting")
+      }
+      fresh
+    }
+  }
+
   private def tryRewrite(query0: Aggregate, mv: MvDef): Option[LogicalPlan] = {
     val query = inlineProject(query0)
-    val mvAgg = inlineProject(mv.agg)
+    val mvAgg = inlineProject(mv.asAgg.getOrElse(return None))
     val mvChild = mvAgg.child
     // exact child match, or filter subsumption (reference MVMatcher
     // SelectSelectNoChildDelta, MVMatcher.scala:613): query = Filter over
@@ -237,49 +293,12 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       }
     val spark = SparkSession.active
     // freshness: a carbonish base records which segments the MV folded
-    // in (create/refresh snapshot); if the base now has visible segments
-    // beyond that set, serving the MV would silently drop the new data —
-    // bail and let the query hit the base. Parquet-directory bases have
-    // no segment ledger and are treated as immutable (the reference
-    // tracks the same thing via loadName watermarks in its MV status).
-    locally {
-      // every carbonish base in the MV child (a join MV has several) —
-      // an unknown or drifted base means serving would drop/duplicate
-      // rows, so any mismatch bails to the base tables
-      val carbonPaths = mvChild.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.relation.table match {
-            case ct: graft.engine.source.CarbonishTable => Some(ct.tablePath)
-            case _ => None
-          }
-      }.flatten.distinct
-      val foldedByPath = MvCatalog.refreshedSegments(mv.name)
-      carbonPaths.foreach { p =>
-        val visibleNow = new graft.engine.format.TableLayout(
-          p, spark.sessionState.newHadoopConf())
-          .readStatus().visible.map(s => s.id -> s.rowCount).toMap
-        // a base with no recorded snapshot (pre-upgrade def) can't be
-        // verified fresh — treat as stale
-        val folded = foldedByPath.getOrElse(p, Map.empty[Long, Long])
-        // strict equality over (id → rowCount) fingerprints, not
-        // just id additions: DELETE SEGMENT / truncate shrink the
-        // visible SET, and file-grain mutation / metadata DROP
-        // PARTITION shrink a segment IN PLACE (same id, fewer
-        // rows) — serving the MV in either case would still
-        // include the dropped rows. Mirrors refreshIncremental's
-        // fingerprint invalidation.
-        if (visibleNow != folded) {
-          val added = (visibleNow.keySet -- folded.keySet).toSeq.sorted
-          val removed = (folded.keySet -- visibleNow.keySet).toSeq.sorted
-          val shrunk = folded.keys.filter(id =>
-            visibleNow.get(id).exists(_ != folded(id))).toSeq.sorted
-          logInfo(s"[graft] MV '${mv.name}' is stale (base $p segments " +
-            s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}] " +
-            s"resized=[${shrunk.mkString(",")}]) — not rewriting")
-          return None
-        }
-      }
-    }
+    // in (create/refresh snapshot); any drift means serving would drop
+    // or duplicate data — bail and let the query hit the base.
+    // Parquet-directory bases have no segment ledger and are treated as
+    // immutable (the reference tracks the same thing via loadName
+    // watermarks in its MV status).
+    if (!basesFresh(mv, mvChild, spark)) return None
     def remap(e: Expression): Expression =
       e.transform { case a: Attribute => attrMap.getOrElse(a, a) }
 
@@ -408,6 +427,93 @@ class MvRewriteRule extends Rule[LogicalPlan] {
       logInfo(s"[graft] MV rewrite: query aggregate served by MV '${mv.name}' (${mv.path})")
       val base = newResidual.flatten.map(c => Filter(c, mvRel)).getOrElse(mvRel)
       Some(Aggregate(newGroupings.map(_.get), newAggs.map(_.get), base))
+    }
+  }
+
+  /** Select-only (SPJ) MV serving — reference MVMatcher
+    * SelectSelectNoChildDelta (MVMatcher.scala:613). A query
+    * `Project(qList, Filter(Fq, inner))` is served by MV
+    * `Project(mvList, Filter(Fm, inner'))` when
+    *   - inner matches inner' under [[childAttrMap]] (same scans /
+    *     joins / interior filters),
+    *   - Fm's conjuncts ⊆ Fq's conjuncts (under the attribute map), so
+    *     the MV keeps at least the query's rows — the leftover
+    *     conjuncts re-apply over the MV, and
+    *   - every query output and leftover conjunct is derivable from
+    *     mvList's stored columns.
+    * A select MV stores one row PER BASE ROW (Project preserves
+    * multiplicity), so re-filtering + re-projecting the MV is exact —
+    * no re-aggregation involved. */
+  private def trySelectRewrite(query0: LogicalPlan, mv: MvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    if (mv.asAgg.isDefined) return None
+    // only filtered-projection roots participate (an Aggregate root is
+    // the other matcher's territory; anything else is unsupported)
+    query0 match {
+      case _: Project | _: Filter => ()
+      case _ => return None
+    }
+    def split(p: LogicalPlan): (Seq[NamedExpression], Seq[Expression], LogicalPlan) = {
+      val (list, c0) = p match {
+        case Project(l, c) => (l, c)
+        case other => (other.output, other)
+      }
+      c0 match {
+        case Filter(cond, inner) => (list, conjuncts(cond), inner)
+        case other => (list, Nil, other)
+      }
+    }
+    val (qList, qConds, qInner) = split(query0)
+    val (mvList, mvConds, mvInner) = split(mv.plan)
+    if (!qList.forall(_.deterministic) || !mvList.forall(_.deterministic))
+      return None
+    val attrMap = childAttrMap(qInner, mvInner,
+      qConds.map(_.canonicalized).toSet,
+      mvConds.map(_.canonicalized).toSet).getOrElse(return None)
+    def remap(e: Expression): Expression =
+      e.transform { case a: Attribute => attrMap.getOrElse(a, a) }
+    // containment: every MV conjunct must appear among the query's —
+    // then MV rows ⊇ query rows and the leftover conjuncts re-filter
+    val mvCondCanon = mvConds.map(_.canonicalized).toSet
+    val qMapped = qConds.map(c => remap(c) -> remap(c).canonicalized)
+    if (!mvCondCanon.subsetOf(qMapped.map(_._2).toSet)) return None
+    val residual = qMapped.collect { case (c, canon) if !mvCondCanon.contains(canon) => c }
+
+    val spark = SparkSession.active
+    if (!basesFresh(mv, mv.plan, spark)) return None
+
+    val mvRel = MvRewriteRule.withoutRewrite {
+      spark.read.format("carbonish").load(mv.path).queryExecution.optimizedPlan
+    }
+    if (mvRel.output.size != mvList.size) return None
+    val mvOut: Seq[(Expression, Attribute)] =
+      mvList.map(stripAlias).zip(mvRel.output)
+    val mvOutCanon = mvOut.map { case (e, a) => e.canonicalized -> a }.toMap
+
+    def derive(e: Expression): Option[Expression] = {
+      val substituted = remap(e).transformDown {
+        case sub if mvOutCanon.contains(sub.canonicalized) =>
+          mvOutCanon(sub.canonicalized)
+      }
+      if (substituted.references.subsetOf(AttributeSet(mvRel.output)))
+        Some(substituted)
+      else None
+    }
+
+    val newList = qList.map { ne =>
+      derive(ne).map {
+        case a: Alias => Alias(a.child, ne.name)(exprId = ne.exprId)
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    val newResidual = residual.map(derive)
+    if (newList.exists(_.isEmpty) || newResidual.exists(_.isEmpty)) None
+    else {
+      logInfo(s"[graft] MV rewrite: select-only query served by MV '${mv.name}' (${mv.path})")
+      val filtered = newResidual.flatten
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+        .map(c => Filter(c, mvRel)).getOrElse(mvRel)
+      Some(Project(newList.map(_.get), filtered))
     }
   }
 }

@@ -198,16 +198,27 @@ object MvStore {
       val persisted = ois.readObject().asInstanceOf[MvPersisted]
       val build = reconstruct(spark, persisted.buildStubbed)
       // the match plan is what the optimizer would plan for the same
-      // query today — recompute rather than persist scan internals
-      val agg = MvRewriteRule.withoutRewrite {
+      // query today — recompute rather than persist scan internals.
+      // Aggregate (groupby MV) and SPJ (select-only MV) both load;
+      // anything else means the stored def no longer corresponds to a
+      // servable plan shape.
+      val matchPlan = MvRewriteRule.withoutRewrite {
         org.apache.spark.sql.graft.Shims.ofRows(spark, build)
           .queryExecution.optimizedPlan
-      } match {
-        case a: Aggregate => a
-        case other => throw new IllegalStateException(
-          s"persisted MV ${persisted.name} no longer optimizes to an Aggregate: ${other.nodeName}")
       }
-      Some((MvDef(persisted.name, agg, build, persisted.path, persisted.deferred),
+      matchPlan match {
+        case _: Aggregate => ()
+        case p => p.foreach {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Project
+             | _: org.apache.spark.sql.catalyst.plans.logical.Filter
+             | _: org.apache.spark.sql.catalyst.plans.logical.Join
+             | _: LeafNode => ()
+          case other => throw new IllegalStateException(
+            s"persisted MV ${persisted.name} no longer optimizes to a servable " +
+              s"shape: ${other.nodeName}")
+        }
+      }
+      Some((MvDef(persisted.name, matchPlan, build, persisted.path, persisted.deferred),
         persisted.refreshedSegments))
     } catch {
       case scala.util.control.NonFatal(e) =>

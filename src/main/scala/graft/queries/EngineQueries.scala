@@ -52,6 +52,29 @@ object EngineQueries {
     }
   }
 
+  /** customer with a bloom index on c_custkey, keys dealt round-robin
+    * over 3 segments so every segment's (min, max) spans the whole key
+    * range — the one pruning tier that can serve a point lookup here is
+    * the bloom row-group skip (BloomPruneSpec asserts the skip; this
+    * fixture's row oracle-checks the VALUES through that path). Small
+    * row groups make the skip real even at sf0.001. */
+  def custBloom(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = fixturePath(d, "cust_bloom")
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    if (layout.exists && layout.readStatus().visible.size == 3) GraftTable.at(s, p)
+    else {
+      if (layout.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "customer")
+      val tbl = GraftTable.create(s, p, src.schema,
+        sortColumns = Seq("c_name"),
+        properties = Map(
+          "bloom_columns" -> "c_custkey",
+          "parquet.block.size" -> "65536"))
+      (0 until 3).foreach(i => tbl.insert(src.filter(col("c_custkey") % 3 === i)))
+      tbl
+    }
+  }
+
   /** orders as a hive-style partitioned table: PARTITIONED BY
     * (o_orderstatus), sorted by o_orderkey within partitions — each
     * segment splits into per-status dirs (see format.Partitions). */
@@ -132,6 +155,17 @@ object EngineQueries {
         .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    // bloom point lookup on a NON-sort high-cardinality column over
+    // fully-overlapping segments: min-max stats keep nothing out, the
+    // parquet bloom filter skips the row groups (BloomPruneSpec asserts
+    // the skip count; this row checks the answer) — the reference's
+    // bloom CG index query shape (BloomCoarseGrainIndex.java:70,134)
+    "q_engine_bloom" -> ((s, d) => {
+      custBloom(s, d).read
+        .filter(col("c_custkey").isin(7L, 421L, 1033L))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
     }),
     // insegment('1')-style pinned read (reference CarbonEnv.scala:100):
     // segment 1 holds exactly the 1995-1996 date range by construction
@@ -230,6 +264,15 @@ object EngineQueries {
         .groupBy("c_mktsegment")
         .agg(dsum(col("o_totalprice")).as("sum_price"),
           count(lit(1)).as("cnt")))),
+    // select-only MV (reference MVMatcher SelectSelectNoChildDelta):
+    // a filtered projection is served by a filtered-projection MV, the
+    // extra conjunct re-applied over the stored rows; fails if the
+    // rewrite doesn't fire
+    "q_mv_select" -> ((s, d) =>
+      mvServedSel(s, d, t(s, d, "lineitem")
+        .filter(col("l_quantity") > 40 && col("l_extendedprice") > 30000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")))),
     // paged read (PaginationCarbonReader analog): committed order on the
     // orders3 fixture IS (o_orderdate, o_orderkey) order — loads arrived
     // in date-range order and each is GLOBAL_SORT — so page(1234, 200)
@@ -317,6 +360,34 @@ object EngineQueries {
     q
   }
 
+  /** Ensure the shared select-only (filtered projection) MV over
+    * lineitem exists and serves `query` (same filter + extra residual
+    * conjunct — reference MVMatcher SelectSelectNoChildDelta). */
+  private def mvServedSel(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
+    import graft.engine.mv.{Mv, MvCatalog}
+    val base = new java.io.File(d).getName
+    val mvPath = s"/tmp/graft_tables/$base/mv_li_sel"
+    def rewrites: Boolean = {
+      Mv.install(s)
+      query.queryExecution.optimizedPlan.toString.contains("mv_li_sel")
+    }
+    val ready =
+      (MvCatalog.get("mv_li_sel").isDefined || Mv.load(s, mvPath).isDefined) && rewrites
+    if (!ready) {
+      val mvq = t(s, d, "lineitem")
+        .filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      Mv.drop(s, "mv_li_sel")
+      Mv.create(s, "mv_li_sel", mvq, mvPath)
+    }
+    val q = query
+    val plan = q.queryExecution.optimizedPlan.toString
+    require(plan.contains("mv_li_sel"),
+      s"select-only MV rewrite did not fire; plan:\n$plan")
+    q
+  }
+
   /** Ensure the shared (l_returnflag, l_linestatus) MV over lineitem
     * exists and serves `query`; requires the rewrite actually fired.
     * Locked like every shared-fixture builder: two rows racing the
@@ -355,6 +426,9 @@ object EngineQueries {
       s"""SELECT o_orderstatus, count(*) AS cnt, ${oDsum("o_totalprice")} AS sum_price
           FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
           GROUP BY o_orderstatus""",
+    "q_engine_bloom" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+         WHERE c_custkey IN (7, 421, 1033)""",
     "q_engine_insegment" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -411,6 +485,9 @@ object EngineQueries {
           count(*) AS cnt
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment""",
+    "q_mv_select" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_quantity > 40 AND l_extendedprice > 30000""",
     "q_page" ->
       s"""SELECT o_orderkey, o_orderstatus,
           CAST(${oDec("o_totalprice")} AS DOUBLE) AS price

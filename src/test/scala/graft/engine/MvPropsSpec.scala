@@ -142,4 +142,60 @@ class MvPropsSpec extends AnyFunSuite {
       } finally Mv.drop(spark, name)
     }
   }
+
+  test("select-only fuzz: projection subsets + conjunct supersets serve exactly") {
+    val rnd = new scala.util.Random(20260815L)
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_linenumber")
+    // conjunct pool over columns the MV will store
+    val condPool: Seq[(String, () => Column)] = Seq(
+      "qty" -> (() => col("l_quantity") > 25),
+      "price" -> (() => col("l_extendedprice") > 10000),
+      "line" -> (() => col("l_linenumber") <= 4))
+    val m = condPool.toMap
+    def andAll(names: Seq[String]): Column =
+      names.map(n => m(n)()).reduce(_ && _)
+    (1 to 3).foreach { round =>
+      // random MV: 3-5 stored columns, 0-2 filter conjuncts
+      val mvCols = rnd.shuffle(base.columns.toSeq).take(3 + rnd.nextInt(3))
+      val mvConds = rnd.shuffle(condPool.map(_._1)).take(rnd.nextInt(3))
+      // filter columns must be stored for the residual fuzz to work
+      val stored = (mvCols ++ Seq("l_quantity", "l_extendedprice", "l_linenumber")).distinct
+      val mvq0 = if (mvConds.isEmpty) base else base.filter(andAll(mvConds))
+      val mvq = mvq0.select(stored.map(col): _*)
+      val name = s"mv_selprop_$round"
+      Mv.create(spark, name, mvq, s"${tmp()}/$name")
+      try {
+        // query: any stored-column subset, any conjunct SUPERSET of the
+        // MV's — must serve and agree (rows compared with multiplicity)
+        (1 to 4).foreach { i =>
+          val qCols = rnd.shuffle(stored).take(1 + rnd.nextInt(stored.size))
+          val extras = rnd.shuffle(condPool.map(_._1).filterNot(mvConds.contains))
+            .take(rnd.nextInt(2))
+          val qConds = mvConds ++ extras
+          def q =
+            if (qConds.isEmpty) base.select(qCols.map(col): _*)
+            else base.filter(andAll(qConds)).select(qCols.map(col): _*)
+          checkServed(name, q, mustFire = true,
+            s"sel round $round case $i cols=$qCols conds=$qConds")
+        }
+        // a conjunct SUBSET (weaker filter) must never serve
+        if (mvConds.nonEmpty) {
+          val weaker = mvConds.drop(1)
+          val q = (if (weaker.isEmpty) base else base.filter(andAll(weaker)))
+            .select(stored.head)
+          assert(!q.queryExecution.optimizedPlan.toString.contains(name),
+            s"sel round $round: weaker filter $weaker must block the rewrite")
+        }
+        // a projection outside the stored set must never serve
+        base.columns.find(!stored.contains(_)).foreach { outside =>
+          val q = (if (mvConds.isEmpty) base else base.filter(andAll(mvConds)))
+            .select(outside)
+          assert(!q.queryExecution.optimizedPlan.toString.contains(name),
+            s"sel round $round: projection of $outside must block the rewrite")
+        }
+      } finally Mv.drop(spark, name)
+    }
+  }
 }

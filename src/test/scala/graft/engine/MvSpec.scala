@@ -580,4 +580,83 @@ class MvSpec extends AnyFunSuite {
       assert(qd.agg(sum("cnt")).collect().head.getLong(0) == 1200)
     } finally { Mv.drop(spark, "mv_oncommit"); Mv.drop(spark, "mv_defer") }
   }
+
+  test("select-only MV: filtered projection served, residual conjuncts re-apply") {
+    val base = lineitem
+    val mvq = base.filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_quantity"))
+    Mv.create(spark, "mv_sel", mvq, s"${tmp()}/mv_sel")
+    try {
+      // same filter, narrower projection + a derived expression
+      def q1 = base.filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * col("l_quantity")).as("amount"))
+      assert(q1.queryExecution.optimizedPlan.toString.contains("mv_sel"),
+        s"select MV should serve:\n${q1.queryExecution.optimizedPlan}")
+      checkSame(q1, graft.engine.mv.MvRewriteRule.withoutRewrite {
+        base.filter(col("l_quantity") > 30)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * col("l_quantity")).as("amount"))
+      })
+      // stronger filter: extra conjunct re-applies over the MV
+      def q2 = base.filter(col("l_quantity") > 30 && col("l_extendedprice") > 20000)
+        .select(col("l_orderkey"), col("l_partkey"))
+      assert(q2.queryExecution.optimizedPlan.toString.contains("mv_sel"),
+        s"residual conjunct should still serve:\n${q2.queryExecution.optimizedPlan}")
+      checkSame(q2, graft.engine.mv.MvRewriteRule.withoutRewrite {
+        base.filter(col("l_quantity") > 30 && col("l_extendedprice") > 20000)
+          .select(col("l_orderkey"), col("l_partkey"))
+      })
+      // WEAKER filter (MV rows ⊉ query rows): must not serve
+      val q3 = base.select(col("l_orderkey"), col("l_partkey"))
+      assert(!q3.queryExecution.optimizedPlan.toString.contains("mv_sel"),
+        "unfiltered query must not be served by a filtered MV")
+      // residual on a column the MV does not store: must not serve
+      val q4 = base.filter(col("l_quantity") > 30 && col("l_discount") > 0.05)
+        .select(col("l_orderkey"))
+      assert(!q4.queryExecution.optimizedPlan.toString.contains("mv_sel"),
+        "underivable residual must block the rewrite")
+      // a projection of a column outside the MV: must not serve
+      val q5 = base.filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      assert(!q5.queryExecution.optimizedPlan.toString.contains("mv_sel"),
+        "projection outside the MV columns must block the rewrite")
+    } finally Mv.drop(spark, "mv_sel")
+  }
+
+  test("select-only MV over carbonish base: stale gate + append-delta refresh") {
+    val path = tmp()
+    val t = GraftTable.createAsSelect(spark, s"$path/base",
+      lineitem.limit(1000))
+    val mvq = t.read.filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    // deferred: the on-commit hook must not mask the staleness gate here
+    Mv.create(spark, "mv_selc", mvq, s"$path/mv_selc", deferred = true)
+    try {
+      assert(Mv.incrementalCapable(graft.engine.mv.MvCatalog.get("mv_selc").get),
+        "select-only MV over one carbonish base must be incremental-capable")
+      def q = t.read.filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_selc"))
+      val before = q.count()
+      // base grows → serving must stop
+      t.insert(lineitem.limit(1200).except(lineitem.limit(1000)))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("mv_selc"),
+        "grown base must disable the select MV")
+      // incremental refresh takes the APPEND path (returns true) and
+      // only adds a segment to the MV (no overwrite of segment 0)
+      val mvT = GraftTable.at(spark, s"$path/mv_selc")
+      val segsBefore = mvT.status.visible.map(_.id).toSet
+      assert(Mv.refreshIncremental(spark, "mv_selc"),
+        "select MV refresh should take the incremental path")
+      val segsAfter = mvT.status.visible.map(_.id).toSet
+      assert(segsBefore.subsetOf(segsAfter) && segsAfter.size > segsBefore.size,
+        s"append-delta refresh should ADD segments: $segsBefore -> $segsAfter")
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_selc"),
+        "refreshed select MV serves again")
+      val expected = graft.engine.mv.MvRewriteRule.withoutRewrite { q.count() }
+      assert(q.count() == expected && q.count() > before)
+    } finally Mv.drop(spark, "mv_selc")
+  }
 }
