@@ -295,3 +295,115 @@ object BenchConcurrent {
     spark.stop()
   }
 }
+
+/** Mixed read/write concurrency anchor: N reader threads serve a query
+  * mix against ONE carbonish table while 1 writer thread runs
+  * insert → compact → (auto) MV-refresh cycles. Readers verify SNAPSHOT
+  * STABILITY on every result: the writer only ever commits whole
+  * batches of a fixed size, so any read whose row count is not
+  * `base + k·batch` saw a torn snapshot (the ConcurrencySpec guarantee,
+  * measured here under serving load). The MV-served aggregate must obey
+  * the same invariant — the serving gate either serves a fresh MV or
+  * falls back to the base, never a half-refreshed view. One JSON line;
+  * committed as BENCH_r{N}_concurrent_mixed.json. */
+object BenchConcurrentMixed {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val readers = sys.env.getOrElse("SPARK_GRAFT_THREADS", "19").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_MIXED_ROUNDS", "12").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.engine.GraftTable
+
+    val root = java.nio.file.Files.createTempDirectory("graft_mixed_").toString
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+    val batchK = 5000L
+    val batch = src.limit(batchK.toInt).cache()
+    require(batch.count() == batchK, "fixture smaller than one batch")
+    val t = GraftTable.createAsSelect(spark, s"$root/t", batch,
+      sortColumns = Seq("l_shipdate", "l_orderkey"))
+    // non-deferred incremental-capable MV: auto-refreshes inside every
+    // writer commit, so readers exercise the serving gate under churn
+    graft.engine.mv.Mv.create(spark, "mv_mixed",
+      t.read.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sq")),
+      s"$root/mv")
+
+    val latencies = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def snapshotOk(n: Long): Boolean = n > 0 && n % batchK == 0
+
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        try {
+          t.insert(batch) // publishes atomically; MV auto-refresh inside
+          commits.incrementAndGet()
+          if (i % 3 == 2) t.compact("MINOR")
+        } catch { case e: Throwable => failures.add("writer" -> s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        i += 1
+      }
+    }, "mixed-writer")
+
+    val mix: Seq[(String, SparkSession => Long)] = Seq(
+      "count_engine" -> (s => GraftTable.at(s, s"$root/t").read.count()),
+      "filter_agg" -> (s => GraftTable.at(s, s"$root/t").read
+        .filter(col("l_quantity") > 25)
+        .groupBy("l_returnflag").agg(sum(col("l_extendedprice")).as("sp"))
+        .collect().length.toLong * -1 - 1), // no count invariant: mark -n
+      "mv_served" -> (s => GraftTable.at(s, s"$root/t").read
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .collect().map(_.getLong(1)).sum))
+    val pool = (0 until readers).map { i =>
+      new Thread(() => {
+        val sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions",
+          math.max(4, 2 * cpus.toInt / math.max(1, readers)).toString)
+        sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
+        graft.engine.mv.Mv.install(sess)
+        (0 until rounds).foreach { j =>
+          val (name, fn) = mix((i + j) % mix.size)
+          val t0 = System.nanoTime()
+          try {
+            val n = fn(sess)
+            latencies.add(name -> (System.nanoTime() - t0) / 1e9)
+            // negative marker = latency-only query (no count invariant)
+            if (n >= 0 && !snapshotOk(n)) {
+              torn.incrementAndGet()
+              System.err.println(s"TORN SNAPSHOT: $name saw $n rows")
+            }
+          } catch { case e: Throwable =>
+            failures.add(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }, s"mixed-reader-$i")
+    }
+    val wall0 = System.nanoTime()
+    writer.start(); pool.foreach(_.start()); pool.foreach(_.join())
+    stop.set(true); writer.join()
+    val wall = (System.nanoTime() - wall0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val lats = latencies.asScala.map(_._2).toSeq.sorted
+    def pct(p: Double): Double =
+      if (lats.isEmpty) -1.0 else lats(math.min(lats.size - 1, (p * lats.size).toInt))
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"concurrent_mixed_p95","value":${f(pct(0.95))},"unit":"sec","readers":$readers,"runs":${lats.size},"failed":${failures.size},"torn_snapshots":${torn.get},"writer_commits":${commits.get},"p50":${f(pct(0.50))},"p95":${f(pct(0.95))},"max":${f(if (lats.isEmpty) -1.0 else lats.last)},"wall":${f(wall)},"sf":"${new java.io.File(sfDir).getName}"}""")
+    failures.asScala.take(5).foreach { case (n, e) => System.err.println(s"FAIL $n: $e") }
+    graft.engine.mv.Mv.drop(spark, "mv_mixed")
+    spark.stop()
+  }
+}

@@ -206,7 +206,14 @@ object GraftSql {
             if (parts.length > 1) parts(1) else "", "")
         })
       }
+    // EXPLAIN <select>: Spark's plan plus the "== Graft ==" pruning /
+    // index / MV section (reference CarbonExplainCommand.scala:29)
+    val Explain =
+      """(?is)^\s*EXPLAIN\s+(EXTENDED\s+)?((?:SELECT|WITH)\s.+)$""".r
     sql match {
+      case Explain(ext, inner) =>
+        val text = GraftExplain.explain(spark, spark.sql(inner), ext != null)
+        Some(localSeqToDatasetHolder(Seq(Tuple1(text))).toDF("plan"))
       case ShowMetacache(tRef) =>
         val key = Option(tRef).map(r => table(r).path)
         Some(graft.engine.format.MetaCache.entries(key)

@@ -528,20 +528,39 @@ class GraftTable private (val spark: SparkSession, val path: String)
       else s))
   }
 
-  /** CLEAN FILES dry run (reference clean-files.md "DRY RUN OPTION"):
-    * report the segments the next [[cleanFiles]] would reclaim —
-    * (id, status, sizeBytes) — WITHOUT touching disk or the commit
-    * log. Read-only: safe to run any time, races change nothing. */
-  def cleanFilesDryRun(): Seq[(Long, String, Long)] = {
+  /** THE eligibility predicate for CLEAN FILES — shared by the real run
+    * and the dry run so the report can never drift from what a clean
+    * actually reclaims. */
+  private def cleanDoomed(s: SegmentMeta, now: Long): Boolean = {
     val staleMs = meta.properties.get("stale_inprogress_timeout_ms")
       .map(_.toLong).getOrElse(24L * 3600 * 1000)
+    s.status == SegmentStatus.MarkedForDelete ||
+      s.status == SegmentStatus.Compacted ||
+      (s.status == SegmentStatus.InProgress && now - s.createdAt > staleMs)
+  }
+
+  /** Stale `.tmp-` dirs from crashed writes, old enough to reclaim. */
+  private def staleTmpDirs(now: Long): Seq[org.apache.hadoop.fs.Path] = {
+    val fs = layout.fs
+    if (!fs.exists(layout.segmentsDir)) Nil
+    else fs.listStatus(layout.segmentsDir)
+      .filter(st0 => st0.isDirectory && st0.getPath.getName.startsWith(".tmp-"))
+      .filter(st0 => now - st0.getModificationTime > 3600 * 1000)
+      .map(_.getPath).toSeq
+  }
+
+  /** CLEAN FILES dry run (reference clean-files.md "DRY RUN OPTION"):
+    * report the segments the next [[cleanFiles]] would reclaim —
+    * (id, status, sizeBytes) — plus stale tmp dirs (id -1, "StaleTmp")
+    * WITHOUT touching disk or the commit log. Shares [[cleanDoomed]]
+    * with the real run. Read-only: safe to run any time. */
+  def cleanFilesDryRun(): Seq[(Long, String, Long)] = {
+    val now = System.currentTimeMillis()
     layout.readStatus().segments
-      .filter(s =>
-        s.status == SegmentStatus.MarkedForDelete ||
-          s.status == SegmentStatus.Compacted ||
-          (s.status == SegmentStatus.InProgress &&
-            System.currentTimeMillis() - s.createdAt > staleMs))
-      .map(s => (s.id, s.status.toString, s.sizeBytes))
+      .filter(cleanDoomed(_, now))
+      .map(s => (s.id, s.status.toString, s.sizeBytes)) ++
+      staleTmpDirs(now).map(p =>
+        (-1L, "StaleTmp", layout.fs.getContentSummary(p).getLength))
   }
 
   /** CLEAN FILES: physically remove non-visible segments and stale tmp
@@ -552,13 +571,9 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * loudly if its record was reclaimed underneath it). */
   def cleanFiles(): Seq[Long] = {
     var removed = Seq.empty[Long]
-    val staleMs = meta.properties.get("stale_inprogress_timeout_ms")
-      .map(_.toLong).getOrElse(24L * 3600 * 1000)
     layout.commit { st =>
-      val (dead, live) = st.segments.partition(s =>
-        s.status == SegmentStatus.MarkedForDelete || s.status == SegmentStatus.Compacted ||
-          (s.status == SegmentStatus.InProgress &&
-            System.currentTimeMillis() - s.createdAt > staleMs))
+      val now = System.currentTimeMillis()
+      val (dead, live) = st.segments.partition(cleanDoomed(_, now))
       removed = dead.map(_.id)
       // history ledger: the GC'd entries remain visible to
       // SHOW HISTORY SEGMENTS (append-only, outside the hot log)
@@ -566,13 +581,8 @@ class GraftTable private (val spark: SparkSession, val path: String)
       val fs = layout.fs
       dead.filter(_.externalPath.isEmpty)
         .foreach(s => fs.delete(layout.segmentDir(s.id), true))
-      // stale tmp dirs from crashed writes
-      if (fs.exists(layout.segmentsDir)) {
-        fs.listStatus(layout.segmentsDir)
-          .filter(st0 => st0.isDirectory && st0.getPath.getName.startsWith(".tmp-"))
-          .filter(st0 => System.currentTimeMillis() - st0.getModificationTime > 3600 * 1000)
-          .foreach(st0 => fs.delete(st0.getPath, true))
-      }
+      // stale tmp dirs from crashed writes (same detector as the dry run)
+      staleTmpDirs(now).foreach(p => fs.delete(p, true))
       // metadata-only DROP PARTITION leaves the dropped files on disk
       // (tombstoned) for in-flight readers; reclaim them here — retired
       // merge-on-read delta files ride the same tombstone list

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * `q_page` CORRECTNESS row). Like the reference's pagination reader,
   * the coordinate system is only stable while the table is unchanged:
   * a compaction or load renumbers pages.
+  *
+  * CAVEAT — "committed order IS sort order" degrades after
+  * DELETE/UPDATE on a sorted table: the copy-on-write rewrite
+  * ([[graft.engine.format.SegmentWriter.write]] with
+  * `preservesOrder = true`) keeps every file internally sorted but
+  * Spark's scan bin-packing orders the rewrite segment's file chain by
+  * descending file size, not sort-key position. Paging stays correct
+  * as a stable row enumeration; it just no longer coincides with
+  * `ORDER BY keys` on such a segment — re-sort (compact) to restore
+  * the coincidence.
   */
 object Pagination {
 

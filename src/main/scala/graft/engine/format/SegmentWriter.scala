@@ -43,16 +43,20 @@ object SegmentWriter {
     * each input partition is a sorted run (or a concatenation of a few,
     * when the scan packs small files). Then a GLOBAL_SORT table skips
     * the range re-shuffle and its sampling pass and writes each
-    * partition with a local sort: one output file per victim split,
-    * per-file sorted with tight footer ranges — the same clustering
-    * quality the victims had, at zero shuffles. A point UPDATE on a
-    * 100 TB table then rewrites its few victim files in place-parallel
-    * instead of range-exchanging them cluster-wide. Cross-file range
-    * disjointness is NOT preserved, which only means the scan's
-    * footer-verified ordering claim won't fire across these files —
-    * exactly as for any multi-segment table. Partitioned and bucketed
-    * tables keep the clustered write (their dir/bucket split needs the
-    * repartition). */
+    * partition with a local sort: one output file per INPUT SPLIT
+    * (NOTE: Spark's file-scan bin-packing orders splits by descending
+    * file size, so the rewrite segment's committed file-chain order
+    * does NOT follow sort-key order — per-file sorting and footer
+    * ranges stay tight, but "committed order IS sort order" does not
+    * hold for this segment; see the caveat in
+    * [[graft.engine.Pagination]]). Same clustering quality the victims
+    * had, at zero shuffles: a point UPDATE on a 100 TB table rewrites
+    * its few victim files in place-parallel instead of
+    * range-exchanging them cluster-wide. Cross-file range disjointness
+    * is NOT preserved, which only means the scan's footer-verified
+    * ordering claim won't fire across these files — exactly as for any
+    * multi-segment table. Partitioned and bucketed tables keep the
+    * clustered write (their dir/bucket split needs the repartition). */
   def write(layout: TableLayout, meta: TableMeta, df: DataFrame, id: Long,
       preservesOrder: Boolean = false): SegmentMeta = {
     val spark = df.sparkSession

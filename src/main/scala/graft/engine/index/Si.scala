@@ -146,6 +146,9 @@ object Si {
             .select("seg_id").distinct()
             .collect().map(_.getLong(0)).toSet
           val target = ((hits & visible) ++ uncovered).toSeq.sorted
+          graft.engine.ExplainCollector.record(
+            s"SI($column) segment-grain: pinned ${target.size}/${visible.size} " +
+              s"segments (${uncovered.size} uncovered scanned unindexed)")
           if (target.isEmpty)
             t.read.filter(pred).limit(0) // provably empty
           else t.readSegments(target).filter(pred)
@@ -173,6 +176,10 @@ object Si {
               .flatMap(s => s.files.map(f => (s.id, f)))
             val wanted = (hits ++ uncov).groupBy(_._1)
               .view.mapValues(_.map(_._2).distinct.toSeq).toMap
+            graft.engine.ExplainCollector.record(
+              s"SI($column) file-grain: pinned ${wanted.values.map(_.size).sum} " +
+                s"file(s) across ${wanted.size} segment(s) " +
+                s"of ${visSegs.map(_.files.size).sum} total files")
             if (wanted.isEmpty) t.read.filter(pred).limit(0)
             else t.readFiles(wanted).filter(pred)
           }

@@ -173,6 +173,14 @@ class TextMatchRule extends Rule[LogicalPlan] {
     // UDF reads only its literal, so nothing kept them alive)
     val needed = (rel.output.map(_.name) ++ calls.map(c =>
       cs.tableSchema.fieldNames.find(_.equalsIgnoreCase(c.column)).get)).distinct
+    graft.engine.ExplainCollector.record(candidates match {
+      case Some(ids) =>
+        s"text index: pinned ${ids.size}/${t.status.visible.size} segments " +
+          s"for ${calls.map(c => s"${c.column}:'${c.query}'").mkString(", ")}"
+      case None =>
+        s"text_match served residually (no index on " +
+          s"${calls.map(_.column).mkString(",")})"
+    })
     val newRel: LogicalPlan = candidates match {
       case Some(ids) if ids.isEmpty =>
         LocalRelation(rel.output) // provably empty

@@ -445,6 +445,9 @@ class SegmentFileIndex(
       logInfo(s"[graft] min/max skip: kept ${kept.size}/${visible.size} segments, " +
         s"skipped $fileSkipped more files (partition/footer/bucket grain) for " +
         s"filters ${filters.mkString("[", ", ", "]")}")
+      graft.engine.ExplainCollector.record(
+        s"min/max skip: kept ${kept.size}/${visible.size} segments, " +
+          s"skipped $fileSkipped more files (partition/footer/bucket grain)")
       pruned
     }
   }
@@ -684,6 +687,8 @@ class CarbonishScanBuilder(
         AggregatePushDownUtils.getSchemaForPushedAggregation(
           aggregation, schema, Set.empty[String], Seq.empty) match {
           case Some(aggSchema) =>
+            graft.engine.ExplainCollector.record(
+              "aggregate answered from segment metadata (zero file IO)")
             metaAgg = Some((Seq(values), aggSchema)); true
           case None => !hasDeltas && delegate.pushAggregation(aggregation)
         }
@@ -1094,6 +1099,8 @@ case class CarbonishScan(
     if (kept.size < visible.size) {
       logInfo(s"[graft] runtime segment skip: kept ${kept.size}/${visible.size} " +
         s"segments for ${filters.mkString("[", ", ", "]")}")
+      graft.engine.ExplainCollector.record(
+        s"runtime (DPP) segment skip: kept ${kept.size}/${visible.size} segments")
       current = inner.copy(fileIndex = new SegmentFileIndex(spark, layout, kept, tableSchema))
     }
   }

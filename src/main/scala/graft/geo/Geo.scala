@@ -83,9 +83,15 @@ object Geo {
       Shims.expression(lat.cast("double")), Shims.expression(lng.cast("double"))))
   }
 
+  /** Native (codegen'd) ray-cast against a constant polygon — one
+    * static call per row inside whole-stage codegen, no UDF ser/de
+    * (reference keeps polygon verify as an expression too,
+    * geo/scan/expression/PolygonExpression.java:50). */
   def inPolygon(lat: Column, lng: Column, poly: Seq[(Double, Double)]): Column = {
-    val f = udf((la: Double, ln: Double) => pointInPolygon(la, ln, poly))
-    f(lat, lng)
+    import org.apache.spark.sql.graft.{PointInPolygon, Shims}
+    Shims.column(PointInPolygon(
+      Shims.expression(lat.cast("double")), Shims.expression(lng.cast("double")),
+      poly.map(_._1), poly.map(_._2)))
   }
 
   /** morton ranges covering a [latMin,latMax]×[lngMin,lngMax] box.
@@ -127,21 +133,14 @@ object Geo {
   def geoIdInRanges(geoId: Column, ranges: Seq[(Long, Long)]): Column =
     ranges.map { case (lo, hi) => geoId.between(lo, hi) }.reduce(_ || _)
 
-  /** geoId ∈ ranges via one binary search per row (single evaluation of
-    * the geoId expression; ranges ship to executors in the closure). */
+  /** geoId ∈ ranges via one binary search per row — a native codegen
+    * expression (single evaluation of the geoId child; the range list
+    * ships once as reference arrays, not a per-row closure). */
   def geoIdInRangesSearch(geoId: Column, ranges: Seq[(Long, Long)]): Column = {
+    import org.apache.spark.sql.graft.{GeoIdInRanges, Shims}
     val sorted = ranges.sortBy(_._1)
-    val los = sorted.map(_._1).toArray
-    val his = sorted.map(_._2).toArray
-    val f = udf { (g: Long) =>
-      var lo = 0; var hi = los.length - 1; var idx = -1
-      while (lo <= hi) {
-        val m = (lo + hi) >>> 1
-        if (los(m) <= g) { idx = m; lo = m + 1 } else hi = m - 1
-      }
-      idx >= 0 && g <= his(idx)
-    }
-    f(geoId)
+    Shims.column(GeoIdInRanges(Shims.expression(geoId.cast("long")),
+      sorted.map(_._1), sorted.map(_._2)))
   }
 
   /** Broadcast polygon join (BroadCastPolygonFilterPushJoin analog,
@@ -177,8 +176,14 @@ object Geo {
         x <- (xs.min >> sh) to (xs.max >> sh)
       } yield (interleave(x, y), n, pts.map(_._1), pts.map(_._2))
     }.toDF("__cell", "poly_name", "lats", "lngs")
-    val verify = udf((la: Double, ln: Double, lats: Seq[Double], lngs: Seq[Double]) =>
-      pointInPolygon(la, ln, lats.zip(lngs)))
+    // codegen'd per-row-polygon ray-cast (the polygon arrives as the
+    // broadcast side's array columns) — no UDF ser/de on the residual
+    def verify(la: Column, ln: Column, lats: Column, lngs: Column): Column = {
+      import org.apache.spark.sql.graft.{PointInPolygonVar, Shims}
+      Shims.column(PointInPolygonVar(
+        Shims.expression(la.cast("double")), Shims.expression(ln.cast("double")),
+        Shims.expression(lats), Shims.expression(lngs)))
+    }
     // morton property: geoId >> 2s == interleave(x >> s, y >> s)
     df.withColumn("__cell", shiftright(latLngToGeoId(col(lat), col(lng)), 2 * sh))
       .join(broadcast(polyCells), "__cell")
@@ -192,10 +197,10 @@ object Geo {
       polys: Seq[Seq[(Double, Double)]], opType: String = "OR"): Column = {
     val op = opType.toUpperCase
     require(op == "OR" || op == "AND", s"opType must be OR or AND, got $opType")
-    val f = udf((la: Double, ln: Double) =>
-      if (op == "OR") polys.exists(p => pointInPolygon(la, ln, p))
-      else polys.forall(p => pointInPolygon(la, ln, p)))
-    f(lat, lng)
+    require(polys.nonEmpty, "empty polygon list")
+    // pure composition of the codegen'd single-polygon predicate
+    val preds = polys.map(p => inPolygon(lat, lng, p))
+    if (op == "OR") preds.reduce(_ || _) else preds.reduce(_ && _)
   }
 
   /** distance from point P to segment AB, in degrees (flat-earth). */
@@ -215,13 +220,10 @@ object Geo {
     * the point lies within `bufferDeg` of any of the polylines. */
   def inPolylineList(lat: Column, lng: Column,
       lines: Seq[Seq[(Double, Double)]], bufferDeg: Double): Column = {
-    val f = udf((la: Double, ln: Double) =>
-      lines.exists(line => line.size >= 2 && line.sliding(2).exists {
-        case Seq((ay, ax), (by, bx)) =>
-          pointToSegment(la, ln, ay, ax, by, bx) <= bufferDeg
-        case _ => false
-      }))
-    f(lat, lng)
+    import org.apache.spark.sql.graft.{PointNearPolylines, Shims}
+    Shims.column(PointNearPolylines(
+      Shims.expression(lat.cast("double")), Shims.expression(lng.cast("double")),
+      lines.map(_.map(_._1)), lines.map(_.map(_._2)), bufferDeg))
   }
 
   // ---- SQL utility surface (reference GeoUtilUDFs.scala,

@@ -348,37 +348,67 @@ object PipelineQueries {
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     }),
 
-    // ---- multimodal: opaque binary column + typed metadata extract ----
+    // ---- multimodal: TRUE BinaryType blob column + typed metadata
+    // extract. The blobs fixture stores magic || utf8(text) as a real
+    // parquet BINARY column (built once per sf), so the tested path is
+    // the binary one — byte lengths, byte slicing, binary footer stats —
+    // not a text stand-in; the oracle recomputes the same bytes with
+    // DuckDB BLOB functions. ----
     "q_multimodal_meta" -> ((s, d) => {
-      t(s, d, "documents").select(
+      blobs(s, d).select(
         col("doc_id"),
-        length(col("text").cast("binary")).cast("long").as("n_bytes"),
-        hex(substring(col("text"), 1, 4).cast("binary")).as("magic_hex"),
-        md5(col("text")).as("blob_md5"),
-        // deterministic fake "decode": pretend the first byte picks a codec
-        when(substring(col("text"), 1, 1) < "m", "codec_a")
+        length(col("blob")).cast("long").as("n_bytes"),
+        hex(substring(col("blob"), 1, 4)).as("magic_hex"),
+        // md5 over the hex view (DuckDB's md5 takes VARCHAR, not BLOB —
+        // same bytes hashed on both sides)
+        md5(hex(col("blob"))).as("blob_md5"),
+        // deterministic fake "decode": first PAYLOAD byte picks a codec
+        when(substring(hex(col("blob")), 9, 2) < "6D", "codec_a")
           .otherwise("codec_b").as("codec"))
     }),
 
-    // ---- multimodal frame-sampling plumbing: N evenly spaced chunks of
-    //      the blob → per-frame rows with a deterministic fake feature
-    //      (a real decoder slots into the chunk→feature step; schema,
-    //      partitioning and the explode shape are the real pipeline) ----
+    // ---- multimodal frame-sampling plumbing: N evenly spaced byte
+    //      chunks of the binary blob → per-frame rows with a
+    //      deterministic fake feature (a real decoder slots into the
+    //      chunk→feature step; schema, partitioning and the explode
+    //      shape are the real pipeline) ----
     "q_multimodal_frames" -> ((s, d) => {
       val frames = 4; val frameLen = 8
-      val blobLen = length(col("text"))
+      val blobLen = length(col("blob")) // BYTE length on BinaryType
       val idx = sequence(lit(0), lit(frames - 1))
       val chunks = transform(idx, i =>
-        col("text").substr(
+        hex(col("blob").substr(
           (floor(i * (blobLen - lit(frameLen)) / lit(frames - 1)) + 1).cast("int"),
-          lit(frameLen)))
-      t(s, d, "documents")
+          lit(frameLen))))
+      blobs(s, d)
         .filter(blobLen >= frames * frameLen)
         .select(col("doc_id"), posexplode(chunks).as(Seq("frame_idx", "chunk")))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           h32(col("chunk")).as("feature"))
     })
   )
+
+  /** True-BinaryType blob fixture: magic 0x89 'P' 'N' 'G' + utf8(text),
+    * one parquet BINARY column per document, built once per sf (the
+    * container has no image/audio libs — the BYTES are deterministic so
+    * DuckDB recomputes them from documents.text; the Spark side reads
+    * only the binary column). */
+  private val blobLock = new Object
+  private val BlobMagic = Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+  private def blobs(s: SparkSession, d: String): DataFrame = blobLock.synchronized {
+    val base = new java.io.File(d).getName
+    val p = s"/tmp/graft_tables/$base/blobs"
+    val done = new java.io.File(s"$p/_SUCCESS")
+    if (!done.exists) {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit(BlobMagic), encode(col("text"), "UTF-8")).as("blob"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+  /** The identical bytes in DuckDB (documents.text is the only input). */
+  private val oBlob = """('\x89PNG'::BLOB || encode(text))"""
 
   /** Deterministically-trained IVF centroids, persisted per sf (the
     * quantizer-train-once pattern; a corrupt/partial file just
@@ -643,15 +673,15 @@ object PipelineQueries {
            GROUP BY event_type""",
       "q_multimodal_frames" ->
         s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-            ${oH32("substring(text, CAST(floor(i * (length(text) - 8) / 3) AS INT) + 1, 8)")} AS feature
+            ${oH32(s"substr(hex($oBlob), 2 * CAST(floor(i * (octet_length($oBlob) - 8) / 3) AS INT) + 1, 16)")} AS feature
             FROM (SELECT doc_id, text, unnest(range(0, 4)) AS i
-                  FROM documents WHERE length(text) >= 32)""",
+                  FROM documents WHERE octet_length($oBlob) >= 32)""",
       "q_multimodal_meta" ->
-        """SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-           hex(CAST(substring(text, 1, 4) AS BLOB)) AS magic_hex,
-           md5(text) AS blob_md5,
-           CASE WHEN substring(text, 1, 1) < 'm' THEN 'codec_a' ELSE 'codec_b' END AS codec
+        s"""SELECT doc_id,
+           CAST(octet_length($oBlob) AS BIGINT) AS n_bytes,
+           substr(hex($oBlob), 1, 8) AS magic_hex,
+           md5(hex($oBlob)) AS blob_md5,
+           CASE WHEN substr(hex($oBlob), 9, 2) < '6D' THEN 'codec_a' ELSE 'codec_b' END AS codec
            FROM documents"""
     )
   }

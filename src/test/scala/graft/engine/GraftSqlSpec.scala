@@ -335,4 +335,51 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(graft.engine.mv.MvCatalog.get("mv_cmd").isEmpty)
     }
   }
+
+  test("EXPLAIN surfaces segment pruning, SI pins, and MV serving") {
+    import graft.engine.index.Si
+    val root = Files.createTempDirectory("graft_explain_").toString
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val t = GraftTable.create(spark, s"$root/t", src.schema,
+      Seq("o_orderdate", "o_orderkey"))
+    val c1 = lit("1995-01-01").cast("timestamp")
+    val c2 = lit("1997-01-01").cast("timestamp")
+    t.insert(src.filter(col("o_orderdate") < c1))
+    t.insert(src.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2))
+    t.insert(src.filter(col("o_orderdate") >= c2))
+
+    // 1) segment min/max pruning appears for a sort-column filter
+    t.read.createOrReplaceTempView("ord_ex")
+    val pruned = GraftSql.command(spark,
+      "EXPLAIN SELECT count(*) AS c FROM ord_ex WHERE o_orderdate >= TIMESTAMP '1997-06-01'")
+      .get.collect().head.getString(0)
+    assert(pruned.contains("== Graft =="), pruned)
+    assert(pruned.contains("min/max skip: kept 1/3 segments"), pruned)
+
+    // 2) SI-pinned read reports its grain and pin counts (API form —
+    // the frame is built inside the explain scope)
+    Si.create(t, "o_orderstatus", s"$root/si")
+    val siText = GraftExplain.explain(spark,
+      Si.readWhereIn(t, "o_orderstatus", Seq("P")))
+    assert(siText.contains("SI(o_orderstatus)"), siText)
+    assert(siText.contains("pinned"), siText)
+    assert(siText.contains("pinned segments [") ||
+      siText.contains("position grain"), siText)
+
+    // 3) MV-served query names the MV in the Graft section
+    graft.engine.mv.Mv.create(spark, "mv_ex",
+      t.read.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt")),
+      s"$root/mv")
+    try {
+      val mvText = GraftSql.command(spark,
+        "EXPLAIN SELECT o_orderstatus, count(*) AS cnt FROM ord_ex GROUP BY o_orderstatus")
+        .get.collect().head.getString(0)
+      assert(mvText.contains("MV 'mv_ex' served"), mvText)
+      // EXTENDED mode still carries the Graft section
+      val ext = GraftSql.command(spark,
+        "EXPLAIN EXTENDED SELECT o_orderstatus, count(*) AS cnt FROM ord_ex GROUP BY o_orderstatus")
+        .get.collect().head.getString(0)
+      assert(ext.contains("== Graft ==") && ext.contains("== Parsed Logical Plan =="), ext)
+    } finally graft.engine.mv.Mv.drop(spark, "mv_ex")
+  }
 }
