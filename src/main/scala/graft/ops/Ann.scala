@@ -120,6 +120,20 @@ object Ann {
     * rises with `tables`. */
   def cosinePairsLsh(vecs: DataFrame, dim: Int, numPlanes: Int,
       tables: Int, minCos: Double): DataFrame = {
+    val j = lshJoined(vecs, dim, numPlanes, tables)
+    val dot = dotQ(col("a.qv"), col("b.qv"))
+    j.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineQ(dot, col("a.nq"), col("b.nq")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
+  /** The banded self-join both LSH pair paths share: one row per
+    * id-ordered pair AND colliding (table, signature) — the exact
+    * residual evaluates per collision (recomputing a dot beats
+    * re-shuffling both vectors through a pre-dedup). */
+  private def lshJoined(vecs: DataFrame, dim: Int, numPlanes: Int,
+      tables: Int): DataFrame = {
     require(tables >= 1 && numPlanes <= 62,
       "per-table signature must fit a long")
     val planes = planeMatrix(numPlanes * tables, dim)
@@ -130,15 +144,20 @@ object Ann {
         srpSignatureWith(col("qv"), planes, numPlanes, col("t") * numPlanes))
     val a = withSig(vecs).as("a")
     val b = withSig(vecs).as("b")
-    val dot = dotQ(col("a.qv"), col("b.qv"))
     a.join(b,
-        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineQ(dot, col("a.nq"), col("b.nq")).as("cos"))
-      .filter(col("cos") >= minCos)
-      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+      col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
   }
+
+  /** Distinct candidate pairs the banded join emits BEFORE the exact
+    * residual — the pruning measurement the spec gates. "No cartesian"
+    * alone is satisfiable by a degenerate signature that passes every
+    * pair through the equi-join; the LSH claim is candidates ≪ n(n-1)/2,
+    * and this is the number that says so. */
+  def lshCandidatePairs(vecs: DataFrame, dim: Int, numPlanes: Int,
+      tables: Int): DataFrame =
+    lshJoined(vecs, dim, numPlanes, tables)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path the brief
     * names next to LSH. `nlist` k-means centroids split the corpus into

@@ -23,7 +23,7 @@ object CatalogQueries {
   private def warehouse(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(d).getName
     val cat = "graft_" + base.replace('.', '_')
-    val w = s"/tmp/graft_tables/$base/warehouse"
+    val w = s"${Fixtures.root}/$base/warehouse"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.engine.catalog.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
     GraftDml.enable(s)
@@ -39,7 +39,7 @@ object CatalogQueries {
       sortCols: Seq[String]): String = lock.synchronized {
     val (cat, w) = warehouse(s, d)
     val base = new java.io.File(d).getName
-    val pristine = s"/tmp/graft_tables/$base/sql_${name}_pristine"
+    val pristine = s"${Fixtures.root}/$base/sql_${name}_pristine"
     val p = s"$w/default/$name"
     val conf = s.sessionState.newHadoopConf()
     val pl = new graft.engine.format.TableLayout(pristine, conf)
@@ -111,7 +111,7 @@ object CatalogQueries {
     "q_sql_update_subquery" -> ((s, d) => {
       val cat = freshCatalogTable(s, d, "sqlupdsq", t(s, d, "orders"), Seq("o_orderkey"))
       val base = new java.io.File(d).getName
-      val p = s"/tmp/graft_tables/$base/warehouse/default/sqlupdsq"
+      val p = s"${Fixtures.root}/$base/warehouse/default/sqlupdsq"
       t(s, d, "customer").createOrReplaceTempView("updsq_cust")
       graft.engine.GraftSql.command(s,
         s"""UPDATE $p AS o SET (o_orderpriority) = (

@@ -11,7 +11,7 @@ import Q._
   * value-identical to the source data (the reference's own differential
   * methodology, SURVEY §5).
   *
-  * Fixture tables are built once per (sf, table) under /tmp/graft_tables
+  * Fixture tables are built once per (sf, table) under Fixtures.root
   * and reused across JVMs (Verify and Bench run separately).
   */
 object EngineQueries {
@@ -19,7 +19,7 @@ object EngineQueries {
   private val lock = new Object
   private def fixturePath(sfDir: String, name: String): String = {
     val base = new java.io.File(sfDir).getName
-    s"/tmp/graft_tables/$base/$name"
+    s"${Fixtures.root}/$base/$name"
   }
 
   /** lineitem as one GLOBAL_SORT segment sorted by (l_shipdate, l_orderkey). */
@@ -311,7 +311,7 @@ object EngineQueries {
   private def mvServedTs(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
     import graft.engine.mv.{Mv, MvCatalog}
     val base = new java.io.File(d).getName
-    val mvPath = s"/tmp/graft_tables/$base/mv_ev_ts"
+    val mvPath = s"${Fixtures.root}/$base/mv_ev_ts"
     def rewrites: Boolean = {
       Mv.install(s)
       query.queryExecution.optimizedPlan.toString.contains("mv_ev_ts")
@@ -338,7 +338,7 @@ object EngineQueries {
   private def mvServedJoin(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
     import graft.engine.mv.{Mv, MvCatalog}
     val base = new java.io.File(d).getName
-    val mvPath = s"/tmp/graft_tables/$base/mv_oc_join"
+    val mvPath = s"${Fixtures.root}/$base/mv_oc_join"
     def rewrites: Boolean = {
       Mv.install(s)
       query.queryExecution.optimizedPlan.toString.contains("mv_oc_join")
@@ -366,7 +366,7 @@ object EngineQueries {
   private def mvServedSel(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
     import graft.engine.mv.{Mv, MvCatalog}
     val base = new java.io.File(d).getName
-    val mvPath = s"/tmp/graft_tables/$base/mv_li_sel"
+    val mvPath = s"${Fixtures.root}/$base/mv_li_sel"
     def rewrites: Boolean = {
       Mv.install(s)
       query.queryExecution.optimizedPlan.toString.contains("mv_li_sel")
@@ -395,7 +395,7 @@ object EngineQueries {
   private def mvServed(s: SparkSession, d: String, query: => DataFrame): DataFrame = lock.synchronized {
     import graft.engine.mv.{Mv, MvCatalog}
     val base = new java.io.File(d).getName
-    val mvPath = s"/tmp/graft_tables/$base/mv_li_roll"
+    val mvPath = s"${Fixtures.root}/$base/mv_li_roll"
     def rewrites: Boolean = {
       Mv.install(s)
       query.queryExecution.optimizedPlan.toString.contains("mv_li_roll")

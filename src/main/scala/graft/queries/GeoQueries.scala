@@ -73,7 +73,7 @@ object GeoQueries {
     * sorted by geo_id — the fixture for range-list segment pruning. */
   def geopts(s: SparkSession, d: String): GraftTable = {
     val base = new java.io.File(d).getName
-    val p = s"/tmp/graft_tables/$base/geopts"
+    val p = s"${Fixtures.root}/$base/geopts"
     val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
     GeoQueries.synchronized {
       if (layout.exists && layout.readStatus().visible.size == 3) GraftTable.at(s, p)

@@ -21,8 +21,8 @@ object IudQueries {
       s: SparkSession, d: String, name: String, src: DataFrame,
       sortCols: Seq[String], partitionCols: Seq[String] = Nil): GraftTable = lock.synchronized {
     val base = new java.io.File(d).getName
-    val pristine = s"/tmp/graft_tables/$base/iud_${name}_pristine"
-    val p = s"/tmp/graft_tables/$base/iud_$name"
+    val pristine = s"${Fixtures.root}/$base/iud_${name}_pristine"
+    val p = s"${Fixtures.root}/$base/iud_$name"
     val pl = new graft.engine.format.TableLayout(pristine, s.sessionState.newHadoopConf())
     val current = pl.exists && pl.readStatus().visible.nonEmpty &&
       pl.readTableMeta().partitionColumns == partitionCols

@@ -205,17 +205,34 @@ object PipelineQueries {
 
     // ---- embedding near-dup pairs, PRODUCTION SHAPE (bench row, no
     // SQL oracle — approximate by design): multi-table SRP LSH buckets
-    // → equi-join candidates → exact-cosine residual. Parameters are
-    // exactly the ones PipelineSpec's recall test gates (dim 64,
-    // 3 planes × 8 tables, recall >= 0.5 vs the exact row) — this is
-    // the plan a 100 TB near-dup job runs; q_dedup_embedding times the
-    // O(n^2) exact baseline for the oracle. ----
+    // → equi-join candidates → exact-cosine residual, in the regime
+    // near-dup detection actually runs: a HIGH threshold (cos ≥ 0.9 =
+    // true duplicates) and enough planes (10 × 8 tables = 1024 buckets
+    // per table) that the banded join PRUNES — with few planes the
+    // per-table collision rate is so high the "LSH" does n² work
+    // through an equi-join. The driver corpus has no true near-dups,
+    // so the row plants them: every vector gets one deterministic
+    // perturbed copy (each coordinate scaled 1 ± 0.35 by (id+i)
+    // parity ⇒ pair cosine ≈ 1/√1.1225 ≈ 0.94). PipelineSpec gates,
+    // at these exact parameters: recall ≥ 0.85 of the exact ≥ 0.9
+    // pairs, no invented pairs, and candidate pairs < 5% of n(n-1)/2
+    // (the pruning claim itself, not just "no cartesian").
+    // q_dedup_embedding times the O(n^2) exact baseline for the
+    // oracle. ----
     "q_dedup_embedding_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings").select(
-        col("vec_id").as("id"), Ann.quantize(col("embedding")).as("qv"))
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val pert = base.select(
+        (col("id") + lit(10000000L)).as("id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.35) *
+            when(pmod(col("id") + i, lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0)))).as("embedding"))
+      val corpus = base.unionByName(pert)
+        .select(col("id"), Ann.quantize(col("embedding")).as("qv"))
         .withColumn("nq", Ann.normQ(col("qv")))
-      Ann.cosinePairsLsh(emb, dim = 64, numPlanes = 3, tables = 8,
-          minCos = 0.4)
+      Ann.cosinePairsLsh(corpus, dim = 64, numPlanes = 10, tables = 8,
+          minCos = 0.9)
         .select("id_a", "id_b", "cos")
     }),
 
@@ -397,7 +414,7 @@ object PipelineQueries {
   private val BlobMagic = Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
   private def blobs(s: SparkSession, d: String): DataFrame = blobLock.synchronized {
     val base = new java.io.File(d).getName
-    val p = s"/tmp/graft_tables/$base/blobs"
+    val p = s"${Fixtures.root}/$base/blobs"
     val done = new java.io.File(s"$p/_SUCCESS")
     if (!done.exists) {
       t(s, d, "documents")
@@ -418,7 +435,7 @@ object PipelineQueries {
   private def ivfCentroids(
       d: String, emb: DataFrame): Seq[Seq[Double]] = centroidLock.synchronized {
     val base = new java.io.File(d).getName
-    val f = new java.io.File(s"/tmp/graft_tables/$base/ivf_centroids_8x2.csv")
+    val f = new java.io.File(s"${Fixtures.root}/$base/ivf_centroids_8x2.csv")
     if (f.exists) {
       try {
         val src = scala.io.Source.fromFile(f)
@@ -441,7 +458,7 @@ object PipelineQueries {
   private def pqBooks(
       d: String, emb: DataFrame): Seq[Seq[Seq[Double]]] = centroidLock.synchronized {
     val base = new java.io.File(d).getName
-    val f = new java.io.File(s"/tmp/graft_tables/$base/pq_books_8x16x2.csv")
+    val f = new java.io.File(s"${Fixtures.root}/$base/pq_books_8x16x2.csv")
     if (f.exists) {
       try {
         val src = scala.io.Source.fromFile(f)
@@ -467,7 +484,7 @@ object PipelineQueries {
     centroidLock.synchronized {
       val s = emb.sparkSession
       val base = new java.io.File(d).getName
-      val p = s"/tmp/graft_tables/$base/pq_encoded_8x16"
+      val p = s"${Fixtures.root}/$base/pq_encoded_8x16"
       val done = new java.io.File(s"$p/_SUCCESS")
       if (!done.exists) {
         Ann.pqEncodeCorpus(emb, ivfCentroids(d, emb), pqBooks(d, emb))

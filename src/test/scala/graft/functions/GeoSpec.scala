@@ -129,7 +129,7 @@ class GeoSpec extends AnyFunSuite {
     import graft.engine.GraftTable
     import graft.geo.SpatialIndex
     import org.apache.spark.sql.types._
-    val p = "/tmp/graft_tables/spec/spatial_prop"
+    val p = s"${graft.queries.Fixtures.root}/spec/spatial_prop"
     GraftTable.drop(spark, p)
     val userSchema = StructType(Seq(
       StructField("id", LongType), StructField("lng", DoubleType),

@@ -217,6 +217,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"embedding near-dup recall too low: $recall")
   }
 
+  test("embedding near-dup PRODUCTION regime: planted dups recalled, pair space actually pruned") {
+    // the regime q_dedup_embedding_lsh benches: high threshold (true
+    // near-dups), 10 planes x 8 tables. The corpus has no natural
+    // >= 0.9 pairs (max natural cosine ~0.6), so near-dups are PLANTED:
+    // one deterministic perturbed copy per vector, pair cosine ~0.94.
+    val base = emb.select(col("vec_id").as("id"), col("embedding"))
+    val pert = base.select(
+      (col("id") + lit(10000000L)).as("id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0) + lit(0.35) *
+          when(pmod(col("id") + i, lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0)))).as("embedding"))
+    val corpus = base.unionByName(pert)
+      .select(col("id"), Ann.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", Ann.normQ(col("qv")))
+    val n = corpus.count()
+    val exact = Ann.cosinePairsExact(corpus, 0.9).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted pairs ARE near-dups under the exact definition
+    assert(exact.size >= (n / 2 * 9) / 10,
+      s"planting failed: only ${exact.size} exact pairs for ${n / 2} plants")
+
+    val lsh = Ann.cosinePairsLsh(corpus, dim = 64, numPlanes = 10,
+      tables = 8, minCos = 0.9)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val got = lsh.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "LSH must not invent pairs (exact residual)")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.85, s"production-regime recall too low: $recall")
+
+    // THE pruning assertion: the banded join must emit a small fraction
+    // of the n(n-1)/2 pair space. (An equi-join that passes everything
+    // — e.g. too few planes — satisfies "no cartesian" while doing the
+    // exact row's quadratic work; this is the number that catches it.)
+    val candidates = Ann.lshCandidatePairs(corpus, dim = 64,
+      numPlanes = 10, tables = 8).count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 20,
+      s"LSH pruned nothing: $candidates candidates of $allPairs pairs")
+  }
+
   test("dot product of mismatched-length vectors fails loudly, not truncated") {
     import spark.implicits._
     // a dim mismatch must never yield a plausible-looking truncated cosine
