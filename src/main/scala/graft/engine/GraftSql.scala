@@ -186,7 +186,9 @@ object GraftSql {
     // 'lucene' (text posting index), 'bloomfilter' (parquet bloom on
     // future writes). The name → (kind, column, path) registry lives in
     // table properties so SHOW/DROP/REFRESH address indexes by name.
-    val CreateIndex = """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+?)\s*\((\w+)\)\s+AS\s+'(\w+)'(?:\s+STORED\s+AT\s+'([^']+)')?\s*$""".r
+    // the column list is single-column for carbondata/lucene/bloomfilter;
+    // 'vector' takes (id_col, vector_col)
+    val CreateIndex = """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+?)\s*\(([\w\s,]+)\)\s+AS\s+'(\w+)'(?:\s+STORED\s+AT\s+'([^']+)')?\s*$""".r
     val DropIndex = """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     val ShowIndexes = """(?is)^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     val RefreshIndex = """(?is)^\s*REFRESH\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
@@ -306,24 +308,43 @@ object GraftSql {
       case ShowStreams() =>
         Some(graft.engine.streaming.StreamManager.showStreams
           .toDF("name", "table_path", "status"))
-      case CreateIndex(name, tRef, colName, kind0, at) =>
+      case CreateIndex(name, tRef, colList, kind0, at) =>
         val t0 = table(tRef)
         val kind = kind0.toLowerCase
         require(!indexReg(t0).contains(name), s"index $name already exists")
         val path = Option(at).getOrElse(s"${t0.path}/_indexes/$name")
-        kind match {
-          case "carbondata" => index.Si.create(t0, colName, path)
-          case "lucene" => index.TextIndex.create(t0, colName, path)
+        val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def oneCol: String = {
+          require(cols.size == 1,
+            s"index kind '$kind' takes exactly one column, got: $colList")
+          cols.head
+        }
+        val regCol = kind match {
+          case "carbondata" => index.Si.create(t0, oneCol, path); oneCol
+          case "lucene" => index.TextIndex.create(t0, oneCol, path); oneCol
           case "bloomfilter" =>
             val cur = t0.meta.properties.get("bloom_columns")
               .map(_.split(",").toSeq).getOrElse(Nil)
             t0.setProperties(Map(
-              "bloom_columns" -> (cur :+ colName).distinct.mkString(",")))
+              "bloom_columns" -> (cur :+ oneCol).distinct.mkString(",")))
+            oneCol
+          case "vector" =>
+            // (id_col, vector_col); IVF-PQ geometry from the vector
+            // column's first row (dim) with the standard defaults
+            require(cols.size == 2,
+              s"'vector' takes (id_col, vector_col), got: $colList")
+            val Seq(idCol, vecCol) = cols
+            val dim = t0.read.select(org.apache.spark.sql.functions
+              .size(org.apache.spark.sql.functions.col(vecCol)))
+              .head().getInt(0)
+            index.VectorIndex.create(t0, idCol, vecCol, path,
+              index.VectorIndex.Params(dim))
+            vecCol
           case other => throw new IllegalArgumentException(
-            s"unknown index kind '$other' (carbondata|lucene|bloomfilter)")
+            s"unknown index kind '$other' (carbondata|lucene|bloomfilter|vector)")
         }
         t0.layout.updateTableMeta(m => m.copy(properties =
-          m.properties + (s"sqlindex.$name" -> s"$kind,$colName,$path")))
+          m.properties + (s"sqlindex.$name" -> s"$kind,$regCol,$path")))
         Some(done)
       case DropIndex(ifExists, name, tRef) =>
         val t0 = table(tRef)
@@ -335,6 +356,7 @@ object GraftSql {
             kind match {
               case "carbondata" => index.Si.drop(t0, colName)
               case "lucene" => index.TextIndex.drop(t0, colName)
+              case "vector" => index.VectorIndex.drop(t0, colName)
               case "bloomfilter" =>
                 val cur = t0.meta.properties.get("bloom_columns")
                   .map(_.split(",").toSeq).getOrElse(Nil)
@@ -356,6 +378,7 @@ object GraftSql {
           case None => throw new IllegalArgumentException(s"no such index $name")
           case Some(("carbondata", colName, _)) => index.Si.refresh(t0, colName)
           case Some(("lucene", colName, _)) => index.TextIndex.refresh(t0, colName)
+          case Some(("vector", colName, _)) => index.VectorIndex.refresh(t0, colName)
           case Some(_) => // bloom applies at write time — nothing to rebuild
         }
         Some(done)
@@ -371,6 +394,7 @@ object GraftSql {
         targets.foreach {
           case ("carbondata", colName, _) => index.Si.repair(t0, colName, segs)
           case ("lucene", colName, _) => index.TextIndex.repair(t0, colName, segs)
+          case ("vector", colName, _) => index.VectorIndex.repair(t0, colName, segs)
           case _ => // bloom applies at write time — nothing to repair
         }
         Some(done)

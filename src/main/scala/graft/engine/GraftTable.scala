@@ -735,6 +735,9 @@ class GraftTable private (val spark: SparkSession, val path: String)
       m.properties.keys.filter(_.startsWith("textindex.")).foreach(k =>
         graft.engine.index.TextIndex.repair(this,
           k.stripPrefix("textindex."), Some(Seq(segId))))
+      m.properties.keys.filter(_.startsWith("vector.")).foreach(k =>
+        graft.engine.index.VectorIndex.repair(this,
+          k.stripPrefix("vector."), Some(Seq(segId))))
     }
 
   /** HORIZONTAL compaction (reference: configuration-parameters.md:120):

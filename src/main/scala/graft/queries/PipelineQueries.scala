@@ -254,6 +254,30 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- table-integrated vector index (r12; VectorIndex.scala): the
+    // ANN machinery as a FIRST-CLASS index kind on a carbonish table —
+    // CREATE INDEX … AS 'vector' stores IVF-PQ codes sorted by cell
+    // and a frozen quantizer model, maintained through load/compaction
+    // like the SI. The fixture leaves one segment deliberately
+    // UNCOVERED (autorefresh off), so the graded row exercises both
+    // serving paths: stored-codes probe for the covered segment, exact
+    // fallback for the uncovered one, union re-ranked. Full probe +
+    // full rerank ⇒ exactly brute force ⇒ the shared top-5 oracle.
+    // Pruned-probe recall and the full lifecycle (MoR staleness, REINDEX,
+    // compaction, SQL DDL) are VectorIndexSpec's job. ----
+    "q_vector_index" -> ((s, d) => {
+      import graft.engine.index.VectorIndex
+      val t0 = vecIdxTable(s, d)
+      val queries = t(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("id"),
+          Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      VectorIndex.search(t0, "embedding", queries, 5,
+          nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
     // ---- deterministic split assignment: portable multiplicative-hash
     // buckets (no engine hash), one pure projection — reproducible
     // train/val/test membership with no join at any scale ----
@@ -432,6 +456,38 @@ object PipelineQueries {
     * retrains). */
   private val centroidLock = new Object
 
+  /** carbonish table + vector index fixture for q_vector_index: segment
+    * 0 (vec_id % 10 != 0) is index-covered, segment 1 (% 10 == 0) is
+    * deliberately left uncovered (autorefresh off) so the graded search
+    * exercises the covered-probe ∪ exact-fallback union. Rebuilt when
+    * absent or shape-drifted; corrupt fixtures rebuild like the others. */
+  private val vecIdxLock = new Object
+  private def vecIdxTable(s: SparkSession, d: String): graft.engine.GraftTable =
+    vecIdxLock.synchronized {
+      import graft.engine.GraftTable
+      import graft.engine.index.VectorIndex
+      val base = new java.io.File(d).getName
+      val p = s"${Fixtures.root}/$base/vecidx"
+      val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+      val ok = layout.exists && {
+        try layout.readStatus().visible.size == 2 &&
+          layout.readTableMeta().properties.contains("vector.embedding")
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      if (ok) GraftTable.at(s, p)
+      else {
+        GraftTable.drop(s, p)
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val t0 = GraftTable.createAsSelect(s, p,
+          emb.filter(col("vec_id") % 10 =!= 0),
+          properties = Map("index.autorefresh" -> "false"))
+        VectorIndex.create(t0, "vec_id", "embedding", s"$p/_indexes/v",
+          VectorIndex.Params(dim = 64))
+        t0.insert(emb.filter(col("vec_id") % 10 === 0))
+        t0
+      }
+    }
+
   private def ivfCentroids(
       d: String, emb: DataFrame): Seq[Seq[Double]] = centroidLock.synchronized {
     val base = new java.io.File(d).getName
@@ -578,6 +634,9 @@ object PipelineQueries {
       "q_ann_ivf" -> oAnnTop5,
       // full-probe + corpus-wide-rerank IVF-PQ ≡ brute force likewise
       "q_ann_ivfpq" -> oAnnTop5,
+      // vector-index full probe + full rerank ∪ exact fallback ≡ brute
+      // force over all rows: same oracle
+      "q_vector_index" -> oAnnTop5,
       "q_label_confusion" -> {
         val qv = Ann.oQuantize("embedding")
         s"""WITH emb AS (
