@@ -369,9 +369,35 @@ object GraftSql {
             Some(done)
         }
       case ShowIndexes(tRef) =>
-        Some(indexReg(table(tRef)).toSeq.sortBy(_._1)
-          .map { case (n, (k, c, p)) => (n, k, c, p) }
-          .toDF("name", "kind", "column", "path"))
+        // reference SHOW INDEXES surfaces Status + Sync Info alongside
+        // name/provider/columns (docs/index/index-management.md:117-127);
+        // sync here = how much of the base's visible segment set the
+        // index covers, per each kind's own ledger (SI/text: segment-id
+        // coverage; vector: rowCount fingerprints, so an in-place MoR
+        // shrink counts as out-of-sync; bloom: write-time, always in
+        // step with the files that have it)
+        val t0 = table(tRef)
+        val vis = t0.status.visible
+        val visIds = vis.map(_.id).toSet
+        Some(indexReg(t0).toSeq.sortBy(_._1).map { case (n, (k, c, p)) =>
+          val sync = try {
+            k match {
+              case "carbondata" | "lucene" =>
+                val covered =
+                  index.Si.indexedSegments(GraftTable.at(spark, p)) & visIds
+                val last = if (covered.isEmpty) "-" else covered.max.toString
+                s"${covered.size}/${vis.size} segments (last synced: $last)"
+              case "vector" =>
+                val fp = index.VectorIndex.fingerprints(GraftTable.at(spark, p))
+                val fresh = vis.filter(s => fp.get(s.id).contains(s.rowCount))
+                val last = if (fresh.isEmpty) "-" else fresh.map(_.id).max.toString
+                s"${fresh.size}/${vis.size} segments (last synced: $last)"
+              case "bloomfilter" => "write-time"
+              case _ => "-"
+            }
+          } catch { case scala.util.control.NonFatal(_) => "unreadable" }
+          (n, k, c, p, "ENABLED", sync)
+        }.toDF("name", "kind", "column", "path", "status", "sync_info"))
       case RefreshIndex(name, tRef) =>
         val t0 = table(tRef)
         indexReg(t0).get(name) match {

@@ -98,7 +98,7 @@ object VectorIndex {
   }
 
   // ---- coverage ledger on the index table: "segId:liveRows,…" ----
-  private[index] def fingerprints(idx: GraftTable): Map[Long, Long] =
+  private[engine] def fingerprints(idx: GraftTable): Map[Long, Long] =
     idx.meta.properties.get(FingerprintsKey).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
       .map { e => val Array(a, b) = e.split(":"); a.toLong -> b.toLong }

@@ -68,29 +68,23 @@ object Ann {
     (h.toDouble / math.pow(2, 31)) - 1.0
   }
 
-  /** Sign-random-projection bucket signature of a quantized vector.
-    *
-    * Folded form: the plane matrix ships as ONE array literal and the
-    * signature is a nested `aggregate` fold — O(dim·planes) work per row
-    * inside two loops, not dim×planes inlined expression terms (the
-    * inlined form blows past codegen method limits around dim ≥ 256;
-    * this one is flat-cost at dim 768 and beyond). `planeOffset` selects
-    * a band of `numPlanes` rows from `planes` — the hook for multi-table
-    * amplification. */
+  /** Sign-random-projection bucket signature of a quantized vector —
+    * a native codegen expression ([[org.apache.spark.sql.graft.SrpSignature]]):
+    * the plane matrix rides as one flat constant and the dots run in a
+    * tight JIT'd loop (r12 — the previous nested-`aggregate` HOF fold
+    * was interpreted per plane per row and dominated the LSH signature
+    * stage; this is bit-identical, same IEEE summation order).
+    * `planeOffset` selects a band of `numPlanes` rows from `planes` —
+    * the hook for multi-table amplification. Flat-cost in dim (no
+    * expression-tree blowup at dim 768 and beyond). */
   private def srpSignatureWith(
       qv: Column, planes: Seq[Seq[Double]], numPlanes: Int,
       planeOffset: Column): Column = {
-    val planesLit = typedLit(planes)
-    aggregate(
-      sequence(planeOffset, planeOffset + numPlanes - 1),
-      lit(0L),
-      (acc, p) => {
-        val plane = element_at(planesLit, (p + 1).cast("int"))
-        val dot = aggregate(
-          zip_with(qv, plane, (x, c) => x.cast("double") * c),
-          lit(0.0), (a, x) => a + x)
-        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
-      })
+    import org.apache.spark.sql.graft.{Shims, SrpSignature}
+    Shims.column(SrpSignature(
+      Shims.expression(qv),
+      Shims.expression(planeOffset.cast("int")),
+      planes.flatten.toIndexedSeq, numPlanes))
   }
 
   private def planeMatrix(totalPlanes: Int, dim: Int): Seq[Seq[Double]] =

@@ -135,13 +135,26 @@ class VectorIndexSpec extends AnyFunSuite {
       s"CREATE INDEX vx ON TABLE $p (vec_id, embedding) AS 'vector'")
     val t0 = GraftTable.at(spark, p)
     val shown = GraftSql.command(spark, s"SHOW INDEXES ON TABLE $p").get
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    assert(shown.contains(("vx", "vector", "embedding")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(4), r.getString(5)))
+    assert(shown.exists { case (n, k, c, st, sync) =>
+      (n, k, c, st) == ("vx", "vector", "embedding", "ENABLED") &&
+        sync.startsWith("1/1 segments")
+    }, s"SHOW INDEXES sync info wrong: ${shown.mkString}")
     assert(idxTop(t0, 5, nprobe = 8, rerank = 100000) == exactTop(t0, 5))
 
-    // lifecycle statements route to the vector maintenance paths
+    // lifecycle statements route to the vector maintenance paths; the
+    // not-yet-reindexed load shows as out-of-sync in SHOW INDEXES
     t0.insert(emb.withColumn("vec_id", col("vec_id") + lit(50000)))
+    val stale = GraftSql.command(spark, s"SHOW INDEXES ON TABLE $p").get
+      .collect().map(_.getString(5))
+    assert(stale.exists(_.startsWith("1/2 segments")),
+      s"expected 1/2 sync after an unindexed load, got: ${stale.mkString}")
     GraftSql.command(spark, s"REINDEX INDEX TABLE vx ON TABLE $p")
+    val synced = GraftSql.command(spark, s"SHOW INDEXES ON TABLE $p").get
+      .collect().map(_.getString(5))
+    assert(synced.exists(_.startsWith("2/2 segments")),
+      s"expected 2/2 sync after REINDEX, got: ${synced.mkString}")
     val (r1, lines1) = ExplainCollector.collect(
       idxTop(t0, 5, nprobe = 8, rerank = 100000))
     assert(r1 == exactTop(t0, 5))
