@@ -131,6 +131,28 @@ object Dedup {
     (inter.cast("double") / uni.cast("double"))
   }
 
+  /** Token set as SORTED distinct 64-bit md5 prefixes — hashed ONCE at
+    * tokenization so the per-pair verify is a primitive merge scan, not
+    * a string hash-set build per candidate (the verify join also ships
+    * 8-byte longs instead of UTF8 tokens). 64-bit prefixes make a
+    * collision (two distinct tokens of one document colliding)
+    * ~n²/2⁶⁵ per document — deterministic and reproduced bit-for-bit
+    * by the oracle, which hashes the same way ([[oTokenHashes]]). */
+  def tokenHashes(toks: Column): Column =
+    sort_array(array_distinct(transform(toks, t => md5p64(t))))
+  def oTokenHashes(toks: String): String =
+    s"list_sort(list_distinct(list_transform($toks, x -> CAST('0x' || substr(md5(x), 1, 16) AS UBIGINT))))"
+
+  /** Jaccard over [[tokenHashes]] arrays: one native merge scan per
+    * pair. Equal counts ⇒ bit-identical ratio to the oracle's. */
+  def jaccardHashed(hashA: Column, hashB: Column): Column = {
+    import org.apache.spark.sql.graft.{Shims, SortedLongIntersect}
+    val inter = Shims.column(SortedLongIntersect(
+      Shims.expression(hashA), Shims.expression(hashB)))
+    val uni = (size(hashA) + size(hashB)).cast("long") - inter
+    (inter.cast("double") / uni.cast("double"))
+  }
+
   /** 16-bit SimHash fingerprints: bit j is set iff
     * Σ_distinct-tokens (±1 by bit j of h32(token)) ≥ 0.
     *

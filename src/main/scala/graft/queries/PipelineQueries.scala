@@ -81,18 +81,25 @@ object PipelineQueries {
     * consumed lazily, so the current cache must outlive this call). */
   private def minhashVerified(s: SparkSession, d: String): DataFrame = {
     lastMinhashToks.foreach(_.unpersist())
+    // th: tokens hashed ONCE here (sorted distinct 64-bit md5 prefixes)
+    // — the verify join then ships long arrays and counts intersections
+    // with a native merge scan instead of re-building a string hash set
+    // per candidate pair (r12: the verify stage dominated this row at
+    // sf1; the oracle hashes identically, see Dedup.oTokenHashes)
     val toks = nearCorpus(t(s, d, "documents"))
       .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
       .filter(size(col("toks")) >= ShingleN)
+      .withColumn("th", Dedup.tokenHashes(col("toks")))
       .persist()
     lastMinhashToks = Some(toks)
-    val sig = Dedup.minhashSignatures(toks, ShingleN, NumHashes)
+    val sig = Dedup.minhashSignatures(toks.select("id", "toks"), ShingleN, NumHashes)
     val pairs = Dedup.lshCandidates(sig, NumHashes, Bands)
-    val ta = toks.as("ta"); val tb = toks.as("tb")
+    val ta = toks.select(col("id"), col("th")).as("ta")
+    val tb = toks.select(col("id"), col("th")).as("tb")
     pairs.join(ta, col("a") === col("ta.id"))
       .join(tb, col("b") === col("tb.id"))
       .select(col("a"), col("b"),
-        Dedup.jaccard(col("ta.toks"), col("tb.toks")).as("jacc"))
+        Dedup.jaccardHashed(col("ta.th"), col("tb.th")).as("jacc"))
       .filter(col("jacc") >= JaccThreshold)
   }
 
@@ -583,7 +590,8 @@ object PipelineQueries {
     val oPairChain =
       s"""corpus AS ($oNearCorpus),
           toks0 AS (SELECT id, $oToks AS toks FROM corpus),
-          toks AS (SELECT id, toks FROM toks0 WHERE len(toks) >= $ShingleN),
+          toks AS (SELECT id, toks, ${Dedup.oTokenHashes("toks")} AS th
+                   FROM toks0 WHERE len(toks) >= $ShingleN),
           sig0 AS (${Dedup.oMinhashSignatures("toks", ShingleN, NumHashes)}),
           sig AS (SELECT s.id, s.sig, t.toks FROM sig0 s JOIN toks t ON s.id = t.id),
           banded AS ($oBanded),
@@ -593,9 +601,9 @@ object PipelineQueries {
               ON l.band = r.band AND l.key = r.key AND l.id < r.id),
           verified AS (
             SELECT p.a, p.b,
-              CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE)
-              / CAST(len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
-                     - len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE) AS jacc
+              CAST(len(list_intersect(ta.th, tb.th)) AS DOUBLE)
+              / CAST(len(ta.th) + len(tb.th)
+                     - len(list_intersect(ta.th, tb.th)) AS DOUBLE) AS jacc
             FROM pairs p
             JOIN toks ta ON p.a = ta.id
             JOIN toks tb ON p.b = tb.id)"""

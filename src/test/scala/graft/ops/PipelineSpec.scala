@@ -259,6 +259,43 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH pruned nothing: $candidates candidates of $allPairs pairs")
   }
 
+  test("hashed jaccard equals the exact string-set jaccard on the real corpus") {
+    import spark.implicits._
+    // every candidate pair of the actual near-dup corpus must score
+    // identically through the hashed merge-scan path and the
+    // string-set reference formulation (64-bit token hashes: a
+    // divergence means a collision or a merge-scan bug — both must
+    // surface here, not as a silent oracle mismatch)
+    val toks = docs.select(col("doc_id").as("id"),
+        Dedup.normTokens(lower(trim(col("text")))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("th", Dedup.tokenHashes(col("toks")))
+    val a = toks.as("a"); val b = toks.as("b")
+    val scored = a.join(b, col("a.id") % 7 === col("b.id") % 7 &&
+        col("a.id") < col("b.id"))
+      .select(
+        Dedup.jaccard(col("a.toks"), col("b.toks")).as("js"),
+        Dedup.jaccardHashed(col("a.th"), col("b.th")).as("jh"))
+    assert(scored.filter(col("js") =!= col("jh")).count() == 0)
+    assert(scored.count() > 100, "equivalence checked on too few pairs")
+
+    // merge-scan edge cases: empty, disjoint, identical, subset,
+    // duplicate values (set semantics), negative hashes sort first
+    def cnt(x: Seq[Long], y: Seq[Long]): Long =
+      Seq((x.toArray, y.toArray)).toDF("x", "y")
+        .select(org.apache.spark.sql.graft.Shims.column(
+          org.apache.spark.sql.graft.SortedLongIntersect(
+            org.apache.spark.sql.graft.Shims.expression(col("x")),
+            org.apache.spark.sql.graft.Shims.expression(col("y")))))
+        .collect().head.getLong(0)
+    assert(cnt(Nil, Nil) == 0)
+    assert(cnt(Seq(1L, 2L), Nil) == 0)
+    assert(cnt(Seq(1L, 3L, 5L), Seq(2L, 4L)) == 0)
+    assert(cnt(Seq(-5L, -1L, 3L), Seq(-5L, -1L, 3L)) == 3)
+    assert(cnt(Seq(-5L, -1L, 3L), Seq(-1L)) == 1)
+    assert(cnt(Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)) == 2)
+  }
+
   test("dot product of mismatched-length vectors fails loudly, not truncated") {
     import spark.implicits._
     // a dim mismatch must never yield a plausible-looking truncated cosine
