@@ -188,7 +188,12 @@ object GraftSql {
     // table properties so SHOW/DROP/REFRESH address indexes by name.
     // the column list is single-column for carbondata/lucene/bloomfilter;
     // 'vector' takes (id_col, vector_col)
-    val CreateIndex = """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+?)\s*\(([\w\s,]+)\)\s+AS\s+'(\w+)'(?:\s+STORED\s+AT\s+'([^']+)')?\s*$""".r
+    // optional clauses (reference index-management.md:35-38 + the bloom
+    // guide's PROPERTIES): WITH DEFERRED REFRESH registers the index
+    // DISABLED (built by the first REFRESH INDEX); PROPERTIES carries
+    // kind-specific tuning ('BLOOM_SIZE'/'BLOOM_FPP' for bloomfilter,
+    // 'NLIST'/'M'/'KSUB'/'ITERS'/'DIM' for vector)
+    val CreateIndex = """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+?)\s*\(([\w\s,]+)\)\s+AS\s+'(\w+)'(?:\s+(WITH\s+DEFERRED\s+REFRESH))?(?:\s+PROPERTIES\s*\(([^)]*)\))?(?:\s+STORED\s+AT\s+'([^']+)')?\s*$""".r
     val DropIndex = """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     val ShowIndexes = """(?is)^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
     val RefreshIndex = """(?is)^\s*REFRESH\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\S+)\s*$""".r
@@ -308,37 +313,60 @@ object GraftSql {
       case ShowStreams() =>
         Some(graft.engine.streaming.StreamManager.showStreams
           .toDF("name", "table_path", "status"))
-      case CreateIndex(name, tRef, colList, kind0, at) =>
+      case CreateIndex(name, tRef, colList, kind0, deferred0, propsStr, at) =>
         val t0 = table(tRef)
         val kind = kind0.toLowerCase
         require(!indexReg(t0).contains(name), s"index $name already exists")
         val path = Option(at).getOrElse(s"${t0.path}/_indexes/$name")
         val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val deferred = deferred0 != null
+        val props = Option(propsStr).map(parseProps).getOrElse(Map.empty)
         def oneCol: String = {
           require(cols.size == 1,
             s"index kind '$kind' takes exactly one column, got: $colList")
           cols.head
         }
         val regCol = kind match {
-          case "carbondata" => index.Si.create(t0, oneCol, path); oneCol
-          case "lucene" => index.TextIndex.create(t0, oneCol, path); oneCol
+          case "carbondata" =>
+            index.Si.create(t0, oneCol, path, deferred); oneCol
+          case "lucene" =>
+            index.TextIndex.create(t0, oneCol, path, deferred); oneCol
           case "bloomfilter" =>
+            require(!deferred,
+              "bloomfilter applies at write time — DEFERRED REFRESH has " +
+                "nothing to defer (new loads always get the filters)")
+            val c = oneCol
+            // BLOOM_SIZE/BLOOM_FPP (bloomfilter-index-guide.md:33,106-107)
+            // map onto parquet's per-column writer hints; they flow to
+            // every future load via the parquet.* property passthrough
+            val tuning =
+              props.get("bloom_size").map(v =>
+                s"parquet.bloom.filter.expected.ndv#$c" -> v).toMap ++
+              props.get("bloom_fpp").map(v =>
+                s"parquet.bloom.filter.fpp#$c" -> v).toMap
             val cur = t0.meta.properties.get("bloom_columns")
               .map(_.split(",").toSeq).getOrElse(Nil)
-            t0.setProperties(Map(
-              "bloom_columns" -> (cur :+ oneCol).distinct.mkString(",")))
-            oneCol
+            t0.setProperties(tuning +
+              ("bloom_columns" -> (cur :+ c).distinct.mkString(",")))
+            c
           case "vector" =>
-            // (id_col, vector_col); IVF-PQ geometry from the vector
-            // column's first row (dim) with the standard defaults
+            // (id_col, vector_col); IVF-PQ geometry from PROPERTIES,
+            // dim probed from the data unless given (a deferred create
+            // on an empty table needs DIM explicitly)
             require(cols.size == 2,
               s"'vector' takes (id_col, vector_col), got: $colList")
             val Seq(idCol, vecCol) = cols
-            val dim = t0.read.select(org.apache.spark.sql.functions
-              .size(org.apache.spark.sql.functions.col(vecCol)))
-              .head().getInt(0)
+            val dim = props.get("dim").map(_.toInt).getOrElse(
+              t0.read.select(org.apache.spark.sql.functions
+                .size(org.apache.spark.sql.functions.col(vecCol)))
+                .head().getInt(0))
             index.VectorIndex.create(t0, idCol, vecCol, path,
-              index.VectorIndex.Params(dim))
+              index.VectorIndex.Params(dim,
+                nlist = props.get("nlist").map(_.toInt).getOrElse(8),
+                m = props.get("m").map(_.toInt).getOrElse(8),
+                ksub = props.get("ksub").map(_.toInt).getOrElse(16),
+                iters = props.get("iters").map(_.toInt).getOrElse(2)),
+              deferred)
             vecCol
           case other => throw new IllegalArgumentException(
             s"unknown index kind '$other' (carbondata|lucene|bloomfilter|vector)")
@@ -380,23 +408,33 @@ object GraftSql {
         val vis = t0.status.visible
         val visIds = vis.map(_.id).toSet
         Some(indexReg(t0).toSeq.sortBy(_._1).map { case (n, (k, c, p)) =>
-          val sync = try {
+          // reference status semantics: a deferred index is DISABLED
+          // until its first REFRESH (index-management.md:87) — in the
+          // coverage model that is exactly "covers nothing of a
+          // non-empty base" (and for vector, "no quantizer yet")
+          val (status, sync) = try {
             k match {
               case "carbondata" | "lucene" =>
                 val covered =
                   index.Si.indexedSegments(GraftTable.at(spark, p)) & visIds
                 val last = if (covered.isEmpty) "-" else covered.max.toString
-                s"${covered.size}/${vis.size} segments (last synced: $last)"
+                (if (covered.isEmpty && vis.nonEmpty) "DISABLED" else "ENABLED",
+                  s"${covered.size}/${vis.size} segments (last synced: $last)")
+              case "vector" if index.VectorIndex.isPending(spark, p) =>
+                ("DISABLED", "deferred — REFRESH INDEX to build")
               case "vector" =>
                 val fp = index.VectorIndex.fingerprints(GraftTable.at(spark, p))
                 val fresh = vis.filter(s => fp.get(s.id).contains(s.rowCount))
                 val last = if (fresh.isEmpty) "-" else fresh.map(_.id).max.toString
-                s"${fresh.size}/${vis.size} segments (last synced: $last)"
-              case "bloomfilter" => "write-time"
-              case _ => "-"
+                (if (fresh.isEmpty && vis.nonEmpty) "DISABLED" else "ENABLED",
+                  s"${fresh.size}/${vis.size} segments (last synced: $last)")
+              case "bloomfilter" => ("ENABLED", "write-time")
+              case _ => ("ENABLED", "-")
             }
-          } catch { case scala.util.control.NonFatal(_) => "unreadable" }
-          (n, k, c, p, "ENABLED", sync)
+          } catch {
+            case scala.util.control.NonFatal(_) => ("UNREADABLE", "unreadable")
+          }
+          (n, k, c, p, status, sync)
         }.toDF("name", "kind", "column", "path", "status", "sync_info"))
       case RefreshIndex(name, tRef) =>
         val t0 = table(tRef)

@@ -42,14 +42,32 @@ object Si {
   private[index] def recordIndexedSegments(idx: GraftTable, ids: Set[Long]): Unit =
     idx.setProperties(Map("indexed_segments" -> ids.toSeq.sorted.mkString(",")))
 
-  /** CREATE INDEX … AS 'carbondata' (SI) on `column`, stored at `siPath`. */
-  def create(t: GraftTable, column: String, siPath: String): GraftTable = {
+  /** CREATE INDEX … AS 'carbondata' (SI) on `column`, stored at `siPath`.
+    * `deferred` (WITH DEFERRED REFRESH, reference
+    * index-management.md:87): the SI table is created EMPTY with zero
+    * coverage — every lookup falls back to unindexed scans (the
+    * coverage model's natural "disabled") until REFRESH INDEX builds
+    * it. */
+  def create(t: GraftTable, column: String, siPath: String,
+      deferred: Boolean = false): GraftTable = {
     require(t.schema.fieldNames.contains(column), s"no such column $column")
-    val snapshot = t.status.visible.map(_.id).toSet
-    val si = buildRows(t, column) match { case df =>
-      GraftTable.drop(t.spark, siPath)
-      GraftTable.createAsSelect(t.spark, siPath, df, sortColumns = Seq("v"))
-    }
+    val snapshot =
+      if (deferred) Set.empty[Long] else t.status.visible.map(_.id).toSet
+    GraftTable.drop(t.spark, siPath)
+    val si =
+      if (deferred)
+        GraftTable.create(t.spark, siPath,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              t.schema(column).dataType),
+            org.apache.spark.sql.types.StructField("seg_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType))),
+          sortColumns = Seq("v"))
+      else
+        GraftTable.createAsSelect(t.spark, siPath, buildRows(t, column),
+          sortColumns = Seq("v"))
     recordIndexedSegments(si, snapshot)
     t.layout.updateTableMeta(m => m.copy(
       properties = m.properties + (siPathsKey(column) -> siPath)))

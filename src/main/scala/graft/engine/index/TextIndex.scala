@@ -45,12 +45,28 @@ object TextIndex {
   }
 
   /** CREATE INDEX … AS 'lucene'-analog on a text column. */
-  def create(t: GraftTable, column: String, path: String): GraftTable = {
+  /** `deferred` (WITH DEFERRED REFRESH): empty postings, zero coverage
+    * — text lookups scan unindexed until REFRESH INDEX builds it. */
+  def create(t: GraftTable, column: String, path: String,
+      deferred: Boolean = false): GraftTable = {
     require(t.schema.fieldNames.contains(column), s"no such column $column")
-    val snapshot = t.status.visible.map(_.id).toSet
+    val snapshot =
+      if (deferred) Set.empty[Long] else t.status.visible.map(_.id).toSet
     GraftTable.drop(t.spark, path)
-    val idx = GraftTable.createAsSelect(t.spark, path, postings(t, column),
-      sortColumns = Seq("term"))
+    val idx =
+      if (deferred)
+        GraftTable.create(t.spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("seg_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType))),
+          sortColumns = Seq("term"))
+      else
+        GraftTable.createAsSelect(t.spark, path, postings(t, column),
+          sortColumns = Seq("term"))
     Si.recordIndexedSegments(idx, snapshot)
     t.layout.updateTableMeta(m => m.copy(
       properties = m.properties + (key(column) -> path)))

@@ -56,11 +56,17 @@ object VectorIndex {
   private val ModelFile = "_vector_model.txt"
 
   private[index] case class Model(idCol: String, params: Params,
-      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]])
+      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]) {
+    /** WITH DEFERRED REFRESH and never built: params are frozen but no
+      * quantizer exists yet — search falls back to exact everywhere,
+      * maintenance skips, REFRESH INDEX trains and builds. */
+    def pending: Boolean = centroids.isEmpty
+  }
 
   // ---- model persistence: line-based text, Double.toString round-trips
   // exactly through parseDouble, so the frozen model is bit-stable ----
-  private def writeModel(t: GraftTable, path: String, m: Model): Unit = {
+  private def writeModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Model): Unit = {
     val sb = new StringBuilder
     sb.append("v1\n")
     sb.append(s"idcol=${m.idCol}\n")
@@ -69,14 +75,15 @@ object VectorIndex {
     m.books.foreach(b =>
       b.foreach(cw => sb.append("book=" + cw.mkString(" ") + "\n")))
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(t.spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(new org.apache.hadoop.fs.Path(path, ModelFile), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readModel(t: GraftTable, path: String): Model = {
+  private def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(t.spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(new org.apache.hadoop.fs.Path(path, ModelFile))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -91,11 +98,18 @@ object VectorIndex {
       v.split(" ").toSeq.map(_.toDouble) }
     val flat = kv.collect { case ("book", v) =>
       v.split(" ").toSeq.map(_.toDouble) }
-    require(cents.size == nlist && flat.size == m * ksub,
+    require((cents.size == nlist && flat.size == m * ksub) ||
+      (cents.isEmpty && flat.isEmpty),
       s"corrupt vector model at $path")
     Model(idCol, Params(dim, nlist, m, ksub, iters),
       cents, flat.grouped(ksub).toSeq)
   }
+
+  /** Is the index registered but not yet built (deferred, pre-REFRESH)? */
+  private[engine] def isPending(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    try readModel(spark, path).pending
+    catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- coverage ledger on the index table: "segId:liveRows,…" ----
   private[engine] def fingerprints(idx: GraftTable): Map[Long, Long] =
@@ -122,9 +136,26 @@ object VectorIndex {
   /** CREATE INDEX … AS 'vector': train the quantizer/codebooks on the
     * current rows, encode everything, store sorted by cell. */
   def create(t: GraftTable, idCol: String, vecCol: String, path: String,
-      params: Params): GraftTable = {
+      params: Params, deferred: Boolean = false): Unit = {
     require(t.schema.fieldNames.contains(vecCol), s"no such column $vecCol")
     require(t.schema.fieldNames.contains(idCol), s"no such column $idCol")
+    if (deferred) {
+      // WITH DEFERRED REFRESH (reference index-management.md:87): the
+      // index is registered DISABLED — params + id column freeze in a
+      // pending model, no training/encoding happens, search falls back
+      // to exact scans, and the first REFRESH INDEX builds it
+      GraftTable.drop(t.spark, path)
+      writeModel(t.spark, path, Model(idCol, params, Nil, Nil))
+    } else buildFull(t, idCol, vecCol, path, params)
+    t.layout.updateTableMeta(m => m.copy(
+      properties = m.properties + (regKey(vecCol) -> path)))
+  }
+
+  /** Train on the CURRENT rows, encode everything, store sorted by
+    * cell — the non-deferred CREATE and the first REFRESH of a
+    * deferred index. */
+  private def buildFull(t: GraftTable, idCol: String, vecCol: String,
+      path: String, params: Params): Unit = {
     val vis = t.status.visible
     require(vis.nonEmpty,
       "vector index needs data to train on — load the table first")
@@ -137,11 +168,8 @@ object VectorIndex {
     GraftTable.drop(t.spark, path)
     val idx = GraftTable.createAsSelect(t.spark, path, encoded,
       sortColumns = Seq("cell"))
-    writeModel(idx, path, Model(idCol, params, cents, books))
+    writeModel(t.spark, path, Model(idCol, params, cents, books))
     recordFingerprints(idx, vis.map(s => s.id -> s.rowCount).toMap)
-    t.layout.updateTableMeta(m => m.copy(
-      properties = m.properties + (regKey(vecCol) -> path)))
-    idx
   }
 
   private def indexPath(t: GraftTable, vecCol: String): String =
@@ -155,8 +183,11 @@ object VectorIndex {
   def repair(t: GraftTable, vecCol: String,
       segIds: Option[Seq[Long]] = None): Unit = {
     val path = indexPath(t, vecCol)
+    val model = readModel(t.spark, path)
+    // a deferred index has no quantizer yet — nothing to fold into; it
+    // stays DISABLED (exact fallback) until REFRESH INDEX builds it
+    if (model.pending) return
     val idx = GraftTable.at(t.spark, path)
-    val model = readModel(idx, path)
     val fp = fingerprints(idx)
     val vis = t.status.visible
     val want = segIds.map(_.toSet).getOrElse(vis.map(_.id).toSet)
@@ -178,11 +209,17 @@ object VectorIndex {
   /** REFRESH INDEX: full rewrite against the current segment set with
     * the frozen model (dead rows of retired segments are dropped here;
     * retraining is a new CREATE — changing the quantizer changes
-    * approximate results, which a refresh must not). */
+    * approximate results, which a refresh must not). The FIRST refresh
+    * of a deferred index trains and builds it (the one place the
+    * reference's enable transition happens, index-management.md:87). */
   def refresh(t: GraftTable, vecCol: String): Unit = {
     val path = indexPath(t, vecCol)
+    val model = readModel(t.spark, path)
+    if (model.pending) {
+      buildFull(t, model.idCol, vecCol, path, model.params)
+      return
+    }
     val idx = GraftTable.at(t.spark, path)
-    val model = readModel(idx, path)
     val vis = t.status.visible
     if (vis.isEmpty) { idx.truncate(); recordFingerprints(idx, Map.empty) }
     else {
@@ -212,8 +249,19 @@ object VectorIndex {
   def search(t: GraftTable, vecCol: String, queries: DataFrame, k: Int,
       nprobe: Int, rerank: Int): DataFrame = {
     val path = indexPath(t, vecCol)
+    val model = readModel(t.spark, path)
+    if (model.pending) {
+      // deferred, never built: exact everywhere (results stay correct,
+      // just unaccelerated — the reference's "disabled until REFRESH")
+      val vis0 = t.status.visible
+      ExplainCollector.record(
+        s"VectorIndex($vecCol): DEFERRED and unbuilt — 0/${vis0.size} " +
+          "segments served from the index, all scanned exact")
+      return Ann.bruteForceTopK(queries,
+          rowsOf(t, model.idCol, vecCol, vis0.map(_.id)).drop("seg_id"), k)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    }
     val idx = GraftTable.at(t.spark, path)
-    val model = readModel(idx, path)
     val fp = fingerprints(idx)
     val vis = t.status.visible
     val (fresh, stale) =

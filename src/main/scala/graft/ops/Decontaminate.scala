@@ -22,13 +22,27 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Distinct (id, gram) pairs: whitespace tokens → sliding word
-    * n-grams. Documents shorter than n words yield no grams. */
-  private def ngramPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    * n-grams, each HASHED to its 64-bit md5 prefix (r12) — the
+    * collision join and its countDistinct then run over longs instead
+    * of rebuilding/str-hashing n-gram strings on every probe, and the
+    * broadcast map shrinks to 8 bytes per gram. The oracle hashes the
+    * same way ([[oFlagContaminated]]), so overlap counts stay
+    * bit-identical (a 64-bit collision is ~grams²/2⁶⁵ per document and
+    * deterministic on both sides). Documents shorter than n words
+    * yield no grams. */
+  private def ngramPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    def md5p64(c: Column): Column =
+      org.apache.spark.sql.graft.Shims.column(
+        org.apache.spark.sql.graft.Md5Prefix64(
+          org.apache.spark.sql.graft.Shims.expression(c)))
     df.select(col(id), split(lower(trim(col(text))), " ").as("__toks"))
       .filter(size(col("__toks")) >= n)
-      .select(col(id), explode(array_distinct(expr(
-        s"transform(sequence(0, size(__toks) - $n), i -> array_join(slice(__toks, i + 1, $n), ' '))")))
-        .as("__g"))
+      .select(col(id), expr(
+        s"transform(sequence(0, size(__toks) - $n), i -> array_join(slice(__toks, i + 1, $n), ' '))")
+        .as("__gs"))
+      .select(col(id), explode(array_distinct(
+        transform(col("__gs"), g => md5p64(g)))).as("__g"))
+  }
 
   /** Contaminated docs: (docId, overlap) where `overlap` is the largest
     * count of distinct shared n-grams with any one benchmark doc,
@@ -70,9 +84,11 @@ object Decontaminate {
       docsSql: String, docId: String, docText: String,
       benchSql: String, benchId: String, benchText: String,
       n: Int, minOverlap: Int): String = {
+    // grams hashed exactly like the Spark side: 64-bit md5 prefix
     def grams(src: String, id: String, text: String, alias: String) =
       s"""$alias AS (
-            SELECT DISTINCT $id, array_to_string(toks[i:i+${n - 1}], ' ') AS g
+            SELECT DISTINCT $id,
+              CAST('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 16) AS UBIGINT) AS g
             FROM (SELECT $id, string_split(lower(trim($text)), ' ') AS toks FROM $src),
                  unnest(range(1, len(toks) - ${n - 1} + 1)) AS u(i)
             WHERE len(toks) >= $n)"""

@@ -146,4 +146,42 @@ class DdlSpec extends AnyFunSuite {
       assert(custkey.getBloomFilterOffset > 0, "bloom filter missing for c_custkey")
     } finally reader.close()
   }
+
+  test("CREATE INDEX bloom PROPERTIES: BLOOM_SIZE/BLOOM_FPP become parquet writer hints") {
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t = GraftTable.create(spark, tmpTable(), src.schema)
+    t.insert(src)
+    // reference bloomfilter-index-guide.md:33 PROPERTIES — mapped onto
+    // parquet's per-column expected-NDV / FPP knobs, flowing to every
+    // future load via the parquet.* property passthrough
+    GraftSql.command(spark,
+      s"CREATE INDEX cb ON TABLE ${t.path} (c_custkey) AS 'bloomfilter' " +
+        "PROPERTIES('BLOOM_SIZE'='640000', 'BLOOM_FPP'='0.00001')")
+    val props = GraftTable.at(spark, t.path).meta.properties
+    assert(props.get("bloom_columns").contains("c_custkey"))
+    assert(props.get("parquet.bloom.filter.expected.ndv#c_custkey")
+      .contains("640000"))
+    assert(props.get("parquet.bloom.filter.fpp#c_custkey")
+      .contains("0.00001"))
+    // a bloom index has nothing to defer — loud error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      GraftSql.command(spark,
+        s"CREATE INDEX cb2 ON TABLE ${t.path} (c_name) AS 'bloomfilter' WITH DEFERRED REFRESH")
+    }
+    // the next load's files carry the filter with the tuned params
+    t.insert(src.limit(500))
+    val seg = t.status.visible.last
+    val file = t.layout.segmentFilePaths(seg).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val custkey = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "c_custkey").get
+      assert(custkey.getBloomFilterOffset > 0,
+        "tuned bloom filter missing for c_custkey on the post-index load")
+    } finally reader.close()
+  }
 }

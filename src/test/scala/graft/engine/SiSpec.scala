@@ -55,6 +55,41 @@ class SiSpec extends AnyFunSuite {
     assert(Si.readWhereIn(t, "o_orderstatus", Seq("P")).count() == expected + 10)
   }
 
+  test("deferred SI: zero coverage until REFRESH, correct throughout") {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val root = Files.createTempDirectory("graft_si_def_").toString
+    val t = GraftTable.create(spark, s"$root/t", src.schema, Seq("o_orderkey"))
+    Seq("O", "F").foreach(s0 =>
+      t.insert(src.filter(col("o_orderstatus") === s0)))
+    // WITH DEFERRED REFRESH: empty index table, zero coverage — lookups
+    // scan unindexed (correct, unaccelerated) and SHOW reports DISABLED
+    GraftSql.command(spark,
+      s"CREATE INDEX dsi ON TABLE ${t.path} (o_orderstatus) AS 'carbondata' WITH DEFERRED REFRESH")
+    val expected = src.filter(col("o_orderstatus") === "F").count()
+    assert(Si.readWhereIn(t, "o_orderstatus", Seq("F")).count() == expected)
+    val (st1, sync1) = GraftSql.command(spark,
+        s"SHOW INDEXES ON TABLE ${t.path}").get
+      .collect().map(r => (r.getString(4), r.getString(5))).head
+    assert(st1 == "DISABLED" && sync1.startsWith("0/2 segments"),
+      s"expected a disabled 0/2 index, got ($st1, $sync1)")
+    // REFRESH builds it: coverage complete, lookups prune again
+    GraftSql.command(spark, s"REFRESH INDEX dsi ON TABLE ${t.path}")
+    val (st2, sync2) = GraftSql.command(spark,
+        s"SHOW INDEXES ON TABLE ${t.path}").get
+      .collect().map(r => (r.getString(4), r.getString(5))).head
+    assert(st2 == "ENABLED" && sync2.startsWith("2/2 segments"),
+      s"expected enabled 2/2 after REFRESH, got ($st2, $sync2)")
+    val q = Si.readWhereIn(t, "o_orderstatus", Seq("F"))
+    assert(q.count() == expected)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head match {
+      case s => TestSpark.parquetScanOf(s).fileIndex.inputFiles.toSeq
+    }
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/segments/1/")),
+      s"expected only segment 1 after refresh, scanned: $scanned")
+  }
+
   test("SI file-grain: selective lookup opens fewer files than the segment holds") {
     val root = Files.createTempDirectory("graft_si_fg_").toString
     import spark.implicits._

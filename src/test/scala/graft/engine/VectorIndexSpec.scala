@@ -174,4 +174,44 @@ class VectorIndexSpec extends AnyFunSuite {
         s"CREATE INDEX bad ON TABLE $p (vec_id, embedding) AS 'carbondata'")
     }
   }
+
+  test("WITH DEFERRED REFRESH + PROPERTIES: disabled until REFRESH, exact throughout") {
+    val p = s"${graft.queries.Fixtures.root}/spec/vecidx_def"
+    GraftTable.drop(spark, p)
+    val t0 = GraftTable.createAsSelect(spark, p, emb) // autorefresh default ON
+    GraftSql.command(spark,
+      s"CREATE INDEX vd ON TABLE $p (vec_id, embedding) AS 'vector' " +
+        "WITH DEFERRED REFRESH PROPERTIES('nlist'='4', 'm'='4', 'dim'='64')")
+    def shown() = GraftSql.command(spark, s"SHOW INDEXES ON TABLE $p").get
+      .collect().map(r => (r.getString(4), r.getString(5))).head
+
+    // registered DISABLED; search stays correct via the exact fallback
+    val (st1, sync1) = shown()
+    assert(st1 == "DISABLED" && sync1.startsWith("deferred"),
+      s"expected a disabled deferred index, got ($st1, $sync1)")
+    val (r1, lines1) = ExplainCollector.collect(
+      idxTop(t0, 5, nprobe = 4, rerank = 100000))
+    assert(r1 == exactTop(t0, 5), "deferred index broke exactness")
+    assert(lines1.exists(_.contains("DEFERRED")), s"no deferred line: $lines1")
+
+    // load-time maintenance must SKIP the pending index (nothing to
+    // fold into) and results must stay exact over the new rows
+    t0.insert(emb.withColumn("vec_id", col("vec_id") + lit(90000)))
+    assert(shown()._1 == "DISABLED")
+    assert(idxTop(t0, 5, nprobe = 4, rerank = 100000) == exactTop(t0, 5))
+
+    // the first REFRESH trains with the frozen PROPERTIES and builds;
+    // full probe at the CONFIGURED nlist (4) reproduces brute force
+    GraftSql.command(spark, s"REFRESH INDEX vd ON TABLE $p")
+    val (st2, sync2) = shown()
+    assert(st2 == "ENABLED" && sync2.startsWith("2/2 segments"),
+      s"expected enabled 2/2 after REFRESH, got ($st2, $sync2)")
+    assert(idxTop(t0, 5, nprobe = 4, rerank = 100000) == exactTop(t0, 5))
+    // pruned probe against the built index never invents neighbors
+    val prunedPairs = VectorIndex.search(t0, "embedding", queries, 5,
+        nprobe = 1, rerank = 25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedPairs.subsetOf(exactTop(t0, 500).map(x => (x._1, x._2))))
+  }
 }
