@@ -36,6 +36,13 @@ object TextQueries {
   private val Bm25Terms = Seq("spark", "query", "merge")
   private val Bm25K = 20
 
+  // span-dedup parameters: 8-token spans, drop spans that occur >= 5
+  // times corpus-wide; the injected footer stands in for boilerplate
+  // (the fixture text has none naturally)
+  private val SpanW = 8
+  private val SpanThr = 5
+  private val SpanBoiler = " subscribe to our newsletter for free updates today"
+
   def queries: Map[String, QFn] = Map(
     "q_text_lang" -> ((s, d) => {
       val padded = concat(lit(" "), norm(col("text")), lit(" "))
@@ -132,6 +139,79 @@ object TextQueries {
       graft.ops.Chunk.chunkTokens(
         t(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", split(norm(col("text")), " "), size = 32, stride = 24)),
+    // ---- corpus-level span (line/paragraph) dedup, CCNet-style
+    // (Wenzek et al. 2019): split each doc into fixed-width token
+    // spans, count each span's occurrences ACROSS THE CORPUS, drop
+    // spans repeated >= threshold (boilerplate), and reassemble the
+    // cleaned text in original span order. The fixture text carries no
+    // natural boilerplate, so both engines append the same synthetic
+    // footer per doc; the span grid cuts it at 8 alignment offsets, so
+    // the dropped spans are the pure-boilerplate windows (~62 docs
+    // share each alignment class) while mixed head windows survive —
+    // exactly the miss pattern line-dedup has in production.
+    // Scale shape: explode -> ONE window count over span (single hash
+    // shuffle; no freq-table self-join) -> reassembly groupBy doc_id.
+    // Both shuffles are on high-cardinality keys; nothing is
+    // collected, nothing is quadratic. ----
+    "q_dedup_spans" -> ((s, d) => {
+      val W = SpanW
+      val toks = split(concat(norm(col("text")), lit(SpanBoiler)), " ")
+      val nSpans = floor((size(toks) + lit(W - 1)) / lit(W)).cast("int")
+      val spans = transform(sequence(lit(1), nSpans), i =>
+        array_join(slice(toks, (i - lit(1)) * W + lit(1), W), " "))
+      val ex = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(spans).as(Seq("pos", "span")))
+      val counted = ex.withColumn("cnt",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("span")))
+      counted.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") >= SpanThr, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("cnt") < SpanThr, struct(col("pos"), col("span"))))),
+          st => st.getField("span"))).as("clean_text"))
+    }),
+    // ---- n-gram LM quality score (CCNet-style perplexity proxy) kept
+    // in COUNT SPACE for cross-engine exactness: corpus unigram +
+    // bigram tables, per-doc integer sums of corpus counts, and ONE
+    // final IEEE division per probability column (no libm log — see Q
+    // header rules). mean_p is the doc's average unigram likelihood
+    // under the corpus unigram LM; mean_p2 the bigram analog — low
+    // values flag out-of-distribution / junk docs. Scale shape: two
+    // explode->groupBy counts (map-side combine), count tables joined
+    // back by token (shuffle on high-cardinality key), grand totals
+    // ride a broadcast crossJoin. ----
+    "q_text_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = split(norm(col("text")), " ")
+      val uni = docs.select(col("doc_id"), explode(toks).as("tok"))
+      val uFreq = uni.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val uTot = uFreq.agg(sum(col("cnt")).cast("long").as("total"))
+      val uDoc = uni.join(uFreq, "tok").crossJoin(broadcast(uTot))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("cnt")).cast("long").as("sum_cnt"),
+          min(col("cnt")).cast("long").as("min_cnt"),
+          (sum(col("cnt")).cast("double") /
+            (count(lit(1)) * first(col("total"))).cast("double")).as("mean_p"))
+      val bi = docs.select(col("doc_id"),
+        explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("tok"))
+      val bFreq = bi.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val bTot = bFreq.agg(sum(col("cnt")).cast("long").as("total"))
+      val bDoc = bi.join(bFreq, "tok").crossJoin(broadcast(bTot))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("cnt")).cast("long").as("sum_cnt2"),
+          (sum(col("cnt")).cast("double") /
+            (count(lit(1)) * first(col("total"))).cast("double")).as("mean_p2"))
+      // left join: a 1-token doc has no bigrams (absent here, zeros kept exact)
+      uDoc.join(bDoc, Seq("doc_id"), "left").select(
+        col("doc_id"), col("n_tokens"), col("sum_cnt"), col("min_cnt"), col("mean_p"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_cnt2"), lit(0L)).as("sum_cnt2"),
+        coalesce(col("mean_p2"), lit(0.0)).as("mean_p2"))
+    }),
     // corpus heavy hitters THROUGH the Misra-Gries sketch aggregate:
     // k (1024) exceeds the fixture vocabulary, so no counter is ever
     // decremented and the sketch is provably exact — the oracle checks
@@ -233,7 +313,63 @@ object TextQueries {
       "q_token_topk" ->
         s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split($oNorm, ' ')) AS token FROM documents)
-            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"""
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""",
+      // span grid identical to Spark: 1-based inclusive list slice =
+      // slice(toks, start, 8); integer ceil via // on BIGINTs;
+      // string_agg(ORDER BY pos) skips NULLs = concat_ws over
+      // collect_list of null-when-dropped structs
+      "q_dedup_spans" ->
+        s"""WITH corpus AS (SELECT doc_id, $oNorm || '$SpanBoiler' AS norm FROM documents),
+            tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM corpus),
+            spans0 AS (SELECT doc_id,
+              [array_to_string(toks[(i-1)*$SpanW+1:(i-1)*$SpanW+$SpanW], ' ')
+               for i in generate_series(1, CAST((len(toks)+${SpanW - 1})//$SpanW AS INT))] AS spans
+              FROM tok),
+            spans AS (SELECT doc_id, unnest(spans) AS span,
+                             unnest(generate_series(1, len(spans))) AS pos
+                      FROM spans0),
+            counted AS (SELECT doc_id, pos, span,
+                               count(*) OVER (PARTITION BY span) AS cnt
+                        FROM spans)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(sum(CASE WHEN cnt >= $SpanThr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              coalesce(string_agg(CASE WHEN cnt < $SpanThr THEN span END, ' ' ORDER BY pos),
+                       '') AS clean_text
+            FROM counted GROUP BY doc_id""",
+      // count-space LM score: integer sums of corpus counts, one final
+      // division per probability (IEEE-exact both engines)
+      "q_text_lm_score" ->
+        s"""WITH corpus AS (SELECT doc_id, $oNorm AS norm FROM documents),
+            uni AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM corpus),
+            ufreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY tok),
+            utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ufreq),
+            udoc AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+                       CAST(min(cnt) AS BIGINT) AS min_cnt,
+                       CAST(sum(cnt) AS DOUBLE)
+                         / CAST(count(*) * any_value(total) AS DOUBLE) AS mean_p
+                     FROM uni JOIN ufreq USING (tok) CROSS JOIN utot
+                     GROUP BY doc_id),
+            btoks AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM corpus),
+            bi AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                                          for i in generate_series(1, len(toks)-1)]) AS tok
+                   FROM btoks),
+            bfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY tok),
+            btot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM bfreq),
+            bdoc AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(cnt) AS BIGINT) AS sum_cnt2,
+                       CAST(sum(cnt) AS DOUBLE)
+                         / CAST(count(*) * any_value(total) AS DOUBLE) AS mean_p2
+                     FROM bi JOIN bfreq USING (tok) CROSS JOIN btot
+                     GROUP BY doc_id)
+            SELECT u.doc_id, u.n_tokens, u.sum_cnt, u.min_cnt, u.mean_p,
+                   coalesce(b.n_bigrams, 0) AS n_bigrams,
+                   coalesce(b.sum_cnt2, 0) AS sum_cnt2,
+                   coalesce(b.mean_p2, 0.0) AS mean_p2
+            FROM udoc u LEFT JOIN bdoc b ON u.doc_id = b.doc_id"""
     )
   }
 }
