@@ -158,7 +158,7 @@ object TextQueries {
       val toks = split(concat(norm(col("text")), lit(SpanBoiler)), " ")
       val nSpans = floor((size(toks) + lit(W - 1)) / lit(W)).cast("int")
       val spans = transform(sequence(lit(1), nSpans), i =>
-        array_join(slice(toks, (i - lit(1)) * W + lit(1), W), " "))
+        array_join(slice(toks, (i - lit(1)) * W + lit(1), lit(W)), " "))
       val ex = t(s, d, "documents")
         .select(col("doc_id"), posexplode(spans).as(Seq("pos", "span")))
       val counted = ex.withColumn("cnt",
@@ -195,7 +195,7 @@ object TextQueries {
           (sum(col("cnt")).cast("double") /
             (count(lit(1)) * first(col("total"))).cast("double")).as("mean_p"))
       val bi = docs.select(col("doc_id"),
-        explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+        explode(zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat(a, lit(" "), b))).as("tok"))
       val bFreq = bi.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val bTot = bFreq.agg(sum(col("cnt")).cast("long").as("total"))
