@@ -76,9 +76,12 @@ object GraftExplain {
             case Some(mv) => s"MV '${mv.name}' served from $path"
             case None => s"table $path"
           }
+          val ranges = Option(rel.options.get("ranges")).filterNot(_.isEmpty)
+            .map(_.split(",").map(_.split(";").length).sum)
           val pins = Seq(
             segs.map(s => s"pinned segments [$s]"),
-            files.map(n => s"pinned files $n (position grain)")).flatten
+            files.map(n => s"pinned files $n (position grain)"),
+            ranges.map(n => s"pinned row groups $n (fine grain)")).flatten
           facts += (if (pins.isEmpty) what else s"$what: ${pins.mkString(", ")}")
         case _ => ()
       }

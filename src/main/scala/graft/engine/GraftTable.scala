@@ -89,6 +89,35 @@ class GraftTable private (val spark: SparkSession, val path: String)
           .flatMap { case (s, fs) => fs.map(f => s"$s:$f") }.mkString(","))
         .load(path)
 
+  /** Row-group-grain read (the reference's FINE-grain index target —
+    * lucene FG postings name blocklets inside a block,
+    * LuceneFineGrainIndex.java:63,137-142; parquet row groups are our
+    * blocklets): like [[readFiles]], but files with an entry in
+    * `ranges` are additionally clipped to the given (byteStart, byteLen)
+    * row-group spans — the parquet reader selects exactly the row
+    * groups whose byte midpoint falls inside a span, so unmatched row
+    * groups are never read. Files WITHOUT a ranges entry scan whole
+    * (the uncovered-segment / no-posting-info degrade path). Falls back
+    * to plain file grain when a path would break the option encoding —
+    * coarser, never wrong. */
+  def readFilesRanges(files: Map[Long, Seq[String]],
+      ranges: Map[(Long, String), Seq[(Long, Long)]]): DataFrame =
+    if (ranges.isEmpty ||
+        files.exists { case (_, fs) =>
+          fs.exists(f => f.contains(",") || f.contains(":") || f.contains(";"))
+        })
+      readFiles(files)
+    else
+      spark.read.format("carbonish")
+        .option("segments", files.keys.toSeq.sorted.mkString(","))
+        .option("files", files.toSeq.sortBy(_._1)
+          .flatMap { case (s, fs) => fs.map(f => s"$s:$f") }.mkString(","))
+        .option("ranges", ranges.toSeq.sortBy(_._1)
+          .map { case ((s, f), rs) =>
+            s"$s:$f:" + rs.sorted.map { case (st, ln) => s"$st+$ln" }.mkString(";")
+          }.mkString(","))
+        .load(path)
+
   /** Read with a stable per-row address column (getTupleId analog) —
     * a v1 parquet relation over the segment-pruning file index: the
     * `_metadata` columns tupleId needs only exist on the v1 path (DSv2

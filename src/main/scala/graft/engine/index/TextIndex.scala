@@ -31,16 +31,75 @@ object TextIndex {
   private def tokensOf(c: Column): Column =
     array_distinct(split(lower(trim(c)), " "))
 
+  /** Per-file row-group geometry lifted from parquet footers at INDEX
+    * BUILD time (one driver-side footer read per indexed file — the
+    * same cost class as the write-time [[graft.engine.format.FileFooters]]
+    * pass): (rg ordinal, first row index, end row index, byte start,
+    * byte length). The byte span is startingPos + compressedSize — the
+    * exact quantity parquet's midpoint row-group filter tests, so a
+    * query-time split clipped to it selects precisely this row group.
+    * None = footer unreadable (build degrades to file grain). */
+  private def rgGeometry(t: GraftTable, absPath: String)
+      : Option[Seq[(Int, Long, Long, Long, Long)]] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(absPath),
+        t.spark.sessionState.newHadoopConf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        var rowStart = 0L
+        Some(reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+          case (b, i) =>
+            val r = (i, rowStart, rowStart + b.getRowCount,
+              b.getStartingPos, b.getCompressedSize)
+            rowStart += b.getRowCount
+            r
+        })
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def postings(t: GraftTable, column: String,
       segments: Option[Seq[graft.engine.format.SegmentMeta]] = None): DataFrame = {
-    val files = segments.getOrElse(t.status.visible).flatMap(t.layout.segmentFilePaths)
+    val segs = segments.getOrElse(t.status.visible)
+    val files = segs.flatMap(t.layout.segmentFilePaths)
     val segId = regexp_extract(col("_metadata.file_path"), "/segments/([0-9]+)/", 1)
       .cast("long")
     val relFile = regexp_extract(col("_metadata.file_path"),
       "/segments/[0-9]+/(.*)$", 1)
-    t.spark.read.schema(t.schema).parquet(files.toSeq: _*)
+    val base = t.spark.read.schema(t.schema).parquet(files.toSeq: _*)
       .select(explode(tokensOf(col(column))).as("term"), segId.as("seg_id"),
-        relFile.as("file"))
+        relFile.as("file"), col("_metadata.row_index").as("ri"))
+    // row-group grain (the reference's FINE-grain posting,
+    // LuceneFineGrainIndex.java:63: postings name the blocklet, not just
+    // the block): tag each token row with its row group via a BROADCAST
+    // range join against the footer geometry (a handful of row groups
+    // per file — KBs on the driver even for a 100k-file table build,
+    // because only the segments being indexed are listed)
+    val geoPerFile: Seq[Option[Seq[(Long, String, Int, Long, Long, Long, Long)]]] =
+      segs.flatMap { s =>
+        s.files.zip(t.layout.segmentFilePaths(s)).map { case (rel, abs) =>
+          rgGeometry(t, abs).map(_.map { case (rg, rs, re, bs, bl) =>
+            (s.id, rel, rg, rs, re, bs, bl)
+          })
+        }
+      }
+    // an unreadable footer degrades to FILE grain — null rg columns keep
+    // the posting schema stable so later REFRESH/REINDEX appends always
+    // line up; the lookup treats any null-rg row as "scan the whole file"
+    if (geoPerFile.exists(_.isEmpty))
+      return base.drop("ri").distinct()
+        .withColumn("rg", lit(null).cast("int"))
+        .withColumn("rg_start", lit(null).cast("long"))
+        .withColumn("rg_len", lit(null).cast("long"))
+    import t.spark.implicits._
+    val rgDf = geoPerFile.flatMap(_.get).toDF(
+      "g_seg", "g_file", "rg", "row_start", "row_end", "rg_start", "rg_len")
+    base.join(broadcast(rgDf),
+        base("seg_id") === col("g_seg") && base("file") === col("g_file") &&
+          col("ri") >= col("row_start") && col("ri") < col("row_end"))
+      .select(col("term"), col("seg_id"), col("file"), col("rg"),
+        col("rg_start"), col("rg_len"))
       .distinct()
   }
 
@@ -62,7 +121,13 @@ object TextIndex {
             org.apache.spark.sql.types.StructField("seg_id",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("file",
-              org.apache.spark.sql.types.StringType))),
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rg",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("rg_start",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rg_len",
+              org.apache.spark.sql.types.LongType))),
           sortColumns = Seq("term"))
       else
         GraftTable.createAsSelect(t.spark, path, postings(t, column),
@@ -152,17 +217,28 @@ object TextIndex {
       .reduce(_ intersect _)).reduce(_ union _)
   }
 
+  /** Lookup result at the index's finest trustworthy grain. */
+  private sealed trait Hits
+  /** Segment grain: a pre-file-column index, an over-cap lookup, or a
+    * clause with no positive literal (which can never prune). */
+  private case class SegHits(segs: Set[Long]) extends Hits
+  /** File grain (the reference's coarse-grain blocklet→block collapse). */
+  private case class FileHits(files: Map[Long, Seq[String]]) extends Hits
+  /** Row-group grain (the reference's FINE grain): `files` to pin the
+    * scan, plus per-(segment, file) byte spans of the posting row
+    * groups; files without a `ranges` entry (uncovered segments) scan
+    * whole. */
+  private case class RgHits(files: Map[Long, Seq[String]],
+      ranges: Map[(Long, String), Seq[(Long, Long)]]) extends Hits
+
   /** Candidate hits for a text query at the index's finest grain.
     * Outer None = no index on the column (caller falls back to a full
-    * scan). `Left(segIds)` = segment grain — a pre-file-column index,
-    * an over-cap lookup, or a clause with no positive literal (which
-    * can never prune). `Right(segId -> files)` = file grain. Both
-    * already include uncovered segments (inserted/compacted since the
-    * last refresh — the index can only prune within its coverage) and
-    * are visibility-filtered; retired seg_ids drop out because their
-    * rows live in uncovered successors. */
+    * scan). All variants already include uncovered segments (inserted/
+    * compacted since the last refresh — the index can only prune within
+    * its coverage) and are visibility-filtered; retired seg_ids drop
+    * out because their rows live in uncovered successors. */
   private def candidateHits(t: GraftTable, column: String, query: String)
-      : Option[Either[Set[Long], Map[Long, Seq[String]]]] = {
+      : Option[Hits] = {
     import graft.functions.GraftFunctions.{TextTerm, parseLucene}
     val clauses = parseLucene(query)
     t.meta.properties.get(key(column)).map { p =>
@@ -182,34 +258,68 @@ object TextIndex {
       val prefixes = positives.collect { case TextTerm.Prefix(p) => p }.distinct
       val preds = (if (exact.nonEmpty) Seq(col("term").isin(exact: _*)) else Nil) ++
         prefixes.map(p => col("term").startsWith(p))
-      def segmentGrain(): Either[Set[Long], Map[Long, Seq[String]]] = {
+      def segmentGrain(): Hits = {
         val rows: Seq[(String, Long)] =
           idx.read.filter(preds.reduce(_ || _)).select("term", "seg_id")
             .distinct().collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-        Left((evalClauses[Long](clauses, rows) & visible) ++ uncovered)
+        SegHits((evalClauses[Long](clauses, rows) & visible) ++ uncovered)
       }
+      // uncovered segments contribute ALL their files, never ranged
+      def uncovFiles: Seq[(Long, String)] =
+        visSegs.filter(s => uncovered.contains(s.id))
+          .flatMap(s => s.files.map(f => (s.id, f)))
       if (preds.isEmpty || clauses.exists(_.forall(_.negated)))
-        Left(visible) // nothing to prune with
+        SegHits(visible) // nothing to prune with
       else if (!idx.schema.fieldNames.contains("file")) segmentGrain()
       else {
+        val rgCapable = idx.schema.fieldNames.contains("rg_start")
+        val cols =
+          if (rgCapable) Seq("term", "seg_id", "file", "rg_start", "rg_len")
+          else Seq("term", "seg_id", "file")
         // the overflow check runs on the RAW collected count, BEFORE the
         // visibility filter — stale retired-seg postings must not consume
         // limit slots and mask a truncated file list (same invariant as
         // Si.readWhereIn)
         val raw = idx.read.filter(preds.reduce(_ || _))
-          .select("term", "seg_id", "file").distinct()
+          .select(cols.map(col): _*).distinct()
           .limit(FileGrainMaxHits + 1).collect()
         if (raw.length > FileGrainMaxHits) segmentGrain()
-        else {
+        else if (!rgCapable || raw.exists(_.isNullAt(3))) {
+          // file grain: pre-r13 index, or a degraded (null-rg) posting —
+          // a null means "somewhere in the file", so the whole lookup
+          // falls back to whole-file pins
           val rows: Seq[(String, (Long, String))] = raw.toSeq
             .map(r => (r.getString(0), (r.getLong(1), r.getString(2))))
           val hits = evalClauses[(Long, String)](clauses, rows)
             .filter { case (sId, _) => visible.contains(sId) }
-          // uncovered segments contribute ALL their files
-          val uncov = visSegs.filter(s => uncovered.contains(s.id))
-            .flatMap(s => s.files.map(f => (s.id, f)))
-          Right((hits.toSeq ++ uncov).groupBy(_._1)
+          FileHits((hits.toSeq ++ uncovFiles).groupBy(_._1)
             .view.mapValues(_.map(_._2).distinct).toMap)
+        } else {
+          // ROW-GROUP grain (the reference's lucene FG index,
+          // LuceneFineGrainIndex.java:63,137-142: postings name the
+          // blocklet inside the block; parquet row groups are our
+          // blocklets). Clause AND-intersection is sound here because a
+          // row lives entirely inside one row group — co-occurrence in
+          // a file implies co-occurrence in some row group's postings.
+          val rows: Seq[(String, (Long, String, Long, Long))] = raw.toSeq
+            .map(r => (r.getString(0),
+              (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))))
+          val hits = evalClauses[(Long, String, Long, Long)](clauses, rows)
+            .filter { case (sId, _, _, _) => visible.contains(sId) }
+          val ranges = hits.toSeq.groupBy { case (s, f, _, _) => (s, f) }
+            .view.mapValues(_.map { case (_, _, st, ln) => (st, ln) }.distinct)
+            .toMap
+          val files = (hits.toSeq.map { case (s, f, _, _) => (s, f) } ++
+            uncovFiles).groupBy(_._1)
+            .view.mapValues(_.map(_._2).distinct).toMap
+          graft.engine.ExplainCollector.record(
+            s"text index '$column': row-group grain — " +
+              s"${ranges.values.map(_.size).sum} row group(s) in " +
+              s"${ranges.size} file(s)" +
+              (if (uncovered.nonEmpty)
+                s", +${uncovered.size} uncovered segment(s) scanned whole"
+              else ""))
+          RgHits(files, ranges)
         }
       }
     }
@@ -224,28 +334,34 @@ object TextIndex {
   private def candidateSegments(
       t: GraftTable, column: String, query: String): Option[Set[Long]] =
     candidateHits(t, column, query).map {
-      case Left(segs) => segs
-      case Right(files) => files.keySet
+      case SegHits(segs) => segs
+      case FileHits(files) => files.keySet
+      case RgHits(files, _) => files.keySet
     }
 
   /** text_match-accelerated read: consult the posting index for the
-    * candidate FILES (position grain — the matched files are pinned
-    * into the scan exactly like `Si.readWhereIn`), scan only those,
-    * apply the exact residual. Over-cap and pre-file-column lookups use
-    * segment grain; falls back to a full filtered read without an
-    * index. */
+    * candidate row groups (fine grain — matched files are pinned into
+    * the scan exactly like `Si.readWhereIn`, and their splits clipped
+    * to the posting row groups' byte spans), scan only those, apply the
+    * exact residual. Over-cap and pre-file-column lookups use coarser
+    * grains; falls back to a full filtered read without an index. */
   def readMatching(t: GraftTable, column: String, query: String): DataFrame =
     candidateHits(t, column, query) match {
       case None => t.read.filter(tokenMatch(col(column), query))
-      case Some(Left(segs)) =>
+      case Some(SegHits(segs)) =>
         if (segs.isEmpty)
           t.read.filter(tokenMatch(col(column), query)).limit(0)
         else t.readSegments(segs.toSeq.sorted)
           .filter(tokenMatch(col(column), query))
-      case Some(Right(files)) =>
+      case Some(FileHits(files)) =>
         if (files.isEmpty)
           t.read.filter(tokenMatch(col(column), query)).limit(0)
         else t.readFiles(files).filter(tokenMatch(col(column), query))
+      case Some(RgHits(files, ranges)) =>
+        if (files.isEmpty)
+          t.read.filter(tokenMatch(col(column), query)).limit(0)
+        else t.readFilesRanges(files, ranges)
+          .filter(tokenMatch(col(column), query))
     }
 
   /** text_match_with_limit (reference MatchExpression limit,

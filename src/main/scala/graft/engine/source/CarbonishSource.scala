@@ -1029,10 +1029,60 @@ case class CarbonishScan(
       }
     }
 
+  /** Allowed row-group byte spans per "segId:relPath" from the "ranges"
+    * option (set by [[graft.engine.GraftTable.readFilesRanges]] — the
+    * fine-grain index pushdown). Files not named here scan whole. */
+  private lazy val allowedRanges: Map[String, Seq[(Long, Long)]] =
+    Option(scanOptions.get("ranges")).filterNot(_.isEmpty).map { enc =>
+      enc.split(",").map { e =>
+        val Array(seg, rel, spec) = e.split(":", 3)
+        s"$seg:$rel" -> spec.split(";").toSeq.map { r =>
+          val Array(st, ln) = r.split("\\+", 2)
+          (st.toLong, ln.toLong)
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Clip planned splits of range-restricted files to their allowed
+    * row-group byte spans. Parquet's reader keeps exactly the row
+    * groups whose midpoint (startingPos + compressedSize/2) lies inside
+    * a split, so a split clipped to a row group's own span reads that
+    * row group and nothing else; splits that overlap no allowed span
+    * drop out. Row indexes stay file-global (the parquet footer carries
+    * each row group's first row index), so MoR delta attribution and
+    * `_metadata.row_index` survive the clip. */
+  private def clipToRanges(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    if (allowedRanges.isEmpty) return parts
+    parts.flatMap {
+      case fp: FilePartition =>
+        val clipped = fp.files.flatMap { f =>
+          segRelOfFile.get(new Path(f.filePath.toString).toString) match {
+            case Some((s, rel)) =>
+              allowedRanges.get(s"${s.id}:$rel") match {
+                case Some(rs) => rs.flatMap { case (st, ln) =>
+                  val lo = math.max(f.start, st)
+                  val hi = math.min(f.start + f.length, st + ln)
+                  if (hi > lo) Some(f.copy(start = lo, length = hi - lo)) else None
+                }
+                case None => Seq(f)
+              }
+            case None => Seq(f)
+          }
+        }
+        if (clipped.isEmpty) None
+        else Some(FilePartition(fp.index, clipped)
+          : org.apache.spark.sql.connector.read.InputPartition)
+      case other => Some(other)
+    }
+  }
+
   private def planPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     import org.apache.spark.sql.execution.datasources.FilePartition
     planInvocations.incrementAndGet()
-    val planned = current.toBatch.planInputPartitions()
+    val planned = clipToRanges(current.toBatch.planInputPartitions())
     deltaSplit(reportableBuckets match {
       case None =>
         claimedChains match {

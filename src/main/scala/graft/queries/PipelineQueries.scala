@@ -285,6 +285,27 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- vector index AFTER a MoR delete (r13): the delete deltas
+    // decrement the covered segment's live rowCount, so the
+    // fingerprint ledger flags it STALE — its stored codes are barred
+    // from serving and the segment falls back to an exact scan of its
+    // LIVE rows, while the untouched segment still serves from the
+    // index. Full probe + full rerank ⇒ exactly brute force over the
+    // post-delete corpus, so the oracle is the shared top-5 SQL minus
+    // the deleted ids. ----
+    "q_vector_index_delete" -> ((s, d) => {
+      import graft.engine.index.VectorIndex
+      val t0 = vecIdxDelTable(s, d)
+      val queries = t(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("id"),
+          Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      VectorIndex.search(t0, "embedding", queries, 5,
+          nprobe = 8, rerank = 1000000)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
     // ---- deterministic split assignment: portable multiplicative-hash
     // buckets (no engine hash), one pure projection — reproducible
     // train/val/test membership with no join at any scale ----
@@ -495,6 +516,42 @@ object PipelineQueries {
       }
     }
 
+  /** carbonish table + vector index fixture for q_vector_index_delete:
+    * BOTH segments index-covered at load (autorefresh on), then a MoR
+    * delete of `vec_id % 100 = 7` — all such ids live in segment 0, so
+    * the graded search must serve segment 1 from stored codes while
+    * segment 0 (fingerprint-stale) falls back to an exact scan of its
+    * live rows. */
+  private val vecIdxDelLock = new Object
+  private def vecIdxDelTable(s: SparkSession, d: String): graft.engine.GraftTable =
+    vecIdxDelLock.synchronized {
+      import graft.engine.GraftTable
+      import graft.engine.index.VectorIndex
+      val base = new java.io.File(d).getName
+      val p = s"${Fixtures.root}/$base/vecidxdel"
+      val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+      val ok = layout.exists && {
+        try {
+          val st = layout.readStatus()
+          st.visible.size == 2 &&
+            layout.readTableMeta().properties.contains("vector.embedding") &&
+            st.visible.exists(_.deltas.nonEmpty)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+      if (ok) GraftTable.at(s, p)
+      else {
+        GraftTable.drop(s, p)
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val t0 = GraftTable.createAsSelect(s, p,
+          emb.filter(col("vec_id") % 10 =!= 0))
+        VectorIndex.create(t0, "vec_id", "embedding", s"$p/_indexes/v",
+          VectorIndex.Params(dim = 64))
+        t0.insert(emb.filter(col("vec_id") % 10 === 0))
+        t0.deleteMor(col("vec_id") % 100 === 7)
+        t0
+      }
+    }
+
   private def ivfCentroids(
       d: String, emb: DataFrame): Seq[Seq[Double]] = centroidLock.synchronized {
     val base = new java.io.File(d).getName
@@ -557,9 +614,13 @@ object PipelineQueries {
     }
 
   /** Brute-force cosine top-5 for the %50 query subset — the oracle for
-    * both q_ann_topk and the full-probe q_ann_ivf row. */
-  private def oAnnTop5: String = {
+    * both q_ann_topk and the full-probe q_ann_ivf row. `candPred`
+    * narrows the CANDIDATE side (the post-delete corpus for
+    * q_vector_index_delete). */
+  private def oAnnTop5: String = oAnnTop5Where("")
+  private def oAnnTop5Where(candPred: String): String = {
     val qv = Ann.oQuantize("embedding")
+    val extra = if (candPred.isEmpty) "" else s" AND $candPred"
     s"""WITH emb AS (
           SELECT vec_id AS id, $qv AS qv, ${Ann.oNormQ(qv)} AS nq
           FROM embeddings),
@@ -567,7 +628,7 @@ object PipelineQueries {
           SELECT q.id AS query_id, c.id AS neighbor_id,
             CAST(${Ann.oDotQ("q.qv", "c.qv")} AS DOUBLE)
               / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos
-          FROM emb q JOIN emb c ON q.id % 50 = 0 AND q.id <> c.id),
+          FROM emb q JOIN emb c ON q.id % 50 = 0 AND q.id <> c.id$extra),
         ranked AS (
           SELECT query_id, neighbor_id, cos,
             CAST(row_number() OVER (PARTITION BY query_id
@@ -645,6 +706,7 @@ object PipelineQueries {
       // vector-index full probe + full rerank ∪ exact fallback ≡ brute
       // force over all rows: same oracle
       "q_vector_index" -> oAnnTop5,
+      "q_vector_index_delete" -> oAnnTop5Where("c.id % 100 <> 7"),
       "q_label_confusion" -> {
         val qv = Ann.oQuantize("embedding")
         s"""WITH emb AS (

@@ -177,40 +177,50 @@ object TextQueries {
     // final IEEE division per probability column (no libm log — see Q
     // header rules). mean_p is the doc's average unigram likelihood
     // under the corpus unigram LM; mean_p2 the bigram analog — low
-    // values flag out-of-distribution / junk docs. Scale shape: two
-    // explode->groupBy counts (map-side combine), count tables joined
-    // back by token (shuffle on high-cardinality key), grand totals
-    // ride a broadcast crossJoin. ----
+    // values flag out-of-distribution / junk docs. Scale shape (r13,
+    // single-pass — the r12 form re-exploded each gram table for its
+    // join-back): ONE explode per gram order, collapsed FIRST to
+    // per-(doc, token) counts (map-side combine, and it bounds the
+    // next stage's partitions to ≤ #docs even for stopwords), corpus
+    // frequency as a window SUM over the collapsed table (no
+    // freq-table self-join, no recompute), grand totals from a
+    // token-COUNT side scan (sum of doc lengths — no explode) riding a
+    // broadcast crossJoin. ----
     "q_text_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = split(norm(col("text")), " ")
-      val uni = docs.select(col("doc_id"), explode(toks).as("tok"))
-      val uFreq = uni.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val uTot = uFreq.agg(sum(col("cnt")).cast("long").as("total"))
-      val uDoc = uni.join(uFreq, "tok").crossJoin(broadcast(uTot))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_tokens"),
-          sum(col("cnt")).cast("long").as("sum_cnt"),
-          min(col("cnt")).cast("long").as("min_cnt"),
-          (sum(col("cnt")).cast("double") /
-            (count(lit(1)) * first(col("total"))).cast("double")).as("mean_p"))
-      val bi = docs.select(col("doc_id"),
-        explode(zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("tok"))
-      val bFreq = bi.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val bTot = bFreq.agg(sum(col("cnt")).cast("long").as("total"))
-      val bDoc = bi.join(bFreq, "tok").crossJoin(broadcast(bTot))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(col("cnt")).cast("long").as("sum_cnt2"),
-          (sum(col("cnt")).cast("double") /
-            (count(lit(1)) * first(col("total"))).cast("double")).as("mean_p2"))
+      def gramScore(grams: Column, tot: Column): DataFrame = {
+        val byDocTok = docs.select(col("doc_id"), explode(grams).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        byDocTok.withColumn("cnt", sum(col("c")).over(wTok))
+          .crossJoin(broadcast(docs.agg(tot.cast("long").as("total"))))
+          .groupBy("doc_id").agg(
+            sum(col("c")).cast("long").as("n_grams"),
+            sum(col("c") * col("cnt")).cast("long").as("sum_cnt"),
+            min(col("cnt")).cast("long").as("min_cnt"),
+            (sum(col("c") * col("cnt")).cast("double") /
+              (sum(col("c")) * first(col("total"))).cast("double")).as("mean_p"))
+      }
+      val uDoc = gramScore(toks, sum(size(toks)))
+      // bigram total = Σ(len-1): every doc has ≥ 1 token (split of ""
+      // is [""]) so len-1 is exactly its zip_with bigram count
+      val bDoc = gramScore(
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)),
+        sum(size(toks) - 1))
       // left join: a 1-token doc has no bigrams (absent here, zeros kept exact)
-      uDoc.join(bDoc, Seq("doc_id"), "left").select(
-        col("doc_id"), col("n_tokens"), col("sum_cnt"), col("min_cnt"), col("mean_p"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("sum_cnt2"), lit(0L)).as("sum_cnt2"),
-        coalesce(col("mean_p2"), lit(0.0)).as("mean_p2"))
+      uDoc.join(
+          bDoc.select(col("doc_id"), col("n_grams").as("n_bigrams"),
+            col("sum_cnt").as("sum_cnt2"), col("mean_p").as("mean_p2")),
+          Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_grams").as("n_tokens"), col("sum_cnt"),
+          col("min_cnt"), col("mean_p"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_cnt2"), lit(0L)).as("sum_cnt2"),
+          coalesce(col("mean_p2"), lit(0.0)).as("mean_p2"))
     }),
     // corpus heavy hitters THROUGH the Misra-Gries sketch aggregate:
     // k (1024) exceeds the fixture vocabulary, so no counter is ever
