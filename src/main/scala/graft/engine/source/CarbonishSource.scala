@@ -1079,10 +1079,82 @@ case class CarbonishScan(
     }
   }
 
+  /** EXPLAIN-only bloom skip preview (reference BloomCoarseGrainIndex's
+    * EXPLAIN contribution): the parquet bloom tier prunes row groups at
+    * TASK time, invisible to plan output — so under an active
+    * [[graft.engine.ExplainCollector]] (never on the hot path) rerun
+    * parquet's own row-group filter driver-side for the planned files,
+    * once stats-only and once with blooms, and record the delta. Only
+    * eq/IN pushed filters on `bloom_columns` participate (the shapes a
+    * bloom can answer); bounded to small plans so EXPLAIN over a
+    * 100k-file table stays cheap. */
+  private def recordBloomSkip(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Unit = try {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val bloomCols = tableMeta.properties.get("bloom_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(return)
+    def leaf(name: String, v: Any): Option[FilterPredicate] = v match {
+      case l: Long => Some(FilterApi.eq(FilterApi.longColumn(name), Long.box(l)))
+      case i: Int => Some(FilterApi.eq(FilterApi.intColumn(name), Int.box(i)))
+      case s: String => Some(FilterApi.eq(FilterApi.binaryColumn(name),
+        org.apache.parquet.io.api.Binary.fromString(s)))
+      case _ => None
+    }
+    def ors(ps: Seq[FilterPredicate]): FilterPredicate = ps.reduce(FilterApi.or)
+    val preds: Seq[FilterPredicate] = current.pushedFilters.toSeq.flatMap {
+      case org.apache.spark.sql.sources.EqualTo(c, v) if bloomCols(c) => leaf(c, v)
+      case org.apache.spark.sql.sources.In(c, vs)
+          if bloomCols(c) && vs.nonEmpty =>
+        val ls = vs.toSeq.flatMap(leaf(c, _))
+        if (ls.size == vs.length) Some(ors(ls)) else None
+      case _ => None
+    }
+    if (preds.isEmpty) return
+    val pred = preds.reduce(FilterApi.and)
+    val files = parts.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Array.empty[String]
+    }.distinct
+    if (files.isEmpty) return
+    if (files.length > 64) {
+      graft.engine.ExplainCollector.record(
+        s"bloom row-group preview elided (${files.length} files)")
+      return
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def kept(f: String, bloom: Boolean): Int = {
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+        .useStatsFilter(true)
+        .useDictionaryFilter(false)
+        .useColumnIndexFilter(false)
+        .useBloomFilter(bloom)
+        .build()
+      val r = new org.apache.parquet.hadoop.ParquetFileReader(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), conf), opts)
+      try r.getRowGroups.size finally r.close()
+    }
+    var statsKept = 0; var bloomKept = 0; var total = 0
+    files.foreach { f =>
+      statsKept += kept(f, bloom = false)
+      bloomKept += kept(f, bloom = true)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+      try total += r.getFooter.getBlocks.size finally r.close()
+    }
+    graft.engine.ExplainCollector.record(
+      s"bloom row-group skip: blooms keep $bloomKept/$total row group(s) " +
+        s"(min-max stats alone keep $statsKept) across ${files.length} file(s)")
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   private def planPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     import org.apache.spark.sql.execution.datasources.FilePartition
     planInvocations.incrementAndGet()
     val planned = clipToRanges(current.toBatch.planInputPartitions())
+    if (graft.engine.ExplainCollector.enabled) recordBloomSkip(planned)
     deltaSplit(reportableBuckets match {
       case None =>
         claimedChains match {

@@ -382,4 +382,51 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(ext.contains("== Graft ==") && ext.contains("== Parsed Logical Plan =="), ext)
     } finally graft.engine.mv.Mv.drop(spark, "mv_ex")
   }
+
+  test("EXPLAIN previews the bloom row-group skip and vector probe stats") {
+    val root = Files.createTempDirectory("graft_explain_bv_").toString
+    // bloom fixture: high-cardinality k dealt round-robin so min-max
+    // stats keep everything; tiny row groups so blooms have groups to
+    // skip (same adversarial shape as BloomPruneSpec)
+    val src = spark.range(0, 40000).select(
+      col("id").as("k"),
+      concat(lit("v"), lpad((col("id") % 97).cast("string"), 4, "0")).as("v"),
+      sha2(concat(lit("pad"), col("id").cast("string")), 256).as("pad"))
+      .repartition(2)
+    val t = GraftTable.create(spark, s"$root/t", src.schema,
+      sortColumns = Seq("v"),
+      properties = Map(
+        "bloom_columns" -> "k",
+        "parquet.block.size" -> "65536",
+        "parquet.bloom.filter.expected.ndv#k" -> "40000"))
+    t.insert(src)
+    val bloomText = GraftExplain.explain(spark,
+      t.read.filter(col("k") === 421L))
+    assert(bloomText.contains("bloom row-group skip: blooms keep"), bloomText)
+    // the preview must show blooms strictly beating stats on this fixture
+    val m = "blooms keep (\\d+)/(\\d+) row group\\(s\\) \\(min-max stats alone keep (\\d+)\\)".r
+    val hit = m.findFirstMatchIn(bloomText).getOrElse(fail(bloomText))
+    assert(hit.group(1).toInt < hit.group(3).toInt, bloomText)
+    // round-robin keys leave min-max nearly blind (a tail group may
+    // still fall to stats): stats keep essentially everything
+    assert(hit.group(3).toInt >= hit.group(2).toInt - 2, bloomText)
+
+    // vector index probe stats: served/exact split + nprobe/nlist
+    import graft.engine.index.VectorIndex
+    val emb = spark.range(0, 300).select(col("id").cast("long").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), lit(8)),
+        i => ((col("id") * 31 + i * 7) % 13).cast("double")).as("embedding"))
+    val vt = GraftTable.createAsSelect(spark, s"$root/vt", emb)
+    VectorIndex.create(vt, "vec_id", "embedding", s"$root/vt_idx",
+      VectorIndex.Params(dim = 8, nlist = 4, m = 4, ksub = 8))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("id"),
+        graft.ops.Ann.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", graft.ops.Ann.normQ(col("qv")))
+    val vecText = GraftExplain.explain(spark,
+      VectorIndex.search(vt, "embedding", queries, 3, nprobe = 2, rerank = 50))
+    assert(vecText.contains("VectorIndex(embedding): 1/1 segments served"), vecText)
+    assert(vecText.contains("nprobe=2/4"), vecText)
+  }
 }
