@@ -63,7 +63,8 @@ object Si {
             org.apache.spark.sql.types.StructField("seg_id",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("file",
-              org.apache.spark.sql.types.StringType))),
+              org.apache.spark.sql.types.StringType)) ++
+            RowGroups.schemaFields),
           sortColumns = Seq("v"))
       else
         GraftTable.createAsSelect(t.spark, siPath, buildRows(t, column),
@@ -74,13 +75,27 @@ object Si {
     si
   }
 
-  private def buildRows(t: GraftTable, column: String): DataFrame = {
-    val vis = t.status.visible
-    val files = vis.flatMap(t.layout.segmentFilePaths)
-    t.spark.read.schema(t.schema).parquet(files: _*)
+  /** Index rows at ROW-GROUP grain (r13 — the same fine-grain upgrade
+    * as the text index; the reference's SI stores blocklet positions,
+    * secondary-index/.../SecondaryIndexUtil): each (value, segment,
+    * file) row carries the row group holding the value and its byte
+    * span, tagged via a broadcast range join against the footer
+    * geometry (see [[RowGroups]]). Unreadable footers degrade to
+    * null-rg rows (file grain), never to a wrong answer. */
+  private def buildRows(t: GraftTable, column: String,
+      segments: Option[Seq[graft.engine.format.SegmentMeta]] = None): DataFrame = {
+    val segs = segments.getOrElse(t.status.visible)
+    val files = segs.flatMap(t.layout.segmentFilePaths)
+    val base = t.spark.read.schema(t.schema).parquet(files: _*)
       .select(col(column).as("v"), segIdFromPath.as("seg_id"),
-        fileFromPath.as("file"))
-      .distinct()
+        fileFromPath.as("file"), col("_metadata.row_index").as("ri"))
+    RowGroups.geometryDf(t, segs) match {
+      case None => RowGroups.nullTagged(base)
+      case Some(geo) => RowGroups.tag(base, geo)
+        .select(col("v"), col("seg_id"), col("file"), col("rg"),
+          col("rg_start"), col("rg_len"))
+        .distinct()
+    }
   }
 
   /** REFRESH INDEX: full rebuild against the current segment set. */
@@ -108,12 +123,7 @@ object Si {
     val want = segIds.map(_.toSet).getOrElse(visible.map(_.id).toSet)
     val missing = visible.filter(s => want.contains(s.id) && !covered.contains(s.id))
     if (missing.nonEmpty) {
-      val files = missing.flatMap(t.layout.segmentFilePaths)
-      val rows = t.spark.read.schema(t.schema).parquet(files: _*)
-        .select(col(column).as("v"), segIdFromPath.as("seg_id"),
-          fileFromPath.as("file"))
-        .distinct()
-      si.insert(rows)
+      si.insert(buildRows(t, column, Some(missing)))
       recordIndexedSegments(si, covered ++ missing.map(_.id))
     }
   }
@@ -173,6 +183,10 @@ object Si {
         }
         if (!si.schema.fieldNames.contains("file")) segmentGrain()
         else {
+          val rgCapable = si.schema.fieldNames.contains("rg_start")
+          val cols =
+            if (rgCapable) Seq("seg_id", "file", "rg_start", "rg_len")
+            else Seq("seg_id", "file")
           // the hit list is metadata-sized for a selective lookup
           // (bounded by matched files, and hard-capped below); the
           // overflow check runs on the RAW collected count — a stale SI
@@ -181,12 +195,13 @@ object Si {
           // silently truncated file list
           val raw = si.read
             .filter(col("v").isin(values: _*))
-            .select("seg_id", "file").distinct()
+            .select(cols.map(col): _*).distinct()
             .limit(maxFileHits + 1)
-            .collect().map(r => (r.getLong(0), r.getString(1)))
+            .collect()
           if (raw.length > maxFileHits) segmentGrain()
           else {
-            val hits = raw.filter { case (sId, _) => visible.contains(sId) }
+            val hits = raw.toSeq.map(r => (r.getLong(0), r.getString(1)))
+              .filter { case (sId, _) => visible.contains(sId) }.distinct
             // uncovered segments contribute ALL their files; a file the
             // index knew that a partition-drop removed from `files`
             // simply no longer resolves (its rows are gone)
@@ -194,11 +209,29 @@ object Si {
               .flatMap(s => s.files.map(f => (s.id, f)))
             val wanted = (hits ++ uncov).groupBy(_._1)
               .view.mapValues(_.map(_._2).distinct.toSeq).toMap
+            // ROW-GROUP grain (r13): when every hit row carries rg
+            // geometry, clip the pinned files' splits to the value-
+            // bearing row groups' byte spans; any null-rg row (degraded
+            // build) falls back to whole-file pins — coarser, never
+            // wrong. Uncovered segments' files carry no ranges entry
+            // and scan whole.
+            val ranges: Map[(Long, String), Seq[(Long, Long)]] =
+              if (rgCapable && !raw.exists(_.isNullAt(2)))
+                raw.toSeq.map(r => ((r.getLong(0), r.getString(1)),
+                    (r.getLong(2), r.getLong(3))))
+                  .filter { case ((sId, _), _) => visible.contains(sId) }
+                  .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+              else Map.empty
             graft.engine.ExplainCollector.record(
-              s"SI($column) file-grain: pinned ${wanted.values.map(_.size).sum} " +
+              s"SI($column) ${if (ranges.nonEmpty) "row-group" else "file"}-grain: " +
+                s"pinned ${wanted.values.map(_.size).sum} " +
                 s"file(s) across ${wanted.size} segment(s) " +
-                s"of ${visSegs.map(_.files.size).sum} total files")
+                s"of ${visSegs.map(_.files.size).sum} total files" +
+                (if (ranges.nonEmpty)
+                  s", ${ranges.values.map(_.size).sum} row group(s)"
+                else ""))
             if (wanted.isEmpty) t.read.filter(pred).limit(0)
+            else if (ranges.nonEmpty) t.readFilesRanges(wanted, ranges).filter(pred)
             else t.readFiles(wanted).filter(pred)
           }
         }

@@ -31,34 +31,6 @@ object TextIndex {
   private def tokensOf(c: Column): Column =
     array_distinct(split(lower(trim(c)), " "))
 
-  /** Per-file row-group geometry lifted from parquet footers at INDEX
-    * BUILD time (one driver-side footer read per indexed file — the
-    * same cost class as the write-time [[graft.engine.format.FileFooters]]
-    * pass): (rg ordinal, first row index, end row index, byte start,
-    * byte length). The byte span is startingPos + compressedSize — the
-    * exact quantity parquet's midpoint row-group filter tests, so a
-    * query-time split clipped to it selects precisely this row group.
-    * None = footer unreadable (build degrades to file grain). */
-  private def rgGeometry(t: GraftTable, absPath: String)
-      : Option[Seq[(Int, Long, Long, Long, Long)]] =
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(absPath),
-        t.spark.sessionState.newHadoopConf())
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        var rowStart = 0L
-        Some(reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
-          case (b, i) =>
-            val r = (i, rowStart, rowStart + b.getRowCount,
-              b.getStartingPos, b.getCompressedSize)
-            rowStart += b.getRowCount
-            r
-        })
-      } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
-
   private def postings(t: GraftTable, column: String,
       segments: Option[Seq[graft.engine.format.SegmentMeta]] = None): DataFrame = {
     val segs = segments.getOrElse(t.status.visible)
@@ -73,34 +45,14 @@ object TextIndex {
     // row-group grain (the reference's FINE-grain posting,
     // LuceneFineGrainIndex.java:63: postings name the blocklet, not just
     // the block): tag each token row with its row group via a BROADCAST
-    // range join against the footer geometry (a handful of row groups
-    // per file — KBs on the driver even for a 100k-file table build,
-    // because only the segments being indexed are listed)
-    val geoPerFile: Seq[Option[Seq[(Long, String, Int, Long, Long, Long, Long)]]] =
-      segs.flatMap { s =>
-        s.files.zip(t.layout.segmentFilePaths(s)).map { case (rel, abs) =>
-          rgGeometry(t, abs).map(_.map { case (rg, rs, re, bs, bl) =>
-            (s.id, rel, rg, rs, re, bs, bl)
-          })
-        }
-      }
-    // an unreadable footer degrades to FILE grain — null rg columns keep
-    // the posting schema stable so later REFRESH/REINDEX appends always
-    // line up; the lookup treats any null-rg row as "scan the whole file"
-    if (geoPerFile.exists(_.isEmpty))
-      return base.drop("ri").distinct()
-        .withColumn("rg", lit(null).cast("int"))
-        .withColumn("rg_start", lit(null).cast("long"))
-        .withColumn("rg_len", lit(null).cast("long"))
-    import t.spark.implicits._
-    val rgDf = geoPerFile.flatMap(_.get).toDF(
-      "g_seg", "g_file", "rg", "row_start", "row_end", "rg_start", "rg_len")
-    base.join(broadcast(rgDf),
-        base("seg_id") === col("g_seg") && base("file") === col("g_file") &&
-          col("ri") >= col("row_start") && col("ri") < col("row_end"))
-      .select(col("term"), col("seg_id"), col("file"), col("rg"),
-        col("rg_start"), col("rg_len"))
-      .distinct()
+    // range join against the footer geometry (see [[RowGroups]])
+    RowGroups.geometryDf(t, segs) match {
+      case None => RowGroups.nullTagged(base) // unreadable footer
+      case Some(geo) => RowGroups.tag(base, geo)
+        .select(col("term"), col("seg_id"), col("file"), col("rg"),
+          col("rg_start"), col("rg_len"))
+        .distinct()
+    }
   }
 
   /** CREATE INDEX … AS 'lucene'-analog on a text column. */
@@ -121,13 +73,8 @@ object TextIndex {
             org.apache.spark.sql.types.StructField("seg_id",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("file",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("rg",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("rg_start",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("rg_len",
-              org.apache.spark.sql.types.LongType))),
+              org.apache.spark.sql.types.StringType)) ++
+            RowGroups.schemaFields),
           sortColumns = Seq("term"))
       else
         GraftTable.createAsSelect(t.spark, path, postings(t, column),

@@ -406,10 +406,14 @@ class GraftSqlSpec extends AnyFunSuite {
     // the preview must show blooms strictly beating stats on this fixture
     val m = "blooms keep (\\d+)/(\\d+) row group\\(s\\) \\(min-max stats alone keep (\\d+)\\)".r
     val hit = m.findFirstMatchIn(bloomText).getOrElse(fail(bloomText))
-    assert(hit.group(1).toInt < hit.group(3).toInt, bloomText)
-    // round-robin keys leave min-max nearly blind (a tail group may
-    // still fall to stats): stats keep essentially everything
-    assert(hit.group(3).toInt >= hit.group(2).toInt - 2, bloomText)
+    // round-robin keys leave min-max nearly blind (boundary groups may
+    // still fall to stats): blooms must beat stats by a wide margin,
+    // stats must keep the great majority — structural, not exact, since
+    // repartition(2) deals keys nondeterministically across runs
+    val (bloomKept, total, statsKept) =
+      (hit.group(1).toInt, hit.group(2).toInt, hit.group(3).toInt)
+    assert(bloomKept * 5 <= statsKept, bloomText)
+    assert(statsKept * 4 >= total * 3, bloomText)
 
     // vector index probe stats: served/exact split + nprobe/nlist
     import graft.engine.index.VectorIndex

@@ -133,6 +133,26 @@ class TextRowGroupSpec extends AnyFunSuite {
     assert(out.contains("pinned row groups"), out)
   }
 
+  test("SI lookups clip to the value-bearing row groups too") {
+    import graft.engine.index.Si
+    val (t, _) = mk()
+    val seg = t.status.visible.head
+    val fileBytes = t.layout.fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      t.layout.segmentFilePaths(seg).head)).getLen
+    val si = Si.create(t, "k", s"${t.path}_si")
+    assert(si.schema.fieldNames.contains("rg_start"))
+    // k is the sort column: a point value lives in exactly one row group
+    val df = Si.readWhereIn(t, "k", Seq(10050L, 30001L))
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10050L, 30001L))
+    val readBytes = plannedFileBytes(df).map(_._2).sum
+    assert(readBytes < fileBytes / 4,
+      s"SI hit must clip to row groups: planned $readBytes of $fileBytes bytes")
+    // EXPLAIN names the grain
+    val out = GraftExplain.explain(spark, Si.readWhereIn(t, "k", Seq(10050L)))
+    assert(out.contains("SI(k) row-group-grain"), out)
+  }
+
   test("MoR delete deltas stay correct under a clipped scan") {
     val (t, _) = mk()
     TextIndex.create(t, "body", s"${t.path}_idx")
