@@ -642,6 +642,29 @@ class GraftTable private (val spark: SparkSession, val path: String)
       }
       st.copy(segments = cleaned)
     }
+    // Index GC rides the same command (r13): rows/codes for the
+    // segments just physically reclaimed can never serve again, so
+    // every registered index drops them and shrinks its ledger —
+    // otherwise a years-old table's indexes bloat with dead rows and
+    // file-grain lookups degrade to segment grain via the RAW-count
+    // over-cap check. Outside the base commit on purpose: each index
+    // is its own table with its own atomic log, and a failed vacuum
+    // leaves stale-but-harmless rows (visibility-filtered at lookup),
+    // reclaimed by the next CLEAN FILES.
+    if (removed.nonEmpty) {
+      val dead = removed.toSet
+      val m = meta
+      m.properties.foreach { case (k, p) =>
+        try {
+          if (k.startsWith("si.") || k.startsWith("textindex."))
+            graft.engine.index.Si.vacuumIndexTable(GraftTable.at(spark, p), dead)
+          else if (k.startsWith("vector."))
+            graft.engine.index.VectorIndex.vacuum(GraftTable.at(spark, p), dead)
+        } catch { case scala.util.control.NonFatal(e) =>
+          logWarning(s"index vacuum failed for $k at $p: ${e.getMessage}")
+        }
+      }
+    }
     removed
   }
 

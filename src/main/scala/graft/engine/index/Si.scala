@@ -42,6 +42,19 @@ object Si {
   private[index] def recordIndexedSegments(idx: GraftTable, ids: Set[Long]): Unit =
     idx.setProperties(Map("indexed_segments" -> ids.toSeq.sorted.mkString(",")))
 
+  /** Index GC riding the base table's CLEAN FILES (r13): rows for
+    * physically-reclaimed base segments can never serve again (lookups
+    * already visibility-filter them), so drop them and shrink the
+    * coverage ledger. Without this a long-lived table's indexes bloat
+    * with dead rows and the file-grain over-cap check — which must
+    * count RAW rows (see readWhereIn) — degrades lookups to segment
+    * grain spuriously. Shared by SI and text index (same ledger). */
+  private[engine] def vacuumIndexTable(idx: GraftTable, removed: Set[Long]): Unit =
+    if (removed.nonEmpty) {
+      idx.delete(col("seg_id").isin(removed.toSeq: _*))
+      recordIndexedSegments(idx, indexedSegments(idx) -- removed)
+    }
+
   /** CREATE INDEX … AS 'carbondata' (SI) on `column`, stored at `siPath`.
     * `deferred` (WITH DEFERRED REFRESH, reference
     * index-management.md:87): the SI table is created EMPTY with zero

@@ -122,6 +122,17 @@ object VectorIndex {
     idx.setProperties(Map(FingerprintsKey ->
       fp.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")))
 
+  /** Index GC riding the base table's CLEAN FILES (r13, the
+    * [[Si.vacuumIndexTable]] analog for the rows+fingerprint ledger):
+    * stored codes of physically-reclaimed segments can never serve
+    * (search filters to fresh seg_ids), so drop them and their
+    * fingerprint entries. */
+  private[engine] def vacuum(idx: GraftTable, removed: Set[Long]): Unit =
+    if (removed.nonEmpty) {
+      idx.delete(col("seg_id").isin(removed.toSeq: _*))
+      recordFingerprints(idx, fingerprints(idx) -- removed)
+    }
+
   /** Live (delta-aware) rows of the named segments as the quantized
     * search form `(seg_id, id, qv, nq)` — one pinned-snapshot read per
     * segment so every row carries its segment id. */

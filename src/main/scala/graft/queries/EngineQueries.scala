@@ -75,6 +75,35 @@ object EngineQueries {
     }
   }
 
+  /** orders with a secondary index on o_custkey — a NON-sort column,
+    * so neither segment min-max nor the write-time sort chain can
+    * serve the lookup: only the SI's value → (file, row-group)
+    * postings prune (reference BroadCastSIFilterPushJoin shape). Own
+    * table (not orders3) so the SI registration never perturbs the
+    * shared fixture's cache check. */
+  def ordersSi(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = fixturePath(d, "orders_si")
+    val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+    val ok = layout.exists && {
+      try layout.readStatus().visible.size == 3 &&
+        layout.readTableMeta().properties.contains("si.o_custkey")
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (layout.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderdate", "o_orderkey"))
+      val c1 = lit("1995-01-01").cast("timestamp")
+      val c2 = lit("1997-01-01").cast("timestamp")
+      tbl.insert(src.filter(col("o_orderdate") < c1))
+      tbl.insert(src.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2))
+      tbl.insert(src.filter(col("o_orderdate") >= c2))
+      graft.engine.index.Si.create(tbl, "o_custkey", s"$p/_si")
+      tbl
+    }
+  }
+
   /** orders as a hive-style partitioned table: PARTITIONED BY
     * (o_orderstatus), sorted by o_orderkey within partitions — each
     * segment splits into per-status dirs (see format.Partitions). */
@@ -166,6 +195,18 @@ object EngineQueries {
         .filter(col("c_custkey").isin(7L, 421L, 1033L))
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"))
+    }),
+    // SI-accelerated IN lookup on a NON-sort column (reference
+    // BroadCastSIFilterPushJoin): the posting index pins the matched
+    // files and clips their splits to the value-bearing row groups
+    // (r13 fine grain); the exact IN predicate runs as residual. The
+    // oracle checks the VALUES through that path end-to-end —
+    // SiSpec/TextRowGroupSpec assert the pruning itself.
+    "q_si_lookup" -> ((s, d) => {
+      graft.engine.index.Si.readWhereIn(ordersSi(s, d), "o_custkey",
+          Seq(7L, 21L, 404L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
     }),
     // insegment('1')-style pinned read (reference CarbonEnv.scala:100):
     // segment 1 holds exactly the 1995-1996 date range by construction
@@ -429,6 +470,9 @@ object EngineQueries {
     "q_engine_bloom" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
          WHERE c_custkey IN (7, 421, 1033)""",
+    "q_si_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_custkey IN (7, 21, 404)""",
     "q_engine_insegment" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
