@@ -412,14 +412,22 @@ object GraftSql {
           // until its first REFRESH (index-management.md:87) — in the
           // coverage model that is exactly "covers nothing of a
           // non-empty base" (and for vector, "no quantizer yet")
+          // pruning grain the index can serve (r13): row-group when the
+          // postings carry rg geometry, file for a pre-r13 build, page
+          // for write-time blooms, cell for the vector probe
+          def grainOf(fields: Array[String]): String =
+            if (fields.contains("rg_start")) "row-group"
+            else if (fields.contains("file")) "file"
+            else "segment"
           val (status, sync) = try {
             k match {
               case "carbondata" | "lucene" =>
-                val covered =
-                  index.Si.indexedSegments(GraftTable.at(spark, p)) & visIds
+                val idxT = GraftTable.at(spark, p)
+                val covered = index.Si.indexedSegments(idxT) & visIds
                 val last = if (covered.isEmpty) "-" else covered.max.toString
                 (if (covered.isEmpty && vis.nonEmpty) "DISABLED" else "ENABLED",
-                  s"${covered.size}/${vis.size} segments (last synced: $last)")
+                  s"${covered.size}/${vis.size} segments (last synced: $last, " +
+                    s"grain: ${grainOf(idxT.schema.fieldNames)})")
               case "vector" if index.VectorIndex.isPending(spark, p) =>
                 ("DISABLED", "deferred — REFRESH INDEX to build")
               case "vector" =>
