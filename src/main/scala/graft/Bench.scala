@@ -201,6 +201,67 @@ object Bench {
   }
 }
 
+/** The reference's LOAD-throughput anchor — "40 MB/s per node"
+  * (telecom, docs/usecases.md:103) and "45 MB/s per node" (smart-city,
+  * docs/usecases.md:161), both through the CSV load pipeline into a
+  * sorted columnar table. Local proxy: materialize lineitem (sf dir)
+  * once as CSV, then time (a) LOAD DATA — csv parse → bad-record gate →
+  * write-time sort → parquet segment + footer stats + atomic commit —
+  * and (b) the INSERT path from an in-memory frame (the parquet-source
+  * analog). Reports MB/s over the CSV byte size (the reference's
+  * denominator: raw input bytes per wall second per node). One JSON
+  * line; committed as BENCH_r{N}_load.json. */
+object BenchLoad {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.engine.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_load_").toString
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // timestamp → ISO string for a faithful CSV round-trip
+    val csvDf = src.withColumn("l_shipdate",
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+    csvDf.coalesce(4).write.option("header", "true").mode("overwrite")
+      .csv(s"$root/csv")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val csvBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/csv")).getLength
+    val rows = src.count()
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+    // (a) LOAD DATA: csv → sorted segment, 3 runs, best (steady state)
+    val loadSecs = (1 to 3).map { i =>
+      val t = GraftTable.create(spark, s"$root/t_load$i", src.schema,
+        sortColumns = Seq("l_shipdate", "l_orderkey"))
+      timed { t.loadCsv(s"$root/csv", badRecordsAction = "FORCE") }
+    }
+    // (b) INSERT from a cached frame (parquet-source load analog)
+    val cached = src.cache(); cached.count()
+    val insertSecs = (1 to 3).map { i =>
+      val t = GraftTable.create(spark, s"$root/t_ins$i", src.schema,
+        sortColumns = Seq("l_shipdate", "l_orderkey"))
+      timed { t.insert(cached) }
+    }
+    val loadS = loadSecs.min; val insS = insertSecs.min
+    val mb = csvBytes / 1e6
+    println(s"""{"metric":"load_mb_per_s","value":${f(mb / loadS)},"unit":"MB/s","csv_mb":${f(mb)},"rows":$rows,"load_best_s":${f(loadS)},"load_runs":[${loadSecs.map(f).mkString(",")}],"insert_mb_per_s":${f(mb / insS)},"insert_best_s":${f(insS)},"baseline_mb_per_s":45.0,"sf":"${new java.io.File(sfDir).getName}"}""")
+    spark.stop()
+  }
+}
+
 /** The reference's concurrency anchor — "supports 20 concurrent queries
   * with response < 10 s" (reference docs/usecases.md:104) — has no
   * serial-bench proxy, so this main runs `threads` (default 20) driver

@@ -270,6 +270,10 @@ class GraftTable private (val spark: SparkSession, val path: String)
     val raw = action match {
       case "FAIL" =>
         base.option("mode", "FAILFAST").schema(parseSchema).csv(csvPath)
+      case "FORCE" =>
+        // reference FORCE (docs/dml-of-carbondata.md:64): bad VALUES
+        // become NULL and the row is kept — spark's PERMISSIVE parse
+        base.option("mode", "PERMISSIVE").schema(parseSchema).csv(csvPath)
       case "IGNORE" =>
         base.option("mode", "DROPMALFORMED").schema(parseSchema).csv(csvPath)
       case "REDIRECT" =>
@@ -296,6 +300,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
           if (sample.nonEmpty) throw new IllegalArgumentException(
             s"malformed complex cell in load (BAD_RECORDS_ACTION=FAIL): ${sample.head}")
           raw
+        case "FORCE" => raw // malformed complex cells null out below
         case "IGNORE" => raw.filter(ok)
         case "REDIRECT" =>
           val bad = raw.filter(!ok)
@@ -305,9 +310,13 @@ class GraftTable private (val spark: SparkSession, val path: String)
           raw.filter(ok)
       }
       good.select(target.fields.map(f =>
-        if (ComplexCsv.isComplex(f.dataType))
-          ComplexCsv.parse(col(f.name), f.dataType, delims).as(f.name)
-        else col(f.name)).toSeq: _*)
+        if (ComplexCsv.isComplex(f.dataType)) {
+          val parsed = ComplexCsv.parse(col(f.name), f.dataType, delims)
+          // FORCE: a malformed complex cell becomes NULL, row kept
+          (if (action == "FORCE")
+            when(ComplexCsv.wellFormed(col(f.name), f.dataType, delims), parsed)
+          else parsed).as(f.name)
+        } else col(f.name)).toSeq: _*)
     }
     insert(typed)
   }

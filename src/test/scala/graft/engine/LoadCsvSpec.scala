@@ -31,6 +31,17 @@ class LoadCsvSpec extends AnyFunSuite {
     assert(t.read.agg(sum("amount")).collect().head.getDouble(0) == 60.75)
   }
 
+  test("FORCE action nulls bad values and keeps the row") {
+    val csv = writeCsv(Seq("1,10.5,a", "2,not_a_number,b", "3,30.0,c"))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_t_").toString + "/t", schema)
+    t.loadCsv(csv, badRecordsAction = "FORCE")
+    assert(t.read.count() == 3) // row kept
+    val r2 = t.read.filter(col("id") === 2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("amount"))) // bad value nulled
+    assert(t.read.agg(sum("amount")).collect().head.getDouble(0) == 40.5)
+  }
+
   test("FAIL action rejects malformed rows") {
     val csv = writeCsv(Seq("1,10.5,a", "2,not_a_number,b"))
     val t = GraftTable.create(spark,
