@@ -111,12 +111,21 @@ object Si {
     }
   }
 
+  /** A pre-r13 index lacks the rg columns; appending/overwriting with
+    * the 6-column build would schema-mismatch. REFRESH/REINDEX upgrade
+    * it transparently by rebuilding in place (same path, new schema) —
+    * this is also the documented route from "grain: file" to
+    * "grain: row-group" in SHOW INDEXES. */
+  private def legacySchema(idx: GraftTable): Boolean =
+    !idx.schema.fieldNames.contains("rg_start")
+
   /** REFRESH INDEX: full rebuild against the current segment set. */
   def refresh(t: GraftTable, column: String): Unit = {
     val siPath = t.meta.properties.getOrElse(siPathsKey(column),
       throw new IllegalArgumentException(s"no SI on $column"))
-    val snapshot = t.status.visible.map(_.id).toSet
     val si = GraftTable.at(t.spark, siPath)
+    if (legacySchema(si)) { create(t, column, siPath); return }
+    val snapshot = t.status.visible.map(_.id).toSet
     si.insert(buildRows(t, column), overwrite = true)
     recordIndexedSegments(si, snapshot)
   }
@@ -131,6 +140,7 @@ object Si {
     val siPath = t.meta.properties.getOrElse(siPathsKey(column),
       throw new IllegalArgumentException(s"no SI on $column"))
     val si = GraftTable.at(t.spark, siPath)
+    if (legacySchema(si)) { create(t, column, siPath); return } // upgrade
     val covered = indexedSegments(si)
     val visible = t.status.visible
     val want = segIds.map(_.toSet).getOrElse(visible.map(_.id).toSet)

@@ -85,11 +85,18 @@ object TextIndex {
     idx
   }
 
+  /** A pre-r13 posting table lacks the rg columns; REFRESH/REINDEX
+    * upgrade it by rebuilding in place (the SHOW INDEXES
+    * "grain: file" → "grain: row-group" route, same as [[Si]]). */
+  private def legacySchema(idx: GraftTable): Boolean =
+    !idx.schema.fieldNames.contains("rg_start")
+
   def refresh(t: GraftTable, column: String): Unit = {
     val p = t.meta.properties.getOrElse(key(column),
       throw new IllegalArgumentException(s"no text index on $column"))
-    val snapshot = t.status.visible.map(_.id).toSet
     val idx = GraftTable.at(t.spark, p)
+    if (legacySchema(idx)) { create(t, column, p); return } // upgrade
+    val snapshot = t.status.visible.map(_.id).toSet
     idx.insert(postings(t, column), overwrite = true)
     Si.recordIndexedSegments(idx, snapshot)
   }
@@ -101,6 +108,7 @@ object TextIndex {
     val p = t.meta.properties.getOrElse(key(column),
       throw new IllegalArgumentException(s"no text index on $column"))
     val idx = GraftTable.at(t.spark, p)
+    if (legacySchema(idx)) { create(t, column, p); return } // upgrade
     val covered = Si.indexedSegments(idx)
     val visible = t.status.visible
     val want = segIds.map(_.toSet).getOrElse(visible.map(_.id).toSet)
