@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CatalogQueries, EngineQueries, GeoQueries, IudQueries, PipelineQueries, RelationalQueries, TextQueries}
+import graft.queries.{CatalogQueries, EngineQueries, GeoQueries, IudQueries, LifecycleQueries, PipelineQueries, RelationalQueries, TextQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -12,11 +12,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       EngineQueries.queries ++ PipelineQueries.queries ++ IudQueries.queries ++
-      CatalogQueries.queries ++ GeoQueries.queries
+      CatalogQueries.queries ++ GeoQueries.queries ++ LifecycleQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       EngineQueries.oracle ++ PipelineQueries.oracle ++ IudQueries.oracle ++
-      CatalogQueries.oracle ++ GeoQueries.oracle
+      CatalogQueries.oracle ++ GeoQueries.oracle ++ LifecycleQueries.oracle
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.engine.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** Table-LIFECYCLE correctness rows: each fixture drives a whole engine
+  * lifecycle — LOAD DATA CSV, mixed-format ADD SEGMENT, compaction +
+  * CLEAN FILES, schema evolution, streaming ingest + handoff — and the
+  * query reads the end state; the DuckDB oracle reads the ORIGINAL
+  * parquet, so a green row proves the lifecycle is value-preserving
+  * end to end (the reference's own differential methodology, SURVEY
+  * §5). These flip components that previously had only ScalaTest
+  * evidence (VERDICT r12 rows 7/8/9/11/35/37/38) into oracle-certified
+  * ones. Fixtures build once per (sf, name) and are reused across
+  * Verify/Bench JVMs — every lifecycle step is idempotent-after-build
+  * and the cache check validates the END state, so a half-built
+  * fixture rebuilds from scratch. */
+object LifecycleQueries {
+
+  private val lock = new Object
+  private def path(sfDir: String, name: String): String =
+    s"${Fixtures.root}/${new java.io.File(sfDir).getName}/$name"
+  private def layoutOf(s: SparkSession, p: String) =
+    new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
+
+  /** customer ingested via LOAD DATA CSV (header, FORCE bad-record
+    * action — the reference default): exercises the CSV parse → sorted
+    * write → footer stats → atomic commit path. */
+  private def customerCsv(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_load_csv")
+    val l = layoutOf(s, p)
+    if (l.exists && l.readStatus().visible.nonEmpty) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "customer")
+      val csvDir = s"${p}_csv"
+      src.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(csvDir)
+      val tbl = GraftTable.create(s, p, src.schema, Seq("c_custkey"))
+      tbl.loadCsv(csvDir, badRecordsAction = "FORCE")
+      tbl
+    }
+  }
+
+  /** supplier spread over three SEGMENT FORMATS: a native parquet
+    * insert, plus CSV and JSON segments adopted via ALTER TABLE ADD
+    * SEGMENT — reads union one sub-scan per format (MixedScan). */
+  private def supplierMixed(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_mixed")
+    val l = layoutOf(s, p)
+    if (l.exists && l.readStatus().visible.size == 3) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "supplier")
+      val tbl = GraftTable.createAsSelect(s, p,
+        src.filter(col("s_suppkey") % 3 === 0), Seq("s_suppkey"))
+      val csvDir = s"${p}_csv"
+      src.filter(col("s_suppkey") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      tbl.addSegment(csvDir, "csv")
+      val jsonDir = s"${p}_json"
+      src.filter(col("s_suppkey") % 3 === 2).coalesce(1)
+        .write.mode("overwrite").json(jsonDir)
+      tbl.addSegment(jsonDir, "json")
+      tbl
+    }
+  }
+
+  /** orders loaded as four key-range segments, MAJOR-compacted into
+    * one, retired inputs reclaimed by CLEAN FILES — the full
+    * consolidation lifecycle must be value-preserving. */
+  private def ordersCompacted(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_compact")
+    val l = layoutOf(s, p)
+    if (l.exists && { val st = l.readStatus()
+        st.visible.size == 1 && st.visible.head.id >= 4 }) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val n = src.agg(max("o_orderkey")).collect().head.getLong(0) + 1
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"))
+      (0 until 4).foreach(i => tbl.insert(src.filter(
+        col("o_orderkey") >= i * n / 4 && col("o_orderkey") < (i + 1) * n / 4)))
+      tbl.compact("MAJOR")
+      tbl.cleanFiles()
+      tbl
+    }
+  }
+
+  /** customer through schema evolution: ADD COLUMN (old segments read
+    * null), a second insert carrying the new column, then RENAME
+    * COLUMN (single consolidating rewrite). The oracle doubles
+    * customer with a NULL/derived bonus split. */
+  private def customerEvolved(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_evolve")
+    val l = layoutOf(s, p)
+    val ok = l.exists && l.readStatus().visible.nonEmpty && {
+      val f = DataType.fromJson(l.readTableMeta().schemaJson)
+        .asInstanceOf[StructType].fieldNames
+      f.contains("balance") && f.contains("bonus")
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "customer")
+      val tbl = GraftTable.createAsSelect(s, p, src, Seq("c_custkey"))
+      tbl.addColumns(Seq(StructField("bonus", LongType, nullable = true)))
+      tbl.insert(src.withColumn("bonus", col("c_custkey") % 97))
+      tbl.renameColumn("c_acctbal", "balance")
+      tbl
+    }
+  }
+
+  /** orders ingested through the STREAMING path: a file-source
+    * readStream drained with Trigger.AvailableNow into the table's
+    * open streaming segment, then ALTER TABLE FINISH STREAMING hands
+    * the segment off to columnar. */
+  private def ordersStreamed(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_stream")
+    val l = layoutOf(s, p)
+    val ok = l.exists && { val st = l.readStatus()
+      st.visible.nonEmpty &&
+        !st.segments.exists(_.status == graft.engine.format.SegmentStatus.Streaming)
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      val tbl = GraftTable.create(s, p, schema)
+      val stage = s"${p}_stage"
+      t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(stage)
+      val src = s.readStream.schema(schema).parquet(stage)
+      val name = s"lc_stream_${System.nanoTime()}"
+      val q = graft.engine.streaming.StreamManager.createStream(
+        name, tbl, src,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        checkpoint = Some(s"${p}_ckpt"))
+      q.awaitTermination()
+      graft.engine.streaming.StreamManager.finishStreaming(tbl)
+      tbl
+    }
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "q_load_csv" -> ((s, d) =>
+      customerCsv(s, d).read.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))),
+    "q_mixed_format" -> ((s, d) =>
+      supplierMixed(s, d).read.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("sum_bal"))),
+    "q_compaction" -> ((s, d) =>
+      ordersCompacted(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))),
+    "q_schema_evolution" -> ((s, d) =>
+      customerEvolved(s, d).read.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("balance")).as("sum_bal"),
+          sum(col("bonus")).cast("long").as("sum_bonus"))),
+    "q_stream_sink" -> ((s, d) =>
+      ordersStreamed(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_load_csv" ->
+      s"""SELECT c_mktsegment, count(*) AS cnt,
+          ${oDsum("c_acctbal")} AS sum_bal
+          FROM customer GROUP BY c_mktsegment""",
+    "q_mixed_format" ->
+      s"""SELECT s_nationkey, count(*) AS cnt,
+          ${oDsum("s_acctbal")} AS sum_bal
+          FROM supplier GROUP BY s_nationkey""",
+    "q_compaction" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY o_orderstatus""",
+    "q_schema_evolution" ->
+      s"""SELECT c_mktsegment, count(*) AS cnt,
+          ${oDsum("balance")} AS sum_bal,
+          CAST(sum(bonus) AS BIGINT) AS sum_bonus
+          FROM (
+            SELECT c_mktsegment, c_acctbal AS balance, NULL AS bonus FROM customer
+            UNION ALL
+            SELECT c_mktsegment, c_acctbal AS balance, c_custkey % 97 AS bonus
+            FROM customer)
+          GROUP BY c_mktsegment""",
+    "q_stream_sink" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY o_orderstatus"""
+  )
+}
