@@ -148,6 +148,85 @@ object LifecycleQueries {
     }
   }
 
+  /** orders (key subset) mutated by a CDC change stream: Debezium-style
+    * JSON envelopes (`before`/`after`/`op`/`ts_ms`) staged as kafka-
+    * wire-shaped binary frames, decoded by [[CdcStreamer
+    * .decodeJsonEnvelope]], applied as per-batch merges — deletes for
+    * key%10=3, doubled-price updates for %10=4, fresh inserts for
+    * %10=5. The oracle replays the same change set relationally. */
+  private def ordersCdc(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_cdc")
+    val l = layoutOf(s, p)
+    val ok = l.exists && l.readStatus().visible.nonEmpty &&
+      l.readTableMeta().properties.contains("lc_cdc_done")
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val tbl = GraftTable.createAsSelect(s, p, src, Seq("o_orderkey"))
+      val maxk = src.agg(max("o_orderkey")).collect().head.getLong(0) + 1
+      val rowT = tbl.schema
+      def envelope(before: org.apache.spark.sql.Column,
+          after: org.apache.spark.sql.Column, op: String) =
+        to_json(struct(before.as("before"), after.as("after"),
+          lit(op).as("op"), lit(1000L).as("ts_ms"))).cast("binary").as("value")
+      val nullRow = lit(null).cast(rowT)
+      val image = struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val m = col("o_orderkey") % 10
+      val dels = src.filter(m === 3).select(envelope(image, nullRow, "d"))
+      val upds = src.filter(m === 4).select(envelope(nullRow,
+        struct(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("CDC-UPD").as("o_orderpriority")), "u"))
+      val ins = src.filter(m === 5).select(envelope(nullRow,
+        struct((col("o_orderkey") + maxk).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority")), "c"))
+      val stage = s"${p}_stage"
+      dels.union(upds).union(ins).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val raw = s.readStream.schema(
+        StructType(Seq(StructField("value", BinaryType)))).parquet(stage)
+      val cfg = graft.engine.streaming.CdcConfig(
+        "o_orderkey", orderColumn = Some("ts_ms"))
+      val name = s"lc_cdc_${System.nanoTime()}"
+      val q = graft.engine.streaming.CdcStreamer.start(
+        name, tbl,
+        graft.engine.streaming.CdcStreamer.decodeJsonEnvelope(raw, rowT, cfg),
+        cfg,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        checkpoint = Some(s"${p}_ckpt"))
+      q.awaitTermination()
+      graft.engine.streaming.StreamManager.dropStream(name)
+      tbl.setProperties(Map("lc_cdc_done" -> "1"))
+      tbl
+    }
+  }
+
+  /** supplier as a carbonish table round-tripped through the Arrow IPC
+    * export (reference SDK ArrowCarbonReader): serialized batches back
+    * to a DataFrame, then aggregated — a value-level proof of the
+    * export surface, not just a schema check. */
+  private def supplierArrow(s: SparkSession, d: String): DataFrame = {
+    val tbl = lock.synchronized {
+      val p = path(d, "lc_arrow")
+      val l = layoutOf(s, p)
+      if (l.exists && l.readStatus().visible.nonEmpty) GraftTable.at(s, p)
+      else {
+        if (l.exists) GraftTable.drop(s, p)
+        GraftTable.createAsSelect(s, p, t(s, d, "supplier"), Seq("s_suppkey"))
+      }
+    }
+    // export is a client/SDK surface: batches are driver-sized by
+    // contract (the reference reader hands them to a local process)
+    val batches = tbl.toArrowBatches.collect().iterator
+    org.apache.spark.sql.graft.Shims.fromArrowBatches(
+      s, batches, tbl.schema.json)
+  }
+
   def queries: Map[String, QFn] = Map(
     "q_load_csv" -> ((s, d) =>
       customerCsv(s, d).read.groupBy("c_mktsegment")
@@ -164,7 +243,14 @@ object LifecycleQueries {
           sum(col("bonus")).cast("long").as("sum_bonus"))),
     "q_stream_sink" -> ((s, d) =>
       ordersStreamed(s, d).read.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))),
+    "q_cdc_apply" -> ((s, d) =>
+      ordersCdc(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))),
+    "q_arrow_export" -> ((s, d) =>
+      supplierArrow(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("s_suppkey")).cast("long").as("sum_key")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -193,6 +279,23 @@ object LifecycleQueries {
     "q_stream_sink" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
           ${oDsum("o_totalprice")} AS sum_price
-          FROM orders GROUP BY o_orderstatus"""
+          FROM orders GROUP BY o_orderstatus""",
+    "q_cdc_apply" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price
+          FROM (
+            SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 10 NOT IN (3, 4)
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice * 2 FROM orders
+            WHERE o_orderkey % 10 = 4
+            UNION ALL
+            SELECT 'N' AS o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 10 = 5)
+          GROUP BY o_orderstatus""",
+    "q_arrow_export" ->
+      s"""SELECT s_nationkey, count(*) AS cnt,
+          CAST(sum(s_suppkey) AS BIGINT) AS sum_key
+          FROM supplier GROUP BY s_nationkey"""
   )
 }
