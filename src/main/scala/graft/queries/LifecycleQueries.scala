@@ -227,6 +227,48 @@ object LifecycleQueries {
       s, batches, tbl.schema.json)
   }
 
+  /** orders in three custkey-range segments for the runtime-filter
+    * (DPP-style) row: the dim side's keys resolve only at execution
+    * time, and the scan's SupportsRuntimeFiltering prunes fact
+    * segments whose custkey stats cannot match. */
+  private def ordersByCust(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_cust3")
+    val l = layoutOf(s, p)
+    if (l.exists && l.readStatus().visible.size == 3) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val n = src.agg(max("o_custkey")).collect().head.getLong(0) + 1
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_custkey", "o_orderkey"))
+      (0 until 3).foreach(i => tbl.insert(src.filter(
+        col("o_custkey") >= i * n / 3 && col("o_custkey") < (i + 1) * n / 3)))
+      tbl
+    }
+  }
+
+  /** orders in three date-range segments with the middle one removed
+    * via DELETE SEGMENT — retirement is a metadata commit; the files
+    * stay until CLEAN FILES but reads must never see the rows. */
+  private def ordersSegDeleted(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_segdel")
+    val l = layoutOf(s, p)
+    val ok = l.exists && { val st = l.readStatus()
+      st.segments.size == 3 && st.visible.size == 2 }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderdate", "o_orderkey"))
+      val c1 = lit("1995-01-01").cast("timestamp")
+      val c2 = lit("1997-01-01").cast("timestamp")
+      tbl.insert(src.filter(col("o_orderdate") < c1))
+      tbl.insert(src.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2))
+      tbl.insert(src.filter(col("o_orderdate") >= c2))
+      tbl.deleteSegmentsById(Seq(1L))
+      tbl
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "q_load_csv" -> ((s, d) =>
       customerCsv(s, d).read.groupBy("c_mktsegment")
@@ -250,7 +292,23 @@ object LifecycleQueries {
     "q_arrow_export" -> ((s, d) =>
       supplierArrow(s, d).groupBy("s_nationkey")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("s_suppkey")).cast("long").as("sum_key")))
+          sum(col("s_suppkey")).cast("long").as("sum_key"))),
+    "q_runtime_prune" -> ((s, d) => {
+      val fact = ordersByCust(s, d)
+      val cust = t(s, d, "customer")
+      val n = cust.agg(max("c_custkey")).collect().head.getLong(0) + 1
+      // dim keys resolve at run time and live only in segment 0's
+      // custkey range — SupportsRuntimeFiltering prunes segments 1/2
+      val dim = cust.filter(
+        col("c_custkey") < lit(n / 3) && col("c_mktsegment") === "BUILDING")
+      fact.read.join(broadcast(dim),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    "q_segment_delete" -> ((s, d) =>
+      ordersSegDeleted(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -296,6 +354,20 @@ object LifecycleQueries {
     "q_arrow_export" ->
       s"""SELECT s_nationkey, count(*) AS cnt,
           CAST(sum(s_suppkey) AS BIGINT) AS sum_key
-          FROM supplier GROUP BY s_nationkey"""
+          FROM supplier GROUP BY s_nationkey""",
+    "q_runtime_prune" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_custkey < (SELECT (max(c_custkey) + 1) // 3 FROM customer)
+            AND c_mktsegment = 'BUILDING'
+          GROUP BY o_orderstatus""",
+    "q_segment_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-01-01'
+             OR o_orderdate >= TIMESTAMP '1997-01-01'
+          GROUP BY o_orderstatus"""
   )
 }
