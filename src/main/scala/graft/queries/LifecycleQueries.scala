@@ -142,7 +142,9 @@ object LifecycleQueries {
         name, tbl, src,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         checkpoint = Some(s"${p}_ckpt"))
-      q.awaitTermination()
+      // bounded wait: a wedged stream must fail THIS row, not hang the
+      // whole Verify gate run
+      require(q.awaitTermination(300000), "streaming ingest did not drain in 300s")
       graft.engine.streaming.StreamManager.finishStreaming(tbl)
       tbl
     }
@@ -199,7 +201,8 @@ object LifecycleQueries {
         cfg,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         checkpoint = Some(s"${p}_ckpt"))
-      q.awaitTermination()
+      // bounded for the same gate-survival reason as ordersStreamed
+      require(q.awaitTermination(300000), "CDC stream did not drain in 300s")
       graft.engine.streaming.StreamManager.dropStream(name)
       tbl.setProperties(Map("lc_cdc_done" -> "1"))
       tbl
