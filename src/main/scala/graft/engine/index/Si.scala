@@ -85,6 +85,7 @@ object Si {
     recordIndexedSegments(si, snapshot)
     t.layout.updateTableMeta(m => m.copy(
       properties = m.properties + (siPathsKey(column) -> siPath)))
+    SiSql.enable(t.spark) // plain SQL filters now consult the SI
     si
   }
 
@@ -179,8 +180,22 @@ object Si {
   def readWhereIn(t: GraftTable, column: String, values: Seq[Any],
       maxFileHits: Int = FileGrainMaxHits): DataFrame = {
     val pred = col(column).isin(values: _*)
-    t.meta.properties.get(siPathsKey(column)) match {
+    pinnedFor(t, column, values, maxFileHits) match {
       case None => t.read.filter(pred)
+      case Some(base) => base.filter(pred)
+    }
+  }
+
+  /** The pinned UNFILTERED base read serving an equality/IN lookup on
+    * `column` — a provable superset of the matching rows at the finest
+    * grain the SI can serve (row-group → file → segment), or None when
+    * the column has no SI. Shared by [[readWhereIn]] (which applies
+    * the exact residual) and [[SiRewriteRule]] (which swaps it in
+    * under the query's own Filter). */
+  private[index] def pinnedFor(t: GraftTable, column: String, values: Seq[Any],
+      maxFileHits: Int = FileGrainMaxHits): Option[DataFrame] = {
+    t.meta.properties.get(siPathsKey(column)) match {
+      case None => None
       case Some(siPath) =>
         val si = GraftTable.at(t.spark, siPath)
         val visSegs = t.status.visible
@@ -201,11 +216,11 @@ object Si {
             s"SI($column) segment-grain: pinned ${target.size}/${visible.size} " +
               s"segments (${uncovered.size} uncovered scanned unindexed)")
           if (target.isEmpty)
-            t.read.filter(pred).limit(0) // provably empty
-          else t.readSegments(target).filter(pred)
+            t.read.limit(0) // provably empty
+          else t.readSegments(target)
         }
-        if (!si.schema.fieldNames.contains("file")) segmentGrain()
-        else {
+        if (!si.schema.fieldNames.contains("file")) Some(segmentGrain())
+        else Some {
           val rgCapable = si.schema.fieldNames.contains("rg_start")
           val cols =
             if (rgCapable) Seq("seg_id", "file", "rg_start", "rg_len")
@@ -253,9 +268,9 @@ object Si {
                 (if (ranges.nonEmpty)
                   s", ${ranges.values.map(_.size).sum} row group(s)"
                 else ""))
-            if (wanted.isEmpty) t.read.filter(pred).limit(0)
-            else if (ranges.nonEmpty) t.readFilesRanges(wanted, ranges).filter(pred)
-            else t.readFiles(wanted).filter(pred)
+            if (wanted.isEmpty) t.read.limit(0)
+            else if (ranges.nonEmpty) t.readFilesRanges(wanted, ranges)
+            else t.readFiles(wanted)
           }
         }
     }

@@ -1,0 +1,122 @@
+package graft.engine.index
+
+import graft.engine.GraftTable
+import graft.engine.source.CarbonishScan
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+/** Automatic SI acceleration for plain SQL/DataFrame filters — the
+  * reference's CarbonSITransformationRule + BroadCastSIFilterPushJoin
+  * pair (secondary_index/.../CarbonSITransformationRule.scala:59): a
+  * `WHERE indexed_col = v` / `IN (…)` over a carbonish scan is
+  * rewritten to the SI-pinned read ([[Si.pinnedFor]]: row-group →
+  * file → segment grain) with the ORIGINAL filter kept as the exact
+  * residual, so users get index pruning without calling
+  * [[Si.readWhereIn]] themselves. Installed per-session by
+  * [[SiSql.enable]]; CREATE INDEX … AS 'carbondata' enables it
+  * automatically. */
+object SiSql {
+  def enable(spark: SparkSession): Unit = synchronized {
+    val has = spark.experimental.extraOptimizations.exists(_.isInstanceOf[SiRewriteRule])
+    if (!has) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new SiRewriteRule
+  }
+}
+
+class SiRewriteRule extends Rule[LogicalPlan] {
+
+  /** Past this many literals an index probe stops being a point lookup
+    * (the IN-list itself scans a meaningful index fraction) — leave
+    * the plan to the ordinary stats ladder. */
+  private val MaxValues = 256
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (SiRewriteRule.disabled.get()) plan
+    else plan.transformUp {
+      case f @ Filter(_, _) =>
+        try rewrite(f).getOrElse(f)
+        catch { case scala.util.control.NonFatal(_) => f } // never break a query
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** (attribute, external literal values) of an equality/IN conjunct —
+    * the shapes the SI can serve. Optimizer may have turned a long IN
+    * into InSet; nulls never match an isin lookup so they drop out. */
+  private def lookupOf(e: Expression): Option[(Attribute, Seq[Any])] = {
+    def ext(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+      CatalystTypeConverters.createToScalaConverter(dt)(v)
+    e match {
+      case EqualTo(a: Attribute, Literal(v, dt)) if v != null => Some((a, Seq(ext(v, dt))))
+      case EqualTo(Literal(v, dt), a: Attribute) if v != null => Some((a, Seq(ext(v, dt))))
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.collect { case Literal(v, dt) if v != null => ext(v, dt) }
+        if (lits.isEmpty) None else Some((a, lits))
+      case InSet(a: Attribute, vs) if vs.nonEmpty =>
+        val lits = vs.toSeq.filter(_ != null).map(ext(_, a.dataType))
+        if (lits.isEmpty) None else Some((a, lits))
+      case _ => None
+    }
+  }
+
+  private def rewrite(f: Filter): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    // exactly one UNPINNED carbonish scan (a pinned scan is this rule's
+    // own output — or an explicit insegment/readFiles read — and must
+    // not re-trigger; fixed-point batches would otherwise loop)
+    val rels = f.child.collect {
+      case r @ DataSourceV2ScanRelation(_, cs: CarbonishScan, _, _, _)
+          if !cs.scanOptions.containsKey("segments") => (r, cs)
+    }
+    if (rels.size != 1) return None
+    val (rel, cs) = rels.head
+    val t = GraftTable.at(spark, cs.layout.tablePath)
+    val siCols = t.meta.properties.keys
+      .filter(_.startsWith("si.")).map(_.stripPrefix("si.")).toSet
+    if (siCols.isEmpty) return None
+    // first conjunct the SI can serve; the WHOLE original condition
+    // stays above as the exact residual (the pinned base is a superset)
+    val hit = splitConjuncts(f.condition).iterator.flatMap(lookupOf).collectFirst {
+      case (a, vs) if vs.size <= MaxValues &&
+        siCols.exists(_.equalsIgnoreCase(a.name)) &&
+        rel.output.exists(_.exprId == a.exprId) => (a, vs)
+    }
+    hit.flatMap { case (attr, values) =>
+      val colName = siCols.find(_.equalsIgnoreCase(attr.name)).get
+      Si.pinnedFor(t, colName, values).map { base =>
+        // plan the pinned read with exactly the relation's columns, then
+        // project back onto the original attribute ids so everything
+        // above (residual filter included) resolves unchanged
+        val pruned = graft.engine.mv.MvRewriteRule.withoutRewrite {
+          base.select(rel.output.map(a =>
+            org.apache.spark.sql.functions.col(a.name)).toSeq: _*)
+            .queryExecution.optimizedPlan
+        }
+        val byName = pruned.output.map(a => a.name.toLowerCase -> a).toMap
+        val newRel: LogicalPlan = Project(rel.output.map(a =>
+          Alias(byName(a.name.toLowerCase), a.name)(exprId = a.exprId)), pruned)
+        val newChild = f.child.transformUp { case r if r eq rel => newRel }
+        Filter(f.condition, newChild)
+      }
+    }
+  }
+}
+
+object SiRewriteRule {
+  private val disabled = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  /** Run `body` with the rewrite off — for engine-internal reads
+    * (mutation scans pin their own files; a nested rewrite is waste). */
+  def withoutRewrite[T](body: => T): T = {
+    val prev = disabled.get(); disabled.set(true)
+    try body finally disabled.set(prev)
+  }
+}

@@ -208,6 +208,16 @@ object EngineQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
     }),
+    // the AUTOMATIC form (reference CarbonSITransformationRule): a plain
+    // DataFrame filter — no readWhereIn — rewritten by SiRewriteRule to
+    // the same pinned read; SiSqlRewriteSpec asserts the pruning
+    "q_si_sql_lookup" -> ((s, d) => {
+      val tbl = ordersSi(s, d)
+      graft.engine.index.SiSql.enable(s)
+      tbl.read.filter(col("o_custkey").isin(7L, 21L, 404L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
     // insegment('1')-style pinned read (reference CarbonEnv.scala:100):
     // segment 1 holds exactly the 1995-1996 date range by construction
     "q_engine_insegment" -> ((s, d) => {
@@ -471,6 +481,9 @@ object EngineQueries {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
          WHERE c_custkey IN (7, 421, 1033)""",
     "q_si_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_custkey IN (7, 21, 404)""",
+    "q_si_sql_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_custkey IN (7, 21, 404)""",
     "q_engine_insegment" ->
