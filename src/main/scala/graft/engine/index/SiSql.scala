@@ -66,26 +66,47 @@ class SiRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The scan is only safe to pin when every node between the filter
+    * and the relation is row-1:1 and filter-transparent (Project /
+    * Filter / SubqueryAlias). Anything else — Limit (changes WHICH
+    * rows survive), Window / Aggregate (values computed over the
+    * peer set), Sample, joins — could observe the removed rows, so
+    * the rewrite declines (same safety set as Catalyst's own
+    * predicate pushdown). */
+  @scala.annotation.tailrec
+  private def scanBelow(p: LogicalPlan)
+      : Option[(DataSourceV2ScanRelation, CarbonishScan)] = p match {
+    case r @ DataSourceV2ScanRelation(_, cs: CarbonishScan, _, _, _) =>
+      // a pinned scan is this rule's own output — or an explicit
+      // insegment/readFiles read — and must not re-trigger
+      // (fixed-point batches would otherwise loop)
+      if (cs.scanOptions.containsKey("segments")) None else Some((r, cs))
+    case Project(_, child) => scanBelow(child)
+    case Filter(_, child) => scanBelow(child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      scanBelow(s.child)
+    case _ => None
+  }
+
   private def rewrite(f: Filter): Option[LogicalPlan] = {
     val spark = SparkSession.active
-    // exactly one UNPINNED carbonish scan (a pinned scan is this rule's
-    // own output — or an explicit insegment/readFiles read — and must
-    // not re-trigger; fixed-point batches would otherwise loop)
-    val rels = f.child.collect {
-      case r @ DataSourceV2ScanRelation(_, cs: CarbonishScan, _, _, _)
-          if !cs.scanOptions.containsKey("segments") => (r, cs)
-    }
-    if (rels.size != 1) return None
-    val (rel, cs) = rels.head
+    // pure expression analysis first — most filters carry no equality/
+    // IN conjunct, and they must not pay the plan walk or a table-meta
+    // stat call on every optimizer pass
+    val lookups = splitConjuncts(f.condition).flatMap(lookupOf)
+      .filter(_._2.size <= MaxValues)
+    if (lookups.isEmpty) return None
+    val found = scanBelow(f.child)
+    if (found.isEmpty) return None
+    val (rel, cs) = found.get
     val t = GraftTable.at(spark, cs.layout.tablePath)
     val siCols = t.meta.properties.keys
       .filter(_.startsWith("si.")).map(_.stripPrefix("si.")).toSet
     if (siCols.isEmpty) return None
     // first conjunct the SI can serve; the WHOLE original condition
     // stays above as the exact residual (the pinned base is a superset)
-    val hit = splitConjuncts(f.condition).iterator.flatMap(lookupOf).collectFirst {
-      case (a, vs) if vs.size <= MaxValues &&
-        siCols.exists(_.equalsIgnoreCase(a.name)) &&
+    val hit = lookups.collectFirst {
+      case (a, vs) if siCols.exists(_.equalsIgnoreCase(a.name)) &&
         rel.output.exists(_.exprId == a.exprId) => (a, vs)
     }
     hit.flatMap { case (attr, values) =>

@@ -71,6 +71,32 @@ class SiSqlRewriteSpec extends AnyFunSuite {
     assert(q2.count() == src.filter(col("o_orderstatus") === "P").count())
   }
 
+  test("row-set-sensitive operators between filter and scan block the rewrite") {
+    val (t, src) = fixture()
+    // ORDER BY + LIMIT below the filter: pinning the scan would change
+    // WHICH rows the limit keeps — the answer must be "status-P rows
+    // among the 100 globally-smallest orderkeys", not "the 100 smallest
+    // P rows"
+    val viaLimit = t.read.orderBy("o_orderkey").limit(100)
+      .filter(col("o_orderstatus") === "P")
+    val expectLimit = src.orderBy("o_orderkey").limit(100)
+      .filter(col("o_orderstatus") === "P").count()
+    assert(viaLimit.count() == expectLimit)
+    // a window below the filter ranks over the FULL peer set (priority
+    // partitions span all three status segments); pinning would rank
+    // among P rows only and admit extra rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("o_orderkey")
+    val viaWin = t.read.withColumn("rn", row_number().over(w))
+      .filter(col("o_orderstatus") === "P" && col("rn") <= 5)
+      .select("o_orderkey")
+    val expectWin = src.withColumn("rn", row_number().over(w))
+      .filter(col("o_orderstatus") === "P" && col("rn") <= 5)
+      .select("o_orderkey")
+    assert(viaWin.collect().map(_.getLong(0)).toSet ==
+      expectWin.collect().map(_.getLong(0)).toSet)
+  }
+
   test("segments loaded after the index build are still scanned (coverage)") {
     val (t, src) = fixture()
     val expected = src.filter(col("o_orderstatus") === "P").count()
