@@ -139,10 +139,56 @@ object Mutation extends org.apache.spark.internal.Logging {
         if (keptAbs.isEmpty) None else Some((s, keptAbs))
       }
     }
-    val (fTot, fKept) = (segs.map(_._2.size).sum, kept.map(_._2.size).sum)
+    val siKept = siPrune(t, kept, filters)
+    val (fTot, fKept) = (segs.map(_._2.size).sum, siKept.map(_._2.size).sum)
     if (fKept < fTot)
       logInfo(s"[graft] mutation candidate prune: $fKept/$fTot files")
-    kept
+    siKept
+  }
+
+  /** SI rung of the mutation candidate ladder (r13): where segment/file
+    * stats can't prune an equality/IN predicate (non-sort column), the
+    * SI's value → (segment, file) postings can — a point DELETE on an
+    * indexed 100 TB column scans the posting-named files, not every
+    * stats-surviving footer. Purely subtractive over the stats-kept
+    * set; segments the index hasn't covered keep all their files
+    * ([[graft.engine.index.Si.mutationHits]] contract), so a stale SI
+    * can never hide a row from a mutation. */
+  private def siPrune(
+      t: GraftTable,
+      kept: Seq[(SegmentMeta, Seq[String])],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[(SegmentMeta, Seq[String])] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val siCols = t.meta.properties.keys
+      .filter(_.startsWith("si.")).map(_.stripPrefix("si.")).toSet
+    if (siCols.isEmpty) return kept
+    val lookups = filters.collect {
+      case EqualTo(a, v) if v != null && siCols.exists(_.equalsIgnoreCase(a)) =>
+        (siCols.find(_.equalsIgnoreCase(a)).get, Seq(v))
+      case In(a, vs) if vs.nonEmpty && vs.length <= 256 && vs.forall(_ != null) &&
+          siCols.exists(_.equalsIgnoreCase(a)) =>
+        (siCols.find(_.equalsIgnoreCase(a)).get, vs.toSeq)
+    }
+    lookups.foldLeft(kept) { case (acc, (colName, values)) =>
+      graft.engine.index.Si.mutationHits(t, colName, values) match {
+        case None => acc
+        case Some((covered, hits)) => acc.flatMap { case (s, abs) =>
+          if (!covered.contains(s.id)) Some((s, abs))
+          else hits.get(s.id) match {
+            case None => None // covered and provably value-free
+            case Some(None) => Some((s, abs)) // segment-grain hit
+            case Some(Some(files)) =>
+              val keptAbs = abs.filter { a =>
+                val i = a.indexOf(s"/segments/${s.id}/")
+                i >= 0 && files.contains(
+                  a.substring(i + s"/segments/${s.id}/".length))
+              }
+              if (keptAbs.isEmpty) None else Some((s, keptAbs))
+          }
+        }
+      }
+    }
   }
 
   private def splitConjuncts(

@@ -170,6 +170,42 @@ object Si {
     * degrades to segment grain (loud in the plan, not in results). */
   private val FileGrainMaxHits = 10000
 
+  /** SI pruning for MUTATION candidate scans (the same rung the read
+    * path uses, applied to the find-the-matches scan of UPDATE/DELETE/
+    * MERGE): which files of COVERED segments can contain `values`.
+    * None = no SI on the column, or the lookup over-caps (no pruning,
+    * conservative). Contract for `(covered, hits)`:
+    *   - segment outside `covered` (loaded/compacted since the last
+    *     refresh, or unknown to this SI snapshot) → keep ALL its files;
+    *   - covered, absent from `hits` → provably value-free, drop;
+    *   - `hits(id) == None` → segment-grain hit (pre-file SI), keep all;
+    *   - `hits(id) == Some(files)` → keep exactly those files. */
+  private[engine] def mutationHits(t: GraftTable, column: String, values: Seq[Any],
+      maxFileHits: Int = FileGrainMaxHits)
+      : Option[(Set[Long], Map[Long, Option[Set[String]]])] =
+    t.meta.properties.get(siPathsKey(column)).flatMap { siPath =>
+      val si = GraftTable.at(t.spark, siPath)
+      val covered = indexedSegments(si)
+      if (!si.schema.fieldNames.contains("file")) {
+        val hits = si.read.filter(col("v").isin(values: _*))
+          .select("seg_id").distinct().collect().map(_.getLong(0)).toSet
+        Some((covered,
+          (hits & covered).map(_ -> (None: Option[Set[String]])).toMap))
+      } else {
+        // RAW-count overflow check, same invariant as readWhereIn
+        val raw = si.read.filter(col("v").isin(values: _*))
+          .select("seg_id", "file").distinct()
+          .limit(maxFileHits + 1).collect()
+        if (raw.length > maxFileHits) None
+        else Some((covered, raw.toSeq
+          .map(r => (r.getLong(0), r.getString(1)))
+          .filter { case (sId, _) => covered.contains(sId) }
+          .groupBy(_._1)
+          .map { case (k, v) =>
+            k -> (Some(v.map(_._2).toSet): Option[Set[String]]) }))
+      }
+    }
+
   /** SI-accelerated equality/IN read: consult the index for the FILES
     * containing any of `values`, then scan only those files with the
     * exact predicate applied (residual) — position-grain, like the
