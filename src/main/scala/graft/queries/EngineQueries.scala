@@ -159,10 +159,10 @@ object EngineQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
-            * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          dpsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          dpsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            * (one + dec(col("l_tax")))).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))

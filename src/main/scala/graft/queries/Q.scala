@@ -32,6 +32,20 @@ object Q {
   /** Order-independent exact average of a raw money column. */
   def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(c)).cast("double")
 
+  /** Exact decimal PRODUCT sum (disc-price/charge/revenue shapes),
+    * rounded to money scale BEFORE the final double cast. The product
+    * carries scale 8–12; past ~15 significant digits DuckDB's
+    * decimal→double cast double-rounds (int128→double, then ÷10^s)
+    * while Spark's BigDecimal cast rounds once, so bit-equality breaks
+    * at sf≥0.1 in the last ulp. Rounding the SUM to scale 4 keeps the
+    * unscaled value below 2^53 at any realistic SF — both engines'
+    * casts become exactly one rounding and agree bit-for-bit.
+    * `round(x, 4)` rather than a narrowing decimal cast: both engines'
+    * round() is half-away-from-zero, whereas DuckDB's decimal→decimal
+    * cast TRUNCATES the dropped digits. */
+  def dpsum(c: Column): Column = round(sum(c), 4).cast("double")
+  def oDpsum(e: String): String = s"CAST(round(sum($e), 4) AS DOUBLE)"
+
   /** Oracle-side fragments mirroring the above. */
   def oDec(c: String): String = s"CAST($c AS DECIMAL(12,4))"
   def oDsum(c: String): String = s"CAST(sum(${oDec(c)}) AS DOUBLE)"

@@ -22,10 +22,10 @@ object RelationalQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
-            * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          dpsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          dpsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            * (one + dec(col("l_tax")))).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -120,8 +120,8 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("cnt"),
-          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
+          dpsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("revenue"))
     }),
 
     // ---- aggregation (§2.4): distinct / grouping sets / rollup / cube ----
@@ -472,8 +472,8 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus,
           ${oDsum("l_quantity")} AS sum_qty,
           ${oDsum("l_extendedprice")} AS sum_base_price,
-          CAST(sum(${oDec("l_extendedprice")} * (CAST(1 AS DECIMAL(12,4)) - ${oDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
-          CAST(sum(${oDec("l_extendedprice")} * (CAST(1 AS DECIMAL(12,4)) - ${oDec("l_discount")}) * (CAST(1 AS DECIMAL(12,4)) + ${oDec("l_tax")})) AS DOUBLE) AS sum_charge,
+          ${oDpsum(s"""${oDec("l_extendedprice")} * (CAST(1 AS DECIMAL(12,4)) - ${oDec("l_discount")})""")} AS sum_disc_price,
+          ${oDpsum(s"""${oDec("l_extendedprice")} * (CAST(1 AS DECIMAL(12,4)) - ${oDec("l_discount")}) * (CAST(1 AS DECIMAL(12,4)) + ${oDec("l_tax")})""")} AS sum_charge,
           ${oDavg("l_quantity")} AS avg_qty,
           ${oDavg("l_extendedprice")} AS avg_price,
           count(*) AS count_order
@@ -530,7 +530,7 @@ object RelationalQueries {
          FROM region CROSS JOIN nation""",
     "q_join_broadcast" ->
       s"""SELECT r_name, count(*) AS cnt,
-          CAST(sum(${oDec("l_extendedprice")} * (CAST(1 AS DECIMAL(12,4)) - ${oDec("l_discount")})) AS DOUBLE) AS revenue
+          ${oDpsum(s"""${oDec("l_extendedprice")} * (CAST(1 AS DECIMAL(12,4)) - ${oDec("l_discount")})""")} AS revenue
           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
