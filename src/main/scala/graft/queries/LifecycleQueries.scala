@@ -272,6 +272,76 @@ object LifecycleQueries {
     }
   }
 
+  /** orders with an SI on o_custkey (NON-sort column) taken through the
+    * full index-maintenance lifecycle: segment loads after CREATE INDEX
+    * (load-time fold-in), MAJOR compaction (merged segment folded in,
+    * victims retired), CLEAN FILES (victim files reclaimed AND their
+    * posting rows vacuumed from the SI table + coverage ledger — the
+    * r13 index-GC path, IndexVacuumSpec's subject). The query serves
+    * through Si.readWhereIn, so a green row proves the post-vacuum
+    * index is complete (no live value lost through compact+vacuum) and
+    * exact (no dead posting resurrects a reclaimed row). */
+  private def ordersVacuumed(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_vacuum")
+    val l = layoutOf(s, p)
+    val ok = l.exists && {
+      try { val st = l.readStatus()
+        st.visible.size == 1 && st.visible.head.id >= 3 &&
+          l.readTableMeta().properties.contains("si.o_custkey")
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderdate", "o_orderkey"))
+      val c1 = lit("1995-01-01").cast("timestamp")
+      val c2 = lit("1997-01-01").cast("timestamp")
+      tbl.insert(src.filter(col("o_orderdate") < c1))
+      graft.engine.index.Si.create(tbl, "o_custkey", s"$p/_si")
+      tbl.insert(src.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2))
+      tbl.insert(src.filter(col("o_orderdate") >= c2))
+      tbl.compact("MAJOR")
+      tbl.cleanFiles()
+      tbl
+    }
+  }
+
+  /** orders + SI on o_custkey taken through the MUTATION candidate
+    * ladder (r13 SI rung, SiMutationPruneSpec's subject): a CoW DELETE
+    * and a MoR UPDATE whose point predicates sit on the indexed
+    * non-sort column, so victim discovery prunes through the SI's
+    * value → (file, row-group) postings instead of scanning every
+    * stats-surviving footer. The CoW rewrite leaves the SI stale for
+    * the rewritten files (read-side conservatism covers it), so a
+    * green row also proves a stale SI can never hide rows from a
+    * later full read. */
+  private def ordersSiMutated(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_simut")
+    val l = layoutOf(s, p)
+    val ok = l.exists && {
+      try l.readStatus().visible.nonEmpty &&
+        l.readTableMeta().properties.contains("lc_simut_done")
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderdate", "o_orderkey"))
+      val c = lit("1996-01-01").cast("timestamp")
+      tbl.insert(src.filter(col("o_orderdate") < c))
+      tbl.insert(src.filter(col("o_orderdate") >= c))
+      graft.engine.index.Si.create(tbl, "o_custkey", s"$p/_si")
+      tbl.delete(col("o_custkey").isin(7L, 21L, 404L))
+      tbl.updateMor(col("o_custkey") === 11L,
+        Map("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderpriority" -> lit("SI-UPD")))
+      tbl.setProperties(Map("lc_simut_done" -> "1"))
+      tbl
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "q_load_csv" -> ((s, d) =>
       customerCsv(s, d).read.groupBy("c_mktsegment")
@@ -311,7 +381,17 @@ object LifecycleQueries {
     }),
     "q_segment_delete" -> ((s, d) =>
       ordersSegDeleted(s, d).read.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))),
+    "q_index_vacuum" -> ((s, d) =>
+      graft.engine.index.Si.readWhereIn(ordersVacuumed(s, d), "o_custkey",
+          Seq(7L, 21L, 404L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))),
+    "q_si_mutation" -> ((s, d) =>
+      ordersSiMutated(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(when(col("o_orderpriority") === "SI-UPD", 1L).otherwise(0L))
+            .cast("long").as("n_upd")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -371,6 +451,20 @@ object LifecycleQueries {
           FROM orders
           WHERE o_orderdate < TIMESTAMP '1995-01-01'
              OR o_orderdate >= TIMESTAMP '1997-01-01'
+          GROUP BY o_orderstatus""",
+    "q_index_vacuum" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_custkey IN (7, 21, 404)""",
+    // the doubled price is stored as an IEEE double (*2 is exact), so
+    // the decimal view of the stored value equals the decimal view of
+    // o_totalprice*2 computed here
+    "q_si_mutation" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          CAST(sum(CASE WHEN o_custkey = 11
+            THEN ${oDec("o_totalprice * 2")}
+            ELSE ${oDec("o_totalprice")} END) AS DOUBLE) AS sum_price,
+          CAST(sum(CASE WHEN o_custkey = 11 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+          FROM orders WHERE o_custkey NOT IN (7, 21, 404)
           GROUP BY o_orderstatus"""
   )
 }
