@@ -106,6 +106,8 @@ object GraftSql {
     * DELETE FROM TABLE <t> WHERE SEGMENT.ID IN (1,2)
     * DELETE FROM TABLE <t> WHERE SEGMENT.STARTTIME BEFORE '<ts millis or yyyy-MM-dd HH:mm:ss>'
     * ALTER TABLE <t> FINISH STREAMING
+    * ALTER TABLE <t> SET TBLPROPERTIES('k'='v', …)   -- SORT_COLUMNS/SORT_SCOPE route to the sort-spec alter
+    * ALTER TABLE <t> UNSET TBLPROPERTIES('k', …)
     * CREATE MATERIALIZED VIEW <name> [WITH DEFERRED REFRESH] STORED AT '<path>' AS <select sql>
     * REFRESH MATERIALIZED VIEW <name>
     * DROP MATERIALIZED VIEW <name>
@@ -150,6 +152,15 @@ object GraftSql {
     val DelSegIds = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*\(([^)]*)\)\s*$""".r
     val DelSegBefore = """(?is)^\s*DELETE\s+FROM\s+TABLE\s+(\S+)\s+WHERE\s+SEGMENT\.STARTTIME\s+BEFORE\s+'([^']+)'\s*$""".r
     val FinishStreaming = """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+FINISH\s+STREAMING\s*$""".r
+    // ALTER TABLE SET/UNSET TBLPROPERTIES for PATH tables (name-based
+    // tables go through Spark's v2 ALTER → GraftCatalog.alterTable).
+    // SORT_COLUMNS / SORT_SCOPE route to the real sort-spec alter
+    // (reference CarbonAlterTableSetCommand) — as a plain property they
+    // would be a silent no-op.
+    val SetTblProps =
+      """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$""".r
+    val UnsetTblProps =
+      """(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$""".r
     val CreateMv = """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+(WITH\s+DEFERRED\s+REFRESH\s+)?STORED\s+AT\s+'([^']+)'\s+AS\s+(.+)$""".r
     val RefreshMv = """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$""".r
     val ShowMvs = """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*(?:ON\s+TABLE\s+(\S+)\s*)?$""".r
@@ -578,6 +589,25 @@ object GraftSql {
         table(t).deleteSegmentsBefore(millis); Some(done)
       case FinishStreaming(t) =>
         graft.engine.streaming.StreamManager.finishStreaming(table(t)); Some(done)
+      case SetTblProps(t, propStr) =>
+        val t0 = table(t)
+        val props = parseProps(propStr) // keys lowercased
+        val sortCols = props.get("sort_columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val sortScope = props.get("sort_scope")
+        if (sortCols.isDefined || sortScope.isDefined)
+          t0.alterSortColumns(
+            sortCols.getOrElse(t0.meta.sortColumns), sortScope)
+        val rest = props -- Seq("sort_columns", "sort_scope")
+        if (rest.nonEmpty) t0.setProperties(rest)
+        Some(done)
+      case UnsetTblProps(t, keyStr) =>
+        val keys = splitTopLevel(keyStr, ",").map(
+          _.trim.stripPrefix("'").stripSuffix("'").toLowerCase)
+        val t0 = table(t)
+        if (keys.contains("sort_columns")) t0.alterSortColumns(Nil)
+        t0.unsetProperties(keys.filterNot(Set("sort_columns", "sort_scope")))
+        Some(done)
       case CreateMv(name, deferredKw, path, query) =>
         // WITH DEFERRED REFRESH (docs/mv-guide.md:147-161): deferred MVs
         // skip refresh-on-commit and wait for REFRESH MATERIALIZED VIEW

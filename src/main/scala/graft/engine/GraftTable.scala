@@ -447,6 +447,37 @@ class GraftTable private (val spark: SparkSession, val path: String)
   def unsetProperties(keys: Seq[String]): Unit =
     layout.updateTableMeta(m => m.copy(properties = m.properties -- keys))
 
+  /** ALTER TABLE … SET TBLPROPERTIES('SORT_COLUMNS'=…[, 'SORT_SCOPE'=…])
+    * (reference CarbonAlterTableSetCommand; docs/ddl-of-carbondata.md
+    * SORT_COLUMNS/SORT_SCOPE modification): metadata-only — FUTURE
+    * loads and compactions write under the new spec ([[meta]] re-reads
+    * per call), while existing segments keep the sortColumns RECORDED
+    * in their SegmentMeta. Every sort-dependent read claim
+    * (outputOrdering, pagination's committed-order contract) already
+    * refuses mixed-spec tables, and TopN/min-max pruning is footer-
+    * stats-based, so the change is always sound; a MAJOR compaction
+    * rewrites everything under the new spec and restores the
+    * table-wide ordering claim. Empty `cols` = NO sort (reference
+    * SORT_COLUMNS=''). */
+  def alterSortColumns(cols: Seq[String], scope: Option[String] = None): Unit = {
+    val bad = cols.filterNot(c => schema.fieldNames.contains(c))
+    require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
+    scope.foreach(sc => require(
+      Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT").contains(sc.toUpperCase),
+      s"bad sort scope $sc"))
+    // a spatial-index table's generated geoId column must stay the
+    // leading sort key — geoId range pruning degrades badly without
+    // the write-time clustering (the reference refuses altering the
+    // SPATIAL_INDEX column entirely)
+    graft.geo.SpatialIndex.of(meta.properties).foreach { sp =>
+      require(cols.headOption.contains(sp.name),
+        s"spatial-index table: SORT_COLUMNS must keep '${sp.name}' first")
+    }
+    layout.updateTableMeta(m => m.copy(
+      sortColumns = cols,
+      sortScope = scope.map(_.toUpperCase).getOrElse(m.sortScope)))
+  }
+
   /** Rewrite all visible data as one new segment under the NEW meta,
     * committing data + schema together. */
   private def rewriteAll(f: DataFrame => DataFrame)(updateMeta: TableMeta => TableMeta): Unit = {

@@ -182,6 +182,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1, "nested ALTER COLUMN is not supported")
         t.changeColumnType(u.fieldNames.head, u.newDataType)
+      // sort spec lives in TableMeta fields, not the property bag — a
+      // plain setProperties would write a dead 'sort_columns' property
+      // the scan never reads (silent no-op). Route to the real alter.
+      case p: TableChange.SetProperty if p.property.equalsIgnoreCase("sort_columns") =>
+        t.alterSortColumns(
+          p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case p: TableChange.SetProperty if p.property.equalsIgnoreCase("sort_scope") =>
+        t.alterSortColumns(t.meta.sortColumns, Some(p.value))
+      case p: TableChange.RemoveProperty if p.property.equalsIgnoreCase("sort_columns") =>
+        t.alterSortColumns(Nil)
       case p: TableChange.SetProperty =>
         t.setProperties(Map(p.property -> p.value))
       case p: TableChange.RemoveProperty =>

@@ -342,6 +342,38 @@ object LifecycleQueries {
     }
   }
 
+  /** orders through a SORT-SPEC change mid-life (reference
+    * CarbonAlterTableSetCommand, ALTER TABLE SET TBLPROPERTIES
+    * ('SORT_COLUMNS'/'SORT_SCOPE')): first half loaded sorted by
+    * o_orderkey, spec altered to o_custkey/LOCAL_SORT via the SQL
+    * surface, second half loaded under the new spec (mixed-spec table —
+    * ordering claims refuse, values must not care), then MAJOR
+    * compaction rewrites everything under the new spec. */
+  private def ordersResorted(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_resort")
+    val l = layoutOf(s, p)
+    val ok = l.exists && {
+      try { val st = l.readStatus()
+        st.visible.size == 1 && st.visible.head.id >= 2 &&
+          l.readTableMeta().sortColumns == Seq("o_custkey")
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val n = src.agg(max("o_orderkey")).collect().head.getLong(0) + 1
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"))
+      tbl.insert(src.filter(col("o_orderkey") < n / 2))
+      graft.engine.GraftSql.command(s,
+        s"ALTER TABLE `$p` SET TBLPROPERTIES(" +
+          "'sort_columns'='o_custkey', 'sort_scope'='LOCAL_SORT')")
+      tbl.insert(src.filter(col("o_orderkey") >= n / 2))
+      tbl.compact("MAJOR")
+      tbl
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "q_load_csv" -> ((s, d) =>
       customerCsv(s, d).read.groupBy("c_mktsegment")
@@ -391,7 +423,11 @@ object LifecycleQueries {
       ordersSiMutated(s, d).read.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
           sum(when(col("o_orderpriority") === "SI-UPD", 1L).otherwise(0L))
-            .cast("long").as("n_upd")))
+            .cast("long").as("n_upd"))),
+    "q_alter_sort" -> ((s, d) =>
+      ordersResorted(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -465,6 +501,11 @@ object LifecycleQueries {
             ELSE ${oDec("o_totalprice")} END) AS DOUBLE) AS sum_price,
           CAST(sum(CASE WHEN o_custkey = 11 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
           FROM orders WHERE o_custkey NOT IN (7, 21, 404)
-          GROUP BY o_orderstatus"""
+          GROUP BY o_orderstatus""",
+    "q_alter_sort" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders GROUP BY o_orderstatus"""
   )
 }

@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** ALTER TABLE … SET TBLPROPERTIES('SORT_COLUMNS'/'SORT_SCOPE') —
+  * reference CarbonAlterTableSetCommand semantics: metadata-only, new
+  * loads and compactions write under the new spec, existing segments
+  * keep their RECORDED per-segment sort, and every sort-dependent read
+  * claim refuses mixed-spec tables (soundness), coming back once a
+  * compaction rewrites everything under one spec. */
+class AlterSortSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft_asort_").toString
+
+  private def scanOrdering(df: org.apache.spark.sql.DataFrame): Seq[_] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.ordering.getOrElse(Nil)
+    }.getOrElse(Nil)
+
+  test("alter sort columns: new loads sorted by new spec, old segments keep theirs") {
+    val root = tmp()
+    val src = spark.range(0, 4000).selectExpr(
+      "id AS a", "(3999 - id) AS b", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, s"$root/t", src.schema, sortColumns = Seq("a"))
+    t.insert(src.filter(col("a") < 2000))
+    assert(scanOrdering(t.read.select("a", "v")).nonEmpty)
+
+    t.alterSortColumns(Seq("b"))
+    assert(t.meta.sortColumns == Seq("b"))
+    t.insert(src.filter(col("a") >= 2000))
+
+    val segs = t.status.visible.sortBy(_.id)
+    assert(segs.map(_.sortColumns) == Seq(Seq("a"), Seq("b")),
+      "each segment records the spec it was written under")
+    // mixed spec: no ordering claim on either column (a wrong claim
+    // would silently drop a needed Sort)
+    assert(scanOrdering(t.read.select("a", "b", "v")).isEmpty)
+    // values complete regardless
+    assert(t.read.count() == 4000)
+    assert(t.read.agg(sum("a")).collect().head.getLong(0) == 4000L * 3999 / 2)
+
+    // compaction rewrites under the NEW spec → claim comes back on b
+    t.compact("MAJOR")
+    val merged = t.status.visible
+    assert(merged.size == 1 && merged.head.sortColumns == Seq("b"))
+    val ord = scanOrdering(t.read.select("b", "v"))
+    assert(ord.nonEmpty, "post-compaction single-spec table must report ordering")
+    assert(t.read.count() == 4000)
+  }
+
+  test("alter sort scope + validation") {
+    val root = tmp()
+    val src = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    val t = GraftTable.create(spark, s"$root/t", src.schema, sortColumns = Seq("k"))
+    t.alterSortColumns(Seq("k"), Some("global_sort"))
+    assert(t.meta.sortScope == "GLOBAL_SORT")
+    intercept[IllegalArgumentException](t.alterSortColumns(Seq("nope")))
+    intercept[IllegalArgumentException](t.alterSortColumns(Seq("k"), Some("BAD")))
+    // SORT_COLUMNS='' → NO sort recorded for future loads
+    t.alterSortColumns(Nil)
+    assert(t.meta.sortColumns.isEmpty)
+  }
+
+  test("SQL surfaces: GraftSql path form and catalog SET TBLPROPERTIES form") {
+    val root = tmp()
+    val src = spark.range(0, 500).selectExpr("id AS a", "(499 - id) AS b")
+    val t = GraftTable.createAsSelect(spark, s"$root/t", src, Seq("a"))
+    // path-table form through the command grammar
+    assert(GraftSql.command(spark,
+      s"ALTER TABLE `$root/t` SET TBLPROPERTIES('sort_columns'='b', " +
+        "'sort_scope'='LOCAL_SORT', 'custom.tag'='x')").isDefined)
+    assert(t.meta.sortColumns == Seq("b"))
+    assert(t.meta.sortScope == "LOCAL_SORT")
+    assert(t.meta.properties.get("custom.tag").contains("x"))
+    assert(!t.meta.properties.contains("sort_columns"),
+      "sort spec must not leak into the property bag")
+    assert(GraftSql.command(spark,
+      s"ALTER TABLE `$root/t` UNSET TBLPROPERTIES('custom.tag', 'sort_columns')")
+      .isDefined)
+    assert(t.meta.sortColumns.isEmpty)
+    assert(!t.meta.properties.contains("custom.tag"))
+
+    // name-based form through Spark's v2 ALTER → GraftCatalog.alterTable
+    val w = Files.createTempDirectory("graft_asort_wh_").toString
+    spark.conf.set("spark.sql.catalog.gasort", "graft.engine.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gasort.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gasort.ns")
+    spark.sql("CREATE TABLE gasort.ns.t (k INT, j INT) USING carbonish " +
+      "TBLPROPERTIES ('sort_columns'='k')")
+    spark.sql("ALTER TABLE gasort.ns.t SET TBLPROPERTIES('sort_columns'='j')")
+    assert(GraftTable.at(spark, s"$w/ns/t").meta.sortColumns == Seq("j"))
+    spark.sql("ALTER TABLE gasort.ns.t SET TBLPROPERTIES('sort_scope'='GLOBAL_SORT')")
+    assert(GraftTable.at(spark, s"$w/ns/t").meta.sortScope == "GLOBAL_SORT")
+  }
+}
