@@ -350,7 +350,8 @@ class SegmentFileIndex(
     spark: SparkSession,
     layout: TableLayout,
     visible: Seq[SegmentMeta],
-    schema: StructType)
+    schema: StructType,
+    runtimeFilters: Seq[Filter] = Nil)
   extends InMemoryFileIndex(
     spark,
     visible.flatMap(layout.segmentFilePaths).map(new Path(_)),
@@ -418,8 +419,12 @@ class SegmentFileIndex(
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
+    // runtimeFilters: DPP-derived key sets handed to this index at
+    // execution time (SupportsRuntimeFiltering) — merged here so they
+    // prune at FILE grain through the same ladder as pushed filters
     val filters: Seq[Filter] =
-      dataFilters.flatMap(e => org.apache.spark.sql.graft.Shims.translateFilter(e))
+      dataFilters.flatMap(e => org.apache.spark.sql.graft.Shims.translateFilter(e)) ++
+        runtimeFilters
     if (filters.isEmpty || visible.isEmpty) dirs
     else {
       val kept = SegmentPruner.prune(visible, filters).map(_.id).toSet
@@ -1217,13 +1222,33 @@ case class CarbonishScan(
   }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val kept = SegmentPruner.prune(visible, filters.toIndexedSeq)
-    if (kept.size < visible.size) {
+    val fs = filters.toIndexedSeq
+    if (fs.isEmpty) return
+    val kept = SegmentPruner.prune(visible, fs)
+    // file-grain refinement: per-file footer stats (and path-encoded
+    // partition tuples) can drop files INSIDE kept segments — a DPP key
+    // set rarely aligns with segment boundaries at 100 TB, so segment
+    // grain alone leaves most of the win on the table. The precheck is
+    // driver metadata math (same compares listFiles would do).
+    val fileDrops = kept.exists { s =>
+      s.files.exists { rel =>
+        (s.fileMeta.contains(rel) || rel.contains("=")) && {
+          val pm = Partitions.fileAsSegment(s, rel, tableSchema)
+          !fs.forall(f => SegmentPruner.mayMatch(pm, f))
+        }
+      }
+    }
+    if (kept.size < visible.size || fileDrops) {
       logInfo(s"[graft] runtime segment skip: kept ${kept.size}/${visible.size} " +
-        s"segments for ${filters.mkString("[", ", ", "]")}")
+        s"segments${if (fileDrops) " + file-grain refinement" else ""} for " +
+        s"${filters.mkString("[", ", ", "]")}")
       graft.engine.ExplainCollector.record(
-        s"runtime (DPP) segment skip: kept ${kept.size}/${visible.size} segments")
-      current = inner.copy(fileIndex = new SegmentFileIndex(spark, layout, kept, tableSchema))
+        s"runtime (DPP) segment skip: kept ${kept.size}/${visible.size} segments" +
+          (if (fileDrops) " (file-grain refinement active)" else ""))
+      // the rebuilt index carries the runtime filters so listFiles
+      // applies the partition/footer/bucket file skip to them too
+      current = inner.copy(fileIndex =
+        new SegmentFileIndex(spark, layout, kept, tableSchema, fs))
     }
   }
 }

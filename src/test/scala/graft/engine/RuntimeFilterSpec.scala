@@ -41,6 +41,34 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(scan.toBatch.planInputPartitions().nonEmpty)
   }
 
+  test("runtime filter refines at FILE grain inside a kept segment") {
+    val path = Files.createTempDirectory("graft_rf_").toString + "/t"
+    val src = spark.range(0, 4000).selectExpr("id AS k", "id % 100 AS m")
+    // ONE segment of 4 globally-sorted files with disjoint k ranges:
+    // segment grain can never prune, only per-file footer stats can
+    val t = GraftTable.create(spark, path, src.schema, Seq("k"),
+      properties = Map("global_sort_partitions" -> "4"))
+    t.insert(src)
+    assert(t.status.visible.size == 1 && t.status.visible.head.files.size == 4)
+    val df = t.read
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[CarbonishScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(42L, 43L))))
+    // the rebuilt index carries the runtime filters: listFiles must
+    // keep only the one file whose footer range covers the keys
+    val kept = scan.currentInner.fileIndex.listFiles(Nil, Nil).flatMap(_.files)
+    assert(kept.length == 1,
+      s"expected 1 file after file-grain runtime refinement, got ${kept.length}")
+
+    // end-to-end: an un-hinted DPP-shaped broadcast join stays exact
+    import spark.implicits._
+    val dim = Seq(40L, 41L, 42L, 43L, 44L).toDF("dk")
+    val joined = t.read.join(broadcast(dim), col("k") === col("dk"))
+    assert(joined.count() == 5)
+  }
+
   test("small carbonish table auto-broadcasts (scan reports statistics)") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_rf_").toString + "/dim"
