@@ -256,11 +256,27 @@ object VectorIndex {
     * stored IVF-PQ codes (ADC probe over `nprobe` cells + exact rerank
     * of `rerank` candidates); uncovered or stale segments are scanned
     * exactly; the union re-ranks per query. With `nprobe = nlist` and
-    * `rerank ≥` corpus size the result is EXACTLY brute force. */
+    * `rerank ≥` corpus size the result is EXACTLY brute force.
+    *
+    * `where`: FILTERED ANN — top-k among base rows satisfying the
+    * predicate (the "search near-dups within one language" shape).
+    * The predicate evaluates ONCE on a pruned base scan (the full
+    * pushdown ladder applies), producing an allowed-id set that
+    * left-semi-joins every candidate corpus BEFORE the probe/rerank —
+    * i.e. the ANN search runs over exactly the filtered corpus, so
+    * recall is the index's normal recall on that corpus (no post-hoc
+    * top-k starvation, the classic post-filter failure mode), and the
+    * full-probe contract stays exactly brute force over the filtered
+    * rows. */
   def search(t: GraftTable, vecCol: String, queries: DataFrame, k: Int,
-      nprobe: Int, rerank: Int): DataFrame = {
+      nprobe: Int, rerank: Int,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val path = indexPath(t, vecCol)
     val model = readModel(t.spark, path)
+    val allowed = where.map(p => t.read.filter(p)
+      .select(col(model.idCol).cast("long").as("id")))
+    def restrict(corpus: DataFrame): DataFrame =
+      allowed.map(a => corpus.join(a, Seq("id"), "left_semi")).getOrElse(corpus)
     if (model.pending) {
       // deferred, never built: exact everywhere (results stay correct,
       // just unaccelerated — the reference's "disabled until REFRESH")
@@ -269,7 +285,7 @@ object VectorIndex {
         s"VectorIndex($vecCol): DEFERRED and unbuilt — 0/${vis0.size} " +
           "segments served from the index, all scanned exact")
       return Ann.bruteForceTopK(queries,
-          rowsOf(t, model.idCol, vecCol, vis0.map(_.id)).drop("seg_id"), k)
+          restrict(rowsOf(t, model.idCol, vecCol, vis0.map(_.id)).drop("seg_id")), k)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
     }
     val idx = GraftTable.at(t.spark, path)
@@ -280,18 +296,20 @@ object VectorIndex {
     ExplainCollector.record(
       s"VectorIndex($vecCol): ${fresh.size}/${vis.size} segments served " +
         s"from the index (nprobe=$nprobe/${model.params.nlist}), " +
-        s"${stale.size} scanned exact")
+        s"${stale.size} scanned exact" +
+        (if (where.isDefined) ", candidate corpus pre-filtered" else ""))
     // visibility ∩ freshness filter: retired/stale segments' stored rows
     // must not serve (a seg-id InSet, metadata-sized like the SI's)
-    val covered = idx.read.filter(col("seg_id").isin(fresh.map(_.id): _*))
+    val covered = restrict(
+      idx.read.filter(col("seg_id").isin(fresh.map(_.id): _*)))
     val fromIdx = Ann.ivfPqTopK(queries, covered, k, model.centroids,
         nprobe, model.books, rerank)
       .select("query_id", "neighbor_id", "cos")
     val pool =
       if (stale.isEmpty) fromIdx
       else {
-        val extra = rowsOf(t, model.idCol, vecCol, stale.map(_.id))
-          .drop("seg_id")
+        val extra = restrict(
+          rowsOf(t, model.idCol, vecCol, stale.map(_.id)).drop("seg_id"))
         fromIdx.unionByName(
           Ann.bruteForceTopK(queries, extra, k)
             .select("query_id", "neighbor_id", "cos"))

@@ -285,6 +285,28 @@ object PipelineQueries {
           col("rnk").cast("long").as("rnk"), col("cos"))
     }),
 
+    // ---- FILTERED ANN through the vector index (r13): top-k among
+    // base rows satisfying a relational predicate (the "near-dups
+    // within one slice" shape). The predicate evaluates once on the
+    // pruned base scan; the allowed-id set left-semi-joins every
+    // candidate corpus BEFORE probe/rerank, so recall is the index's
+    // normal recall on the filtered corpus — no post-hoc top-k
+    // starvation. Full probe + full rerank over the covered∪uncovered
+    // union ⇒ exactly brute force over the filtered rows. ----
+    "q_vector_search_filtered" -> ((s, d) => {
+      import graft.engine.index.VectorIndex
+      val t0 = vecIdxTable(s, d)
+      val queries = t(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("id"),
+          Ann.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", Ann.normQ(col("qv")))
+      VectorIndex.search(t0, "embedding", queries, 5,
+          nprobe = 8, rerank = 1000000,
+          where = Some(col("vec_id") % 3 === 0))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+    }),
+
     // ---- vector index AFTER a MoR delete (r13): the delete deltas
     // decrement the covered segment's live rowCount, so the
     // fingerprint ledger flags it STALE — its stored codes are barred
@@ -706,6 +728,7 @@ object PipelineQueries {
       // vector-index full probe + full rerank ∪ exact fallback ≡ brute
       // force over all rows: same oracle
       "q_vector_index" -> oAnnTop5,
+      "q_vector_search_filtered" -> oAnnTop5Where("c.id % 3 = 0"),
       "q_vector_index_delete" -> oAnnTop5Where("c.id % 100 <> 7"),
       "q_label_confusion" -> {
         val qv = Ann.oQuantize("embedding")

@@ -214,4 +214,40 @@ class VectorIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(prunedPairs.subsetOf(exactTop(t0, 500).map(x => (x._1, x._2))))
   }
+
+  test("filtered ANN: predicate pre-filters every candidate corpus") {
+    val p = s"${graft.queries.Fixtures.root}/spec/vecidx_filt"
+    GraftTable.drop(spark, p)
+    // one covered segment + one deliberately uncovered (autorefresh
+    // off): BOTH serving paths must honor the predicate
+    val t0 = GraftTable.createAsSelect(spark, p,
+      emb.filter(col("vec_id") % 10 =!= 0),
+      properties = Map("index.autorefresh" -> "false"))
+    VectorIndex.create(t0, "vec_id", "embedding", s"$p/_indexes/v",
+      VectorIndex.Params(dim = 64))
+    t0.insert(emb.filter(col("vec_id") % 10 === 0))
+    val pred = col("vec_id") % 3 === 0
+
+    // full probe + full pool == brute force over the FILTERED corpus
+    val (got, lines) = ExplainCollector.collect(
+      VectorIndex.search(t0, "embedding", queries, 5,
+          nprobe = 8, rerank = 100000, where = Some(pred))
+        .select("query_id", "neighbor_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    val want = Ann.bruteForceTopK(queries,
+        quant(t0.read.filter(pred).select(col("vec_id"), col("embedding"))), 5)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, "filtered full-probe search != brute force over filtered corpus")
+    assert(got.forall(_._2 % 3 == 0), "a filtered-out row served as neighbor")
+    assert(lines.exists(_.contains("candidate corpus pre-filtered")),
+      s"expected the pre-filter explain note, got: $lines")
+
+    // pruned probe: never invents, never leaks a filtered-out id
+    val pruned = VectorIndex.search(t0, "embedding", queries, 5,
+        nprobe = 3, rerank = 25, where = Some(pred))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.forall(_._2 % 3 == 0))
+  }
 }
