@@ -604,9 +604,14 @@ object GraftSql {
       case UnsetTblProps(t, keyStr) =>
         val keys = splitTopLevel(keyStr, ",").map(
           _.trim.stripPrefix("'").stripSuffix("'").toLowerCase)
+        // sort_scope always has a value — "unsetting" it has no defined
+        // meaning, and swallowing it would be a silent no-op (the exact
+        // failure mode this surface exists to prevent): SET it instead
+        require(!keys.contains("sort_scope"),
+          "cannot UNSET sort_scope — SET it to NO_SORT/LOCAL_SORT/GLOBAL_SORT")
         val t0 = table(t)
         if (keys.contains("sort_columns")) t0.alterSortColumns(Nil)
-        t0.unsetProperties(keys.filterNot(Set("sort_columns", "sort_scope")))
+        t0.unsetProperties(keys.filterNot(_ == "sort_columns"))
         Some(done)
       case CreateMv(name, deferredKw, path, query) =>
         // WITH DEFERRED REFRESH (docs/mv-guide.md:147-161): deferred MVs

@@ -441,11 +441,35 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
   }
 
+  /** Physical-layout keys that existing data was WRITTEN under — a
+    * bucket-spec or spatial-index change would silently mis-route
+    * bucket pruning / SPJ / geoId pruning over old files (the
+    * reference refuses altering these too). Immutable once any
+    * segment exists. */
+  private def immutableLayoutKey(k: String): Boolean = {
+    val l = k.toLowerCase
+    l == "bucket_columns" || l == "bucket_count" || l == "spatial_index" ||
+      l.startsWith("spatial_index.")
+  }
+  private def checkLayoutImmutable(keys: Iterable[String], changed: String => Boolean): Unit = {
+    val bad = keys.filter(k => immutableLayoutKey(k) && changed(k))
+    require(bad.isEmpty || status.segments.isEmpty,
+      s"cannot alter physical-layout propert${if (bad.size == 1) "y" else "ies"} " +
+        s"${bad.mkString(", ")} once data exists: existing files were " +
+        "written under the current bucket/spatial spec, and pruning " +
+        "against a new spec would silently drop rows")
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only, locked RMW. */
-  def setProperties(props: Map[String, String]): Unit =
+  def setProperties(props: Map[String, String]): Unit = {
+    checkLayoutImmutable(props.keys,
+      k => !meta.properties.get(k).contains(props(k)))
     layout.updateTableMeta(m => m.copy(properties = m.properties ++ props))
-  def unsetProperties(keys: Seq[String]): Unit =
+  }
+  def unsetProperties(keys: Seq[String]): Unit = {
+    checkLayoutImmutable(keys, k => meta.properties.contains(k))
     layout.updateTableMeta(m => m.copy(properties = m.properties -- keys))
+  }
 
   /** ALTER TABLE … SET TBLPROPERTIES('SORT_COLUMNS'=…[, 'SORT_SCOPE'=…])
     * (reference CarbonAlterTableSetCommand; docs/ddl-of-carbondata.md

@@ -64,6 +64,17 @@ object SegmentWriter {
     val sortCols = meta.sortColumns.filter(df.columns.contains)
     val clusterCols = pCols ++ sortCols.filterNot(pCols.contains)
     val bucketSpec = Buckets.specOf(meta).filter(_.columns.forall(df.columns.contains))
+    // the scope this write ACTUALLY sorts under (bucketed writes always
+    // sortWithinPartitions) — recorded below: a segment's sortColumns
+    // must describe what the files contain, not the table's declared
+    // intent, or a NO_SORT write would later back a false ordering claim
+    val effScope = bucketSpec match {
+      case Some(_) => "LOCAL_SORT"
+      case None =>
+        if (preservesOrder && pCols.isEmpty && meta.sortScope != "NO_SORT")
+          "LOCAL_SORT"
+        else meta.sortScope
+    }
     val sorted = bucketSpec match {
       case Some(bs) =>
         // bucketed: one shuffle keyed by the bucket id, rows sorted by
@@ -73,11 +84,7 @@ object SegmentWriter {
           .repartition(bs.count, col("__b"))
           .sortWithinPartitions(("__b" +: clusterCols).map(col): _*)
       case None =>
-        val scope =
-          if (preservesOrder && pCols.isEmpty && meta.sortScope != "NO_SORT")
-            "LOCAL_SORT"
-          else meta.sortScope
-        (scope, clusterCols) match {
+        (effScope, clusterCols) match {
         case (_, Nil) => df
         case ("NO_SORT", _) =>
           // still cluster rows by partition value (one shuffle) so a load
@@ -167,7 +174,10 @@ object SegmentWriter {
       rowCount = rowCount,
       sizeBytes = files.map(_._2).sum,
       stats = stats,
-      sortColumns = sortCols,
+      // what the files actually contain: a NO_SORT write stores nothing
+      // sorted, so recording the declared sortColumns would let
+      // outputOrdering claim an order the data does not have
+      sortColumns = if (effScope == "NO_SORT") Nil else sortCols,
       createdAt = System.currentTimeMillis(),
       fileMeta = fileMeta)
   }

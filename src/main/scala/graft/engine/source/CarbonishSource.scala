@@ -1238,13 +1238,35 @@ case class CarbonishScan(
         }
       }
     }
-    if (kept.size < visible.size || fileDrops) {
+    // bucket grain: footer stats on a hash-bucketed column span the full
+    // range (hashing doesn't cluster values), so the footer precheck
+    // above can't see the win — but an equality/IN runtime filter on a
+    // bucket column pins files to |values| buckets. Over-triggering is
+    // just a rebuild; listFiles decides the exact file set.
+    val bucketPin = {
+      import org.apache.spark.sql.sources._
+      (try Buckets.specOf(tableMeta) catch { case scala.util.control.NonFatal(_) => None })
+        .exists { bs =>
+          val cols = bs.columns.toSet
+          fs.exists {
+            case EqualTo(a, _) => cols(a)
+            case EqualNullSafe(a, _) => cols(a)
+            case In(a, _) => cols(a)
+            case IsNull(a) => cols(a)
+            case _ => false
+          }
+        }
+    }
+    if (kept.size < visible.size || fileDrops || bucketPin) {
+      val grain =
+        (if (fileDrops) Seq("file-grain refinement active") else Nil) ++
+          (if (bucketPin) Seq("bucket pin active") else Nil)
       logInfo(s"[graft] runtime segment skip: kept ${kept.size}/${visible.size} " +
-        s"segments${if (fileDrops) " + file-grain refinement" else ""} for " +
+        s"segments${if (grain.isEmpty) "" else grain.mkString(" + ", " + ", "")} for " +
         s"${filters.mkString("[", ", ", "]")}")
       graft.engine.ExplainCollector.record(
         s"runtime (DPP) segment skip: kept ${kept.size}/${visible.size} segments" +
-          (if (fileDrops) " (file-grain refinement active)" else ""))
+          (if (grain.nonEmpty) grain.mkString(" (", ", ", ")") else ""))
       // the rebuilt index carries the runtime filters so listFiles
       // applies the partition/footer/bucket file skip to them too
       current = inner.copy(fileIndex =

@@ -284,11 +284,15 @@ object LifecycleQueries {
   private def ordersVacuumed(s: SparkSession, d: String): GraftTable = lock.synchronized {
     val p = path(d, "lc_vacuum")
     val l = layoutOf(s, p)
+    // explicit done-marker set strictly LAST (the lc_cdc pattern): the
+    // structural state alone (1 visible segment, SI registered) is
+    // already true after compact but BEFORE cleanFiles, so a crash in
+    // that window would otherwise cache a fixture whose vacuum — the
+    // very thing this row certifies — never ran
     val ok = l.exists && {
-      try { val st = l.readStatus()
-        st.visible.size == 1 && st.visible.head.id >= 3 &&
-          l.readTableMeta().properties.contains("si.o_custkey")
-      } catch { case scala.util.control.NonFatal(_) => false }
+      try l.readStatus().visible.nonEmpty &&
+        l.readTableMeta().properties.contains("lc_vacuum_done")
+      catch { case scala.util.control.NonFatal(_) => false }
     }
     if (ok) GraftTable.at(s, p)
     else {
@@ -303,6 +307,7 @@ object LifecycleQueries {
       tbl.insert(src.filter(col("o_orderdate") >= c2))
       tbl.compact("MAJOR")
       tbl.cleanFiles()
+      tbl.setProperties(Map("lc_vacuum_done" -> "1"))
       tbl
     }
   }

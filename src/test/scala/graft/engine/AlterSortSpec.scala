@@ -52,6 +52,38 @@ class AlterSortSpec extends AnyFunSuite {
     assert(t.read.count() == 4000)
   }
 
+  test("NO_SORT writes record no sort columns — no false ordering claim") {
+    val root = tmp()
+    val src = spark.range(0, 2000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, s"$root/t", src.schema, sortColumns = Seq("k"))
+    t.alterSortColumns(Seq("k"), Some("NO_SORT"))
+    // shuffle the input so file order is provably not k order
+    t.insert(src.orderBy(expr("hash(id)")))
+    // the segment must NOT claim it is sorted by k: the files aren't
+    assert(t.status.visible.head.sortColumns.isEmpty,
+      "a NO_SORT write must not record the declared sort columns")
+    assert(scanOrdering(t.read.select("k", "v")).isEmpty,
+      "NO_SORT segment backed a false ordering claim")
+    // and the data itself must round-trip
+    assert(t.read.count() == 2000)
+  }
+
+  test("physical-layout properties are immutable once data exists") {
+    val root = tmp()
+    val src = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, s"$root/t", src.schema,
+      sortColumns = Seq("k"),
+      properties = Map("bucket_columns" -> "k", "bucket_count" -> "4"))
+    t.insert(src)
+    intercept[IllegalArgumentException](
+      t.setProperties(Map("bucket_count" -> "8")))
+    intercept[IllegalArgumentException](
+      t.unsetProperties(Seq("bucket_columns")))
+    // same-value set and unrelated keys still fine
+    t.setProperties(Map("bucket_count" -> "4", "some.tag" -> "x"))
+    assert(t.meta.properties.get("some.tag").contains("x"))
+  }
+
   test("alter sort scope + validation") {
     val root = tmp()
     val src = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS s")

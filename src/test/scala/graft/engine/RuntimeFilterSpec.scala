@@ -69,6 +69,28 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(joined.count() == 5)
   }
 
+  test("runtime filter on a bucket column pins files to the matching buckets") {
+    val path = Files.createTempDirectory("graft_rf_").toString + "/t"
+    val src = spark.range(0, 4000).selectExpr("id AS k", "id % 100 AS m")
+    // hash-bucketed on k: footer stats on k span the full range in every
+    // bucket file (hashing doesn't cluster), so only bucket-grain
+    // pruning can serve a point runtime filter
+    val t = GraftTable.create(spark, path, src.schema, Seq("m"),
+      properties = Map("bucket_columns" -> "k", "bucket_count" -> "8"))
+    t.insert(src)
+    val all = t.status.visible.head.files.size
+    assert(all == 8, s"expected 8 bucket files, got $all")
+    val df = t.read
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[CarbonishScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(42L, 43L))))
+    val kept = scan.currentInner.fileIndex.listFiles(Nil, Nil).flatMap(_.files)
+    assert(kept.length <= 2 && kept.nonEmpty,
+      s"expected ≤2 bucket files after runtime bucket pin, got ${kept.length}")
+  }
+
   test("small carbonish table auto-broadcasts (scan reports statistics)") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_rf_").toString + "/dim"
