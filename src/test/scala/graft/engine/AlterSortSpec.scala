@@ -97,6 +97,46 @@ class AlterSortSpec extends AnyFunSuite {
     assert(t.meta.sortColumns.isEmpty)
   }
 
+  test("fuzz: random insert/alter/compact sequences preserve values and ORDER BY") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 2) {
+      val root = tmp()
+      val t = GraftTable.create(spark,
+        s"$root/t$trial",
+        spark.range(0).selectExpr("id AS a", "id AS b", "CAST(id AS DOUBLE) AS v").schema,
+        sortColumns = Seq("a"))
+      var n = 0L
+      var sumA = 0L
+      def insert(): Unit = {
+        val lo = rnd.nextInt(5000); val sz = 500 + rnd.nextInt(1500)
+        val src = spark.range(lo, lo + sz).selectExpr(
+          "id AS a", s"(${lo + sz} - id) AS b", "CAST(id AS DOUBLE) AS v")
+        t.insert(src.orderBy(expr("hash(id)"))) // pre-shuffled input
+        n += sz; sumA += (lo.toLong + (lo + sz - 1)) * sz / 2
+      }
+      insert()
+      for (_ <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 => insert()
+          case 1 => t.alterSortColumns(
+            if (rnd.nextBoolean()) Seq("a") else Seq("b"),
+            Some(Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT")(rnd.nextInt(3))))
+          case 2 => t.compact("MAJOR")
+          case 3 => insert()
+        }
+        // values always complete…
+        val agg = t.read.agg(count(lit(1)), sum(col("a"))).collect().head
+        assert(agg.getLong(0) == n && agg.getLong(1) == sumA,
+          s"value drift after op (trial $trial)")
+        // …and ORDER BY is always CORRECT: if a false ordering claim
+        // ever slipped through, Spark would elide the needed Sort here
+        val got = t.read.orderBy(col("a")).select(col("a"))
+          .collect().map(_.getLong(0))
+        assert(got.sameElements(got.sorted), s"ORDER BY broke (trial $trial)")
+      }
+    }
+  }
+
   test("SQL surfaces: GraftSql path form and catalog SET TBLPROPERTIES form") {
     val root = tmp()
     val src = spark.range(0, 500).selectExpr("id AS a", "(499 - id) AS b")
