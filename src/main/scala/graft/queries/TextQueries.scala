@@ -15,8 +15,14 @@ object TextQueries {
   /** #occurrences of literal `w` in `c` via the replace-length trick —
     * identical semantics in Spark and DuckDB (no regex dialect risk).
     * Literal `replace` (StringReplace), not a regex pass. */
+  // native one-scan occurrence count (CountOccurrences) — value-
+  // identical to the replace trick the oracle keeps (oOcc below), but
+  // without a full string copy per counted word per row
   private def occ(c: Column, w: String): Column =
-    ((length(c) - length(replace(c, lit(w), lit("")))) / lit(w.length)).cast("long")
+    org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.CountOccurrences(
+        org.apache.spark.sql.graft.Shims.expression(c),
+        org.apache.spark.sql.graft.Shims.expression(lit(w))))
   private def oOcc(c: String, w: String): String =
     s"CAST((length($c) - length(replace($c, '$w', ''))) / ${w.length} AS BIGINT)"
 

@@ -186,4 +186,27 @@ class FunctionsSpec extends AnyFunSuite {
       col("lng") > 30 && col("lng") < 40).select("id").collect().map(_.getLong(0)).toSet
     assert(interior.subsetOf(jIds) && jIds.subsetOf(direct))
   }
+
+  test("CountOccurrences equals the replace counting trick on random strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{CountOccurrences, Shims}
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab \u00e9\u4e2d"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (0 until 300).map(_ => randStr(rnd.nextInt(40))) ++
+      Seq("", "aaaa", "aaa", " the the the ", "\u4e2d\u4e2d\u4e2d")
+    val words = Seq("a", "aa", "ab", " the ", "\u4e2d", "\u00e9b")
+    val df = rows.toDF("s")
+    for (w <- words) {
+      def nat = Shims.column(CountOccurrences(
+        Shims.expression(col("s")), Shims.expression(lit(w))))
+      val ref = ((length(col("s")) -
+        length(replace(col("s"), lit(w), lit("")))) / lit(w.length)).cast("long")
+      val bad = df.select(col("s"), nat.as("n"), ref.as("r"))
+        .filter(col("n") =!= col("r")).collect()
+      assert(bad.isEmpty,
+        s"mismatch for word '$w': ${bad.take(3).mkString(", ")}")
+    }
+  }
 }
