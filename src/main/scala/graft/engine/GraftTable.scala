@@ -451,25 +451,39 @@ class GraftTable private (val spark: SparkSession, val path: String)
     l == "bucket_columns" || l == "bucket_count" || l == "spatial_index" ||
       l.startsWith("spatial_index.")
   }
-  private def checkLayoutImmutable(keys: Iterable[String], changed: String => Boolean): Unit = {
+  /** The layout-critical property view of a meta (lowercased keys) —
+    * compared at insert publish time to abort loads that raced a
+    * layout change through the empty-table window. */
+  private def layoutFingerprint(m: TableMeta): Map[String, String] =
+    m.properties.collect { case (k, v) if immutableLayoutKey(k) => k.toLowerCase -> v }
+  private def checkLayoutImmutable(
+      m: TableMeta, keys: Iterable[String], changed: String => Boolean): Unit = {
     val bad = keys.filter(k => immutableLayoutKey(k) && changed(k))
-    require(bad.isEmpty || status.segments.isEmpty,
+    require(bad.isEmpty || layout.readStatusUncached().segments.isEmpty,
       s"cannot alter physical-layout propert${if (bad.size == 1) "y" else "ies"} " +
         s"${bad.mkString(", ")} once data exists: existing files were " +
         "written under the current bucket/spatial spec, and pruning " +
         "against a new spec would silently drop rows")
   }
 
-  /** ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only, locked RMW. */
-  def setProperties(props: Map[String, String]): Unit = {
-    checkLayoutImmutable(props.keys,
-      k => !meta.properties.get(k).contains(props(k)))
-    layout.updateTableMeta(m => m.copy(properties = m.properties ++ props))
-  }
-  def unsetProperties(keys: Seq[String]): Unit = {
-    checkLayoutImmutable(keys, k => meta.properties.contains(k))
-    layout.updateTableMeta(m => m.copy(properties = m.properties -- keys))
-  }
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only, locked RMW.
+    * The layout-immutability check runs INSIDE the update closure —
+    * the same table lock segment commits take — so there is no
+    * check-then-act window against a concurrent writer; current-value
+    * lookups are case-insensitive (DSv2 preserves user key case). */
+  def setProperties(props: Map[String, String]): Unit =
+    layout.updateTableMeta { m =>
+      val lower = m.properties.map { case (k, v) => k.toLowerCase -> v }
+      checkLayoutImmutable(m, props.keys,
+        k => !lower.get(k.toLowerCase).contains(props(k)))
+      m.copy(properties = m.properties ++ props)
+    }
+  def unsetProperties(keys: Seq[String]): Unit =
+    layout.updateTableMeta { m =>
+      val lower = m.properties.map { case (k, v) => k.toLowerCase -> v }
+      checkLayoutImmutable(m, keys, k => lower.contains(k.toLowerCase))
+      m.copy(properties = m.properties -- keys)
+    }
 
   /** ALTER TABLE … SET TBLPROPERTIES('SORT_COLUMNS'=…[, 'SORT_SCOPE'=…])
     * (reference CarbonAlterTableSetCommand; docs/ddl-of-carbondata.md
