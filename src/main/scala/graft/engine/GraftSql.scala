@@ -595,11 +595,13 @@ object GraftSql {
         val sortCols = props.get("sort_columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         val sortScope = props.get("sort_scope")
-        if (sortCols.isDefined || sortScope.isDefined)
-          t0.alterSortColumns(
-            sortCols.getOrElse(t0.meta.sortColumns), sortScope)
         val rest = props -- Seq("sort_columns", "sort_scope")
-        if (rest.nonEmpty) t0.setProperties(rest)
+        if (sortCols.isDefined || sortScope.isDefined)
+          // one atomic commit — a rejected property must not leave the
+          // sort spec already altered
+          t0.alterSortAndProperties(
+            sortCols.getOrElse(t0.meta.sortColumns), sortScope, rest)
+        else if (rest.nonEmpty) t0.setProperties(rest)
         Some(done)
       case UnsetTblProps(t, keyStr) =>
         val keys = splitTopLevel(keyStr, ",").map(

@@ -497,7 +497,18 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * rewrites everything under the new spec and restores the
     * table-wide ordering claim. Empty `cols` = NO sort (reference
     * SORT_COLUMNS=''). */
-  def alterSortColumns(cols: Seq[String], scope: Option[String] = None): Unit = {
+  def alterSortColumns(cols: Seq[String], scope: Option[String] = None): Unit =
+    alterSortAndProperties(cols, scope, Map.empty)
+
+  /** One locked commit for an ALTER TABLE SET TBLPROPERTIES statement
+    * that mixes a sort-spec change with ordinary properties — the
+    * statement is atomic: if ANY part fails validation (unknown sort
+    * column, bad scope, spatial leading-key rule, or an immutable
+    * layout key in `rest` with data present), NOTHING is applied. The
+    * two-commit shape this replaces could leave the sort spec altered
+    * while the rest of the statement was rejected. */
+  def alterSortAndProperties(cols: Seq[String], scope: Option[String],
+      rest: Map[String, String]): Unit = {
     val bad = cols.filterNot(c => schema.fieldNames.contains(c))
     require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
     scope.foreach(sc => require(
@@ -511,9 +522,15 @@ class GraftTable private (val spark: SparkSession, val path: String)
       require(cols.headOption.contains(sp.name),
         s"spatial-index table: SORT_COLUMNS must keep '${sp.name}' first")
     }
-    layout.updateTableMeta(m => m.copy(
-      sortColumns = cols,
-      sortScope = scope.map(_.toUpperCase).getOrElse(m.sortScope)))
+    layout.updateTableMeta { m =>
+      val lower = m.properties.map { case (k, v) => k.toLowerCase -> v }
+      checkLayoutImmutable(m, rest.keys,
+        k => !lower.get(k.toLowerCase).contains(rest(k)))
+      m.copy(
+        sortColumns = cols,
+        sortScope = scope.map(_.toUpperCase).getOrElse(m.sortScope),
+        properties = m.properties ++ rest)
+    }
   }
 
   /** Rewrite all visible data as one new segment under the NEW meta,

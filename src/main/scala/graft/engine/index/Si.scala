@@ -170,6 +170,31 @@ object Si {
     * degrades to segment grain (loud in the plan, not in results). */
   private val FileGrainMaxHits = 10000
 
+  /** Driver-side probe memo: the SI consult inside [[SiRewriteRule]]
+    * runs during optimization, and fixed-point optimizer batches can
+    * plan the same filter more than once per query (and concurrent
+    * queries often repeat hot lookup values). Keyed by the INDEX
+    * table's commit version, so any refresh/repair/vacuum or base-load
+    * coverage change invalidates naturally; bounded LRU — entries are
+    * metadata-sized hit lists. */
+  private val probeMemo = new java.util.LinkedHashMap[
+      (String, Long, Seq[String], Seq[Any]), Array[org.apache.spark.sql.Row]](
+      64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Long, Seq[String], Seq[Any]),
+        Array[org.apache.spark.sql.Row]]): Boolean = size() > 128
+  }
+  private def memoProbe(si: GraftTable, cols: Seq[String], values: Seq[Any])(
+      run: => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
+    val key = (si.layout.tablePath, si.status.version, cols, values)
+    val hit = probeMemo.synchronized(Option(probeMemo.get(key)))
+    hit.getOrElse {
+      val r = run
+      probeMemo.synchronized { probeMemo.put(key, r); () }
+      r
+    }
+  }
+
   /** SI pruning for MUTATION candidate scans (the same rung the read
     * path uses, applied to the find-the-matches scan of UPDATE/DELETE/
     * MERGE): which files of COVERED segments can contain `values`.
@@ -183,8 +208,7 @@ object Si {
   private[engine] def mutationHits(t: GraftTable, column: String, values: Seq[Any],
       maxFileHits: Int = FileGrainMaxHits)
       : Option[(Set[Long], Map[Long, Option[Set[String]]])] =
-    t.meta.properties.get(siPathsKey(column)).flatMap { siPath =>
-      val si = GraftTable.at(t.spark, siPath)
+    t.meta.properties.get(siPathsKey(column)).flatMap(siAt(t, _)).flatMap { si =>
       val covered = indexedSegments(si)
       if (!si.schema.fieldNames.contains("file")) {
         val hits = si.read.filter(col("v").isin(values: _*))
@@ -228,12 +252,24 @@ object Si {
     * the column has no SI. Shared by [[readWhereIn]] (which applies
     * the exact residual) and [[SiRewriteRule]] (which swaps it in
     * under the query's own Filter). */
+  /** A registered index path whose table is missing or unreadable (a
+    * crash between a legacy-upgrade's drop and rebuild, an external
+    * delete) must degrade lookups to the unindexed scan, never fail
+    * the query — REFRESH INDEX repairs the registration. */
+  private def siAt(t: GraftTable, siPath: String): Option[GraftTable] =
+    try Some(GraftTable.at(t.spark, siPath))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        graft.engine.ExplainCollector.record(
+          s"SI at $siPath unreadable (${e.getMessage}); scanning unindexed")
+        None
+    }
+
   private[index] def pinnedFor(t: GraftTable, column: String, values: Seq[Any],
       maxFileHits: Int = FileGrainMaxHits): Option[DataFrame] = {
-    t.meta.properties.get(siPathsKey(column)) match {
+    t.meta.properties.get(siPathsKey(column)).flatMap(siAt(t, _)) match {
       case None => None
-      case Some(siPath) =>
-        val si = GraftTable.at(t.spark, siPath)
+      case Some(si) =>
         val visSegs = t.status.visible
         val visible = visSegs.map(_.id).toSet
         // segments the index has never seen (inserted/compacted since the
@@ -243,10 +279,12 @@ object Si {
         // successors, which are scanned)
         val uncovered = visible -- indexedSegments(si)
         def segmentGrain(): DataFrame = {
-          val hits = si.read
-            .filter(col("v").isin(values: _*))
-            .select("seg_id").distinct()
-            .collect().map(_.getLong(0)).toSet
+          val hits = memoProbe(si, Seq("seg_id"), values) {
+            si.read
+              .filter(col("v").isin(values: _*))
+              .select("seg_id").distinct()
+              .collect()
+          }.map(_.getLong(0)).toSet
           val target = ((hits & visible) ++ uncovered).toSeq.sorted
           graft.engine.ExplainCollector.record(
             s"SI($column) segment-grain: pinned ${target.size}/${visible.size} " +
@@ -267,11 +305,13 @@ object Si {
           // full of retired seg_ids could otherwise consume limit slots,
           // pass the cap after the visibility filter, and proceed with a
           // silently truncated file list
-          val raw = si.read
-            .filter(col("v").isin(values: _*))
-            .select(cols.map(col): _*).distinct()
-            .limit(maxFileHits + 1)
-            .collect()
+          val raw = memoProbe(si, cols :+ s"#cap=$maxFileHits", values) {
+            si.read
+              .filter(col("v").isin(values: _*))
+              .select(cols.map(col): _*).distinct()
+              .limit(maxFileHits + 1)
+              .collect()
+          }
           if (raw.length > maxFileHits) segmentGrain()
           else {
             val hits = raw.toSeq.map(r => (r.getLong(0), r.getString(1)))

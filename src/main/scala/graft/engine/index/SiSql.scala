@@ -20,11 +20,8 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * [[SiSql.enable]]; CREATE INDEX … AS 'carbondata' enables it
   * automatically. */
 object SiSql {
-  def enable(spark: SparkSession): Unit = synchronized {
-    val has = spark.experimental.extraOptimizations.exists(_.isInstanceOf[SiRewriteRule])
-    if (!has) spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ new SiRewriteRule
-  }
+  def enable(spark: SparkSession): Unit =
+    graft.engine.ExtraRules.install(spark, classOf[SiRewriteRule])(new SiRewriteRule)
 }
 
 class SiRewriteRule extends Rule[LogicalPlan] {
@@ -35,8 +32,7 @@ class SiRewriteRule extends Rule[LogicalPlan] {
   private val MaxValues = 256
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (SiRewriteRule.disabled.get()) plan
-    else plan.transformUp {
+    plan.transformUp {
       case f @ Filter(_, _) =>
         try rewrite(f).getOrElse(f)
         catch { case scala.util.control.NonFatal(_) => f } // never break a query
@@ -127,17 +123,5 @@ class SiRewriteRule extends Rule[LogicalPlan] {
         Filter(f.condition, newChild)
       }
     }
-  }
-}
-
-object SiRewriteRule {
-  private val disabled = new ThreadLocal[Boolean] {
-    override def initialValue(): Boolean = false
-  }
-  /** Run `body` with the rewrite off — for engine-internal reads
-    * (mutation scans pin their own files; a nested rewrite is waste). */
-  def withoutRewrite[T](body: => T): T = {
-    val prev = disabled.get(); disabled.set(true)
-    try body finally disabled.set(prev)
   }
 }

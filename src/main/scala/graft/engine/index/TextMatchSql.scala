@@ -34,9 +34,7 @@ object TextMatchSql {
     val f2: (String, Int) => Boolean = (_, _) => throw new UnsupportedOperationException(err)
     spark.udf.register("text_match", f1)
     spark.udf.register("text_match_with_limit", f2)
-    val has = spark.experimental.extraOptimizations.exists(_.isInstanceOf[TextMatchRule])
-    if (!has) spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ new TextMatchRule
+    graft.engine.ExtraRules.install(spark, classOf[TextMatchRule])(new TextMatchRule)
   }
 
   private[graft] def parseArg(s: String): (String, String) = {

@@ -76,11 +76,8 @@ object MvCatalog {
 
 object Mv {
   /** Install the rewrite rule on a session (idempotent). */
-  def install(spark: SparkSession): Unit = {
-    val has = spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewriteRule])
-    if (!has) spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ new MvRewriteRule
-  }
+  def install(spark: SparkSession): Unit =
+    graft.engine.ExtraRules.install(spark, classOf[MvRewriteRule])(new MvRewriteRule)
 
   /** An MV plan that is not an Aggregate must be pure
     * select-project-join: Project/Filter/Join over leaves, everything

@@ -190,9 +190,8 @@ class CarbonishTable(path: String, tableSchema: StructType)
     * rewritten; at 100 TB a point delete touches ~1 segment. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    val cond = filters.foldLeft(org.apache.spark.sql.functions.lit(true)) {
-      (acc, f) => acc && filterToColumn(f)
-    }
+    val cond = filters.map(filterToColumn).reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
     GraftTable.at(spark, path).delete(cond)
   }
 
@@ -332,9 +331,8 @@ class CarbonishTable(path: String, tableSchema: StructType)
                 case "append" => t.insert(data, overwrite = false)
                 case "truncate" => t.insert(data, overwrite = true)
                 case "filter" =>
-                  val cond = overwriteFilters.foldLeft(org.apache.spark.sql.functions.lit(true)) {
-                    (acc, f) => acc && filterToColumn(f)
-                  }
+                  val cond = overwriteFilters.map(filterToColumn).reduceOption(_ && _)
+                    .getOrElse(org.apache.spark.sql.functions.lit(true))
                   t.insertOverwriteWhere(cond, data)
               }
             }

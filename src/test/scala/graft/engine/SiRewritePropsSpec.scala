@@ -55,11 +55,16 @@ class SiRewritePropsSpec extends AnyFunSuite {
       val rewritten = t.read.filter(p)
         .agg(count(lit(1)), sum("o_orderkey"), sum("o_totalprice"))
         .collect().head
-      val plain = SiRewriteRule.withoutRewrite {
-        t.read.filter(p)
+      // baseline with the rule uninstalled (the production rule has no
+      // disable switch — nothing internal needs one)
+      val rules = t.spark.experimental.extraOptimizations
+      t.spark.experimental.extraOptimizations =
+        rules.filterNot(_.isInstanceOf[SiRewriteRule])
+      val plain =
+        try t.read.filter(p)
           .agg(count(lit(1)), sum("o_orderkey"), sum("o_totalprice"))
           .collect().head
-      }
+        finally t.spark.experimental.extraOptimizations = rules
       assert(rewritten == plain, s"case $i diverged on predicate $p")
     }
   }
