@@ -96,6 +96,49 @@ object CatalogQueries {
             JOIN $cat.default.customer_bkt c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment""")
     }),
+    // Zero-sort zero-shuffle SMJ over two co-bucketed SORTED tables
+    // (VERDICT r13 Next #3): the scans report KeyGroupedPartitioning
+    // AND SupportsReportOrdering's sort order, so the merge join — and
+    // the group-by on the same key above it — plan with NO exchange and
+    // NO sort anywhere. The plan shape is asserted INSIDE the row
+    // (under pinned confs) and the VALUES flow to the DuckDB oracle:
+    // a wrong-but-sorted-looking ordering claim now fails the gate.
+    "q_sorted_join" -> ((s, d) => {
+      val cat = bucketedTable(s, d, "orders_bkt",
+        t(s, d, "orders"), "o_custkey", 16)
+      bucketedTable(s, d, "customer_bkt", t(s, d, "customer"), "c_custkey", 16)
+      val pinned = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.join.preferSortMergeJoin" -> "true",
+        "spark.sql.adaptive.enabled" -> "false")
+      val olds = pinned.map { case (k, _) => k -> s.conf.getOption(k) }
+      pinned.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val q = s.sql(
+          s"""SELECT o.o_custkey AS custkey, count(*) AS cnt,
+              CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                AS sum_price
+              FROM $cat.default.orders_bkt o
+              JOIN $cat.default.customer_bkt c ON o.o_custkey = c.c_custkey
+              GROUP BY o.o_custkey""")
+        val plan = q.queryExecution.executedPlan
+        val smj = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+        val shuffles = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        val sorts = plan.collect {
+          case e: org.apache.spark.sql.execution.SortExec => e }
+        require(smj.nonEmpty, s"expected a sort-merge join; plan:\n$plan")
+        require(shuffles.isEmpty && sorts.isEmpty,
+          s"expected zero exchanges (got ${shuffles.size}) and zero sorts " +
+            s"(got ${sorts.size}); plan:\n$plan")
+        q
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     // UPDATE ... SET ... WHERE through spark.sql on a catalog table name
     "q_sql_update" -> ((s, d) => {
       val cat = freshCatalogTable(s, d, "sqlupd", t(s, d, "orders"), Seq("o_orderkey"))
@@ -153,6 +196,11 @@ object CatalogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_sorted_join" ->
+      s"""SELECT o.o_custkey AS custkey, count(*) AS cnt,
+          ${oDsum("o.o_totalprice")} AS sum_price
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey""",
     "q_bucket_join" ->
       s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,
           ${oDsum("o.o_totalprice")} AS sum_price

@@ -379,7 +379,69 @@ object LifecycleQueries {
     }
   }
 
+  /** COMPLEX-TYPE lifecycle (reference complexType suite over
+    * `Array.csv`/`Struct.csv` fixtures + COMPLEX_DELIMITER_LEVEL_1/2
+    * contract, docs/dml-of-carbondata.md:161-184): customer expanded
+    * into delimited ARRAY / STRUCT / MAP cells — each derived
+    * RELATIONALLY from scalar columns, so DuckDB can reconstruct the
+    * oracle from the base table — written as CSV, then ingested via
+    * `loadCsv` (FAIL mode: any parse drift aborts loudly) into a
+    * carbonish table whose schema carries the real nested types. The
+    * query reads nested struct fields, array aggregation, and a map
+    * lookup back out of the STORED table. */
+  private def customerComplex(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_complex")
+    val l = layoutOf(s, p)
+    if (l.exists && l.readStatus().visible.nonEmpty) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "customer")
+      val d1 = "\u0001"; val d2 = "\u0002"
+      val csvDf = src.select(
+        col("c_custkey").as("key"),
+        // ARRAY<BIGINT>: [key%7, key%11, key%13]
+        concat_ws(d1,
+          (col("c_custkey") % 7).cast("string"),
+          (col("c_custkey") % 11).cast("string"),
+          (col("c_custkey") % 13).cast("string")).as("nums"),
+        // STRUCT<seg: STRING, bal: DOUBLE> (double→string→double is an
+        // exact round trip: Spark prints the shortest exact form)
+        concat_ws(d1, col("c_mktsegment"),
+          col("c_acctbal").cast("string")).as("info"),
+        // MAP<STRING,BIGINT>: n→nationkey, m→key%5
+        concat(
+          lit("n"), lit(d2), col("c_nationkey").cast("string"), lit(d1),
+          lit("m"), lit(d2), (col("c_custkey") % 5).cast("string")).as("tags"))
+      val csvDir = s"${p}_csv"
+      csvDf.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(csvDir)
+      val schema = StructType(Seq(
+        StructField("key", LongType),
+        StructField("nums", ArrayType(LongType)),
+        StructField("info", StructType(Seq(
+          StructField("seg", StringType),
+          StructField("bal", DoubleType)))),
+        StructField("tags", MapType(StringType, LongType))))
+      val tbl = GraftTable.create(s, p, schema, Seq("key"))
+      tbl.loadCsv(csvDir)
+      tbl
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
+    "q_load_complex" -> ((s, d) =>
+      customerComplex(s, d).read.select(
+          col("info.seg").as("seg"),
+          col("info.bal").as("bal"),
+          expr("aggregate(nums, 0L, (a, x) -> a + x)").as("nums_sum"),
+          size(col("nums")).as("nums_n"),
+          element_at(col("tags"), "n").as("tag_n"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("cnt"),
+          sum("nums_sum").cast("long").as("sum_nums"),
+          sum("nums_n").cast("long").as("sum_nums_n"),
+          sum("tag_n").cast("long").as("sum_tag_n"),
+          dsum(col("bal")).as("sum_bal"))),
     "q_load_csv" -> ((s, d) =>
       customerCsv(s, d).read.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))),
@@ -436,6 +498,14 @@ object LifecycleQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_load_complex" ->
+      s"""SELECT c_mktsegment AS seg, count(*) AS cnt,
+          CAST(sum(c_custkey % 7 + c_custkey % 11 + c_custkey % 13) AS BIGINT)
+            AS sum_nums,
+          CAST(count(*) * 3 AS BIGINT) AS sum_nums_n,
+          CAST(sum(c_nationkey) AS BIGINT) AS sum_tag_n,
+          ${oDsum("c_acctbal")} AS sum_bal
+          FROM customer GROUP BY c_mktsegment""",
     "q_load_csv" ->
       s"""SELECT c_mktsegment, count(*) AS cnt,
           ${oDsum("c_acctbal")} AS sum_bal

@@ -181,4 +181,28 @@ class LoadCsvSpec extends AnyFunSuite {
     t.loadCsv(csv2, badRecordsAction = "REDIRECT")
     assert(new java.io.File(s"${t.path}/badrecords").listFiles().length == 1)
   }
+
+  test("complex load: nested projection prunes the STORED table's read schema") {
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("info", StructType(Seq(
+        StructField("age", IntegerType), StructField("name", StringType),
+        StructField("score", DoubleType))))))
+    val dir = Files.createTempDirectory("graft_csv_")
+    Files.writeString(dir.resolve("d.csv"),
+      Seq("id,info", "1,11$abc$10.00", "2,12$abcd$10.01").mkString("\n"))
+    val t = mkComplex(s)
+    t.loadCsv(dir.toString, options = Map("COMPLEX_DELIMITER_LEVEL_1" -> "$"))
+    // a single-leaf projection over the complex-loaded table must reach
+    // the parquet reader pruned to that leaf (q_load_complex's read
+    // shape) — not re-read the whole struct
+    val q = t.read.select(col("id"), col("info.age"))
+    val read = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        TestSpark.parquetScanOf(b.scan).readDataSchema
+    }.head
+    val info = read("info").dataType.asInstanceOf[StructType]
+    assert(info.fieldNames.toSeq == Seq("age"),
+      s"expected only info.age in the read schema, got ${info.fieldNames.mkString(",")}")
+    assert(q.orderBy("id").collect().map(_.getInt(1)).toSeq == Seq(11, 12))
+  }
 }
