@@ -181,6 +181,17 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     }
 
   // ---- tablestatus commit log ----
+  /** (mtime, length) of the commit log file — the same pair MetaCache
+    * validates snapshots by. Callers that memoize derived state (e.g.
+    * the SI probe cache) must key on THIS as well as the version:
+    * dropping and recreating a table restarts version numbering, so
+    * version alone can collide across incarnations. (0, 0) = no log. */
+  def statusStamp(): (Long, Long) =
+    if (fs.exists(statusPath)) {
+      val st = fs.getFileStatus(statusPath)
+      (st.getModificationTime, st.getLen)
+    } else (0L, 0L)
+
   /** Stat-validated cached snapshot; a reader racing a commit may see
     * the immediately-previous COMPLETE snapshot (same as reading a
     * moment earlier). Commit paths read uncached under the lock. */

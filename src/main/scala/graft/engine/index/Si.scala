@@ -178,15 +178,18 @@ object Si {
     * coverage change invalidates naturally; bounded LRU — entries are
     * metadata-sized hit lists. */
   private val probeMemo = new java.util.LinkedHashMap[
-      (String, Long, Seq[String], Seq[Any]), Array[org.apache.spark.sql.Row]](
-      64, 0.75f, true) {
+      (String, Long, (Long, Long), Seq[String], Seq[Any]),
+      Array[org.apache.spark.sql.Row]](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        (String, Long, Seq[String], Seq[Any]),
+        (String, Long, (Long, Long), Seq[String], Seq[Any]),
         Array[org.apache.spark.sql.Row]]): Boolean = size() > 128
   }
   private def memoProbe(si: GraftTable, cols: Seq[String], values: Seq[Any])(
       run: => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
-    val key = (si.layout.tablePath, si.status.version, cols, values)
+    // version + file stamp: version alone collides across drop/recreate
+    // incarnations of the same index path (numbering restarts)
+    val key = (si.layout.tablePath, si.status.version,
+      si.layout.statusStamp(), cols, values)
     val hit = probeMemo.synchronized(Option(probeMemo.get(key)))
     hit.getOrElse {
       val r = run

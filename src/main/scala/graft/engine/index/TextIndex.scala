@@ -137,6 +137,10 @@ object TextIndex {
       case TextTerm.Phrase(ws) =>
         concat(lit(" "), lower(trim(c)), lit(" "))
           .contains(" " + ws.mkString(" ") + " ")
+      case TextTerm.Fuzzy(s, n) =>
+        graft.functions.GraftFunctions.fuzzyPred(c, s, n)
+      case TextTerm.Near(ws, k) =>
+        graft.functions.GraftFunctions.nearPred(c, ws, k)
     }
     parseLucene(query)
       .map(_.map(l => if (l.negated) !one(l.term) else one(l.term)).reduce(_ && _))
@@ -147,6 +151,13 @@ object TextIndex {
     * query names few (segment, file) hits; past this many the read
     * degrades to segment grain. */
   private val FileGrainMaxHits = 10000
+
+  /** Driver-side Levenshtein check for posting rows — shared impl (must
+    * agree with Spark's `levenshtein` used in the index-scan predicate
+    * and the residual, or a candidate could be pruned that the residual
+    * would keep). */
+  private def withinEdits(a: String, b: String, n: Int): Boolean =
+    graft.functions.GraftFunctions.editsAtMost(a, b, n)
 
   /** Evaluate the clause structure over posting rows at any grain `K`
     * (segment id, or (segment id, file)): per clause, positive literals
@@ -165,8 +176,17 @@ object TextIndex {
       case TextTerm.Tok(s) => byTerm.getOrElse(s, Set.empty)
       case TextTerm.Phrase(ws) =>
         ws.map(w => byTerm.getOrElse(w, Set.empty[K])).reduce(_ intersect _)
+      // proximity words are a necessary co-occurrence condition, same
+      // as phrase words — the window test is the residual's job
+      case TextTerm.Near(ws, _) =>
+        ws.map(w => byTerm.getOrElse(w, Set.empty[K])).reduce(_ intersect _)
       case TextTerm.Prefix(p) =>
         rows.collect { case (tm, k) if tm.startsWith(p) => k }.toSet
+      // the index scan already restricted fuzzy rows to dictionary
+      // terms within edit distance (see candidateHits preds); union
+      // their postings like a prefix expansion
+      case TextTerm.Fuzzy(s, n) =>
+        rows.collect { case (tm, k) if withinEdits(tm, s, n) => k }.toSet
     }
     clauses.map(_.filterNot(_.negated).map(l => postingsOf(l.term))
       .reduce(_ intersect _)).reduce(_ union _)
@@ -208,11 +228,20 @@ object TextIndex {
       val exact = positives.flatMap {
         case TextTerm.Tok(s) => Seq(s)
         case TextTerm.Phrase(ws) => ws
+        case TextTerm.Near(ws, _) => ws
         case _ => Nil
       }.distinct
       val prefixes = positives.collect { case TextTerm.Prefix(p) => p }.distinct
+      // fuzzy terms select dictionary tokens within edit distance right
+      // in the index scan (a tiny sorted table; the length bracket is
+      // the cheap pre-filter) — the expansion then unions postings like
+      // a wildcard
+      val fuzzies = positives.collect { case TextTerm.Fuzzy(s, n) => (s, n) }.distinct
       val preds = (if (exact.nonEmpty) Seq(col("term").isin(exact: _*)) else Nil) ++
-        prefixes.map(p => col("term").startsWith(p))
+        prefixes.map(p => col("term").startsWith(p)) ++
+        fuzzies.map { case (s, n) =>
+          length(col("term")).between(s.length - n, s.length + n) &&
+            levenshtein(col("term"), lit(s)) <= n }
       def segmentGrain(): Hits = {
         val rows: Seq[(String, Long)] =
           idx.read.filter(preds.reduce(_ || _)).select("term", "seg_id")

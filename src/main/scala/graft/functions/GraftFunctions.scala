@@ -23,8 +23,36 @@ object GraftFunctions {
     final case class Tok(s: String) extends TextTerm
     final case class Prefix(s: String) extends TextTerm
     final case class Phrase(words: Seq[String]) extends TextTerm
+    /** `term~N` fuzzy match (lucene FuzzyQuery, accepted verbatim by the
+      * reference's lucene FG index, LuceneFineGrainIndex.java:137-142):
+      * some whole token of the document is within `maxEdits`
+      * (Levenshtein) of the term. Like lucene, `maxEdits` ∈ {1, 2};
+      * a bare `~` means 2 (lucene's default). */
+    final case class Fuzzy(s: String, maxEdits: Int) extends TextTerm
+    /** `"w1 w2"~k` proximity: every phrase word occurs as a whole token
+      * inside SOME window of `words.length + slop` consecutive tokens,
+      * in any order. This is a documented simplification of lucene's
+      * move-count slop (lucene charges reorders extra moves; the
+      * window test does not) — chosen because it is exactly
+      * expressible in both codegen'd Spark and the DuckDB oracle.
+      * `~0` parses as a plain ordered [[Phrase]]. */
+    final case class Near(words: Seq[String], slop: Int) extends TextTerm
   }
   final case class TextLit(negated: Boolean, term: TextTerm)
+
+  /** Shared token-level predicates for the fuzzy / proximity terms —
+    * identical in [[textMatch]] (substring family) and
+    * `TextIndex.tokenMatch` (whole-token family): both operators are
+    * inherently token-level, like lucene's. */
+  private[graft] def fuzzyPred(c: Column, s: String, n: Int): Column =
+    exists(split(lower(trim(c)), " "), x => levenshtein(x, lit(s)) <= n)
+  private[graft] def nearPred(c: Column, ws: Seq[String], slop: Int): Column = {
+    val toks = split(lower(trim(c)), " ")
+    val w = ws.length + slop
+    exists(sequence(lit(1), greatest(size(toks), lit(1))), p =>
+      ws.map(word => array_contains(slice(toks, p, lit(w)), word))
+        .reduce(_ && _))
+  }
 
   /** `text_match(column, query)` — lucene-lite full-text predicate
     * (reference TextMatchUDF.scala:23-30 backed by the lucene FG index;
@@ -46,6 +74,8 @@ object GraftFunctions {
       case TextTerm.Phrase(ws) => lc.contains(ws.mkString(" "))
       case TextTerm.Prefix(p) =>
         exists(split(lower(trim(c)), " "), _.startsWith(p))
+      case TextTerm.Fuzzy(s, n) => fuzzyPred(c, s, n)
+      case TextTerm.Near(ws, k) => nearPred(c, ws, k)
     }
     clauses.map(_.map(l => if (l.negated) !one(l.term) else one(l.term))
       .reduce(_ && _)).reduce(_ || _)
@@ -61,8 +91,11 @@ object GraftFunctions {
       else if (ch == '"') {
         val j = query.indexOf('"', i + 1)
         require(j > 0, s"unterminated phrase in text query '$query'")
-        out += query.substring(i, j + 1)
-        i = j + 1
+        // keep a proximity suffix (`"a b"~2`) attached to its phrase
+        var k = j + 1
+        while (k < query.length && !query(k).isWhitespace) k += 1
+        out += query.substring(i, k)
+        i = k
       } else {
         var j = i
         while (j < query.length && !query(j).isWhitespace) j += 1
@@ -71,6 +104,29 @@ object GraftFunctions {
       }
     }
     out.toSeq
+  }
+
+  private val NearRe = "^\"(.*)\"~(\\d*)$".r
+  private val FuzzyRe = "^([^\"*]+)~(\\d*)$".r
+
+  /** Scalar Levenshtein-within-n (two-row DP) — the one implementation
+    * every driver-side fuzzy consumer shares (the `text_match_contains`
+    * UDF, TextIndex posting filtering), so it cannot drift from itself;
+    * it must agree with Spark's `levenshtein` used in the codegen
+    * predicates. */
+  private[graft] def editsAtMost(a: String, b: String, n: Int): Boolean = {
+    if (math.abs(a.length - b.length) > n) return false
+    val m = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prevDiag = m(0); m(0) = i
+      for (j <- 1 to b.length) {
+        val t = m(j)
+        m(j) = math.min(math.min(m(j) + 1, m(j - 1) + 1),
+          prevDiag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prevDiag = t
+      }
+    }
+    m(b.length) <= n
   }
 
   /** Parse the lucene-subset grammar into OR-of-AND-of-literals. */
@@ -96,17 +152,31 @@ object GraftFunctions {
         val (neg0, body0) =
           if (tok.startsWith("-") && tok.length > 1) (true, tok.drop(1))
           else (false, tok)
-        val term =
-          if (body0.startsWith("\"") && body0.endsWith("\"") && body0.length >= 2)
+        val term = body0 match {
+          // `"w1 w2"~k` proximity; `~`/`~0` degrade to the plain phrase
+          case NearRe(inner, slopS) =>
+            val ws = inner.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+            val slop = if (slopS.isEmpty) 0 else slopS.toInt
+            if (slop <= 0) TextTerm.Phrase(ws) else TextTerm.Near(ws, slop)
+          case _ if body0.startsWith("\"") && body0.endsWith("\"") && body0.length >= 2 =>
             TextTerm.Phrase(body0.substring(1, body0.length - 1)
               .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
-          else if (body0.endsWith("*") && body0.length > 1)
+          // `term~N` fuzzy; bare `~` = 2 edits (lucene default), capped
+          // at 2 like lucene's LevenshteinAutomata; `~0` is exact
+          case FuzzyRe(stem, edS) =>
+            val n = math.min(if (edS.isEmpty) 2 else edS.toInt, 2)
+            if (n <= 0) TextTerm.Tok(stem.toLowerCase)
+            else TextTerm.Fuzzy(stem.toLowerCase, n)
+          case _ if body0.endsWith("*") && body0.length > 1 =>
             TextTerm.Prefix(body0.dropRight(1).toLowerCase)
-          else TextTerm.Tok(body0.toLowerCase)
+          case _ => TextTerm.Tok(body0.toLowerCase)
+        }
         val nonEmpty = term match {
           case TextTerm.Phrase(ws) => ws.nonEmpty
+          case TextTerm.Near(ws, _) => ws.nonEmpty
           case TextTerm.Prefix(p) => p.nonEmpty
           case TextTerm.Tok(s) => s.nonEmpty
+          case TextTerm.Fuzzy(s, _) => s.nonEmpty
         }
         if (nonEmpty) {
           clauses.last += TextLit(negateNext || neg0, term)
@@ -126,7 +196,22 @@ object GraftFunctions {
     parseLucene(query).map(_.collect {
       case TextLit(false, TextTerm.Tok(s)) => Seq(s)
       case TextLit(false, TextTerm.Phrase(ws)) => ws
+      case TextLit(false, TextTerm.Near(ws, _)) => ws
     }.flatten).filter(_.nonEmpty)
+
+  /** DuckDB fragments for the token-level fuzzy / proximity terms
+    * (shared by [[oTextMatch]] and [[oTokenMatch]] — the semantics are
+    * token-level in both families, mirroring [[fuzzyPred]]/[[nearPred]]
+    * exactly). */
+  private def oFuzzy(toks: String, s: String, n: Int): String =
+    s"len(list_filter($toks, x -> levenshtein(x, '${sqlEsc(s)}') <= $n)) > 0"
+  private def oNear(toks: String, ws: Seq[String], slop: Int): String = {
+    val w = ws.length + slop
+    val inWindow = ws.map(word =>
+      s"list_contains(list_slice($toks, p, p + ${w - 1}), '${sqlEsc(word)}')")
+      .mkString(" AND ")
+    s"len(list_filter(range(1, len($toks) + 1), p -> $inWindow)) > 0"
+  }
 
   private def sqlEsc(t: String): String = t.replace("'", "''")
 
@@ -141,6 +226,10 @@ object GraftFunctions {
           case TextTerm.Prefix(p) =>
             s"len(list_filter(string_split(lower(trim($cSql)), ' '), " +
               s"x -> starts_with(x, '${sqlEsc(p)}'))) > 0"
+          case TextTerm.Fuzzy(s, n) =>
+            oFuzzy(s"string_split(lower(trim($cSql)), ' ')", s, n)
+          case TextTerm.Near(ws, k) =>
+            oNear(s"string_split(lower(trim($cSql)), ' ')", ws, k)
         }
         if (l.negated) s"(NOT $base)" else base
       }.mkString("(", " AND ", ")"))
@@ -158,6 +247,8 @@ object GraftFunctions {
             s"contains(' ' || lower(trim($cSql)) || ' ', ' ${sqlEsc(ws.mkString(" "))} ')"
           case TextTerm.Prefix(p) =>
             s"len(list_filter($toks, x -> starts_with(x, '${sqlEsc(p)}'))) > 0"
+          case TextTerm.Fuzzy(s, n) => oFuzzy(toks, s, n)
+          case TextTerm.Near(ws, k) => oNear(toks, ws, k)
         }
         if (l.negated) s"(NOT $base)" else base
       }.mkString("(", " AND ", ")"))
@@ -208,6 +299,11 @@ object GraftFunctions {
           case TextTerm.Tok(s) => lc.contains(s)
           case TextTerm.Phrase(ws) => lc.contains(ws.mkString(" "))
           case TextTerm.Prefix(p) => toks.exists(_.startsWith(p))
+          case TextTerm.Fuzzy(s, n) => toks.exists(editsAtMost(_, s, n))
+          case TextTerm.Near(ws, k) =>
+            val w = ws.length + k
+            toks.indices.exists(p =>
+              ws.forall(word => toks.slice(p, p + w).contains(word)))
         }
         parseLucene(query).exists(_.forall(l => one(l.term) != l.negated))
       }

@@ -262,6 +262,26 @@ object EngineQueries {
       TextIndex.readMatching(docs3(s, d), "text", "quer* NOT spark OR \"row data\"")
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
     }),
+    // lucene fuzzy (`term~N`): dictionary tokens within edit distance
+    // are expanded right in the sorted posting-index scan (length
+    // bracket + levenshtein), their postings union like a wildcard's,
+    // and the exact token-level edit-distance residual runs on the
+    // pinned row groups (reference LuceneFineGrainIndex accepts the
+    // raw lucene fuzzy syntax, LuceneFineGrainIndex.java:137-142)
+    "q_text_fuzzy" -> ((s, d) => {
+      import graft.engine.index.TextIndex
+      TextIndex.readMatching(docs3(s, d), "text",
+          "tabel~2 scann~1 OR quer~1 NOT spark")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
+    // proximity (`"w1 w2"~k`): window co-occurrence — all words within
+    // a span of len+k tokens; index pruning intersects the words'
+    // postings (a necessary condition), the window test is the residual
+    "q_text_near" -> ((s, d) => {
+      import graft.engine.index.TextIndex
+      TextIndex.readMatching(docs3(s, d), "text", "\"query scan\"~2")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
     // text_match() as a SQL function: the marker UDF is rewritten by
     // TextMatchRule into index-pruned segments + exact token residual
     // (reference TextMatchUDF.scala:23-30). The UDF body THROWS, so
@@ -519,6 +539,14 @@ object EngineQueries {
     "q_text_wildcard" ->
       s"""SELECT lang, count(*) AS cnt FROM documents
           WHERE ${graft.functions.GraftFunctions.oTokenMatch("text", "quer* NOT spark OR \"row data\"")}
+          GROUP BY lang""",
+    "q_text_fuzzy" ->
+      s"""SELECT lang, count(*) AS cnt FROM documents
+          WHERE ${graft.functions.GraftFunctions.oTokenMatch("text", "tabel~2 scann~1 OR quer~1 NOT spark")}
+          GROUP BY lang""",
+    "q_text_near" ->
+      s"""SELECT lang, count(*) AS cnt FROM documents
+          WHERE ${graft.functions.GraftFunctions.oTokenMatch("text", "\"query scan\"~2")}
           GROUP BY lang""",
     "q_text_limit" -> {
       val toks = "string_split(lower(trim(text)), ' ')"

@@ -22,6 +22,10 @@ class TextGrammarPropsSpec extends AnyFunSuite {
     5 -> word,
     2 -> (for { a <- word; b <- word } yield s""""$a $b""""), // phrase
     2 -> word.map(w => s"${w.take(3)}*"), // prefix wildcard
+    2 -> (for { w <- word; n <- Gen.oneOf("", "1", "2") }
+      yield s"$w~$n"), // fuzzy (bare ~ = 2)
+    2 -> (for { a <- word; b <- word; k <- Gen.choose(1, 3) }
+      yield s""""$a $b"~$k"""), // proximity
     1 -> word.map(w => s"-$w")) // dash negation
 
   private val clause: Gen[String] = for {
@@ -42,6 +46,19 @@ class TextGrammarPropsSpec extends AnyFunSuite {
 
   /** The reference evaluator: substring semantics, straight off the
     * parsed literal list (independent of the Column builders). */
+  /** Naive full-matrix Levenshtein — deliberately INDEPENDENT of the
+    * production two-row DP (GraftFunctions.editsAtMost) and of Spark's
+    * codegen `levenshtein`, so the property cross-checks all three. */
+  private def naiveLev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   private def evalSubstring(text: String, clauses: Seq[Seq[TextLit]]): Boolean = {
     val lc = text.toLowerCase
     val toks = lc.trim.split(" ")
@@ -49,6 +66,11 @@ class TextGrammarPropsSpec extends AnyFunSuite {
       case TextTerm.Tok(s) => lc.contains(s)
       case TextTerm.Phrase(ws) => lc.contains(ws.mkString(" "))
       case TextTerm.Prefix(p) => toks.exists(_.startsWith(p))
+      case TextTerm.Fuzzy(s, n) => toks.exists(tok => naiveLev(tok, s) <= n)
+      case TextTerm.Near(ws, k) =>
+        val w = ws.length + k
+        toks.indices.exists(p =>
+          ws.forall(word => toks.slice(p, p + w).contains(word)))
     }
     clauses.exists(_.forall(l => one(l.term) != l.negated))
   }
@@ -123,6 +145,32 @@ class TextGrammarPropsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       TextMatchSql.parseArg("body:other:term"))
     assert(e.getMessage.contains("does not match the indexed column"))
+  }
+
+  test("fuzzy and proximity parse shapes") {
+    // bare ~ defaults to 2 edits (lucene), explicit caps at 2, ~0 = exact
+    assert(GraftFunctions.parseLucene("query~") ==
+      Seq(Seq(TextLit(false, TextTerm.Fuzzy("query", 2)))))
+    assert(GraftFunctions.parseLucene("query~1") ==
+      Seq(Seq(TextLit(false, TextTerm.Fuzzy("query", 1)))))
+    assert(GraftFunctions.parseLucene("query~9") ==
+      Seq(Seq(TextLit(false, TextTerm.Fuzzy("query", 2)))))
+    assert(GraftFunctions.parseLucene("query~0") ==
+      Seq(Seq(TextLit(false, TextTerm.Tok("query")))))
+    // a mid-word tilde is part of the term, not an operator
+    assert(GraftFunctions.parseLucene("a~b") ==
+      Seq(Seq(TextLit(false, TextTerm.Tok("a~b")))))
+    // proximity attaches to its phrase through the lexer; ~0 = phrase
+    assert(GraftFunctions.parseLucene("\"a b\"~2") ==
+      Seq(Seq(TextLit(false, TextTerm.Near(Seq("a", "b"), 2)))))
+    assert(GraftFunctions.parseLucene("\"a b\"~0") ==
+      Seq(Seq(TextLit(false, TextTerm.Phrase(Seq("a", "b"))))))
+    // negation composes
+    assert(GraftFunctions.parseLucene("-quer~1") ==
+      Seq(Seq(TextLit(true, TextTerm.Fuzzy("quer", 1)))))
+    assert(GraftFunctions.parseLucene("NOT \"a b\"~3 c") ==
+      Seq(Seq(TextLit(true, TextTerm.Near(Seq("a", "b"), 3)),
+        TextLit(false, TextTerm.Tok("c")))))
   }
 
   test("dangling NOT and unterminated phrases fail loudly") {
