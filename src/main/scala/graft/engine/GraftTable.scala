@@ -929,12 +929,98 @@ class GraftTable private (val spark: SparkSession, val path: String)
     merged
   }
 
+  /** Tier 2 of horizontal compaction — FOLD the MoR debt clean: every
+    * data file whose outstanding deleted fraction has reached
+    * `minFraction` is rewritten WITHOUT its deleted rows (one bounded
+    * per-file job, order-preserving) and its deltas retired. Tier 1
+    * (delta-FILE merge, [[horizontalCompact]]) bounds how many delta
+    * files a task loads; this bounds the penalty tier 1 can't touch:
+    * Spark requires columnar uniformity across a scan, so ONE
+    * outstanding delta anywhere forces the WHOLE scan row-based with a
+    * per-row position mask (DeltaRead's documented cost). At 100 TB the
+    * policy is debt-proportional — a file pays a rewrite exactly when a
+    * third of it is dead, and the table returns to vectorized batches
+    * once no deltas remain. Returns #files folded. */
+  def foldDeltas(minFraction: Double = 0.3): Int = {
+    import graft.engine.format.Deltas
+    var folded = 0
+    status.visible.filter(_.externalPath.isEmpty).foreach { s =>
+      val dir = layout.segmentDir(s.id)
+      s.deltas.foreach { case (rel, dRels) =>
+        val live = s.fileMeta.get(rel).map(_.rows)
+        lazy val positions = Deltas.positionsOf(layout.fs, dir, dRels).toSet
+        if (live.isDefined && dRels.nonEmpty &&
+            positions.size >= minFraction * (live.get + positions.size)) {
+          val posSet = positions
+          val abs = new org.apache.hadoop.fs.Path(dir, rel)
+          val keepUdf = org.apache.spark.sql.functions.udf(
+            (ri: Long) => !posSet.contains(ri))
+          // one file in, one file out, original row order kept (the
+          // segment's sort claim survives the fold)
+          val df = spark.read.schema(schema).parquet(abs.toString)
+            .withColumn("__fold_ri", col("_metadata.row_index"))
+            .filter(keepUdf(col("__fold_ri")))
+            .coalesce(1).sortWithinPartitions("__fold_ri")
+            .drop("__fold_ri")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".fold-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          df.write.mode("overwrite").parquet(tmp.toString)
+          val part = layout.fs.listStatus(tmp)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          require(part.length == 1, s"fold of $rel produced ${part.length} files")
+          val dot = rel.lastIndexOf('.')
+          val newRel = s"${rel.substring(0, dot)}-fold-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+          val dst = new org.apache.hadoop.fs.Path(dir, newRel)
+          layout.fs.rename(part.head.getPath, dst)
+          layout.fs.delete(tmp, true)
+          val bytes = layout.fs.getFileStatus(dst).getLen
+          val fm = graft.engine.format.FileFooters.read(
+            spark.sessionState.newHadoopConf(), dst, bytes,
+            schema.fields.map(f => f.name -> f.dataType).toMap)
+          try {
+            layout.commit { st =>
+              st.copy(segments = st.segments.map { seg =>
+                if (seg.id != s.id) seg
+                else if (!seg.isVisible || !seg.files.contains(rel) ||
+                    seg.deltas.getOrElse(rel, Nil) != dRels)
+                  throw new ConcurrentMutationException(
+                    s"$rel (segment ${s.id}) changed during delta fold")
+                else seg.copy(
+                  files = seg.files.map(f => if (f == rel) newRel else f),
+                  fileMeta = seg.fileMeta - rel ++
+                    fm.map(newRel -> _),
+                  deltas = seg.deltas - rel,
+                  sizeBytes = seg.sizeBytes -
+                    seg.fileMeta.get(rel).map(_.bytes).getOrElse(0L) + bytes,
+                  removedFiles = seg.removedFiles ++ (rel +: dRels))
+              })
+            }
+            folded += 1
+          } catch {
+            case e: ConcurrentMutationException =>
+              try layout.fs.delete(dst, false)
+              catch { case scala.util.control.NonFatal(_) => }
+              logWarning(s"[graft] delta fold skipped $rel: ${e.getMessage}")
+          }
+        }
+      }
+    }
+    folded
+  }
+
   /** Auto horizontal compaction after each MoR mutation, like the
     * reference's post-DELETE/UPDATE trigger; disable with
-    * `horizontal_compaction_enable=false`. */
+    * `horizontal_compaction_enable=false`. Tier-2 folding joins the
+    * auto trigger only when the table opts in by setting
+    * `horizontal_rewrite_fraction` — the default keeps mutations
+    * delta-cheap (the MoR contract). */
   private[engine] def maybeHorizontalCompact(): Unit =
-    if (!meta.properties.get("horizontal_compaction_enable").exists(_.equalsIgnoreCase("false")))
+    if (!meta.properties.get("horizontal_compaction_enable").exists(_.equalsIgnoreCase("false"))) {
       horizontalCompact()
+      meta.properties.get("horizontal_rewrite_fraction")
+        .foreach(f => foldDeltas(f.toDouble))
+    }
 
   /** ALTER TABLE ADD SEGMENT: register an external folder of data files
     * as a segment without moving them (CarbonAddLoadCommand.scala:66;

@@ -428,7 +428,55 @@ object LifecycleQueries {
     }
   }
 
+  /** orders under MoR with BOTH horizontal-compaction tiers: two
+    * scattered deletes stack two delete-delta files on every data file;
+    * tier 1 merges each stack into one delta file; tier 2
+    * ([[GraftTable.foldDeltas]]) rewrites the 20%-dead files clean and
+    * retires their deltas — post-fold the table carries ZERO deltas, so
+    * the scan leaves the row-based delta path and returns to columnar
+    * batches (asserted in the row). */
+  private def ordersFolded(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_fold")
+    val l = layoutOf(s, p)
+    val ok = l.exists && { val st = l.readStatus()
+        st.visible.nonEmpty && st.visible.forall(_.deltas.isEmpty) } &&
+      l.readTableMeta().properties.contains("lc_fold_done")
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.createAsSelect(s, p, src, Seq("o_orderkey"),
+        properties = Map("iud_mode" -> "mor",
+          "horizontal_compaction_threshold" -> "100"))
+      tbl.delete(col("o_orderkey") % 10 === 3L)
+      tbl.delete(col("o_orderkey") % 10 === 7L)
+      require(tbl.status.visible.exists(_.deltas.values.exists(_.size == 2)),
+        "fixture expects stacked deltas before tier 1")
+      tbl.setProperties(Map("horizontal_compaction_threshold" -> "1"))
+      require(tbl.horizontalCompact() > 0, "tier-1 delta merge did not run")
+      require(tbl.foldDeltas(minFraction = 0.15) > 0, "tier-2 fold did not run")
+      require(tbl.status.visible.forall(_.deltas.isEmpty),
+        "fold left deltas outstanding")
+      tbl.setProperties(Map("lc_fold_done" -> "true"))
+      tbl
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
+    "q_horizontal_compact" -> ((s, d) => {
+      val tbl = ordersFolded(s, d)
+      // columnar assert on an exchange-free probe (AQE wraps aggregate
+      // plans and hides the scan from a plan walk): same scan shape the
+      // aggregate below consumes
+      val probe = tbl.read.filter(col("o_totalprice") >= 0.0)
+        .select("o_orderstatus", "o_totalprice")
+      val scans = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      require(scans.nonEmpty && scans.forall(_.supportsColumnar),
+        "post-fold scan must run in columnar batches (row-based delta penalty gone)")
+      tbl.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
     "q_load_complex" -> ((s, d) =>
       customerComplex(s, d).read.select(
           col("info.seg").as("seg"),
@@ -498,6 +546,11 @@ object LifecycleQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_horizontal_compact" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+          GROUP BY o_orderstatus""",
     "q_load_complex" ->
       s"""SELECT c_mktsegment AS seg, count(*) AS cnt,
           CAST(sum(c_custkey % 7 + c_custkey % 11 + c_custkey % 13) AS BIGINT)

@@ -132,6 +132,50 @@ class MorSpec extends AnyFunSuite {
     assert(t.read.filter(col("k").isin(5L, 6L)).count() == 0)
   }
 
+  test("foldDeltas rewrites a heavily-deleted file clean and restores columnar scans") {
+    val t = mk(Map("horizontal_compaction_threshold" -> "100"))
+    def scanColumnar(): Boolean =
+      t.read.filter(col("v") >= 0.0).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.supportsColumnar
+
+    assert(scanColumnar(), "clean table scans columnar")
+    // two deletes stack two deltas on file 0 (k in [0,1000)), 40% dead
+    assert(t.delete(col("k") < 200L) == 200L)
+    assert(t.delete(col("k") >= 200L && col("k") < 400L) == 200L)
+    val s0 = t.status.visible.head
+    assert(s0.deltas.size == 1 && s0.deltas.head._2.size == 2)
+    assert(!scanColumnar(), "outstanding deltas force the row-based read")
+
+    // below the fraction: nothing folds
+    assert(t.foldDeltas(minFraction = 0.5) == 0)
+    // at the fraction: exactly the heavy file folds, deltas retire
+    assert(t.foldDeltas(minFraction = 0.3) == 1)
+    val s1 = t.status.visible.head
+    assert(s1.deltas.isEmpty, "folded file's deltas must retire")
+    assert(s1.files.size == 4 && !s1.files.contains(s0.deltas.head._1),
+      "the heavy file was replaced in place")
+    assert(s1.rowCount == 3600)
+    assert(scanColumnar(), "no deltas left: scan returns to columnar batches")
+
+    // values exact and order claim intact
+    assert(t.read.count() == 3600)
+    assert(t.read.filter(col("k") < 400L).count() == 0)
+    assert(t.read.agg(sum("k")).collect().head.getLong(0) ==
+      (400L until 4000L).sum)
+    assert(t.read.select("k", "v").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.ordering.getOrElse(Nil)
+    }.exists(_.nonEmpty), "sorted chains must survive the in-place fold")
+
+    // opt-in auto trigger: with the property set, the post-mutation
+    // hook folds without an explicit call
+    t.setProperties(Map("horizontal_rewrite_fraction" -> "0.3"))
+    assert(t.delete(col("k") >= 1000L && col("k") < 1500L) == 500L)
+    assert(t.status.visible.head.deltas.isEmpty, "auto fold after MoR delete")
+    assert(t.read.count() == 3100)
+  }
+
   test("segment compaction folds deltas into a clean segment") {
     val t = mk()
     t.insert(spark.range(4000, 5000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
