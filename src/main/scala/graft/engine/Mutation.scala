@@ -28,30 +28,6 @@ class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
   * delta-bearing file loads and caches that file's sorted positions on
   * first touch. One closure instance deserializes per task, so the
   * cache is task-local (GC'd with the task) and needs no locking. */
-private[engine] class DeltaKeepFunc(
-    bcPaths: org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]],
-    conf: graft.engine.source.SerializableHadoopConf)
-  extends ((String, Long) => Boolean) with Serializable {
-
-  // concurrent: local mode can hand the same deserialized closure to
-  // parallel task threads
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-
-  override def apply(fp: String, pos: Long): Boolean = {
-    // SparkPath prints file:/// while qualified Path prints file:/ —
-    // normalize before the lookup
-    val key = new org.apache.hadoop.fs.Path(fp).toString
-    bcPaths.value.get(key) match {
-      case None => true
-      case Some(deltaPaths) =>
-        val ps = cache.computeIfAbsent(key,
-          _ => graft.engine.format.Deltas.readAll(conf.value, deltaPaths))
-        java.util.Arrays.binarySearch(ps, pos) < 0
-    }
-  }
-}
-
 object Mutation extends org.apache.spark.internal.Logging {
 
   /** Visible parquet segments and their file lists. Mutations are
@@ -95,10 +71,14 @@ object Mutation extends org.apache.spark.internal.Logging {
       }
     }.toMap
     val bc = t.spark.sparkContext.broadcast(pathMap)
-    val keep = udf(new DeltaKeepFunc(bc,
+    val lookup = new org.apache.spark.sql.graft.DeltaLookup(bc,
       new graft.engine.source.SerializableHadoopConf(
-        t.spark.sessionState.newHadoopConf())))
-    Some(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+        t.spark.sessionState.newHadoopConf()))
+    Some(org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.DeltaKeep(
+        org.apache.spark.sql.graft.Shims.expression(col("_metadata.file_path")),
+        org.apache.spark.sql.graft.Shims.expression(col("_metadata.row_index")),
+        lookup)))
   }
 
   /** Prune the candidate file set for a mutation predicate with the
