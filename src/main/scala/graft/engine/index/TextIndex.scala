@@ -241,7 +241,7 @@ object TextIndex {
         prefixes.map(p => col("term").startsWith(p)) ++
         fuzzies.map { case (s, n) =>
           length(col("term")).between(s.length - n, s.length + n) &&
-            levenshtein(col("term"), lit(s)) <= n }
+            levenshtein(col("term"), lit(s), n).between(0, n) }
       def segmentGrain(): Hits = {
         val rows: Seq[(String, Long)] =
           idx.read.filter(preds.reduce(_ || _)).select("term", "seg_id")

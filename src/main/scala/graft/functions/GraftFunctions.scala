@@ -45,7 +45,11 @@ object GraftFunctions {
     * `TextIndex.tokenMatch` (whole-token family): both operators are
     * inherently token-level, like lucene's. */
   private[graft] def fuzzyPred(c: Column, s: String, n: Int): Column =
-    exists(split(lower(trim(c)), " "), x => levenshtein(x, lit(s)) <= n)
+    // threshold form: banded DP, O(n·len) per token instead of O(len²),
+    // and an early length bail-out; returns -1 past the threshold so
+    // `between(0, n)` is exactly `distance <= n`
+    exists(split(lower(trim(c)), " "),
+      x => levenshtein(x, lit(s), n).between(0, n))
   private[graft] def nearPred(c: Column, ws: Seq[String], slop: Int): Column = {
     val toks = split(lower(trim(c)), " ")
     val w = ws.length + slop
