@@ -942,66 +942,97 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * third of it is dead, and the table returns to vectorized batches
     * once no deltas remain. Returns #files folded. */
   def foldDeltas(minFraction: Double = 0.3): Int = {
-    import graft.engine.format.Deltas
     var folded = 0
     status.visible.filter(_.externalPath.isEmpty).foreach { s =>
       val dir = layout.segmentDir(s.id)
       s.deltas.foreach { case (rel, dRels) =>
         val live = s.fileMeta.get(rel).map(_.rows)
-        lazy val positions = Deltas.positionsOf(layout.fs, dir, dRels).toSet
-        if (live.isDefined && dRels.nonEmpty &&
-            positions.size >= minFraction * (live.get + positions.size)) {
-          val posSet = positions
+        // deleted-count bound from delta file SIZES (8-byte header +
+        // 8 bytes/position) — the driver never reads positions; a
+        // duplicate position across deltas can only overcount, which at
+        // worst folds a file one mutation early
+        val deleted = dRels.map { dr =>
+          val st = layout.fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, dr))
+          math.max(0L, (st.getLen - 8) / 8)
+        }.sum
+        if (live.isDefined && dRels.nonEmpty && deleted > 0 &&
+            deleted >= minFraction * (live.get + deleted)) {
           val abs = new org.apache.hadoop.fs.Path(dir, rel)
-          val keepUdf = org.apache.spark.sql.functions.udf(
-            (ri: Long) => !posSet.contains(ri))
+          // same executor-lazy mask as every read path (DeltaKeep over a
+          // broadcast path map): tasks load the position arrays of the
+          // file they read; positions never touch the driver
+          val bc = spark.sparkContext.broadcast(Map(
+            layout.fs.makeQualified(abs).toString ->
+              dRels.map(dr => new org.apache.hadoop.fs.Path(dir, dr).toString)))
+          val lookup = new org.apache.spark.sql.graft.DeltaLookup(bc,
+            new graft.engine.source.SerializableHadoopConf(
+              spark.sessionState.newHadoopConf()))
+          val keep = org.apache.spark.sql.graft.Shims.column(
+            org.apache.spark.sql.graft.DeltaKeep(
+              org.apache.spark.sql.graft.Shims.expression(col("_metadata.file_path")),
+              org.apache.spark.sql.graft.Shims.expression(col("_metadata.row_index")),
+              lookup))
           // one file in, one file out, original row order kept (the
           // segment's sort claim survives the fold)
           val df = spark.read.schema(schema).parquet(abs.toString)
             .withColumn("__fold_ri", col("_metadata.row_index"))
-            .filter(keepUdf(col("__fold_ri")))
+            .filter(keep)
             .coalesce(1).sortWithinPartitions("__fold_ri")
             .drop("__fold_ri")
           val tmp = new org.apache.hadoop.fs.Path(dir,
             s".fold-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          df.write.mode("overwrite").parquet(tmp.toString)
-          val part = layout.fs.listStatus(tmp)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          require(part.length == 1, s"fold of $rel produced ${part.length} files")
-          val dot = rel.lastIndexOf('.')
-          val newRel = s"${rel.substring(0, dot)}-fold-" +
-            s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-          val dst = new org.apache.hadoop.fs.Path(dir, newRel)
-          layout.fs.rename(part.head.getPath, dst)
-          layout.fs.delete(tmp, true)
-          val bytes = layout.fs.getFileStatus(dst).getLen
-          val fm = graft.engine.format.FileFooters.read(
-            spark.sessionState.newHadoopConf(), dst, bytes,
-            schema.fields.map(f => f.name -> f.dataType).toMap)
           try {
-            layout.commit { st =>
-              st.copy(segments = st.segments.map { seg =>
-                if (seg.id != s.id) seg
-                else if (!seg.isVisible || !seg.files.contains(rel) ||
-                    seg.deltas.getOrElse(rel, Nil) != dRels)
-                  throw new ConcurrentMutationException(
-                    s"$rel (segment ${s.id}) changed during delta fold")
-                else seg.copy(
-                  files = seg.files.map(f => if (f == rel) newRel else f),
-                  fileMeta = seg.fileMeta - rel ++
-                    fm.map(newRel -> _),
-                  deltas = seg.deltas - rel,
-                  sizeBytes = seg.sizeBytes -
-                    seg.fileMeta.get(rel).map(_.bytes).getOrElse(0L) + bytes,
-                  removedFiles = seg.removedFiles ++ (rel +: dRels))
-              })
+            df.write.mode("overwrite").parquet(tmp.toString)
+            val part = layout.fs.listStatus(tmp)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            require(part.length == 1, s"fold of $rel produced ${part.length} files")
+            val dot = rel.lastIndexOf('.')
+            val newRel = s"${rel.substring(0, dot)}-fold-" +
+              s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+            val dst = new org.apache.hadoop.fs.Path(dir, newRel)
+            if (!layout.fs.rename(part.head.getPath, dst))
+              throw new java.io.IOException(s"failed to rename fold output to $dst")
+            val bytes = layout.fs.getFileStatus(dst).getLen
+            val fm = graft.engine.format.FileFooters.read(
+              spark.sessionState.newHadoopConf(), dst, bytes,
+              schema.fields.map(f => f.name -> f.dataType).toMap)
+            try {
+              layout.commit { st =>
+                st.copy(segments = st.segments.map { seg =>
+                  if (seg.id != s.id) seg
+                  else if (!seg.isVisible || !seg.files.contains(rel) ||
+                      seg.deltas.getOrElse(rel, Nil) != dRels)
+                    throw new ConcurrentMutationException(
+                      s"$rel (segment ${s.id}) changed during delta fold")
+                  else {
+                    val seg2 = seg.copy(
+                      files = seg.files.map(f => if (f == rel) newRel else f),
+                      fileMeta = seg.fileMeta - rel ++
+                        fm.map(newRel -> _),
+                      deltas = seg.deltas - rel,
+                      sizeBytes = seg.sizeBytes -
+                        seg.fileMeta.get(rel).map(_.bytes).getOrElse(0L) + bytes,
+                      removedFiles = seg.removedFiles ++ (rel +: dRels))
+                    // the write-time segment stats describe rows the fold
+                    // just removed; once the last delta retires they'd
+                    // answer metadata MIN/MAX with deleted values —
+                    // recompute from the surviving files' footer stats
+                    // (exact for sort columns, dropped otherwise)
+                    seg2.copy(stats = graft.engine.format.Partitions
+                      .recomputeStats(seg2.files, seg2.fileMeta, seg2.stats, schema))
+                  }
+                })
+              }
+              folded += 1
+            } catch {
+              case e: ConcurrentMutationException =>
+                try layout.fs.delete(dst, false)
+                catch { case scala.util.control.NonFatal(_) => }
+                logWarning(s"[graft] delta fold skipped $rel: ${e.getMessage}")
             }
-            folded += 1
-          } catch {
-            case e: ConcurrentMutationException =>
-              try layout.fs.delete(dst, false)
-              catch { case scala.util.control.NonFatal(_) => }
-              logWarning(s"[graft] delta fold skipped $rel: ${e.getMessage}")
+          } finally {
+            try layout.fs.delete(tmp, true)
+            catch { case scala.util.control.NonFatal(_) => }
           }
         }
       }
@@ -1018,8 +1049,16 @@ class GraftTable private (val spark: SparkSession, val path: String)
   private[engine] def maybeHorizontalCompact(): Unit =
     if (!meta.properties.get("horizontal_compaction_enable").exists(_.equalsIgnoreCase("false"))) {
       horizontalCompact()
+      // defensive parse: the mutation already committed when this hook
+      // runs, so a malformed property must degrade to a warning, not
+      // fail every subsequent mutation until someone fixes the table
       meta.properties.get("horizontal_rewrite_fraction")
-        .foreach(f => foldDeltas(f.toDouble))
+        .foreach(f => f.toDoubleOption match {
+          case Some(v) if v > 0 && v <= 1 => foldDeltas(v)
+          case _ => logWarning(
+            s"[graft] ignoring invalid horizontal_rewrite_fraction='$f' " +
+              "(want a number in (0, 1])")
+        })
     }
 
   /** ALTER TABLE ADD SEGMENT: register an external folder of data files

@@ -4,6 +4,11 @@ import graft.engine.format.{SegmentMeta, SegmentStatus, SegmentWriter}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Thrown when a concurrent writer retired a copy-on-write victim between
+  * selection and commit; update/delete retry transparently, merge and
+  * compaction surface it (their re-run is not side-effect-free). */
+class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
+
 /** Copy-on-write mutation (IUD) for carbonish tables.
   *
   * Reference semantics: UPDATE/DELETE address rows by tupleId and write
@@ -16,18 +21,11 @@ import org.apache.spark.sql.functions._
   * CDCBlockImplicitExpression), only those segments are rewritten, and
   * the commit is a single atomic tablestatus swap. Untouched segments
   * are never read or written, so a point-update of one segment on a
-  * 100 TB table rewrites ~1 segment, not the table.
+  * 100 TB table rewrites ~1 segment, not the table. Merge-on-read delta
+  * masks on the maintenance read paths apply via the [[org.apache.spark.sql.graft.DeltaKeep]]
+  * codegen predicate (executor-lazy position loads over a broadcast
+  * path map — see [[deltaFilter]]).
   */
-/** Thrown when a concurrent writer retired a copy-on-write victim between
-  * selection and commit; update/delete retry transparently, merge and
-  * compaction surface it (their re-run is not side-effect-free). */
-class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
-
-/** Executor-side keep-predicate for the maintenance-path delta mask:
-  * holds only (data file → delta file paths); a task that reads a
-  * delta-bearing file loads and caches that file's sorted positions on
-  * first touch. One closure instance deserializes per task, so the
-  * cache is task-local (GC'd with the task) and needs no locking. */
 object Mutation extends org.apache.spark.internal.Logging {
 
   /** Visible parquet segments and their file lists. Mutations are

@@ -90,28 +90,22 @@ object Partitions {
           .map(enc => ColumnStats(Some(enc), Some(enc), nullCount = 0L))
     }
 
-  /** Retire `rels` from a segment's file list as a pure metadata edit:
-    * exact row/byte decrements from footer counts, tombstones for CLEAN
-    * FILES, and — critically — per-column stats REFRESHED from the
-    * remaining files' footer stats, or dropped when they can't be:
-    * stale min/max would let a metadata-only MIN/MAX answer with a
-    * deleted value, and a stale nullCount can make IsNotNull pruning
-    * skip live rows. Absent stats are merely slower (scan fallback /
-    * conservative keep), never wrong.
-    *
-    * Caller must have verified every rel has a fileMeta entry. */
-  def retireFiles(s: SegmentMeta, rels: Seq[String], schema: StructType): SegmentMeta = {
-    val rset = rels.toSet
-    val droppedRows = rels.map(s.fileMeta(_).rows).sum
-    val droppedBytes = rels.map(s.fileMeta(_).bytes).sum
-    val remaining = s.files.filterNot(rset)
-    val remainingMeta = s.fileMeta -- rset
-    // a retired data file takes its merge-on-read delete deltas with it
-    val droppedDeltas = rels.flatMap(r => s.deltas.getOrElse(r, Nil))
-    val newStats = s.stats.flatMap { case (c, _) =>
+  /** Segment-level stats recomputed from the surviving files' footer
+    * stats, keyed by the segment's existing stat columns: exact for any
+    * column every remaining file carries (the sort columns), dropped
+    * otherwise — stale min/max would let a metadata-only MIN/MAX answer
+    * with a deleted value, and a stale nullCount can make IsNotNull
+    * pruning skip live rows. Absent stats are merely slower (scan
+    * fallback / conservative keep), never wrong. Shared by
+    * [[retireFiles]] and the delta fold (both replace/remove files of a
+    * committed segment, invalidating its write-time stats). */
+  def recomputeStats(
+      files: Seq[String], fileMeta: Map[String, FileMeta],
+      oldStats: Map[String, ColumnStats], schema: StructType): Map[String, ColumnStats] =
+    oldStats.flatMap { case (c, _) =>
       val dtOpt = schema.fields.find(_.name == c).map(_.dataType)
-      val perFile = remaining.map(f => remainingMeta.get(f).flatMap(_.stats.get(c)))
-      if (remaining.isEmpty || dtOpt.isEmpty || perFile.exists(_.isEmpty)) None // drop
+      val perFile = files.map(f => fileMeta.get(f).flatMap(_.stats.get(c)))
+      if (files.isEmpty || dtOpt.isEmpty || perFile.exists(_.isEmpty)) None // drop
       else {
         val dt = dtOpt.get
         val cs = perFile.flatten
@@ -127,6 +121,21 @@ object Partitions {
         else Some(c -> ColumnStats(minF, maxF, cs.map(_.nullCount).sum))
       }
     }
+
+  /** Retire `rels` from a segment's file list as a pure metadata edit:
+    * exact row/byte decrements from footer counts, tombstones for CLEAN
+    * FILES, and per-column stats refreshed via [[recomputeStats]].
+    *
+    * Caller must have verified every rel has a fileMeta entry. */
+  def retireFiles(s: SegmentMeta, rels: Seq[String], schema: StructType): SegmentMeta = {
+    val rset = rels.toSet
+    val droppedRows = rels.map(s.fileMeta(_).rows).sum
+    val droppedBytes = rels.map(s.fileMeta(_).bytes).sum
+    val remaining = s.files.filterNot(rset)
+    val remainingMeta = s.fileMeta -- rset
+    // a retired data file takes its merge-on-read delete deltas with it
+    val droppedDeltas = rels.flatMap(r => s.deltas.getOrElse(r, Nil))
+    val newStats = recomputeStats(remaining, remainingMeta, s.stats, schema)
     s.copy(
       files = remaining,
       fileMeta = remainingMeta,

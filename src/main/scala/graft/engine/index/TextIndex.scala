@@ -240,7 +240,11 @@ object TextIndex {
       val preds = (if (exact.nonEmpty) Seq(col("term").isin(exact: _*)) else Nil) ++
         prefixes.map(p => col("term").startsWith(p)) ++
         fuzzies.map { case (s, n) =>
-          length(col("term")).between(s.length - n, s.length + n) &&
+          // length() counts code points, so the bracket must too — a
+          // UTF-16 length would exclude dictionary tokens holding
+          // supplementary-plane chars that are within edit distance
+          val sLen = s.codePointCount(0, s.length)
+          length(col("term")).between(sLen - n, sLen + n) &&
             levenshtein(col("term"), lit(s), n).between(0, n) }
       def segmentGrain(): Hits = {
         val rows: Seq[(String, Long)] =

@@ -117,20 +117,26 @@ object GraftFunctions {
     * every driver-side fuzzy consumer shares (the `text_match_contains`
     * UDF, TextIndex posting filtering), so it cannot drift from itself;
     * it must agree with Spark's `levenshtein` used in the codegen
-    * predicates. */
+    * predicates. Spark's UTF8String.levenshteinDistance counts CODE
+    * POINTS (numChars), so the DP runs over code points, not UTF-16
+    * chars — a supplementary-plane char is ONE edit unit; counting its
+    * two surrogates would over-prune index postings the codegen
+    * residual matches. */
   private[graft] def editsAtMost(a: String, b: String, n: Int): Boolean = {
-    if (math.abs(a.length - b.length) > n) return false
-    val m = Array.tabulate(b.length + 1)(identity)
-    for (i <- 1 to a.length) {
+    val ac = a.codePoints.toArray
+    val bc = b.codePoints.toArray
+    if (math.abs(ac.length - bc.length) > n) return false
+    val m = Array.tabulate(bc.length + 1)(identity)
+    for (i <- 1 to ac.length) {
       var prevDiag = m(0); m(0) = i
-      for (j <- 1 to b.length) {
+      for (j <- 1 to bc.length) {
         val t = m(j)
         m(j) = math.min(math.min(m(j) + 1, m(j - 1) + 1),
-          prevDiag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prevDiag + (if (ac(i - 1) == bc(j - 1)) 0 else 1))
         prevDiag = t
       }
     }
-    m(b.length) <= n
+    m(bc.length) <= n
   }
 
   /** Parse the lucene-subset grammar into OR-of-AND-of-literals. */
@@ -157,10 +163,19 @@ object GraftFunctions {
           if (tok.startsWith("-") && tok.length > 1) (true, tok.drop(1))
           else (false, tok)
         val term = body0 match {
-          // `"w1 w2"~k` proximity; `~`/`~0` degrade to the plain phrase
+          // `"w1 w2"~k` proximity; `~`/`~0` degrade to the plain phrase.
+          // Slop caps at 10^6: any longer window behaves identically on
+          // any real document while keeping the window arithmetic (and
+          // the oracle's list_slice) overflow-free, and it turns a
+          // pathological >9-digit suffix into a grammar-level cap
+          // instead of a raw NumberFormatException
           case NearRe(inner, slopS) =>
             val ws = inner.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-            val slop = if (slopS.isEmpty) 0 else slopS.toInt
+            val digits = slopS.dropWhile(_ == '0')
+            val slop =
+              if (digits.isEmpty) 0
+              else if (digits.length > 6) 1000000
+              else digits.toInt
             if (slop <= 0) TextTerm.Phrase(ws) else TextTerm.Near(ws, slop)
           case _ if body0.startsWith("\"") && body0.endsWith("\"") && body0.length >= 2 =>
             TextTerm.Phrase(body0.substring(1, body0.length - 1)
@@ -168,7 +183,12 @@ object GraftFunctions {
           // `term~N` fuzzy; bare `~` = 2 edits (lucene default), capped
           // at 2 like lucene's LevenshteinAutomata; `~0` is exact
           case FuzzyRe(stem, edS) =>
-            val n = math.min(if (edS.isEmpty) 2 else edS.toInt, 2)
+            // any multi-digit distance is >= 10 and caps at lucene's 2
+            // without parsing (a >9-digit suffix would overflow toInt)
+            val nd = edS.dropWhile(_ == '0')
+            val n = math.min(
+              if (edS.isEmpty) 2 else if (nd.isEmpty) 0
+              else if (nd.length > 1) 2 else nd.toInt, 2)
             if (n <= 0) TextTerm.Tok(stem.toLowerCase)
             else TextTerm.Fuzzy(stem.toLowerCase, n)
           case _ if body0.endsWith("*") && body0.length > 1 =>

@@ -133,7 +133,13 @@ object CatalogQueries {
         require(shuffles.isEmpty && sorts.isEmpty,
           s"expected zero exchanges (got ${shuffles.size}) and zero sorts " +
             s"(got ${sorts.size}); plan:\n$plan")
-        q
+        // execute the ASSERTED plan, eagerly, while the confs are still
+        // pinned — returning `q` lazily would let the consumer (bench
+        // noop write, verify dump) re-plan it under the restored session
+        // confs (typically a broadcast join), decoupling the certified
+        // plan from the executed one. localCheckpoint keeps the result
+        // distributed (no driver collect; the row scales with SF).
+        q.localCheckpoint()
       } finally olds.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)

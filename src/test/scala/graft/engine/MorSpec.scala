@@ -168,10 +168,30 @@ class MorSpec extends AnyFunSuite {
         r.ordering.getOrElse(Nil)
     }.exists(_.nonEmpty), "sorted chains must survive the in-place fold")
 
+    // metadata MIN/MAX re-enables once the last delta retires — it must
+    // see stats RECOMPUTED from the surviving footers, not the
+    // write-time segment stats that still describe the deleted k<400
+    val mm = t.read.agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val mmPlan = mm.queryExecution.executedPlan.toString
+    assert(mmPlan.contains("LocalTableScan") && !mmPlan.contains("BatchScan"),
+      s"metadata MIN/MAX should fire on the delta-free table:\n$mmPlan")
+    val mmRow = mm.collect()(0)
+    assert(mmRow.getLong(0) == 400L && mmRow.getLong(1) == 3999L,
+      s"metadata MIN/MAX answered stale stats: $mmRow")
+
+    // a malformed fraction must not fail mutations (the delta already
+    // committed when the hook runs) — it degrades to a warning + no fold
+    // (the victim row sits inside the range the auto trigger below
+    // deletes, so whichever file holds it crosses the fold fraction and
+    // the stray delta retires with it)
+    t.setProperties(Map("horizontal_rewrite_fraction" -> "30%"))
+    assert(t.delete(col("k") === 1234L) == 1L)
+    assert(t.status.visible.head.deltas.nonEmpty, "invalid fraction must not fold")
+
     // opt-in auto trigger: with the property set, the post-mutation
     // hook folds without an explicit call
     t.setProperties(Map("horizontal_rewrite_fraction" -> "0.3"))
-    assert(t.delete(col("k") >= 1000L && col("k") < 1500L) == 500L)
+    assert(t.delete(col("k") >= 1000L && col("k") < 1500L) == 499L)
     assert(t.status.visible.head.deltas.isEmpty, "auto fold after MoR delete")
     assert(t.read.count() == 3100)
   }

@@ -173,6 +173,38 @@ class TextGrammarPropsSpec extends AnyFunSuite {
         TextLit(false, TextTerm.Tok("c")))))
   }
 
+  test("editsAtMost counts code points like Spark's levenshtein (supplementary planes)") {
+    import spark.implicits._
+    // 𝒜 and 😀 are outside the BMP: two UTF-16 chars, ONE code point.
+    // Spark's levenshtein counts code points (UTF8String.numChars), so
+    // the shared driver-side DP must too — a UTF-16 count would prune
+    // index postings the codegen residual matches.
+    val sup = Seq("𝒜", "𝒜b", "a𝒜", "ab", "a",
+      "𝒜𝒜", "a𝒜b", "😀ab", "")
+    val pairs = for (a <- sup; b <- sup) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .withColumn("lev", org.apache.spark.sql.functions.levenshtein(col("a"), col("b")))
+      .collect()
+    got.foreach { r =>
+      val (a, b, lev) = (r.getString(0), r.getString(1), r.getInt(2))
+      for (n <- 0 to 3)
+        assert(GraftFunctions.editsAtMost(a, b, n) == (lev <= n),
+          s"editsAtMost('$a','$b',$n) disagrees with Spark levenshtein=$lev")
+    }
+  }
+
+  test("oversized fuzzy/proximity suffixes cap instead of overflowing") {
+    assert(GraftFunctions.parseLucene("query~9999999999") ==
+      Seq(Seq(TextLit(false, TextTerm.Fuzzy("query", 2)))))
+    assert(GraftFunctions.parseLucene("\"a b\"~9999999999") ==
+      Seq(Seq(TextLit(false, TextTerm.Near(Seq("a", "b"), 1000000)))))
+    // leading zeros are value-equivalent, not parse errors
+    assert(GraftFunctions.parseLucene("query~00") ==
+      Seq(Seq(TextLit(false, TextTerm.Tok("query")))))
+    assert(GraftFunctions.parseLucene("\"a b\"~007") ==
+      Seq(Seq(TextLit(false, TextTerm.Near(Seq("a", "b"), 7)))))
+  }
+
   test("dangling NOT and unterminated phrases fail loudly") {
     intercept[IllegalArgumentException](GraftFunctions.parseLucene("a NOT"))
     intercept[IllegalArgumentException](GraftFunctions.parseLucene("a NOT OR b"))
