@@ -2,6 +2,8 @@ package graft.engine
 
 import graft.engine.format._
 
+import scala.collection.parallel.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -940,24 +942,50 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * per-row position mask (DeltaRead's documented cost). At 100 TB the
     * policy is debt-proportional — a file pays a rewrite exactly when a
     * third of it is dead, and the table returns to vectorized batches
-    * once no deltas remain. Returns #files folded. */
-  def foldDeltas(minFraction: Double = 0.3): Int = {
-    var folded = 0
-    status.visible.filter(_.externalPath.isEmpty).foreach { s =>
-      val dir = layout.segmentDir(s.id)
-      s.deltas.foreach { case (rel, dRels) =>
-        val live = s.fileMeta.get(rel).map(_.rows)
-        // deleted-count bound from delta file SIZES (8-byte header +
-        // 8 bytes/position) — the driver never reads positions; a
-        // duplicate position across deltas can only overcount, which at
-        // worst folds a file one mutation early
-        val deleted = dRels.map { dr =>
-          val st = layout.fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, dr))
-          math.max(0L, (st.getLen - 8) / 8)
-        }.sum
-        if (live.isDefined && dRels.nonEmpty && deleted > 0 &&
-            deleted >= minFraction * (live.get + deleted)) {
-          val abs = new org.apache.hadoop.fs.Path(dir, rel)
+    * once no deltas remain. Each fold is a ONE-task job (one file in,
+    * one file out), so candidates run through a bounded driver-side
+    * pool instead of serializing k tiny jobs — on a 100 TB table a
+    * maintenance pass folds `parallelism` files concurrently while the
+    * per-file commits still serialize on the locked tablestatus RMW
+    * (each validates only its own file, so interleaving is safe).
+    * Returns #files folded. */
+  def foldDeltas(minFraction: Double = 0.3, parallelism: Int = 4): Int = {
+    val candidates: Seq[(SegmentMeta, String, Seq[String])] = for {
+      s <- status.visible.filter(_.externalPath.isEmpty)
+      (rel, dRels) <- s.deltas.toSeq
+      live <- s.fileMeta.get(rel).map(_.rows).toSeq
+      // deleted-count bound from delta file SIZES (8-byte header +
+      // 8 bytes/position) — the driver never reads positions; a
+      // duplicate position across deltas can only overcount, which at
+      // worst folds a file one mutation early
+      deleted = dRels.map { dr =>
+        val st = layout.fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), dr))
+        math.max(0L, (st.getLen - 8) / 8)
+      }.sum
+      if dRels.nonEmpty && deleted > 0 &&
+        deleted >= minFraction * (live + deleted)
+    } yield (s, rel, dRels)
+    if (candidates.isEmpty) return 0
+    val folded = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.max(1, math.min(parallelism, candidates.size)))
+    try {
+      val pc = candidates.par
+      pc.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      pc.foreach { case (s, rel, dRels) =>
+        if (foldOne(s, rel, dRels)) folded.incrementAndGet()
+      }
+    } finally pool.shutdown()
+    folded.get
+  }
+
+  /** One file's fold: rewrite without its deleted rows, commit the swap.
+    * Returns false when a concurrent mutation won the file (skip —
+    * the next maintenance pass re-evaluates). */
+  private def foldOne(s: SegmentMeta, rel: String, dRels: Seq[String]): Boolean = {
+    val dir = layout.segmentDir(s.id)
+    val abs = new org.apache.hadoop.fs.Path(dir, rel)
           // same executor-lazy mask as every read path (DeltaKeep over a
           // broadcast path map): tasks load the position arrays of the
           // file they read; positions never touch the driver
@@ -981,7 +1009,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
             .drop("__fold_ri")
           val tmp = new org.apache.hadoop.fs.Path(dir,
             s".fold-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          try {
+          val res: Boolean = try {
             df.write.mode("overwrite").parquet(tmp.toString)
             val part = layout.fs.listStatus(tmp)
               .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1023,21 +1051,19 @@ class GraftTable private (val spark: SparkSession, val path: String)
                   }
                 })
               }
-              folded += 1
+              true
             } catch {
               case e: ConcurrentMutationException =>
                 try layout.fs.delete(dst, false)
                 catch { case scala.util.control.NonFatal(_) => }
                 logWarning(s"[graft] delta fold skipped $rel: ${e.getMessage}")
+                false
             }
           } finally {
             try layout.fs.delete(tmp, true)
             catch { case scala.util.control.NonFatal(_) => }
           }
-        }
-      }
-    }
-    folded
+          res
   }
 
   /** Auto horizontal compaction after each MoR mutation, like the

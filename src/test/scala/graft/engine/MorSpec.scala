@@ -196,6 +196,23 @@ class MorSpec extends AnyFunSuite {
     assert(t.read.count() == 3100)
   }
 
+  test("foldDeltas folds many files concurrently, values exact") {
+    val t = mk(Map("horizontal_compaction_threshold" -> "100"))
+    // every file ~40% dead: all 4 are fold candidates in one pass
+    assert(t.delete(col("k") % 10 < 4L) == 1600L)
+    assert(t.status.visible.head.deltas.size == 4)
+    assert(t.foldDeltas(minFraction = 0.3, parallelism = 4) == 4)
+    val s = t.status.visible.head
+    assert(s.deltas.isEmpty && s.files.size == 4)
+    assert(s.rowCount == 2400)
+    assert(t.read.count() == 2400)
+    assert(t.read.agg(sum("k")).collect().head.getLong(0) ==
+      (0L until 4000L).filter(_ % 10 >= 4).sum)
+    // recomputed stats: metadata MIN/MAX reflects the fold
+    val r = t.read.agg(min("k"), max("k")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3999L)
+  }
+
   test("segment compaction folds deltas into a clean segment") {
     val t = mk()
     t.insert(spark.range(4000, 5000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
