@@ -724,17 +724,42 @@ class GraftTable private (val spark: SparkSession, val path: String)
       // lost-race MoR delete) — unreferenced by tablestatus, reclaim
       // after the same staleness grace as tmp dirs
       cleaned.filter(_.externalPath.isEmpty).foreach { s =>
+        val segDir = layout.segmentDir(s.id)
         val dDir = new org.apache.hadoop.fs.Path(
-          layout.segmentDir(s.id), graft.engine.format.Deltas.Dir)
+          segDir, graft.engine.format.Deltas.Dir)
         if (fs.exists(dDir)) {
           val referenced = s.deltas.values.flatten
             .map(r => fs.makeQualified(
-              new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), r)).toString)
+              new org.apache.hadoop.fs.Path(segDir, r)).toString)
             .toSet
           fs.listStatus(dDir)
             .filter(f => !referenced(fs.makeQualified(f.getPath).toString))
             .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
             .foreach(f => fs.delete(f.getPath, false))
+        }
+        // crashed tier-2 folds: `.fold-tmp-` dirs live INSIDE segment
+        // dirs (the `.tmp-` sweep above only scans the segments root),
+        // and a crash between the rename and the commit leaves an
+        // orphan `-fold-` parquet no list references — both reclaim
+        // after the same grace (a racing in-flight fold's output is
+        // younger than the grace, so it is never touched)
+        if (fs.exists(segDir)) {
+          fs.listStatus(segDir)
+            .filter(f => f.isDirectory && f.getPath.getName.startsWith(".fold-tmp-"))
+            .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+            .foreach(f => fs.delete(f.getPath, true))
+          val livePaths = (s.files ++ s.removedFiles)
+            .map(r => fs.makeQualified(new org.apache.hadoop.fs.Path(segDir, r)).toString)
+            .toSet
+          val it = fs.listFiles(segDir, true)
+          while (it.hasNext) {
+            val f = it.next()
+            val name = f.getPath.getName
+            if (name.contains("-fold-") && name.endsWith(".parquet") &&
+                !livePaths(fs.makeQualified(f.getPath).toString) &&
+                System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+              fs.delete(f.getPath, false)
+          }
         }
       }
       st.copy(segments = cleaned)

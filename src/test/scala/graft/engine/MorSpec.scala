@@ -213,6 +213,31 @@ class MorSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L && r.getLong(1) == 3999L)
   }
 
+  test("CLEAN FILES reclaims crashed fold leftovers, spares fresh ones") {
+    val t = mk()
+    val segDir = t.layout.segmentDir(0L)
+    val fs = t.layout.fs
+    import org.apache.hadoop.fs.Path
+    // simulate a fold that crashed between rename and commit: an
+    // unreferenced -fold- parquet + a leftover .fold-tmp- dir
+    val orphan = new Path(segDir, "part-zzz-fold-dead.parquet")
+    fs.create(orphan, true).close()
+    val tmpDir = new Path(segDir, ".fold-tmp-dead")
+    fs.mkdirs(tmpDir)
+    // a FRESH orphan (mtime now) must survive the grace window
+    val fresh = new Path(segDir, "part-yyy-fold-fresh.parquet")
+    fs.create(fresh, true).close()
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000
+    fs.setTimes(orphan, old, old)
+    fs.setTimes(tmpDir, old, old)
+    t.cleanFiles()
+    assert(!fs.exists(orphan), "stale fold orphan must be reclaimed")
+    assert(!fs.exists(tmpDir), "stale .fold-tmp- dir must be reclaimed")
+    assert(fs.exists(fresh), "an in-grace fold output must never be touched")
+    assert(t.read.count() == 4000, "reads unaffected by the sweep")
+    fs.delete(fresh, false)
+  }
+
   test("segment compaction folds deltas into a clean segment") {
     val t = mk()
     t.insert(spark.range(4000, 5000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
