@@ -51,11 +51,14 @@ object GraftFunctions {
     exists(split(lower(trim(c)), " "),
       x => levenshtein(x, lit(s), n).between(0, n))
   private[graft] def nearPred(c: Column, ws: Seq[String], slop: Int): Column = {
+    // native sliding-window co-occurrence (one O(len) codegen scan) —
+    // the HOF exists/slice formulation ran interpreted and allocated a
+    // window copy per token position; semantics identical (window =
+    // ORIGINAL phrase length + slop, like the oracle's list_slice)
     val toks = split(lower(trim(c)), " ")
-    val w = ws.length + slop
-    exists(sequence(lit(1), greatest(size(toks), lit(1))), p =>
-      ws.map(word => array_contains(slice(toks, p, lit(w)), word))
-        .reduce(_ && _))
+    org.apache.spark.sql.graft.Shims.column(
+      org.apache.spark.sql.graft.WindowCoOccur(
+        org.apache.spark.sql.graft.Shims.expression(toks), ws, ws.length + slop))
   }
 
   /** `text_match(column, query)` — lucene-lite full-text predicate

@@ -153,6 +153,65 @@ object Dedup {
     (inter.cast("double") / uni.cast("double"))
   }
 
+  /** Per-doc gram tables for the exact n-gram Jaccard join: value-sorted
+    * distinct hashed grams (`ghs`, the merge-scan verify input) plus the
+    * PREFIX-FILTER candidate grams (`prefix`). Prefix filtering
+    * (published literature: Chaudhuri et al. 2006 primitive operator;
+    * Xiao et al. PPJoin Lemma 1: |A∩B| ≥ t implies the
+    * (|A|−t+1)-prefix of A and the (|B|−t+1)-prefix of B intersect
+    * under one global total order). Instantiation here, per pair with
+    * J(A,B) ≥ τ: |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), so the lemma holds
+    * with t = max(⌈τ|A|⌉, ⌈τ|B|⌉) — and each side's stored
+    * |g| − ⌈τ·|g|⌉ + 1 prefix is at least as long as that lemma
+    * requires, so the candidate join is COMPLETE for threshold τ.
+    * Ordering grams by ASCENDING document frequency makes the prefixes
+    * the rarest grams, so the candidate equi-join stays near-linear
+    * where a share-any-gram join explodes on stopword grams — the
+    * at-scale shape of an EXACT similarity join (completeness does not
+    * depend on the order; rarity only shrinks the candidate set). */
+  def ngramDocTables(toks: DataFrame, shingleN: Int, tau: Double): DataFrame = {
+    val grams = toks.select(col("id"),
+        explode(shingles(col("toks"), shingleN)).as("s"))
+      .select(col("id"), md5p64(col("s")).as("gh"))
+      .distinct()
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    grams.join(freq, "gh")
+      .groupBy("id").agg(
+        sort_array(collect_list(col("gh"))).as("ghs"),
+        transform(sort_array(collect_list(struct(col("df"), col("gh")))),
+          x => x.getField("gh")).as("ordered"))
+      .withColumn("plen",
+        size(col("ordered")) - ceil(lit(tau) * size(col("ordered"))).cast("int") + 1)
+      .select(col("id"), col("ghs"),
+        slice(col("ordered"), lit(1), col("plen")).as("prefix"))
+  }
+
+  /** Prefix-filter candidate pairs: ids sharing a prefix gram, a < b. */
+  def ngramCandidatePairs(docs: DataFrame): DataFrame = {
+    val pre = docs.select(col("id"), explode(col("prefix")).as("gh"))
+    pre.as("l").join(pre.as("r"),
+        col("l.gh") === col("r.gh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** EXACT n-gram Jaccard near-dup join: prefix-filter candidates →
+    * one native merge scan per pair → threshold. Unlike the MinHash
+    * row (probabilistic recall by design), the result here is exactly
+    * every pair with gram-Jaccard ≥ τ — the oracle recomputes it with
+    * NO candidate stage, so a green row proves the prefix filter lost
+    * nothing on real data. Input (id, toks); output (a, b, jacc). */
+  def ngramJaccardPairs(toks: DataFrame, shingleN: Int, tau: Double): DataFrame = {
+    val docs = ngramDocTables(toks, shingleN, tau)
+    val cands = ngramCandidatePairs(docs)
+    cands
+      .join(docs.select(col("id"), col("ghs")).as("da"), col("a") === col("da.id"))
+      .join(docs.select(col("id"), col("ghs")).as("db"), col("b") === col("db.id"))
+      .select(col("a"), col("b"),
+        jaccardHashed(col("da.ghs"), col("db.ghs")).as("jacc"))
+      .filter(col("jacc") >= tau)
+  }
+
   /** 16-bit SimHash fingerprints: bit j is set iff
     * Σ_distinct-tokens (±1 by bit j of h32(token)) ≥ 0.
     *

@@ -42,6 +42,7 @@ object PipelineQueries {
       minhashVerified(s, d).select(col("a"), col("b")).localCheckpoint()
     })
   private val JaccThreshold = 0.5
+  private val NgramTau = 0.6
 
   // ---- shared corpus builders (Spark) ----
   private def norm(c: Column): Column = lower(trim(c))
@@ -116,6 +117,21 @@ object PipelineQueries {
     // ---- near-dup: MinHash signatures → banded LSH buckets →
     //      in-bucket pair join → exact-Jaccard verify. No crossJoin. ----
     "q_dedup_minhash" -> ((s, d) => minhashVerified(s, d)),
+
+    // ---- EXACT n-gram Jaccard near-dup join: prefix-filter candidate
+    //      generation (rarest-first gram prefixes, PPJoin Lemma 1 —
+    //      complete for the threshold by construction) → one native
+    //      merge scan per candidate. Unlike minhash (probabilistic
+    //      recall), this row returns EXACTLY every pair with
+    //      gram-Jaccard >= tau, and the oracle recomputes the answer
+    //      with NO candidate stage — a green row proves the prefix
+    //      filter lost nothing on real data. ----
+    "q_dedup_ngram" -> ((s, d) => {
+      val toks = nearCorpus(t(s, d, "documents"))
+        .select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
+        .filter(size(col("toks")) >= ShingleN)
+      Dedup.ngramJaccardPairs(toks, ShingleN, NgramTau)
+    }),
 
     // ---- near-dup CLUSTERS: verified pairs → connected components.
     //      (a,b)+(b,c) collapse to one cluster labelled min(a,b,c).
@@ -703,6 +719,21 @@ object PipelineQueries {
       "q_dedup_minhash" ->
         s"""WITH $oPairChain
             SELECT a, b, jacc FROM verified WHERE jacc >= $JaccThreshold""",
+      // brute force on purpose — NO candidate stage, so the row
+      // certifies the Spark side's prefix-filter completeness
+      "q_dedup_ngram" -> {
+        val sh = Dedup.oShingles("toks", ShingleN)
+        val inter = "len(list_intersect(a.ghs, b.ghs))"
+        val jacc = s"CAST($inter AS DOUBLE) / CAST(len(a.ghs) + len(b.ghs) - $inter AS DOUBLE)"
+        s"""WITH corpus AS ($oNearCorpus),
+            toks AS (SELECT id, $oToks AS toks FROM corpus),
+            g AS (SELECT id, list_sort(list_distinct(list_transform($sh,
+                    s -> CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)))) AS ghs
+                  FROM toks WHERE len(toks) >= $ShingleN)
+            SELECT a.id AS a, b.id AS b, $jacc AS jacc
+            FROM g a JOIN g b ON a.id < b.id
+            WHERE $jacc >= $NgramTau"""
+      },
       "q_dedup_cluster" ->
         s"""WITH RECURSIVE $oPairChain,
             vpairs AS (SELECT a, b FROM verified WHERE jacc >= $JaccThreshold),

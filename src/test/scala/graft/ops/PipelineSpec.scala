@@ -296,6 +296,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(cnt(Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)) == 2)
   }
 
+  test("prefix-filtered n-gram jaccard equals brute force and prunes the pair space") {
+    // corpus with planted near-dups: each %5 doc re-appears with its
+    // first word dropped (high but not perfect gram overlap)
+    val mut = when(locate(" ", col("text")) > 0,
+      col("text").substr(locate(" ", col("text")) + 1, length(col("text"))))
+      .otherwise(col("text"))
+    val corpus = docs.select(col("doc_id").as("id"), lower(trim(col("text"))).as("norm"))
+      .union(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), lower(trim(mut)).as("norm")))
+    val toks = corpus.select(col("id"), Dedup.normTokens(col("norm")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tau = 0.6
+    val got = Dedup.ngramJaccardPairs(toks, 3, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // brute-force reference: every pair, no candidate stage
+    val tables = Dedup.ngramDocTables(toks, 3, tau)
+    val a = tables.select(col("id"), col("ghs")).as("a")
+    val b = tables.select(col("id"), col("ghs")).as("b")
+    val brute = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.jaccardHashed(col("a.ghs"), col("b.ghs")).as("j"))
+      .filter(col("j") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"prefix filter lost/invented pairs: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty, "planted near-dups must qualify at tau")
+
+    // the pruning claim itself: candidates well under the full pair
+    // space (this is what makes the EXACT join viable at scale)
+    val n = tables.count()
+    val cands = Dedup.ngramCandidatePairs(tables).count()
+    assert(cands < 0.25 * n * (n - 1) / 2,
+      s"prefix filter barely pruned: $cands of ${n * (n - 1) / 2} pairs")
+  }
+
   test("dot product of mismatched-length vectors fails loudly, not truncated") {
     import spark.implicits._
     // a dim mismatch must never yield a plausible-looking truncated cosine
