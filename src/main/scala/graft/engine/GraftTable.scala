@@ -712,6 +712,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
       // metadata-only DROP PARTITION leaves the dropped files on disk
       // (tombstoned) for in-flight readers; reclaim them here — retired
       // merge-on-read delta files ride the same tombstone list
+      // fold-debris sweep candidates, decided PRE-clean: a crashed fold
+      // leaves its deltas in place, a committed one leaves tombstones —
+      // both visible here, before the tombstone reset below
+      val foldSweepIds = live
+        .filter(s => s.deltas.nonEmpty || s.removedFiles.nonEmpty)
+        .map(_.id).toSet
       val cleaned = live.map { s =>
         if (s.removedFiles.isEmpty || s.externalPath.nonEmpty) s
         else {
@@ -741,9 +747,13 @@ class GraftTable private (val spark: SparkSession, val path: String)
         // dirs (the `.tmp-` sweep above only scans the segments root),
         // and a crash between the rename and the commit leaves an
         // orphan `-fold-` parquet no list references — both reclaim
-        // after the same grace (a racing in-flight fold's output is
-        // younger than the grace, so it is never touched)
-        if (fs.exists(segDir)) {
+        // after the same grace (a racing fold within the grace is never
+        // touched; one stalled PAST it loses its commit to the
+        // exists-check that runs under this same lock). Bounded to
+        // segments that can actually hold fold debris (foldSweepIds,
+        // decided pre-clean) — a 100k-segment table must not pay a
+        // full tree walk under the table lock for this sweep.
+        if (foldSweepIds(s.id) && fs.exists(segDir)) {
           fs.listStatus(segDir)
             .filter(f => f.isDirectory && f.getPath.getName.startsWith(".fold-tmp-"))
             .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
@@ -1057,6 +1067,16 @@ class GraftTable private (val spark: SparkSession, val path: String)
                       seg.deltas.getOrElse(rel, Nil) != dRels)
                     throw new ConcurrentMutationException(
                       s"$rel (segment ${s.id}) changed during delta fold")
+                  // a fold stalled past CLEAN FILES' staleness grace can
+                  // have its renamed-but-uncommitted output reclaimed as
+                  // an orphan; committing blindly would then reference a
+                  // deleted file AND tombstone the original. The check
+                  // runs under the same table lock as the sweep, so
+                  // there is no re-delete window.
+                  else if (!layout.fs.exists(dst))
+                    throw new ConcurrentMutationException(
+                      s"fold output $newRel vanished before commit " +
+                        "(reclaimed as a stale orphan?)")
                   else {
                     val seg2 = seg.copy(
                       files = seg.files.map(f => if (f == rel) newRel else f),

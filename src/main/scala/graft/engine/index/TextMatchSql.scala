@@ -120,6 +120,9 @@ class TextMatchRule extends Rule[LogicalPlan] {
   private def residual(attr: Attribute, query: String): Expression = {
     import graft.functions.GraftFunctions.TextTerm
     val toks = ArrayDistinct(StringSplit(Lower(StringTrim(attr)), Literal(" "), Literal(-1)))
+    // position-preserving token array: proximity windows and fuzzy
+    // scans must see the original sequence, not the distinct set
+    def toksRaw = StringSplit(Lower(StringTrim(attr)), Literal(" "), Literal(-1))
     def one(t: TextTerm): Expression = t match {
       case TextTerm.Tok(s) => ArrayContains(toks, Literal(s))
       case TextTerm.Prefix(p) =>
@@ -130,6 +133,19 @@ class TextMatchRule extends Rule[LogicalPlan] {
         Contains(
           Concat(Seq(Literal(" "), Lower(StringTrim(attr)), Literal(" "))),
           Literal(" " + ws.mkString(" ") + " "))
+      // `term~N`: banded-threshold levenshtein over tokens, the resolved
+      // form of GraftFunctions.fuzzyPred (-1 past the threshold, so
+      // between(0, n) is exactly distance <= n)
+      case TextTerm.Fuzzy(s, n) =>
+        val x = NamedLambdaVariable("x",
+          org.apache.spark.sql.types.StringType, nullable = true)
+        val lev = Levenshtein(x, Literal(s), Some(Literal(n)))
+        ArrayExists(toks, LambdaFunction(
+          And(GreaterThanOrEqual(lev, Literal(0)), LessThanOrEqual(lev, Literal(n))),
+          Seq(x)))
+      // `"w1 w2"~k`: the native sliding-window co-occurrence scan
+      case TextTerm.Near(ws, k) =>
+        org.apache.spark.sql.graft.WindowCoOccur(toksRaw, ws, ws.length + k)
     }
     graft.functions.GraftFunctions.parseLucene(query)
       .map(_.map(l => if (l.negated) Not(one(l.term)) else one(l.term))

@@ -180,8 +180,18 @@ object Dedup {
         sort_array(collect_list(col("gh"))).as("ghs"),
         transform(sort_array(collect_list(struct(col("df"), col("gh")))),
           x => x.getField("gh")).as("ordered"))
+      // t = ceil(τ·|g|) − 1, one gram LOOSER than the exact rational
+      // ceiling: double arithmetic can overshoot it (ceil(0.07 * 100) =
+      // 8 in IEEE where the rational value is exactly 7), and an
+      // overshot t shortens the prefix past completeness — a pair at
+      // exactly τ would vanish from an "exact" join. One extra prefix
+      // gram costs a few candidates and rigorously covers the ≤1-ulp
+      // division slack in the verify compare too.
       .withColumn("plen",
-        size(col("ordered")) - ceil(lit(tau) * size(col("ordered"))).cast("int") + 1)
+        least(size(col("ordered")),
+          size(col("ordered"))
+            - greatest(ceil(lit(tau) * size(col("ordered"))).cast("int") - 1, lit(0))
+            + 1))
       .select(col("id"), col("ghs"),
         slice(col("ordered"), lit(1), col("plen")).as("prefix"))
   }
@@ -202,7 +212,10 @@ object Dedup {
     * NO candidate stage, so a green row proves the prefix filter lost
     * nothing on real data. Input (id, toks); output (a, b, jacc). */
   def ngramJaccardPairs(toks: DataFrame, shingleN: Int, tau: Double): DataFrame = {
-    val docs = ngramDocTables(toks, shingleN, tau)
+    // the doc tables feed three consumers (candidate join twice, verify
+    // twice) — checkpoint so the shingle→hash→df→sort pipeline runs
+    // once per call, not per consumer (blocks are GC'd with the frame)
+    val docs = ngramDocTables(toks, shingleN, tau).localCheckpoint()
     val cands = ngramCandidatePairs(docs)
     cands
       .join(docs.select(col("id"), col("ghs")).as("da"), col("a") === col("da.id"))

@@ -215,6 +215,9 @@ class MorSpec extends AnyFunSuite {
 
   test("CLEAN FILES reclaims crashed fold leftovers, spares fresh ones") {
     val t = mk()
+    // a crashed fold leaves its deltas in place — plant one so the
+    // segment qualifies for the (delta/tombstone-bounded) sweep
+    t.delete(col("k") === 5L)
     val segDir = t.layout.segmentDir(0L)
     val fs = t.layout.fs
     import org.apache.hadoop.fs.Path
@@ -234,7 +237,7 @@ class MorSpec extends AnyFunSuite {
     assert(!fs.exists(orphan), "stale fold orphan must be reclaimed")
     assert(!fs.exists(tmpDir), "stale .fold-tmp- dir must be reclaimed")
     assert(fs.exists(fresh), "an in-grace fold output must never be touched")
-    assert(t.read.count() == 4000, "reads unaffected by the sweep")
+    assert(t.read.count() == 3999, "reads unaffected by the sweep")
     fs.delete(fresh, false)
   }
 

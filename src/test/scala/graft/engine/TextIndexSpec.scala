@@ -190,6 +190,13 @@ class TextIndexSpec extends AnyFunSuite {
     // provably-empty term folds to an empty scan
     assert(spark.sql("SELECT id FROM tisql_v WHERE text_match('body:zulu')").count() == 0)
 
+    // fuzzy and proximity through the SQL grammar: the rewrite's
+    // residual must cover them (previously a MatchError at plan time)
+    assert(spark.sql("SELECT id FROM tisql_v WHERE text_match('body:charly~2')")
+      .collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    assert(spark.sql("SELECT id FROM tisql_v WHERE text_match('body:\"echo shared\"~1')")
+      .collect().map(_.getLong(0)).toSet == Set(21L))
+
     // a non-carbonish relation fails loudly instead of matching nothing
     Seq((1L, "alpha")).toDF("id", "body").createOrReplaceTempView("plain_v")
     val e = intercept[Exception] {

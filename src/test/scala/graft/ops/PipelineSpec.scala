@@ -333,6 +333,24 @@ class PipelineSpec extends AnyFunSuite {
       s"prefix filter barely pruned: $cands of ${n * (n - 1) / 2} pairs")
   }
 
+  test("prefix length survives IEEE ceil overshoot at the tau boundary") {
+    import spark.implicits._
+    // ceil(0.07 * 100) = 8 in doubles (rationally exactly 7): doc A has
+    // 100 distinct 1-grams, doc B is exactly A's 7 globally
+    // most-frequent ones — jacc = 7/100 = tau qualifies, and an
+    // overshot prefix excludes precisely those 7 from A's prefix and
+    // silently drops the pair from an "exact" join.
+    val tau = 0.07
+    val aToks = (1 to 100).map(i => s"t$i")
+    val bToks = (94 to 100).map(i => s"t$i")
+    val filler = (1 to 5).map(f => (1000L + f, bToks))
+    val docs = (Seq((1L, aToks), (2L, bToks)) ++ filler).toDF("id", "toks")
+    val pairs = Dedup.ngramJaccardPairs(docs, 1, tau)
+      .filter(col("a") === 1L && col("b") === 2L).collect()
+    assert(pairs.length == 1, "the boundary pair must survive the prefix filter")
+    assert(math.abs(pairs.head.getDouble(2) - 0.07) < 1e-12)
+  }
+
   test("dot product of mismatched-length vectors fails loudly, not truncated") {
     import spark.implicits._
     // a dim mismatch must never yield a plausible-looking truncated cosine
