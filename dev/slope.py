@@ -37,6 +37,12 @@ EXACT_BASELINE = {
     "q_ann_topk",         # brute-force top-k (oracle for q_ann_pruned)
     "q_ann_ivf",          # degenerate full-probe IVF (oracle shape)
     "q_ann_ivfpq",        # degenerate full-probe IVF-PQ (oracle shape)
+    # exact similarity join: candidate volume is sum(df^2) over prefix
+    # grams — corpus-quadratic on the copy-heavy sf1 blow-up (every base
+    # doc becomes a 10-copy near-dup cluster). The production near-dup
+    # path at scale is the approximate twin q_dedup_minhash; this row
+    # exists to CERTIFY exactness (its oracle has no candidate stage).
+    "q_dedup_ngram",
 }
 
 
