@@ -192,15 +192,35 @@ object Dedup {
           size(col("ordered"))
             - greatest(ceil(lit(tau) * size(col("ordered"))).cast("int") - 1, lit(0))
             + 1))
-      .select(col("id"), col("ghs"),
+      .select(col("id"), col("ghs"), size(col("ghs")).as("sz"),
         slice(col("ordered"), lit(1), col("plen")).as("prefix"))
   }
 
-  /** Prefix-filter candidate pairs: ids sharing a prefix gram, a < b. */
-  def ngramCandidatePairs(docs: DataFrame): DataFrame = {
-    val pre = docs.select(col("id"), explode(col("prefix")).as("gh"))
+  /** Prefix-filter candidate pairs: ids sharing a prefix gram, a < b,
+    * with PPJoin's two pair-level refinements applied inside the join
+    * (both with one integer of slack so IEEE arithmetic can never cut a
+    * qualifying pair):
+    *  - SIZE filter: J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|).
+    *  - POSITIONAL filter: let x be the globally-first common gram, at
+    *    0-based df-order positions pA/pB. Every gram before x on either
+    *    side is non-common (x is the order-minimum of A∩B), so
+    *    |A∩B| ≤ min(|A|−pA, |B|−pB); J ≥ τ forces
+    *    |A∩B| ≥ τ/(1+τ)·(|A|+|B|). Lemma 1's proof puts x inside BOTH
+    *    prefixes, so the qualifying pair always survives through x's
+    *    join row — rows for later shared grams may prune, which only
+    *    drops duplicates the distinct would eat anyway. On copy-heavy
+    *    corpora (near-identical docs sharing most prefix grams) this
+    *    cuts the join output severalfold before the verify join ships
+    *    any gram arrays. */
+  def ngramCandidatePairs(docs: DataFrame, tau: Double): DataFrame = {
+    val pre = docs.select(col("id"), col("sz"),
+      posexplode(col("prefix")).as(Seq("pos", "gh")))
+    val szA = col("l.sz").cast("double"); val szB = col("r.sz").cast("double")
     pre.as("l").join(pre.as("r"),
-        col("l.gh") === col("r.gh") && col("l.id") < col("r.id"))
+        col("l.gh") === col("r.gh") && col("l.id") < col("r.id") &&
+          least(szA, szB) + lit(1.0) >= lit(tau) * greatest(szA, szB) &&
+          least(col("l.sz") - col("l.pos"), col("r.sz") - col("r.pos"))
+            .cast("double") + lit(1.0) >= lit(tau / (1.0 + tau)) * (szA + szB))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
   }
@@ -216,7 +236,7 @@ object Dedup {
     // twice) — checkpoint so the shingle→hash→df→sort pipeline runs
     // once per call, not per consumer (blocks are GC'd with the frame)
     val docs = ngramDocTables(toks, shingleN, tau).localCheckpoint()
-    val cands = ngramCandidatePairs(docs)
+    val cands = ngramCandidatePairs(docs, tau)
     cands
       .join(docs.select(col("id"), col("ghs")).as("da"), col("a") === col("da.id"))
       .join(docs.select(col("id"), col("ghs")).as("db"), col("b") === col("db.id"))

@@ -328,7 +328,7 @@ class PipelineSpec extends AnyFunSuite {
     // the pruning claim itself: candidates well under the full pair
     // space (this is what makes the EXACT join viable at scale)
     val n = tables.count()
-    val cands = Dedup.ngramCandidatePairs(tables).count()
+    val cands = Dedup.ngramCandidatePairs(tables, tau).count()
     assert(cands < 0.25 * n * (n - 1) / 2,
       s"prefix filter barely pruned: $cands of ${n * (n - 1) / 2} pairs")
   }
