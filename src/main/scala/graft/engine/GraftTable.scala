@@ -190,6 +190,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
         id, SegmentStatus.InProgress, "parquet", Nil, -1L, 0L, Map.empty,
         m.sortColumns, System.currentTimeMillis()))
     }
+    Failpoints.hit("insert.reserved", path)
     val seg =
       try SegmentWriter.write(layout, m, aligned, id)
       catch {
@@ -198,6 +199,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
             if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
           throw e
       }
+    Failpoints.hit("insert.filesWritten", path)
     layout.commit { st =>
       // the reserved record must still exist — if CLEAN FILES reclaimed
       // it as stale (load ran past the timeout), publishing would
@@ -718,18 +720,21 @@ class GraftTable private (val spark: SparkSession, val path: String)
       val foldSweepIds = live
         .filter(s => s.deltas.nonEmpty || s.removedFiles.nonEmpty)
         .map(_.id).toSet
-      val cleaned = live.map { s =>
-        if (s.removedFiles.isEmpty || s.externalPath.nonEmpty) s
-        else {
-          s.removedFiles.foreach(f =>
-            fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), f), false))
-          s.copy(removedFiles = Nil)
-        }
-      }
+      // Segments whose fold debris was FOUND but SPARED by the 1-hour
+      // grace below: their tombstone reset is deferred this run, so the
+      // segment re-qualifies for this sweep on the next CLEAN FILES.
+      // Without the deferral, a clean inside the grace window clears
+      // the tombstones (the only qualification left once a successful
+      // re-fold removed the deltas) while sparing the fresh orphan —
+      // and no later clean ever looks at the segment again, leaking
+      // the orphan permanently (advisor r14).
+      val sparedFoldDebris = scala.collection.mutable.Set.empty[Long]
       // stray delta files: written but never committed (crashed or
       // lost-race MoR delete) — unreferenced by tablestatus, reclaim
-      // after the same staleness grace as tmp dirs
-      cleaned.filter(_.externalPath.isEmpty).foreach { s =>
+      // after the same staleness grace as tmp dirs. Runs over the
+      // PRE-clean segments so the fold sweep can inform the tombstone
+      // reset decision below.
+      live.filter(_.externalPath.isEmpty).foreach { s =>
         val segDir = layout.segmentDir(s.id)
         val dDir = new org.apache.hadoop.fs.Path(
           segDir, graft.engine.format.Deltas.Dir)
@@ -756,8 +761,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
         if (foldSweepIds(s.id) && fs.exists(segDir)) {
           fs.listStatus(segDir)
             .filter(f => f.isDirectory && f.getPath.getName.startsWith(".fold-tmp-"))
-            .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
-            .foreach(f => fs.delete(f.getPath, true))
+            .foreach { f =>
+              if (System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+                fs.delete(f.getPath, true)
+              else sparedFoldDebris += s.id
+            }
           val livePaths = (s.files ++ s.removedFiles)
             .map(r => fs.makeQualified(new org.apache.hadoop.fs.Path(segDir, r)).toString)
             .toSet
@@ -766,10 +774,24 @@ class GraftTable private (val spark: SparkSession, val path: String)
             val f = it.next()
             val name = f.getPath.getName
             if (name.contains("-fold-") && name.endsWith(".parquet") &&
-                !livePaths(fs.makeQualified(f.getPath).toString) &&
-                System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
-              fs.delete(f.getPath, false)
+                !livePaths(fs.makeQualified(f.getPath).toString)) {
+              if (System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+                fs.delete(f.getPath, false)
+              else sparedFoldDebris += s.id
+            }
           }
+        }
+      }
+      val cleaned = live.map { s =>
+        if (s.removedFiles.isEmpty || s.externalPath.nonEmpty) s
+        // Deferred reset: grace-spared fold debris above means this
+        // segment must stay sweep-qualified; its tombstones (and the
+        // debris) go together on the first clean past the grace.
+        else if (sparedFoldDebris(s.id)) s
+        else {
+          s.removedFiles.foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), f), false))
+          s.copy(removedFiles = Nil)
         }
       }
       st.copy(segments = cleaned)
@@ -861,6 +883,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
           meta.sortColumns, System.currentTimeMillis()))
       }
       val seg = SegmentWriter.write(layout, meta, df, id)
+      Failpoints.hit("compact.outputWritten", path)
       val victimIds = victims.map(_.id).toSet
       // optimistic publish: if a concurrent mutation retired any victim
       // between selection and commit, publishing the compacted copy would
@@ -1059,7 +1082,18 @@ class GraftTable private (val spark: SparkSession, val path: String)
             val fm = graft.engine.format.FileFooters.read(
               spark.sessionState.newHadoopConf(), dst, bytes,
               schema.fields.map(f => f.name -> f.dataType).toMap)
-            try {
+            // An unreadable footer on the just-written output means the
+            // fold itself is suspect; committing would also leave newRel
+            // with NO fileMeta entry, breaking the invariant every
+            // managed rel has one (retireFiles and stats recompute rely
+            // on it). Treat it as a failed fold: drop the output, skip.
+            if (fm.isEmpty) {
+              try layout.fs.delete(dst, false)
+              catch { case scala.util.control.NonFatal(_) => }
+              logWarning(s"[graft] delta fold skipped $rel: unreadable " +
+                s"footer on fold output $newRel")
+              false
+            } else try {
               layout.commit { st =>
                 st.copy(segments = st.segments.map { seg =>
                   if (seg.id != s.id) seg

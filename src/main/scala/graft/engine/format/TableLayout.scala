@@ -112,6 +112,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       out.write(Array.fill[Byte](padN)(' '))
     }
     finally out.close()
+    graft.engine.Failpoints.hit("meta.tmpWritten", tablePath)
     if (isLocal) {
       java.nio.file.Files.move(
         new java.io.File(tmp.toUri.getPath).toPath,

@@ -84,12 +84,19 @@ object CatalogQueries {
       val cat = bucketedTable(s, d, "orders_bkt",
         t(s, d, "orders"), "o_custkey", 16)
       bucketedTable(s, d, "customer_bkt", t(s, d, "customer"), "c_custkey", 16)
-      // Bench/Verify already set this at session build; repeated here so
-      // the row also works on an ad-hoc session. Session-wide on
-      // purpose: the conf only affects scans that REPORT bucketing,
-      // i.e. the two tables this row owns.
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql(
+      // Bench/Verify already set this at session build; for an ad-hoc
+      // session the row pins it on a CLONE so it never mutates shared
+      // session state (advisor r14 — the conf only affects scans that
+      // REPORT bucketing, but the hygiene rule is uniform: no row
+      // touches the caller's conf).
+      val s2 =
+        if (s.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true") s
+        else {
+          val c = org.apache.spark.sql.graft.Shims.cloneSession(s)
+          c.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          c
+        }
+      s2.sql(
         s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,
             CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
             FROM $cat.default.orders_bkt o
@@ -107,15 +114,19 @@ object CatalogQueries {
       val cat = bucketedTable(s, d, "orders_bkt",
         t(s, d, "orders"), "o_custkey", 16)
       bucketedTable(s, d, "customer_bkt", t(s, d, "customer"), "c_custkey", 16)
+      // Pin the planner confs on a CLONED session (advisor r14): the
+      // clone shares the SparkContext and copies conf + catalog
+      // registrations, so concurrent queries planning on the original
+      // session never see the pinned values — no set/restore race.
+      val s2 = org.apache.spark.sql.graft.Shims.cloneSession(s)
       val pinned = Seq(
         "spark.sql.sources.v2.bucketing.enabled" -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.join.preferSortMergeJoin" -> "true",
         "spark.sql.adaptive.enabled" -> "false")
-      val olds = pinned.map { case (k, _) => k -> s.conf.getOption(k) }
-      pinned.foreach { case (k, v) => s.conf.set(k, v) }
-      try {
-        val q = s.sql(
+      pinned.foreach { case (k, v) => s2.conf.set(k, v) }
+      locally {
+        val q = s2.sql(
           s"""SELECT o.o_custkey AS custkey, count(*) AS cnt,
               CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
                 AS sum_price
@@ -133,16 +144,13 @@ object CatalogQueries {
         require(shuffles.isEmpty && sorts.isEmpty,
           s"expected zero exchanges (got ${shuffles.size}) and zero sorts " +
             s"(got ${sorts.size}); plan:\n$plan")
-        // execute the ASSERTED plan, eagerly, while the confs are still
-        // pinned — returning `q` lazily would let the consumer (bench
-        // noop write, verify dump) re-plan it under the restored session
-        // confs (typically a broadcast join), decoupling the certified
-        // plan from the executed one. localCheckpoint keeps the result
+        // execute the ASSERTED plan, eagerly, while bound to the pinned
+        // clone — returning `q` lazily would let the consumer (bench
+        // noop write, verify dump) re-plan it under other session confs
+        // (typically a broadcast join), decoupling the certified plan
+        // from the executed one. localCheckpoint keeps the result
         // distributed (no driver collect; the row scales with SF).
         q.localCheckpoint()
-      } finally olds.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
       }
     }),
     // UPDATE ... SET ... WHERE through spark.sql on a catalog table name

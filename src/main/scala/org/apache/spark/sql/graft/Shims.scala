@@ -40,6 +40,16 @@ object Shims {
     org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       .ROW_INDEX_TEMPORARY_COLUMN_NAME
 
+  /** Clone of a session — shares the SparkContext and copies session
+    * state (SQL confs, temp views, catalog registrations), so a query
+    * row can pin planner confs on the clone without mutating the
+    * caller's session (advisor r14: a concurrent runner sharing one
+    * session would race a set/restore pair). `cloneSession` is
+    * private[sql]; this bridge is the supported in-tree idiom. */
+  def cloneSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Arrow IPC record batches of a DataFrame (private[sql]
     * Dataset.toArrowBatchRdd) — one serialized batch per
     * `spark.sql.execution.arrow.maxRecordsPerBatch` rows. */
