@@ -59,14 +59,73 @@ object Bench {
       case _ => -1L
     }
     def load1: Double = osBean.getSystemLoadAverage
+    // Per-row slope metrics (r15, VERDICT r14 Next #5): every family
+    // whose sf0.1→sf1 slope exceeds 2x needs a measured cause. Two
+    // channels, both recorded per row in BENCH_DRIVER_FULL.json "xm":
+    //  - executed-plan metrics from the LAST query execution of the
+    //    sample (the timed noop write): output rows ("or"), the
+    //    largest join's output rows ("jr" — candidate volume for the
+    //    dedup families), summed scan output rows ("sr" — probe volume
+    //    for vector/text); AQE-resolved.
+    //  - engine write-amplification counters (OpMetrics): bytes/rows/
+    //    segments written + MoR delta bytes ("wb"/"wr"/"ws"/"db") —
+    //    the iud/sql/load families' rewrite story, measured.
+    val lastPlanMetrics = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](Map.empty)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def resolve(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val here = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            resolve(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            resolve(q.plan)
+          case other => Seq(other)
+        }
+        here ++ here.flatMap(_.children.flatMap(resolve))
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        try {
+          val nodes = resolve(qe.executedPlan)
+          def rowsOf(n: org.apache.spark.sql.execution.SparkPlan): Option[Long] =
+            n.metrics.get("numOutputRows").map(_.value).filter(_ >= 0)
+          val out = nodes.headOption.flatMap(rowsOf)
+            .orElse(nodes.find(_.metrics.contains("numOutputRows")).flatMap(rowsOf))
+          val joinMax = nodes.filter(_.nodeName.toLowerCase.contains("join"))
+            .flatMap(rowsOf).maxOption
+          val scanSum = nodes.filter(n => n.nodeName.contains("Scan") ||
+            n.nodeName.contains("FileSource")).flatMap(rowsOf)
+          lastPlanMetrics.set(Map(
+            "or" -> out.getOrElse(-1L),
+            "jr" -> joinMax.getOrElse(-1L),
+            "sr" -> (if (scanSum.isEmpty) -1L else scanSum.sum)))
+        } catch { case _: Throwable => }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
     // (wall seconds, process-cpu ms consumed, loadavg at sample start)
+    // xm side-channel: filled by runOnce for the COLD sample only (one
+    // mutation's write volume, one execution's plan metrics — not the
+    // 2-3x accumulation re-runs would add)
+    var lastXm: Map[String, Long] = Map.empty
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 recordErr: Boolean): (Double, Long, Double) = {
       val l0 = load1
       val c0 = procCpuMs
+      if (recordErr) graft.engine.OpMetrics.arm()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save();
-        ((System.nanoTime() - t0) / 1e9, procCpuMs - c0, l0) }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = procCpuMs - c0
+        if (recordErr) {
+          val (wb, wr, ws, db) = graft.engine.OpMetrics.drain()
+          try org.apache.spark.sql.graft.Shims.waitListenerBus(spark)
+          catch { case _: Throwable => }
+          lastXm = lastPlanMetrics.get() ++ Map(
+            "wb" -> wb, "wr" -> wr, "ws" -> ws, "db" -> db)
+        }
+        (wall, cpu, l0) }
       catch { case e: Throwable =>
         // Only the FIRST run decides success/failure; a flaky median
         // re-run must not mark an already-timed query as errored
@@ -105,10 +164,13 @@ object Bench {
     // pre-r14 rounds); the min rides along as "qmin" in the full JSON
     // for steady-state diagnosis.
     val noSample = (-1.0, -1L, -1.0)
+    val xmByRow = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Long]]
     val fullResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      lastXm = Map.empty
       val first = runOnce(name, fn, recordErr = true)
+      if (lastXm.nonEmpty) xmByRow(name) = lastXm
       val (t, samples) =
         if (first._1 < 0) (first._1, Seq(first))
         else {
@@ -219,11 +281,19 @@ object Bench {
         "\"" + k + "\":" + (if (ok.isEmpty) "-1" else ms(ok.min))
       }
       .mkString("{", ",", "}")
+    // "xm": cold-sample slope metrics per row — or/jr/sr from the plan
+    // (output, max-join, scan rows), wb/wr/ws/db from OpMetrics (write
+    // bytes/rows/segments, delta bytes). Keys with -1/0 carry no signal.
+    val xmJson = xmByRow.toSeq.sortBy(_._1).map { case (k, m) =>
+      "\"" + k + "\":" + m.toSeq.sortBy(_._1)
+        .map { case (mk, mv) => "\"" + mk + "\":" + mv }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val fullJson = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString(
         s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qpolicy":"median","queries":{""",
-        ",", s"""},"samples":$samplesJson,"cpums":$cpuJson,"load":$loadJson,"qmin":$qminJson$errJson,"sf":"$sfName"}""")
+        ",", s"""},"samples":$samplesJson,"cpums":$cpuJson,"load":$loadJson,"qmin":$qminJson,"xm":$xmJson$errJson,"sf":"$sfName"}""")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       new java.io.File("BENCH_DRIVER_FULL.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)

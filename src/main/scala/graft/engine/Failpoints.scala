@@ -56,5 +56,8 @@ object Failpoints {
     // cleanFiles: physical deletes done, status commit pending
     "clean.midSweep" -> "clean-files",
     // streaming handoff: columnar files written, swap commit pending
-    "handoff.written" -> "streaming-handoff")
+    "handoff.written" -> "streaming-handoff",
+    // streaming append: batch files moved into the open segment,
+    // append commit pending (replay must overwrite, not brick)
+    "stream.batchMoved" -> "streaming-append")
 }

@@ -196,7 +196,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
       catch {
         case e: Throwable =>
           layout.commit(st => st.copy(segments = st.segments.map(s =>
-            if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
+            if (s.id == id) s.retire(SegmentStatus.MarkedForDelete) else s)))
           throw e
       }
     Failpoints.hit("insert.filesWritten", path)
@@ -209,7 +209,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
           "raise stale_inprogress_timeout_ms for long loads")
       val others =
         if (overwrite) st.segments.map(s =>
-          if (s.id != id && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete) else s)
+          if (s.id != id && s.isVisible) s.retire(SegmentStatus.MarkedForDelete) else s)
         else st.segments
       st.copy(segments = others.map(s => if (s.id == id) seg else s))
     }
@@ -571,7 +571,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
       st.copy(segments = st.segments.map { s =>
         if (s.id == id) seg
         else if (victims.contains(s.id) && s.isVisible)
-          s.copy(status = SegmentStatus.MarkedForDelete)
+          s.retire(SegmentStatus.MarkedForDelete)
         else s
       })
     } catch {
@@ -587,7 +587,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * segments in one atomic commit; CLEAN FILES reclaims the space. */
   def truncate(): Unit = layout.commit { st =>
     st.copy(segments = st.segments.map(s =>
-      if (s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete) else s))
+      if (s.isVisible) s.retire(SegmentStatus.MarkedForDelete) else s))
   }
 
   /** DESCRIBE FORMATTED (CarbonDescribeFormattedCommand analog). */
@@ -645,25 +645,47 @@ class GraftTable private (val spark: SparkSession, val path: String)
     val unknown = ids.toSet -- st.segments.map(_.id).toSet
     require(unknown.isEmpty, s"no such segments: ${unknown.mkString(",")}")
     st.copy(segments = st.segments.map(s =>
-      if (ids.contains(s.id) && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete)
+      if (ids.contains(s.id) && s.isVisible) s.retire(SegmentStatus.MarkedForDelete)
       else s))
   }
 
   /** DELETE SEGMENT BY DATE (CarbonDeleteLoadByLoadDateCommand). */
   def deleteSegmentsBefore(tsMillis: Long): Unit = layout.commit { st =>
     st.copy(segments = st.segments.map(s =>
-      if (s.createdAt < tsMillis && s.isVisible) s.copy(status = SegmentStatus.MarkedForDelete)
+      if (s.createdAt < tsMillis && s.isVisible) s.retire(SegmentStatus.MarkedForDelete)
       else s))
   }
 
   /** THE eligibility predicate for CLEAN FILES — shared by the real run
     * and the dry run so the report can never drift from what a clean
     * actually reclaims. */
-  private def cleanDoomed(s: SegmentMeta, now: Long): Boolean = {
-    val staleMs = meta.properties.get("stale_inprogress_timeout_ms")
-      .map(_.toLong).getOrElse(24L * 3600 * 1000)
-    s.status == SegmentStatus.MarkedForDelete ||
-      s.status == SegmentStatus.Compacted ||
+  /** The two property-driven horizons, resolved ONCE per clean pass —
+    * cleanDoomed runs per segment, and the memoized tablemeta read it
+    * did per call still cost ~1.8 s under the table lock on a
+    * 100k-segment table (r15 MetadataScaleSpec). */
+  private def cleanHorizons(): (Long, Long) = {
+    val props = meta.properties
+    (props.get("stale_inprogress_timeout_ms").map(_.toLong)
+       .getOrElse(24L * 3600 * 1000),
+     props.get("clean_files_retention_ms").map(_.toLong).getOrElse(0L))
+  }
+
+  private def cleanDoomed(s: SegmentMeta, now: Long,
+      horizons: (Long, Long)): Boolean = {
+    val (staleMs, retainMs0) = horizons
+    // Retention window (r15, found by the multi-writer mix): a reader
+    // that resolved its snapshot just before a segment's retirement can
+    // still be scanning its files — physical reclaim inside that window
+    // is the vacuum-vs-reader race every snapshot engine guards with
+    // retention (tombstoned FILES already had the 1h grace; whole dead
+    // segments did not). Default 0 keeps CLEAN FILES immediate (the
+    // historical behavior, right for single-writer maintenance windows);
+    // concurrent deployments set clean_files_retention_ms above their
+    // max query runtime. retiredAt=0 (legacy entries) reclaims at once.
+    val retainMs = retainMs0
+    def pastRetention = retainMs <= 0 || now - s.retiredAt > retainMs
+    ((s.status == SegmentStatus.MarkedForDelete ||
+      s.status == SegmentStatus.Compacted) && pastRetention) ||
       (s.status == SegmentStatus.InProgress && now - s.createdAt > staleMs)
   }
 
@@ -684,8 +706,9 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * with the real run. Read-only: safe to run any time. */
   def cleanFilesDryRun(): Seq[(Long, String, Long)] = {
     val now = System.currentTimeMillis()
+    val horizons = cleanHorizons()
     layout.readStatus().segments
-      .filter(cleanDoomed(_, now))
+      .filter(cleanDoomed(_, now, horizons))
       .map(s => (s.id, s.status.toString, s.sizeBytes)) ++
       staleTmpDirs(now).map(p =>
         (-1L, "StaleTmp", layout.fs.getContentSummary(p).getLength))
@@ -699,9 +722,10 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * loudly if its record was reclaimed underneath it). */
   def cleanFiles(): Seq[Long] = {
     var removed = Seq.empty[Long]
+    val horizons = cleanHorizons()
     layout.commit { st =>
       val now = System.currentTimeMillis()
-      val (dead, live) = st.segments.partition(cleanDoomed(_, now))
+      val (dead, live) = st.segments.partition(cleanDoomed(_, now, horizons))
       removed = dead.map(_.id)
       // history ledger: the GC'd entries remain visible to
       // SHOW HISTORY SEGMENTS (append-only, outside the hot log)
@@ -794,6 +818,20 @@ class GraftTable private (val spark: SparkSession, val path: String)
           s.copy(removedFiles = Nil)
         }
       }
+      // stale metadata tmp files from crashed commits: writeJsonAtomic
+      // stages `.tablestatus.json.tmp-*` / `.tablemeta.json.tmp-*` in
+      // _meta before its atomic rename — a kill in that window leaves
+      // the tmp behind forever (no other sweep looks at _meta). Same
+      // 1-hour grace; a racing commit's in-flight tmp is never touched.
+      try {
+        val metaDirPath = new org.apache.hadoop.fs.Path(layout.tablePath, "_meta")
+        fs.listStatus(metaDirPath)
+          .filter(f => f.isFile && f.getPath.getName.contains(".tmp-") &&
+            f.getPath.getName.startsWith("."))
+          .filter(f => now - f.getModificationTime > 3600 * 1000)
+          .foreach(f => fs.delete(f.getPath, false))
+      } catch { case scala.util.control.NonFatal(_) => }
+      Failpoints.hit("clean.midSweep", path)
       st.copy(segments = cleaned)
     }
     // Index GC rides the same command (r13): rows/codes for the
@@ -906,13 +944,13 @@ class GraftTable private (val spark: SparkSession, val path: String)
         }
         st.copy(segments = st.segments.map { s =>
           if (s.id == id) seg.copy(origin = "compact")
-          else if (victimIds.contains(s.id)) s.copy(status = SegmentStatus.Compacted)
+          else if (victimIds.contains(s.id)) s.retire(SegmentStatus.Compacted)
           else s
         })
       } catch {
         case e: ConcurrentMutationException =>
           layout.commit(st => st.copy(segments = st.segments.map(s =>
-            if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
+            if (s.id == id) s.retire(SegmentStatus.MarkedForDelete) else s)))
           logWarning(s"[graft] compaction aborted: ${e.getMessage}")
           return None
       }
@@ -1069,6 +1107,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
             s".fold-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
           val res: Boolean = try {
             df.write.mode("overwrite").parquet(tmp.toString)
+            Failpoints.hit("fold.tmpWritten", path)
             val part = layout.fs.listStatus(tmp)
               .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             require(part.length == 1, s"fold of $rel produced ${part.length} files")
@@ -1078,6 +1117,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
             val dst = new org.apache.hadoop.fs.Path(dir, newRel)
             if (!layout.fs.rename(part.head.getPath, dst))
               throw new java.io.IOException(s"failed to rename fold output to $dst")
+            Failpoints.hit("fold.renamed", path)
             val bytes = layout.fs.getFileStatus(dst).getLen
             val fm = graft.engine.format.FileFooters.read(
               spark.sessionState.newHadoopConf(), dst, bytes,

@@ -295,7 +295,7 @@ object Mutation extends org.apache.spark.internal.Logging {
       st.copy(segments = st.segments.map { s =>
         if (replacement.exists(_.id == s.id)) replacement.get
         else if (victims.contains(s.id) && s.isVisible)
-          s.copy(status = SegmentStatus.MarkedForDelete)
+          s.retire(SegmentStatus.MarkedForDelete)
         else if (partialVictims.contains(s.id) && s.isVisible)
           graft.engine.format.Partitions.retireFiles(s, partialVictims(s.id), schema)
         else s
@@ -309,7 +309,7 @@ object Mutation extends org.apache.spark.internal.Logging {
         // and is reclaimed by CLEAN FILES' staleness sweep).
         try replacement.foreach(r => t.layout.commit(st => st.copy(
           segments = st.segments.map(s =>
-            if (s.id == r.id) s.copy(status = SegmentStatus.MarkedForDelete) else s))))
+            if (s.id == r.id) s.retire(SegmentStatus.MarkedForDelete) else s))))
         catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw e
     }
@@ -329,7 +329,7 @@ object Mutation extends org.apache.spark.internal.Logging {
   /** Retire a reserved/orphaned segment record (no visibility check). */
   private[engine] def retire(t: GraftTable, id: Long): Unit =
     t.layout.commit(st => st.copy(segments = st.segments.map(s =>
-      if (s.id == id) s.copy(status = SegmentStatus.MarkedForDelete) else s)))
+      if (s.id == id) s.retire(SegmentStatus.MarkedForDelete) else s)))
 
   /** Rewrite the affected segments with `rewrite(rows)` and swap. Returns
     * (#rows before, #rows after, #rows matching cond) over the affected
@@ -418,6 +418,7 @@ object Mutation extends org.apache.spark.internal.Logging {
       try SegmentWriter.write(t.layout, t.meta, rewrite(rows), id,
         preservesOrder = preservesOrder)
       catch { case e: Throwable => retire(t, id); throw e }
+    Failpoints.hit("mutation.rewritten", t.path)
     swap(t, fullVictims, Some(seg.copy(origin = "rewrite")), partialVictims,
       selected = segs.map(p => p._1.id -> p._1).toMap)
     // `before` counted live rows (fileMeta/rowCount are delta-adjusted),
@@ -562,6 +563,9 @@ object Mutation extends org.apache.spark.internal.Logging {
       replacement: Option[SegmentMeta] = None): Unit = {
     val bySeg = written.groupBy(_._1._1)
     val schema = t.schema
+    // 8-byte header + 8 bytes per masked position (Deltas format)
+    OpMetrics.addDeltaWrite(written.valuesIterator.map(8L + 8L * _._2).sum)
+    Failpoints.hit("mor.deltaWritten", t.path)
     try t.layout.commit { st =>
       replacement.foreach(r => require(st.segments.exists(_.id == r.id),
         s"segment ${r.id} record vanished during MoR update"))

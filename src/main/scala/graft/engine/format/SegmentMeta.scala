@@ -77,8 +77,17 @@ case class SegmentMeta(
       * merge / overwrite). The streaming SOURCE emits only load +
       * handoff segments — compaction and rewrites re-house rows a
       * stream already saw. */
-    origin: String = "load") {
+    origin: String = "load",
+    /** When this segment stopped being visible (flip to MarkedForDelete
+      * / Compacted), for CLEAN FILES' retention window — a reader that
+      * resolved its snapshot just before the retirement can still be
+      * scanning these files. 0 = unknown (legacy entries): reclaimed
+      * immediately once retention is on. */
+    retiredAt: Long = 0L) {
   def isVisible: Boolean = SegmentStatus.visible(status)
+  /** Retire with the timestamp CLEAN FILES' retention keys on. */
+  def retire(newStatus: String): SegmentMeta =
+    copy(status = newStatus, retiredAt = System.currentTimeMillis())
 }
 
 /** The atomic commit log: full list of segments ever created (until

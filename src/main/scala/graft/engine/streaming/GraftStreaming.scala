@@ -75,14 +75,22 @@ object GraftStreaming {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.map { case (s, i) =>
         val name = s"batch-$batchId-$i.parquet"
+        val dst = new Path(segDir, name)
+        // Same-named leftovers can only be debris from a crashed attempt
+        // of THIS batch (a committed batchId returns early above), so
+        // overwrite them — without this, replay-after-crash hits the
+        // rename-onto-existing failure below forever and the stream is
+        // permanently stuck (found by the crash-point fuzz, r15).
+        if (fs.exists(dst)) fs.delete(dst, false)
         // a failed rename (e.g. crash-replay leftovers on HDFS, where
         // rename-onto-existing returns false) must abort BEFORE the
         // commit, or the commit would record names whose data is gone
-        require(fs.rename(s.getPath, new Path(segDir, name)),
+        require(fs.rename(s.getPath, dst),
           s"failed to move streaming batch file ${s.getPath} to $segDir/$name")
         (name, s.getLen)
       }
     fs.delete(tmp, true)
+    graft.engine.Failpoints.hit("stream.batchMoved", t.path)
 
     val batchStats = statCols.map { f =>
       f.name -> ColumnStats(
@@ -146,10 +154,11 @@ object GraftStreaming {
           t.meta.sortColumns, System.currentTimeMillis()))
       }
       val seg = SegmentWriter.write(t.layout, t.meta, df, id)
+      graft.engine.Failpoints.hit("handoff.written", t.path)
       t.layout.commit { st =>
         st.copy(segments = st.segments.map { x =>
           if (x.id == id) seg.copy(origin = "handoff")
-          else if (x.id == s.id) x.copy(status = SegmentStatus.Compacted)
+          else if (x.id == s.id) x.retire(SegmentStatus.Compacted)
           else x
         })
       }
