@@ -72,16 +72,17 @@ object Bench {
     //    the iud/sql/load families' rewrite story, measured.
     val lastPlanMetrics = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](Map.empty)
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      // each node exactly once (an earlier draft re-recursed into the
+      // children of an already-resolved subtree — exponential node
+      // duplication on deep plans, which both overcounted "sr" ~200x
+      // and burned listener-bus CPU that polluted neighboring samples)
       private def resolve(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val here = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            resolve(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            resolve(q.plan)
-          case other => Seq(other)
-        }
-        here ++ here.flatMap(_.children.flatMap(resolve))
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          resolve(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          resolve(q.plan)
+        case other => other +: other.children.flatMap(resolve)
       }
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {

@@ -158,6 +158,24 @@ class CrashFuzzSpec extends AnyFunSuite {
     assert(t.read.count() == n0)
   }
 
+  test("legacy tablestatus entries (pre-retiredAt) deserialize with safe defaults") {
+    // an upgraded deployment reads commit logs written before the
+    // retention field existed — retiredAt must come back 0 ("unknown",
+    // reclaimed immediately once retention is enabled), and the other
+    // defaulted fields keep their documented values
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m.configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
+    val js = """{"version":3,"segments":[{"id":0,"status":"MARKED_FOR_DELETE",
+      "format":"parquet","files":["part-0.parquet"],"rowCount":10,
+      "sizeBytes":100,"stats":{},"sortColumns":[],"createdAt":1700000000000}]}"""
+    val st = m.readValue(js, classOf[graft.engine.format.TableStatus])
+    val s = st.segments.head
+    assert(s.retiredAt == 0L, "legacy retiredAt must default to 0 (reclaim-now)")
+    assert(s.origin == "load" && s.lastBatchId == -1L && !s.isVisible)
+  }
+
   test("registry: every instrumented point is fuzzed by this spec") {
     val fuzzed = Set(
       "meta.tmpWritten", "insert.reserved", "insert.filesWritten",
