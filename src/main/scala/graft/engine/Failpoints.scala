@@ -59,5 +59,10 @@ object Failpoints {
     "handoff.written" -> "streaming-handoff",
     // streaming append: batch files moved into the open segment,
     // append commit pending (replay must overwrite, not brick)
-    "stream.batchMoved" -> "streaming-append")
+    "stream.batchMoved" -> "streaming-append",
+    // insert: segment published, SI/text index maintenance pending —
+    // a kill here leaves the new segment OUTSIDE index coverage and
+    // indexed lookups must stay correct via the uncovered-segment
+    // fallback until the next maintenance pass
+    "publish.beforeIndexMaintain" -> "insert")
 }

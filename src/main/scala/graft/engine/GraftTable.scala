@@ -220,6 +220,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // load never records phantom coverage. `index.autorefresh=false`
     // opts a bulk backfill out (scans stay correct via the uncovered-
     // segment fallback until a manual REINDEX).
+    Failpoints.hit("publish.beforeIndexMaintain", path)
     maintainIndexesFor(id, m)
     // MV refresh-on-commit (reference "Loading data on commit",
     // docs/mv-guide.md:138-146): non-deferred MVs over this table catch

@@ -115,7 +115,16 @@ class TableLayout(val tablePath: String, conf: Configuration) {
        else ((TableLayout.padSeq.incrementAndGet() ^ (System.nanoTime() >>> 10)) & 0x7fffffff).toInt) % 37
     val out = metaFs.create(tmp, true)
     try {
-      out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(value))
+      // pretty-print while the file is human-sized; past the threshold
+      // the indentation is pure overhead — on a 100k-segment commit log
+      // it roughly doubles both the bytes on disk and the parse time of
+      // every cold read (r15 MetadataScaleSpec: 76 MB pretty). The
+      // switch is invisible to readers (JSON is JSON). Compact-first so
+      // the LARGE case serializes once; re-rendering a small file
+      // pretty is cheap.
+      val compact = mapper.writeValueAsBytes(value)
+      if (compact.length > TableLayout.PrettyMaxBytes) out.write(compact)
+      else out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(value))
       out.write(Array.fill[Byte](padN)(' '))
     }
     finally out.close()
@@ -327,6 +336,11 @@ class TableLayout(val tablePath: String, conf: Configuration) {
 }
 
 object TableLayout {
+  /** Metadata files up to this size pretty-print (debuggability); past
+    * it they write compact — indentation on a 100k-segment commit log
+    * doubles bytes and cold-parse time for zero information. */
+  val PrettyMaxBytes: Int = 4 * 1024 * 1024
+
   /** Lock-file staleness horizon for crashed-holder takeover. Commits
     * hold the lock for milliseconds, so 5 minutes is ~10^4 margin;
     * overridable for tests via -Dgraft.lock.stale.ms. */

@@ -181,9 +181,36 @@ class CrashFuzzSpec extends AnyFunSuite {
       "meta.tmpWritten", "insert.reserved", "insert.filesWritten",
       "compact.outputWritten", "mutation.rewritten", "mor.deltaWritten",
       "fold.tmpWritten", "fold.renamed", "clean.midSweep",
-      "handoff.written", "stream.batchMoved")
+      "handoff.written", "stream.batchMoved", "publish.beforeIndexMaintain")
     assert(Failpoints.registry.keySet == fuzzed,
       "Failpoints.registry and CrashFuzzSpec disagree — a new point needs a scenario")
+  }
+
+  test("kill between publish and index maintenance: lookups stay correct via fallback") {
+    import org.apache.spark.sql.SparkSession
+    val root = tmpRoot()
+    val dir = root.resolve("t").toString
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"u${i % 10}")).toDF("k", "u")
+    val t = GraftTable.create(spark, dir, df.schema, properties = tblProps)
+    t.insert(df)
+    graft.engine.index.Si.create(t, "u", root.resolve("si_u").toString)
+    // the insert publishes segment N, then dies BEFORE folding it into
+    // the SI — the snapshot's index has no coverage of the new rows
+    val snap = killAt("publish.beforeIndexMaintain", t) {
+      t.insert(Seq((5000L, "u3"), (5001L, "u7")).toDF("k", "u"))
+    }
+    // the snapshotted table path differs, but the SI registration in
+    // table properties points at the ORIGINAL si path — reopen and
+    // query through the same SI: the uncovered segment must be scanned
+    // unindexed (fallback), so both new rows are visible
+    val tr = GraftTable.at(spark, snap)
+    assert(tr.read.count() == 1002L, "published segment must be visible")
+    val hits = graft.engine.index.Si.readWhereIn(tr, "u", Seq("u3"))
+      .select("k").as[Long].collect().toSet
+    assert(hits.contains(5000L),
+      s"SI lookup lost the uncovered segment's row (got ${hits.size} hits)")
+    assert(hits == (0L until 1000L).filter(_ % 10 == 3).toSet + 5000L)
   }
 
   test("kill during insert: reserved / files-written / torn status commit") {

@@ -20,7 +20,7 @@ import java.nio.file.Files
   * spec isn't machine-noise flaky; real numbers land in STATUS):
   *
   *  - tablestatus commit log: parse < 5s cold, < 50ms memoized re-read,
-  *    on-disk size < 150 MB;
+  *    on-disk size < 80 MB (compact form past 4 MB);
   *  - point query (plan + execute, every synthetic segment pruned by
   *    driver-side stats): < 2s warm;
   *  - metadata count(*): < 2s (sums 100k row counts, zero file IO);
@@ -70,7 +70,7 @@ class MetadataScaleSpec extends AnyFunSuite {
     val statusFile = new java.io.File(s"$dir/_meta/tablestatus.json")
     val sizeMb = statusFile.length / 1e6
     info(f"tablestatus.json on disk: $sizeMb%.1f MB for ${SegN + 2} segments")
-    assert(sizeMb < 150, f"commit log blew the O(100MB) budget: $sizeMb%.1f MB")
+    assert(sizeMb < 80, f"commit log blew the compact-form budget: $sizeMb%.1f MB")
 
     // cold parse (uncached read of the full log)
     val t1 = System.nanoTime()

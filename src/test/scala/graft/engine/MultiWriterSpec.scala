@@ -178,4 +178,35 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(okUpdates.get() >= iters / 2,
       s"updater starved: ${okUpdates.get()}/$iters succeeded")
   }
+
+  test("a crashed holder's stale lock is taken over under writer contention") {
+    val dir = Files.createTempDirectory("graft_mwlock_").toString + "/t"
+    val seed = spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, seed.schema)
+    t.insert(seed)
+    // simulate a writer killed while holding the table lock: the lock
+    // file exists with an mtime past the staleness horizon
+    val lock = java.nio.file.Paths.get(dir, "_meta", ".lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * 60 * 1000))
+    // four writers racing the takeover: all must commit (no 60s
+    // deadline trip), and the log must show every batch exactly once
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ws = (1 to 4).map { i =>
+      new Thread(() => {
+        try GraftTable.at(spark, dir).insert(
+          spark.range(1000L * i, 1000L * i + 50)
+            .selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v"))
+        catch { case e: Throwable => errs.add(e) }
+      }, s"lw$i")
+    }
+    ws.foreach(_.start()); ws.foreach(_.join(90000))
+    assert(ws.forall(!_.isAlive), "writer wedged on the stale lock")
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    assert(t.read.count() == 100L + 4 * 50L)
+    assert(!java.nio.file.Files.exists(lock), "lock must be released")
+  }
 }
