@@ -29,18 +29,32 @@ class CrashFuzzSpec extends AnyFunSuite {
 
   private def tmpRoot(): JPath = Files.createTempDirectory("graft_fuzz_")
 
-  /** Copy a table directory recursively (the "kill"). */
+  /** Copy a table directory recursively (the "kill"). Other state
+    * machines may be mid-write while the snapshot walks (e.g. a
+    * concurrent fold's Spark job churning `_temporary` dirs), exactly
+    * like a real kill racing them — so the walker tolerates entries
+    * vanishing underneath it instead of failing the copy. */
   private def snapshot(src: String, dst: JPath): Unit = {
     val s = java.nio.file.Paths.get(src)
-    Files.walk(s).forEach { p =>
-      val t = dst.resolve(s.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else {
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor, Path => NioPath}
+    import java.nio.file.attribute.BasicFileAttributes
+    Files.walkFileTree(s, new SimpleFileVisitor[NioPath] {
+      override def preVisitDirectory(p: NioPath, a: BasicFileAttributes): FileVisitResult = {
+        Files.createDirectories(dst.resolve(s.relativize(p).toString))
+        FileVisitResult.CONTINUE
+      }
+      override def visitFile(p: NioPath, a: BasicFileAttributes): FileVisitResult = {
+        val t = dst.resolve(s.relativize(p).toString)
         Files.createDirectories(t.getParent)
         try Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        catch { case _: java.nio.file.NoSuchFileException => () /* racing tmp */ }
+        catch { case _: java.io.IOException => () /* vanished mid-walk */ }
+        FileVisitResult.CONTINUE
       }
-    }
+      override def visitFileFailed(p: NioPath, e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE // entry vanished between list and stat
+      override def postVisitDirectory(p: NioPath, e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE // dir vanished mid-iteration
+    })
   }
 
   /** Age every file/dir mtime past the 1h reclaim grace. */

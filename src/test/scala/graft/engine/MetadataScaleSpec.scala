@@ -128,6 +128,18 @@ class MetadataScaleSpec extends AnyFunSuite {
     info(f"CLEAN FILES dry-run decision pass: ${cleanS * 1000}%.0f ms")
     assert(doomed.isEmpty && cleanS < 2.0)
 
+    // commit latency under the table lock: the RMW read is the
+    // stat-validated snapshot (this JVM wrote the last publish, so no
+    // re-parse) — the remaining cost is serializing + renaming the
+    // ~45 MB log (~2.5 s isolated). That is the honest writer-
+    // serialization bound at this segment count; past it the design
+    // answer is coarser segments (compaction), not a faster commit.
+    val t8 = System.nanoTime()
+    t.layout.commit(identity)
+    val commit2S = (System.nanoTime() - t8) / 1e9
+    info(f"no-op commit at 100k segments (lock+read+serialize+rename): ${commit2S * 1000}%.0f ms")
+    assert(commit2S < 4.0, f"commit took $commit2S%.2f s under the table lock")
+
     // retained-heap sanity: the parsed status is the dominant driver
     // object; measure it approximately via serialized-JSON size already
     // asserted above, plus entry count — no per-query duplication: the
