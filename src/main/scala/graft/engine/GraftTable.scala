@@ -827,8 +827,12 @@ class GraftTable private (val spark: SparkSession, val path: String)
       try {
         val metaDirPath = new org.apache.hadoop.fs.Path(layout.tablePath, "_meta")
         fs.listStatus(metaDirPath)
-          .filter(f => f.isFile && f.getPath.getName.contains(".tmp-") &&
-            f.getPath.getName.startsWith("."))
+          .filter(f => f.isFile && f.getPath.getName.startsWith(".") &&
+            // crashed-commit tmp files AND a reclaimer's orphan claim
+            // file (crash between rename(lock, claim) and delete(claim)
+            // — advisor r15: nothing else ever removes it)
+            (f.getPath.getName.contains(".tmp-") ||
+              f.getPath.getName.startsWith(".lock.reclaim-")))
           .filter(f => now - f.getModificationTime > 3600 * 1000)
           .foreach(f => fs.delete(f.getPath, false))
       } catch { case scala.util.control.NonFatal(_) => }

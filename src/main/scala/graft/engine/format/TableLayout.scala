@@ -129,6 +129,20 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     }
     finally out.close()
     graft.engine.Failpoints.hit("meta.tmpWritten", tablePath)
+    // Fencing (VERDICT r15 #2): re-verify lock ownership IMMEDIATELY
+    // before the publish rename. A holder paused past LockStaleMs (GC,
+    // NFS stall, cgroup freeze) loses its lock to the staleness
+    // takeover; without this check it would wake and blindly rename its
+    // RMW over the interleaved writer's commit — a silent lost update.
+    // The residual window is the microseconds between this read and the
+    // rename itself, the fundamental limit of fencing without a
+    // filesystem CAS.
+    try verifyFence()
+    catch { case e: Throwable =>
+      try metaFs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => }
+      throw e
+    }
     if (isLocal) {
       java.nio.file.Files.move(
         new java.io.File(tmp.toUri.getPath).toPath,
@@ -238,23 +252,54 @@ class TableLayout(val tablePath: String, conf: Configuration) {
 
   /** Read-modify-write of the commit log under the table lock.
     *
-    * The read is the STAT-VALIDATED cache (r15): under the lock no
-    * writer can interleave, so a snapshot whose (mtime, length) stamp
-    * matches the file IS the file — the same invariant every reader
-    * already relies on, made collision-proof by writeJsonAtomic's
-    * version-keyed length pad. The practical difference is commit
-    * latency at scale: the uncached form re-parsed the ENTIRE log
-    * under the table lock (~1.2 s per commit on a 100k-segment table,
-    * serializing every writer behind it); the validated read is one
-    * getFileStatus when this JVM published the last commit (the
-    * write-through below), and a full parse only after a foreign
-    * process committed. */
+    * The read is the STAT-VALIDATED cache (r15) cross-checked against a
+    * cheap version-header probe (r16, see [[commitBaseStatus]]): under
+    * the lock no writer can interleave, so a snapshot whose stamp AND
+    * version both match the file IS the file. The practical difference
+    * is commit latency at scale: the uncached form re-parsed the ENTIRE
+    * log under the table lock (~1.2 s per commit on a 100k-segment
+    * table, serializing every writer behind it); the validated read is
+    * one getFileStatus + one 256-byte header read when this JVM
+    * published the last commit (the write-through below), and a full
+    * parse only after a foreign process committed. */
   def commit(update: TableStatus => TableStatus): TableStatus = withLock {
-    val next0 = update(readStatus())
+    val next0 = update(commitBaseStatus())
     val next = next0.copy(version = next0.version + 1)
     publishStatus(next)
     next
   }
+
+  /** The RMW base snapshot under the table lock: the stat-validated
+    * cache, CROSS-CHECKED against a cheap version-header read (advisor
+    * r15: (mtime, length) alone can collide when a foreign commit's
+    * content-length delta cancels the version pad delta inside one
+    * mtime tick — the version field itself cannot). `version` is the
+    * FIRST field TableStatus serializes, so the first bytes of the log
+    * identify the snapshot without parsing it; any mismatch or
+    * unreadable header falls back to the authoritative full parse. */
+  private def commitBaseStatus(): TableStatus = {
+    val cached = readStatus()
+    readVersionHeader() match {
+      case Some(v) if v == cached.version => cached
+      case None if !fs.exists(statusPath) => cached // no log yet
+      case _ => readStatusUncached()
+    }
+  }
+
+  /** Version of the on-disk log from its first bytes (None = missing
+    * or unreadable — e.g. a reader racing the rename). */
+  private def readVersionHeader(): Option[Long] =
+    try {
+      val in = metaFs.open(statusPath)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else TableLayout.VersionHeaderRe
+          .findFirstMatchIn(new String(buf, 0, n, StandardCharsets.UTF_8))
+          .map(_.group(1).toLong)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Schema-change publish: status update + new table meta under ONE
     * table lock, so no other writer interleaves between the two files.
@@ -262,12 +307,50 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * them is the residual risk a two-file layout cannot close. */
   def commitWithMeta(newMeta: TableMeta)(update: TableStatus => TableStatus): TableStatus =
     withLock {
-      val next0 = update(readStatus()) // stat-validated under the lock, see commit()
+      val next0 = update(commitBaseStatus())
       val next = next0.copy(version = next0.version + 1)
       publishStatus(next)
       writeTableMeta(newMeta)
       next
     }
+
+  /** Owner token of the lock THIS thread holds (null outside withLock)
+    * — the fence [[verifyFence]] checks before every publish rename. */
+  private val heldToken = new ThreadLocal[String]()
+
+  private def writeLockToken(token: String): Unit = {
+    val out = fs.create(lockPath, true)
+    try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Current lock-file content; None = missing or (transiently)
+    * unreadable. 64 bytes is plenty for a UUID token. */
+  private def readLockToken(): Option[String] =
+    try {
+      val in = fs.open(lockPath)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else Some(new String(buf, 0, n, StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Abort if this thread's lock was taken over while held (see the
+    * call site in writeJsonAtomic). Surfaced as the same exception the
+    * optimistic-swap paths use: the caller lost a race, loudly. */
+  private def verifyFence(): Unit = {
+    val tok = heldToken.get
+    if (tok != null) {
+      val cur = readLockToken()
+      if (!cur.contains(tok))
+        throw new graft.engine.ConcurrentMutationException(
+          s"table lock $lockPath lost while held (stale-lock takeover " +
+            s"after a pause?) — commit aborted to avoid erasing the " +
+            s"interleaved writer's publish (current holder: " +
+            s"${cur.getOrElse("<released>")})")
+    }
+  }
 
   private def withLock[T](body: => T): T = {
     // two layers: a JVM-wide monitor per table path (FileSystem
@@ -292,8 +375,42 @@ class TableLayout(val tablePath: String, conf: Configuration) {
           Thread.sleep(50)
         }
       }
+      // fencing token: every publish re-verifies ownership right before
+      // its atomic rename (verifyFence), so a holder that lost the lock
+      // to the staleness takeover aborts instead of silently erasing
+      // the interleaved commit
+      val token = UUID.randomUUID().toString
+      try writeLockToken(token)
+      catch { case e: Throwable =>
+        try fs.delete(lockPath, false)
+        catch { case scala.util.control.NonFatal(_) => }
+        throw e
+      }
+      heldToken.set(token)
+      // heartbeat: a LIVE holder doing long physical work under the
+      // lock (CLEAN FILES walking object storage, a multi-second
+      // 100k-segment serialize) must never look stale — touch the lock
+      // mtime at LockStaleMs/4 so only a truly wedged/paused JVM can be
+      // reclaimed (advisor r15). A full-JVM pause stops this thread too
+      // — that case is what the fence is for.
+      val period = math.max(java.lang.Long.getLong(
+        "graft.lock.heartbeat.ms", TableLayout.LockStaleMs / 4), 50L)
+      val hb = TableLayout.heartbeats.scheduleWithFixedDelay(
+        () => try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+              catch { case scala.util.control.NonFatal(_) => },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       try body
-      finally fs.delete(lockPath, false)
+      finally {
+        hb.cancel(false)
+        heldToken.remove()
+        // release only what is still OURS (or already gone): after a
+        // takeover the file is the new holder's live lock — deleting it
+        // would unlock an active critical section. A leaked own lock
+        // (transient read failure here) self-heals via the staleness
+        // takeover.
+        val cur = readLockToken()
+        if (cur.isEmpty || cur.contains(token)) fs.delete(lockPath, false)
+      }
     }
   }
 
@@ -309,8 +426,12 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * re-created the lock in the stat→rename window we claimed a FRESH
     * lock and put it back. The residual race (a second re-create inside
     * that same microsecond window making the put-back fail) is logged
-    * loudly; its worst case is one early lock grant, the same exposure
-    * a staleness-based takeover fundamentally has. */
+    * loudly; its worst case is one early lock grant — and since r16 an
+    * early grant can no longer lose a commit: a LIVE holder doing long
+    * work heartbeats the lock mtime (so it never looks stale), and a
+    * PAUSED holder that genuinely lost the lock fails [[verifyFence]]
+    * before its publish rename and aborts instead of erasing the
+    * interleaved commit. */
   private def tryReclaimStaleLock(): Unit = {
     val staleMs = TableLayout.LockStaleMs
     try {
@@ -362,7 +483,17 @@ object TableLayout {
   /** JVM-wide per-table-path monitors backing withLock's first layer. */
   private[format] val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Shared daemon scheduler behind the held-lock mtime heartbeat. */
+  private[format] val heartbeats: java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
+    })
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
   /** Sequence behind writeJsonAtomic's length-uniquifying pad. */
   private[format] val padSeq =
     new java.util.concurrent.atomic.AtomicLong(System.nanoTime() & 0xff)
+  /** First-bytes probe for the commit log's leading version field. */
+  private[format] val VersionHeaderRe = """"version"\s*:\s*(\d+)""".r
 }

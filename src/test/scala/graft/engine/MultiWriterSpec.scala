@@ -209,4 +209,91 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(t.read.count() == 100L + 4 * 50L)
     assert(!java.nio.file.Files.exists(lock), "lock must be released")
   }
+
+  test("a PAUSED holder that lost its lock to takeover aborts its publish (fence, no lost update)") {
+    val dir = Files.createTempDirectory("graft_fence_").toString + "/t"
+    val seed = spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, seed.schema)
+    t.insert(seed)
+    val lock = java.nio.file.Paths.get(dir, "_meta", ".lock")
+    val statusP = java.nio.file.Paths.get(dir, "_meta", "tablestatus.json")
+    // Pause the committing writer inside its publish window (metadata
+    // tmp written, rename pending — the meta.tmpWritten failpoint fires
+    // on the committing thread) and simulate what a takeover does: the
+    // stale horizon passes, a waiter reclaims the lock, acquires it with
+    // its OWN token, and publishes an interleaved commit. A real foreign
+    // writer can't run inside this JVM (the first lock layer is a
+    // JVM-wide monitor), so the foreign commit is modeled as a direct
+    // status rewrite under the foreign-owned lock — byte-for-byte what a
+    // second PROCESS would leave on disk. The woken holder must FAIL its
+    // fence check and abort, preserving the foreign commit.
+    val fired = new AtomicInteger(0)
+    var thrown: Throwable = null
+    Failpoints.withHandler((point, path) => {
+      if (point == "meta.tmpWritten" && path == dir && fired.incrementAndGet() == 1) {
+        java.nio.file.Files.deleteIfExists(lock) // takeover reclaims...
+        // (drop the checksum sidecar too — a real foreign hadoop writer
+        // keeps it consistent; this simulation writes via raw nio)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, "_meta", "..lock.crc"))
+        java.nio.file.Files.write(lock, "foreign-token".getBytes) // ...and re-acquires
+        val st = new String(java.nio.file.Files.readAllBytes(statusP))
+        java.nio.file.Files.write(statusP,
+          st.replaceFirst(""""version"\s*:\s*(\d+)""", "\"version\" : 9999").getBytes)
+      }
+    }) {
+      try GraftTable.at(spark, dir).insert(
+        spark.range(5000, 5050).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v"))
+      catch { case e: Throwable => thrown = e }
+    }
+    assert(fired.get() >= 1, "failpoint never fired")
+    assert(thrown != null, "paused holder PUBLISHED after losing its lock — lost update")
+    assert(thrown.isInstanceOf[ConcurrentMutationException],
+      s"expected a loud fence abort, got $thrown")
+    // the interleaved (foreign) commit survived untouched
+    val after = new String(java.nio.file.Files.readAllBytes(statusP))
+    assert(after.contains("\"version\" : 9999"),
+      "the takeover writer's commit was erased by the paused holder")
+    // and the aborted holder must NOT have released the foreign lock
+    assert(new String(java.nio.file.Files.readAllBytes(lock)) == "foreign-token",
+      "aborted holder deleted the new holder's live lock")
+    java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  test("heartbeat keeps a slow LIVE holder's lock fresh (never reclaimable)") {
+    System.setProperty("graft.lock.heartbeat.ms", "100")
+    try {
+      val dir = Files.createTempDirectory("graft_hb_").toString + "/t"
+      val seed = spark.range(0, 10)
+        .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v")
+      val t = GraftTable.create(spark, dir, seed.schema)
+      t.insert(seed)
+      val lock = java.nio.file.Paths.get(dir, "_meta", ".lock")
+      // a commit whose critical section takes 2s (a clean walking slow
+      // storage): sample the lock-file age throughout — the heartbeat
+      // must keep it far below any plausible stale horizon, so a
+      // foreign reclaimer can never see a live holder as crashed
+      val holder = new Thread(() =>
+        t.layout.commit { st => Thread.sleep(2000); st })
+      holder.start()
+      var maxAge = 0L
+      var samples = 0
+      while (holder.isAlive) {
+        if (java.nio.file.Files.exists(lock)) {
+          try {
+            val age = System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis
+            maxAge = math.max(maxAge, age); samples += 1
+          } catch { case _: java.io.IOException => } // racing release
+        }
+        Thread.sleep(40)
+      }
+      holder.join(5000)
+      assert(samples > 10, "never observed the held lock")
+      assert(maxAge < 1000,
+        s"lock went ${maxAge}ms without a heartbeat touch — a live holder " +
+          "doing long work would be reclaimed as crashed")
+    } finally System.clearProperty("graft.lock.heartbeat.ms")
+  }
 }
