@@ -59,6 +59,19 @@ object Bench {
       case _ => -1L
     }
     def load1: Double = osBean.getSystemLoadAverage
+    // Cumulative stop-the-world GC milliseconds across all collectors.
+    // Recorded per sample ("gcms") because the JVM sizes its GC worker
+    // pool by HOST cores (32 here), not by local[N] — a few seconds of
+    // full-GC storm inside a 4-core-bench sample shows up as tens of
+    // CPU-seconds in "cpums" with no matching executor work (the
+    // r15-gate q_cdc_apply/q_compaction profile: 70 s CPU in a 5 s
+    // sample). gcms ≈ the missing cpums names that mechanism from the
+    // artifact alone.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     // Per-row slope metrics (r15, VERDICT r14 Next #5): every family
     // whose sf0.1→sf1 slope exceeds 2x needs a measured cause. Two
     // channels, both recorded per row in BENCH_DRIVER_FULL.json "xm":
@@ -105,15 +118,16 @@ object Bench {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     })
-    // (wall seconds, process-cpu ms consumed, loadavg at sample start)
+    // (wall seconds, process-cpu ms, loadavg at sample start, gc ms)
     // xm side-channel: filled by runOnce for the COLD sample only (one
     // mutation's write volume, one execution's plan metrics — not the
     // 2-3x accumulation re-runs would add)
     var lastXm: Map[String, Long] = Map.empty
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                recordErr: Boolean): (Double, Long, Double) = {
+                recordErr: Boolean): (Double, Long, Double, Long) = {
       val l0 = load1
       val c0 = procCpuMs
+      val g0 = gcMs
       if (recordErr) graft.engine.OpMetrics.arm()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save();
@@ -126,7 +140,7 @@ object Bench {
           lastXm = lastPlanMetrics.get() ++ Map(
             "wb" -> wb, "wr" -> wr, "ws" -> ws, "db" -> db)
         }
-        (wall, cpu, l0) }
+        (wall, cpu, l0, gcMs - g0) }
       catch { case e: Throwable =>
         // Only the FIRST run decides success/failure; a flaky median
         // re-run must not mark an already-timed query as errored
@@ -140,7 +154,7 @@ object Bench {
             .linesIterator.toSeq.headOption.getOrElse("")
           errors ::= (name -> esc(s"${e.getClass.getSimpleName}: $firstLine".take(60)))
         }
-        (-1.0, -1L, -1.0)
+        (-1.0, -1L, -1.0, -1L)
       }
     }
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
@@ -164,7 +178,7 @@ object Bench {
     // across samples (advisor r14 re-aligned the estimator with the
     // pre-r14 rounds); the min rides along as "qmin" in the full JSON
     // for steady-state diagnosis.
-    val noSample = (-1.0, -1L, -1.0)
+    val noSample = (-1.0, -1L, -1.0, -1L)
     val xmByRow = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Long]]
     val fullResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
@@ -274,6 +288,12 @@ object Bench {
           if (s._3 < 0) "-1" else Math.round(s._3 * 10).toString).mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    // "gcms": stop-the-world GC milliseconds inside each sample — the
+    // channel that separates "the engine did 70 s of work" from "the
+    // collector's 32 host-sized worker threads did" (see gcMs above).
+    val gcJson = fullResults.sortBy(_._1)
+      .map { case (k, _, ss) => "\"" + k + "\":" + ss.map(_._4.toString).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     // "qmin": the steady-state (min-of-samples) estimate per row —
     // diagnosis aid next to the graded medians, never the grade.
     val qminJson = fullResults.sortBy(_._1)
@@ -294,7 +314,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString(
         s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","qunit":"ms","qpolicy":"median","queries":{""",
-        ",", s"""},"samples":$samplesJson,"cpums":$cpuJson,"load":$loadJson,"qmin":$qminJson,"xm":$xmJson$errJson,"sf":"$sfName"}""")
+        ",", s"""},"samples":$samplesJson,"cpums":$cpuJson,"load":$loadJson,"gcms":$gcJson,"qmin":$qminJson,"xm":$xmJson$errJson,"sf":"$sfName"}""")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       new java.io.File("BENCH_DRIVER_FULL.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)

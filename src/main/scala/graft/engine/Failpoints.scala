@@ -39,6 +39,13 @@ object Failpoints {
     // TableLayout.writeJsonAtomic: metadata tmp file written, rename
     // pending — EVERY commit's torn window (status, tablemeta)
     "meta.tmpWritten" -> "any-commit",
+    // TableLayout.publishStatus (checkpointed form): delta file on
+    // disk, manifest rename pending — readers must keep serving the
+    // old manifest; the orphan delta is overwritten by the retry
+    "meta.deltaWritten" -> "any-commit-checkpointed",
+    // TableLayout.publishStatus (checkpointed form): full snapshot
+    // written, manifest rename pending — same recovery contract
+    "meta.checkpointWritten" -> "any-commit-checkpointed",
     // GraftTable.insert: IN_PROGRESS record committed, no data yet
     "insert.reserved" -> "insert",
     // GraftTable.insert: segment data files on disk, publish pending

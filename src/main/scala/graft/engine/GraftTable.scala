@@ -722,123 +722,206 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * legitimately run for hours; the writer's own publish commit fails
     * loudly if its record was reclaimed underneath it). */
   def cleanFiles(): Seq[Long] = {
-    var removed = Seq.empty[Long]
     val horizons = cleanHorizons()
+    val fs = layout.fs
+
+    // ---- Phase A: locked DECISION commit (metadata-only, ms) --------
+    // The table lock must never be held across O(#segments) physical
+    // filesystem work (advisor r15: a multi-minute clean on object
+    // storage outlasting the stale horizon hands the lock to a second
+    // writer): everything physical happens UNLOCKED between two
+    // ms-scale metadata commits, made safe by (a) terminal statuses
+    // never resurrecting, (b) the retention gate already covering the
+    // reader race, and (c) every delete being idempotent on retry.
+    // Stale IN_PROGRESS reservations are the one exception handled
+    // inside the lock — dropping the record first would let the
+    // still-running load publish files we're deleting.
+    var deadTerminal = Seq.empty[SegmentMeta]
+    var deadStaleIds = Seq.empty[Long]
+    var tombstones = Map.empty[Long, Seq[String]]
     layout.commit { st =>
       val now = System.currentTimeMillis()
       val (dead, live) = st.segments.partition(cleanDoomed(_, now, horizons))
-      removed = dead.map(_.id)
-      // history ledger: the GC'd entries remain visible to
-      // SHOW HISTORY SEGMENTS (append-only, outside the hot log)
-      layout.appendHistory(dead)
-      val fs = layout.fs
-      dead.filter(_.externalPath.isEmpty)
+      val (stale, terminal) = dead.partition(_.status == SegmentStatus.InProgress)
+      deadTerminal = terminal
+      deadStaleIds = stale.map(_.id)
+      tombstones = live.collect {
+        case s if s.removedFiles.nonEmpty && s.externalPath.isEmpty =>
+          s.id -> s.removedFiles
+      }.toMap
+      // history ledger: GC'd entries remain visible to SHOW HISTORY
+      // SEGMENTS (append-only, outside the hot log)
+      layout.appendHistory(stale)
+      stale.filter(_.externalPath.isEmpty)
         .foreach(s => fs.delete(layout.segmentDir(s.id), true))
-      // stale tmp dirs from crashed writes (same detector as the dry run)
-      staleTmpDirs(now).foreach(p => fs.delete(p, true))
-      // metadata-only DROP PARTITION leaves the dropped files on disk
-      // (tombstoned) for in-flight readers; reclaim them here — retired
-      // merge-on-read delta files ride the same tombstone list
-      // fold-debris sweep candidates, decided PRE-clean: a crashed fold
-      // leaves its deltas in place, a committed one leaves tombstones —
-      // both visible here, before the tombstone reset below
-      val foldSweepIds = live
-        .filter(s => s.deltas.nonEmpty || s.removedFiles.nonEmpty)
-        .map(_.id).toSet
-      // Segments whose fold debris was FOUND but SPARED by the 1-hour
-      // grace below: their tombstone reset is deferred this run, so the
-      // segment re-qualifies for this sweep on the next CLEAN FILES.
-      // Without the deferral, a clean inside the grace window clears
-      // the tombstones (the only qualification left once a successful
-      // re-fold removed the deltas) while sparing the fresh orphan —
-      // and no later clean ever looks at the segment again, leaking
-      // the orphan permanently (advisor r14).
-      val sparedFoldDebris = scala.collection.mutable.Set.empty[Long]
-      // stray delta files: written but never committed (crashed or
-      // lost-race MoR delete) — unreferenced by tablestatus, reclaim
-      // after the same staleness grace as tmp dirs. Runs over the
-      // PRE-clean segments so the fold sweep can inform the tombstone
-      // reset decision below.
-      live.filter(_.externalPath.isEmpty).foreach { s =>
-        val segDir = layout.segmentDir(s.id)
-        val dDir = new org.apache.hadoop.fs.Path(
-          segDir, graft.engine.format.Deltas.Dir)
-        if (fs.exists(dDir)) {
-          val referenced = s.deltas.values.flatten
-            .map(r => fs.makeQualified(
-              new org.apache.hadoop.fs.Path(segDir, r)).toString)
-            .toSet
-          fs.listStatus(dDir)
-            .filter(f => !referenced(fs.makeQualified(f.getPath).toString))
-            .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
-            .foreach(f => fs.delete(f.getPath, false))
-        }
-        // crashed tier-2 folds: `.fold-tmp-` dirs live INSIDE segment
-        // dirs (the `.tmp-` sweep above only scans the segments root),
-        // and a crash between the rename and the commit leaves an
-        // orphan `-fold-` parquet no list references — both reclaim
-        // after the same grace (a racing fold within the grace is never
-        // touched; one stalled PAST it loses its commit to the
-        // exists-check that runs under this same lock). Bounded to
-        // segments that can actually hold fold debris (foldSweepIds,
-        // decided pre-clean) — a 100k-segment table must not pay a
-        // full tree walk under the table lock for this sweep.
-        if (foldSweepIds(s.id) && fs.exists(segDir)) {
-          fs.listStatus(segDir)
-            .filter(f => f.isDirectory && f.getPath.getName.startsWith(".fold-tmp-"))
-            .foreach { f =>
-              if (System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
-                fs.delete(f.getPath, true)
-              else sparedFoldDebris += s.id
-            }
-          val livePaths = (s.files ++ s.removedFiles)
-            .map(r => fs.makeQualified(new org.apache.hadoop.fs.Path(segDir, r)).toString)
-            .toSet
-          val it = fs.listFiles(segDir, true)
-          while (it.hasNext) {
-            val f = it.next()
-            val name = f.getPath.getName
-            if (name.contains("-fold-") && name.endsWith(".parquet") &&
-                !livePaths(fs.makeQualified(f.getPath).toString)) {
-              if (System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
-                fs.delete(f.getPath, false)
-              else sparedFoldDebris += s.id
-            }
+      if (stale.isEmpty) st // value-equal → publish skipped
+      else st.copy(segments =
+        st.segments.filterNot(s => deadStaleIds.contains(s.id)))
+    }
+
+    // ---- Phase B: UNLOCKED physical sweeps --------------------------
+    val now = System.currentTimeMillis()
+    // terminal dead segments: delete-then-drop is safe (terminal never
+    // resurrects; a crash here leaves the entries for the next clean to
+    // re-delete idempotently — the same recovery contract the crash
+    // fuzz asserts at clean.midSweep)
+    deadTerminal.filter(_.externalPath.isEmpty)
+      .foreach(s => fs.delete(layout.segmentDir(s.id), true))
+    // stale tmp dirs from crashed writes (same detector as the dry run)
+    staleTmpDirs(now).foreach(p => fs.delete(p, true))
+    // metadata-only DROP PARTITION leaves the dropped files on disk
+    // (tombstoned) for in-flight readers; reclaim them here — retired
+    // merge-on-read delta files ride the same tombstone list.
+    // fold-debris sweep candidates, decided PRE-clean: a crashed fold
+    // leaves its deltas in place, a committed one leaves tombstones —
+    // both visible in the phase-A snapshot, before the tombstone reset
+    // in phase C. All sweeps below are 1-hour-grace-protected, which is
+    // what makes them safe OUTSIDE the lock: anything a concurrent
+    // writer is staging right now is fresh and untouchable.
+    val deadIds = deadTerminal.map(_.id).toSet
+    val live = layout.readStatus().segments
+      .filterNot(s => deadIds(s.id) || cleanDoomed(s, now, horizons))
+    val foldSweepIds = live
+      .filter(s => s.deltas.nonEmpty || s.removedFiles.nonEmpty)
+      .map(_.id).toSet
+    // Segments whose fold debris was FOUND but SPARED by the 1-hour
+    // grace below: their tombstone reset is deferred this run, so the
+    // segment re-qualifies for this sweep on the next CLEAN FILES.
+    // Without the deferral, a clean inside the grace window clears
+    // the tombstones (the only qualification left once a successful
+    // re-fold removed the deltas) while sparing the fresh orphan —
+    // and no later clean ever looks at the segment again, leaking
+    // the orphan permanently (advisor r14).
+    val sparedFoldDebris = scala.collection.mutable.Set.empty[Long]
+    // stray delta files: written but never committed (crashed or
+    // lost-race MoR delete) — unreferenced by tablestatus, reclaim
+    // after the same staleness grace as tmp dirs. Runs over the
+    // PRE-clean segments so the fold sweep can inform the tombstone
+    // reset decision below.
+    live.filter(_.externalPath.isEmpty).foreach { s =>
+      val segDir = layout.segmentDir(s.id)
+      val dDir = new org.apache.hadoop.fs.Path(
+        segDir, graft.engine.format.Deltas.Dir)
+      if (fs.exists(dDir)) {
+        val referenced = s.deltas.values.flatten
+          .map(r => fs.makeQualified(
+            new org.apache.hadoop.fs.Path(segDir, r)).toString)
+          .toSet
+        fs.listStatus(dDir)
+          .filter(f => !referenced(fs.makeQualified(f.getPath).toString))
+          .filter(f => System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+      // crashed tier-2 folds: `.fold-tmp-` dirs live INSIDE segment
+      // dirs (the `.tmp-` sweep above only scans the segments root),
+      // and a crash between the rename and the commit leaves an
+      // orphan `-fold-` parquet no list references — both reclaim
+      // after the same grace (a racing fold within the grace is never
+      // touched; one stalled PAST it loses its commit to foldOne's own
+      // exists-check at publish time). Bounded to segments that can
+      // actually hold fold debris (foldSweepIds, decided pre-clean) —
+      // a 100k-segment table must not pay a full tree walk for this.
+      if (foldSweepIds(s.id) && fs.exists(segDir)) {
+        fs.listStatus(segDir)
+          .filter(f => f.isDirectory && f.getPath.getName.startsWith(".fold-tmp-"))
+          .foreach { f =>
+            if (System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+              fs.delete(f.getPath, true)
+            else sparedFoldDebris += s.id
+          }
+        val livePaths = (s.files ++ s.removedFiles)
+          .map(r => fs.makeQualified(new org.apache.hadoop.fs.Path(segDir, r)).toString)
+          .toSet
+        val it = fs.listFiles(segDir, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (name.contains("-fold-") && name.endsWith(".parquet") &&
+              !livePaths(fs.makeQualified(f.getPath).toString)) {
+            if (System.currentTimeMillis() - f.getModificationTime > 3600 * 1000)
+              fs.delete(f.getPath, false)
+            else sparedFoldDebris += s.id
           }
         }
       }
-      val cleaned = live.map { s =>
-        if (s.removedFiles.isEmpty || s.externalPath.nonEmpty) s
-        // Deferred reset: grace-spared fold debris above means this
-        // segment must stay sweep-qualified; its tombstones (and the
-        // debris) go together on the first clean past the grace.
-        else if (sparedFoldDebris(s.id)) s
-        else {
-          s.removedFiles.foreach(f =>
-            fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), f), false))
-          s.copy(removedFiles = Nil)
+    }
+    // tombstoned-file deletes: physical here, the metadata reset in
+    // phase C subtracts EXACTLY this set — tombstones a concurrent
+    // writer adds between the phases survive untouched
+    val deletedTombstones: Map[Long, Set[String]] = tombstones.collect {
+      case (id, rels) if !sparedFoldDebris(id) =>
+        rels.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(id), f), false))
+        id -> rels.toSet
+    }
+    // stale metadata tmp files from crashed commits: writeJsonAtomic
+    // stages `.tablestatus.json.tmp-*` / `.tablemeta.json.tmp-*` in
+    // _meta before its atomic rename — a kill in that window leaves
+    // the tmp behind forever (no other sweep looks at _meta). Same
+    // 1-hour grace; a racing commit's in-flight tmp is never touched.
+    try {
+      val metaDirPath = new org.apache.hadoop.fs.Path(layout.tablePath, "_meta")
+      fs.listStatus(metaDirPath)
+        .filter(f => f.isFile && f.getPath.getName.startsWith(".") &&
+          // crashed-commit tmp files AND a reclaimer's orphan claim
+          // file (crash between rename(lock, claim) and delete(claim)
+          // — advisor r15: nothing else ever removes it)
+          (f.getPath.getName.contains(".tmp-") ||
+            f.getPath.getName.startsWith(".lock.reclaim-")))
+        .filter(f => now - f.getModificationTime > 3600 * 1000)
+        .foreach(f => fs.delete(f.getPath, false))
+    } catch { case scala.util.control.NonFatal(_) => }
+    // checkpointed-commit-log GC: a log file is live while any reader
+    // newer than one checkpoint interval can reach it — that is
+    // ckpt-{ckptV}, ckpt-{prevCkptV} and the deltas past prevCkptV.
+    // Everything older aged out two generations ago; names with a
+    // version BEYOND the manifest are crashed-commit orphans (their
+    // retry overwrites them in place). Both only reclaim past the
+    // same 1-hour grace every other sweep uses.
+    // (gated on the DIRECTORY, not on st.ckptV: a transition commit
+    // that crashed between its first snapshot write and the manifest
+    // rename leaves an orphan ckpt file under a still-INLINE manifest
+    // — with ckptV=-1 every log file is fodder, which is correct)
+    try {
+      if (fs.exists(layout.logDir)) {
+        val snap = layout.readStatus()
+        val LogName = """(ckpt|delta)-(\d+)\.json""".r
+        fs.listStatus(layout.logDir)
+          .filter(f => now - f.getModificationTime > 3600 * 1000)
+          .filter { f =>
+            f.getPath.getName match {
+              case LogName("ckpt", v) =>
+                val n = v.toLong
+                n != snap.ckptV && n != snap.prevCkptV
+              case LogName("delta", v) =>
+                val n = v.toLong
+                snap.ckptV < 0 || n <= snap.prevCkptV || n > snap.version
+              case name => name.contains(".tmp-") // crashed log writes
+            }
+          }
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    Failpoints.hit("clean.midSweep", path)
+
+    // ---- Phase C: locked RESULT commit (metadata-only, ms) ----------
+    // Drop the reclaimed terminal entries and subtract exactly the
+    // tombstones phase B deleted (never a blanket reset — a concurrent
+    // writer may have added new tombstones between the phases).
+    layout.commit { st =>
+      val (gone, kept) = st.segments.partition(s => deadIds(s.id))
+      layout.appendHistory(gone)
+      val cleaned = kept.map { s =>
+        deletedTombstones.get(s.id) match {
+          case Some(rels) if s.removedFiles.exists(rels) =>
+            s.copy(removedFiles = s.removedFiles.filterNot(rels))
+          case _ => s
         }
       }
-      // stale metadata tmp files from crashed commits: writeJsonAtomic
-      // stages `.tablestatus.json.tmp-*` / `.tablemeta.json.tmp-*` in
-      // _meta before its atomic rename — a kill in that window leaves
-      // the tmp behind forever (no other sweep looks at _meta). Same
-      // 1-hour grace; a racing commit's in-flight tmp is never touched.
-      try {
-        val metaDirPath = new org.apache.hadoop.fs.Path(layout.tablePath, "_meta")
-        fs.listStatus(metaDirPath)
-          .filter(f => f.isFile && f.getPath.getName.startsWith(".") &&
-            // crashed-commit tmp files AND a reclaimer's orphan claim
-            // file (crash between rename(lock, claim) and delete(claim)
-            // — advisor r15: nothing else ever removes it)
-            (f.getPath.getName.contains(".tmp-") ||
-              f.getPath.getName.startsWith(".lock.reclaim-")))
-          .filter(f => now - f.getModificationTime > 3600 * 1000)
-          .foreach(f => fs.delete(f.getPath, false))
-      } catch { case scala.util.control.NonFatal(_) => }
-      Failpoints.hit("clean.midSweep", path)
+      // commit() skips the publish when nothing actually changed
       st.copy(segments = cleaned)
     }
+    val removed = deadStaleIds ++ deadTerminal.map(_.id)
     // Index GC rides the same command (r13): rows/codes for the
     // segments just physically reclaimed can never serve again, so
     // every registered index drops them and shrinks its ledger —

@@ -35,16 +35,26 @@ object MetaCache {
 
   private def cached[T](
       map: ConcurrentHashMap[String, Entry[T]],
-      key: String, file: Path, stat: => FileStatus, read: => T): T = {
+      key: String, file: Path, stat: => FileStatus, read: => T): T =
+    cachedWith(map, key, file, stat, (_: Option[T]) => read)
+
+  /** Like [[cached]], but a stamp-stale miss hands the PREVIOUS cached
+    * value to `read` — the checkpointed commit log re-reads only the
+    * delta tail beyond its last assembly instead of the whole log. */
+  private def cachedWith[T](
+      map: ConcurrentHashMap[String, Entry[T]],
+      key: String, file: Path, stat: => FileStatus,
+      read: Option[T] => T): T = {
     val st =
       try stat
-      catch { case _: java.io.FileNotFoundException => map.remove(key); return read }
+      catch { case _: java.io.FileNotFoundException =>
+        map.remove(key); return read(None) }
     val e = map.get(key)
     if (e != null && e.modTime == st.getModificationTime && e.len == st.getLen) {
       e.hits.incrementAndGet()
       e.value
     } else {
-      val v = read
+      val v = read(if (e == null) None else Some(e.value))
       map.compute(key, (_, old) => {
         val e2 = if (old == null) new Entry(st.getModificationTime, st.getLen, v, st.getLen)
           else { old.modTime = st.getModificationTime; old.len = st.getLen
@@ -59,6 +69,11 @@ object MetaCache {
   private[format] def statusFor(
       key: String, file: Path, stat: => FileStatus, read: => TableStatus): TableStatus =
     cached(status, key, file, stat, read)
+
+  private[format] def statusForIncr(
+      key: String, file: Path, stat: => FileStatus,
+      read: Option[TableStatus] => TableStatus): TableStatus =
+    cachedWith(status, key, file, stat, read)
 
   private[format] def metaFor(
       key: String, file: Path, stat: => FileStatus, read: => TableMeta): TableMeta =

@@ -91,14 +91,57 @@ case class SegmentMeta(
 }
 
 /** The atomic commit log: full list of segments ever created (until
-  * CLEAN FILES garbage-collects terminal ones). */
+  * CLEAN FILES garbage-collects terminal ones).
+  *
+  * Two on-disk forms, distinguished by `ckptV` (r16, the 1M-segment
+  * horizon — the same snapshot+tail shape the reference keeps as
+  * tablestatus + tablestatus.history, SegmentStatusManager.java):
+  *
+  *  - INLINE (`ckptV < 0`): `segments` is the full list, rewritten by
+  *    every commit — the historical form, kept for small tables where
+  *    a full rewrite is cheaper than managing a log directory.
+  *  - CHECKPOINTED (`ckptV >= 0`): the file is a MANIFEST — `segments`
+  *    is empty on disk and the real list is
+  *    `_meta/log/ckpt-<ckptV>.json` (a full snapshot, immutable) plus
+  *    one `_meta/log/delta-<v>.json` per commit for
+  *    v in (ckptV, version]. A commit then writes O(changed segments),
+  *    not O(table); a cold read is snapshot + bounded tail.
+  *
+  * IN MEMORY `segments` is always the fully-assembled list, whichever
+  * form the disk holds — [[TableLayout]] assembles on read and strips
+  * on manifest write; nothing outside it sees the split. */
 case class TableStatus(
     version: Long,
-    segments: Seq[SegmentMeta]) {
+    segments: Seq[SegmentMeta],
+    /** version of the checkpoint snapshot this manifest builds on;
+      * -1 = inline form (plain Long: scala defaults survive jackson,
+      * Option[Long] would round-trip as Option[Integer]) */
+    ckptV: Long = -1L,
+    /** the checkpoint before that — log files at or below it are
+      * unreferenced by ANY reader newer than one checkpoint interval
+      * and become CLEAN FILES fodder */
+    prevCkptV: Long = -1L,
+    /** random id minted with each checkpoint and carried by every
+      * manifest built on it — the incremental read path's guard against
+      * a drop-and-recreate at the same table path reaching the same
+      * (ckptV, version) coordinates with different content */
+    ckptId: String = "") {
   def visible: Seq[SegmentMeta] = segments.filter(_.isVisible)
   def nextSegmentId: Long =
     if (segments.isEmpty) 0L else segments.map(_.id).max + 1L
 }
+
+/** One commit's change set in the checkpointed form: entries new or
+  * changed since the parent version (`upserts`, replacing in place by
+  * id with new ids appended in order) and ids dropped (`removes`).
+  * Replay of ckpt + deltas reproduces the inline `segments` list
+  * byte-for-byte — the committer VERIFIES that before publishing and
+  * falls back to a fresh checkpoint for any commit the delta form
+  * cannot represent (e.g. a reorder). */
+case class StatusDelta(
+    version: Long,
+    upserts: Seq[SegmentMeta],
+    removes: Seq[Long])
 
 /** Table-level metadata: schema, sort columns, user properties. */
 case class TableMeta(

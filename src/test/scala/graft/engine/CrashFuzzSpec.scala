@@ -195,7 +195,8 @@ class CrashFuzzSpec extends AnyFunSuite {
       "meta.tmpWritten", "insert.reserved", "insert.filesWritten",
       "compact.outputWritten", "mutation.rewritten", "mor.deltaWritten",
       "fold.tmpWritten", "fold.renamed", "clean.midSweep",
-      "handoff.written", "stream.batchMoved", "publish.beforeIndexMaintain")
+      "handoff.written", "stream.batchMoved", "publish.beforeIndexMaintain",
+      "meta.deltaWritten", "meta.checkpointWritten")
     assert(Failpoints.registry.keySet == fuzzed,
       "Failpoints.registry and CrashFuzzSpec disagree — a new point needs a scenario")
   }
@@ -291,6 +292,52 @@ class CrashFuzzSpec extends AnyFunSuite {
     val hist = t2.layout.readHistory()
     assert(hist.map(_.id).count(_ == victim) <= 1,
       s"crash-retried clean duplicated history entries: ${hist.map(_.id)}")
+  }
+
+  test("kill during checkpointed-log commits: checkpoint / delta written, manifest pending") {
+    // shrink the inline threshold so a 3-segment table exercises the
+    // checkpointed machinery (suites run sequentially in this JVM, so
+    // the property window is race-free; semantics are identical in
+    // either form by design)
+    System.setProperty("graft.status.inline.max", "2")
+    System.setProperty("graft.status.checkpoint.every", "4")
+    try {
+      // transition commit: crossing the threshold writes the FIRST full
+      // snapshot; a kill between it and the manifest rename must leave
+      // the inline log authoritative and the orphan snapshot reclaimable
+      val t = freshTable(tmpRoot().resolve("t").toString)
+      val snap = killAt("meta.checkpointWritten", t) {
+        t.insert(spark.range(5000, 5100)
+          .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+      }
+      assertRecovers(snap, allowedCounts = Set(3000L))
+
+      // steady-state delta commit: the table is checkpointed; a kill
+      // between the delta write and the manifest rename must keep the
+      // old manifest serving and let the retry overwrite the orphan
+      val t2 = freshTable(tmpRoot().resolve("t2").toString)
+      t2.insert(spark.range(5000, 5100)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")) // → checkpointed
+      assert(t2.layout.readStatus().ckptV >= 0, "fixture must be checkpointed")
+      val snap2 = killAt("meta.deltaWritten", t2) {
+        t2.insert(spark.range(6000, 6100)
+          .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+      }
+      assertRecovers(snap2, allowedCounts = Set(3100L))
+
+      // and the live table (no kill) round-trips: checkpoint + deltas
+      // reassemble exactly, across a checkpoint rollover
+      (0 until 5).foreach(i => t2.insert(
+        spark.range(7000L + i * 100, 7000L + i * 100 + 50)
+          .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")))
+      val st = t2.layout.readStatusUncached()
+      assert(st.ckptV >= 0 && t2.read.count() == 3450L)
+      graft.engine.format.MetaCache.drop(Some(t2.layout.root.toString))
+      assert(t2.read.count() == 3450L, "cold reassembly diverged")
+    } finally {
+      System.clearProperty("graft.status.inline.max")
+      System.clearProperty("graft.status.checkpoint.every")
+    }
   }
 
   test("kill during streaming append and handoff; replay does not brick") {

@@ -51,7 +51,13 @@ class MetaCacheSpec extends AnyFunSuite {
     // check collides would pin a stale snapshot forever
     var lens = List.empty[Long]
     (0 until 8).foreach { _ =>
-      t.layout.commit(identity)
+      // a REAL commit with constant payload length (identical-content
+      // commits skip the publish since r16, so flip a timestamp by a
+      // length-preserving +1/-1 each round)
+      t.layout.commit { st =>
+        val h = st.segments.head
+        st.copy(segments = h.copy(createdAt = h.createdAt ^ 1L) +: st.segments.tail)
+      }
       lens ::= fs.getFileStatus(statusPath).getLen
     }
     val adjacentEqual = lens.zip(lens.tail).filter { case (a, b) => a == b }
