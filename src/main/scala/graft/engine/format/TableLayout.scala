@@ -420,7 +420,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   private val heldToken = new ThreadLocal[String]()
 
   private def writeLockToken(token: String): Unit = {
-    val out = fs.create(lockPath, true)
+    val out = metaFs.create(lockPath, true)
     try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
@@ -428,7 +428,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * unreadable. 64 bytes is plenty for a UUID token. */
   private def readLockToken(): Option[String] =
     try {
-      val in = fs.open(lockPath)
+      val in = metaFs.open(lockPath)
       try {
         val buf = new Array[Byte](64)
         val n = in.read(buf)
@@ -466,7 +466,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       var locked = false
       fs.mkdirs(metaDir)
       while (!locked) {
-        try { locked = fs.createNewFile(lockPath) }
+        try { locked = metaFs.createNewFile(lockPath) }
         catch { case _: java.io.IOException => }
         if (!locked) {
           tryReclaimStaleLock()
@@ -483,7 +483,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       val token = UUID.randomUUID().toString
       try writeLockToken(token)
       catch { case e: Throwable =>
-        try fs.delete(lockPath, false)
+        try metaFs.delete(lockPath, false)
         catch { case scala.util.control.NonFatal(_) => }
         throw e
       }
@@ -497,7 +497,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       val period = math.max(java.lang.Long.getLong(
         "graft.lock.heartbeat.ms", TableLayout.LockStaleMs / 4), 50L)
       val hb = TableLayout.heartbeats.scheduleWithFixedDelay(
-        () => try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+        () => try metaFs.setTimes(lockPath, System.currentTimeMillis(), -1)
               catch { case scala.util.control.NonFatal(_) => },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       try body
@@ -510,7 +510,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
         // (transient read failure here) self-heals via the staleness
         // takeover.
         val cur = readLockToken()
-        if (cur.isEmpty || cur.contains(token)) fs.delete(lockPath, false)
+        if (cur.isEmpty || cur.contains(token)) metaFs.delete(lockPath, false)
       }
     }
   }
@@ -536,20 +536,20 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   private def tryReclaimStaleLock(): Unit = {
     val staleMs = TableLayout.LockStaleMs
     try {
-      val st = fs.getFileStatus(lockPath)
+      val st = metaFs.getFileStatus(lockPath)
       if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
         val claim = new Path(metaDir, s".lock.reclaim-${UUID.randomUUID().toString.take(8)}")
-        if (fs.rename(lockPath, claim)) {
-          val claimed = fs.getFileStatus(claim)
+        if (metaFs.rename(lockPath, claim)) {
+          val claimed = metaFs.getFileStatus(claim)
           if (System.currentTimeMillis() - claimed.getModificationTime > staleMs) {
-            fs.delete(claim, false)
+            metaFs.delete(claim, false)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"[graft] reclaimed stale table lock $lockPath " +
                 s"(holder silent for >${staleMs / 1000}s — crashed?)")
-          } else if (!fs.rename(claim, lockPath)) {
+          } else if (!metaFs.rename(claim, lockPath)) {
             // a THIRD writer recreated the lock inside the window;
             // drop the claim so at most one early grant can occur
-            fs.delete(claim, false)
+            metaFs.delete(claim, false)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"[graft] lock takeover race on $lockPath — claimed a live " +
                 "lock and could not restore it; one early grant possible")
