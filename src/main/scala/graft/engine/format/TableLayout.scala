@@ -57,8 +57,12 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * commit atomicity for racing readers. Raw fs + POSIX ATOMIC_MOVE
     * restore the single-syscall swap; on HDFS the namenode rename is
     * already atomic and checksums are server-side, so `fs` stays. */
-  private def metaFs: FileSystem =
+  // cached for the same reason as `fs` above: FileSystem.getLocal walks
+  // the conf-hashed FS cache per call, and the lock/fence path (r16)
+  // calls metaFs several times per commit
+  private lazy val cachedMetaFs: FileSystem =
     if (isLocal) FileSystem.getLocal(conf).getRaw else fs
+  private def metaFs: FileSystem = cachedMetaFs
 
   def segmentDir(id: Long): Path = new Path(segmentsDir, id.toString)
   def tmpSegmentDir(id: Long): Path =
