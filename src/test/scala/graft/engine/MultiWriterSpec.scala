@@ -28,6 +28,24 @@ class MultiWriterSpec extends AnyFunSuite {
   private val Batch = 100
 
   test("6 concurrent writers + 2 readers: serialized commits, no lost updates, torn-free reads") {
+    writerMix()
+  }
+
+  test("the same 6-writer mix on a CHECKPOINTED commit log (snapshot + delta tail)") {
+    // shrink the inline threshold so every commit in the mix goes
+    // through the delta/checkpoint machinery — the exactly-once and
+    // torn-free contracts must hold identically in the r16 log form
+    // (suites run sequentially in this JVM; see CrashFuzzSpec)
+    System.setProperty("graft.status.inline.max", "2")
+    System.setProperty("graft.status.checkpoint.every", "8")
+    try writerMix()
+    finally {
+      System.clearProperty("graft.status.inline.max")
+      System.clearProperty("graft.status.checkpoint.every")
+    }
+  }
+
+  private def writerMix(): Unit = {
     val dir = Files.createTempDirectory("graft_mw_").toString + "/t"
     val seedN = 1000L
     val seed = spark.range(0, seedN)
