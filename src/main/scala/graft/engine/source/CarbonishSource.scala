@@ -824,8 +824,17 @@ case class CarbonishScan(
   // previous whole-table Map build was a top profile frame at 100k
   // segments (r15 MetaScaleProbe: ~1.2 s per scan). External ADD
   // SEGMENT entries (rare) keep a prefix list.
-  private lazy val segById: Map[Long, SegmentMeta] =
-    visible.map(s => s.id -> s).toMap
+  //
+  // The O(#segments) setup itself is shared (r16): an UNPINNED scan's
+  // `visible` is the snapshot's own memoized Seq (identity-checked), so
+  // every scan of an unchanged table reuses ONE id map instead of
+  // building its own (~95 ms/100k segments per scan, MetaScaleProbe).
+  // Pinned/changed-snapshot scans keep their private plan-time build.
+  private lazy val segById: Map[Long, SegmentMeta] = {
+    val st = layout.readStatus()
+    if (visible eq st.visible) st.visibleById
+    else visible.iterator.map(s => s.id -> s).toMap
+  }
   private lazy val externalPrefixes: Seq[(String, SegmentMeta)] =
     visible.filter(_.externalPath.nonEmpty).map { s =>
       layout.fs.makeQualified(new Path(s.externalPath.get)).toString -> s

@@ -238,6 +238,20 @@ class MetadataScaleSpec extends AnyFunSuite {
     val t5 = System.nanoTime()
     assert(t.cleanFilesDryRun().isEmpty)
     assert((System.nanoTime() - t5) / 1e9 < 5.0)
+
+    // metadata count(*) and the at-scale read: a point query must prune
+    // ALL 1M synthetic segments from driver-side stats (their files
+    // don't exist — one opened fake would throw)
+    val t6 = System.nanoTime()
+    assert(t.countStar == 100L + 10L * SegM)
+    info(f"metadata count(*) at 1M segments: ${(System.nanoTime() - t6) / 1e6}%.0f ms")
+    def pointQuery(): Long = t.read.filter(col("k") === 42L).count()
+    assert(pointQuery() == 1L) // warm-up (plan + codegen + footer reads)
+    val t7 = System.nanoTime()
+    assert(pointQuery() == 1L)
+    val planS = (System.nanoTime() - t7) / 1e9
+    info(f"warm point query over 1M pruned segments: ${planS * 1000}%.0f ms")
+    assert(planS < 5.0, f"point query took $planS%.2f s at 1M segments")
     GraftTable.drop(spark, dir)
   }
 
