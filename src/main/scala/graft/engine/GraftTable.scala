@@ -885,7 +885,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     try {
       if (fs.exists(layout.logDir)) {
         val snap = layout.readStatus()
-        val LogName = """(ckpt|delta)-(\d+)\.json""".r
+        val LogName = """(ckpt|delta)-(\d+)\.jsonl?""".r
         fs.listStatus(layout.logDir)
           .filter(f => now - f.getModificationTime > 3600 * 1000)
           .filter { f =>

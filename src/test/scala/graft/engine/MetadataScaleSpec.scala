@@ -219,7 +219,7 @@ class MetadataScaleSpec extends AnyFunSuite {
     val coldS = (System.nanoTime() - t3) / 1e9
     info(f"cold read at 1M segments (snapshot + tail): $coldS%.1f s")
     assert(st.segments.size == SegM + 1)
-    assert(coldS < 60.0, f"cold read took $coldS%.1f s")
+    assert(coldS < 30.0, f"cold read took $coldS%.1f s")
 
     // incremental warm-miss: a foreign-looking commit moved the
     // manifest one delta forward; the re-read must apply ONE delta,
