@@ -418,12 +418,25 @@ class TableLayout(val tablePath: String, conf: Configuration) {
           case None =>
             // full snapshot, stored in the inline form (a checkpoint IS
             // the table status at its version); large snapshots write
-            // JSONL for the parallel cold-read path
-            if (next.segments.size >= TableLayout.ckptJsonlMinSegments)
+            // JSONL for the parallel cold-read path. The OTHER format's
+            // sibling at this version is deleted before the manifest
+            // publish: version numbers can repeat across a crashed
+            // commit and its successor (both allocate base.version+1),
+            // and a table that crossed the size threshold in between
+            // would otherwise leave a stale other-format orphan that
+            // the reader's format probe could prefer over the real
+            // snapshot — a data resurrection. The delete makes the
+            // collision structurally impossible.
+            // (delete failures PROPAGATE: publishing over a live stale
+            // sibling is the one outcome worse than a failed commit)
+            if (next.segments.size >= TableLayout.ckptJsonlMinSegments) {
               writeCkptJsonl(ckptJsonlPath(next.version), next)
-            else
+              metaFs.delete(ckptPath(next.version), false)
+            } else {
               writeJsonAtomic(ckptPath(next.version),
                 next.copy(ckptV = -1L, prevCkptV = -1L, ckptId = ""))
+              metaFs.delete(ckptJsonlPath(next.version), false)
+            }
             graft.engine.Failpoints.hit("meta.checkpointWritten", tablePath)
             next.copy(ckptV = next.version, prevCkptV = base.ckptV,
               ckptId = UUID.randomUUID().toString.take(12))
