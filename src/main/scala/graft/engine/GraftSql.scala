@@ -610,7 +610,7 @@ object GraftSql {
         // meaning, and swallowing it would be a silent no-op (the exact
         // failure mode this surface exists to prevent): SET it instead
         require(!keys.contains("sort_scope"),
-          "cannot UNSET sort_scope — SET it to NO_SORT/LOCAL_SORT/GLOBAL_SORT")
+          "cannot UNSET sort_scope — SET it to NO_SORT/LOCAL_SORT/GLOBAL_SORT/ZORDER_SORT")
         val t0 = table(t)
         if (keys.contains("sort_columns")) t0.alterSortColumns(Nil)
         t0.unsetProperties(keys.filterNot(_ == "sort_columns"))

@@ -517,7 +517,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     val bad = cols.filterNot(c => schema.fieldNames.contains(c))
     require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
     scope.foreach(sc => require(
-      Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT").contains(sc.toUpperCase),
+      Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT", "ZORDER_SORT").contains(sc.toUpperCase),
       s"bad sort scope $sc"))
     // a spatial-index table's generated geoId column must stay the
     // leading sort key — geoId range pruning degrades badly without
@@ -1380,7 +1380,7 @@ object GraftTable {
       partitionColumns: Seq[String]): GraftTable = {
     val bad = sortColumns.filterNot(c => schema.fieldNames.contains(c))
     require(bad.isEmpty, s"sort columns not in schema: ${bad.mkString(",")}")
-    require(Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT").contains(sortScope),
+    require(Seq("NO_SORT", "LOCAL_SORT", "GLOBAL_SORT", "ZORDER_SORT").contains(sortScope),
       s"bad sort scope $sortScope")
     val badP = partitionColumns.filterNot(c => schema.fieldNames.contains(c))
     require(badP.isEmpty, s"partition columns not in schema: ${badP.mkString(",")}")

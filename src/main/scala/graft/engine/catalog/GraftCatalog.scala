@@ -195,7 +195,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case p: TableChange.RemoveProperty if p.property.equalsIgnoreCase("sort_scope") =>
         // always has a value — silently "removing" it would be a no-op
         throw new UnsupportedOperationException(
-          "cannot UNSET sort_scope — SET it to NO_SORT/LOCAL_SORT/GLOBAL_SORT")
+          "cannot UNSET sort_scope — SET it to NO_SORT/LOCAL_SORT/GLOBAL_SORT/ZORDER_SORT")
       case p: TableChange.SetProperty =>
         t.setProperties(Map(p.property -> p.value))
       case p: TableChange.RemoveProperty =>

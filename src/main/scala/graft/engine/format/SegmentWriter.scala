@@ -71,7 +71,11 @@ object SegmentWriter {
     val effScope = bucketSpec match {
       case Some(_) => "LOCAL_SORT"
       case None =>
-        if (preservesOrder && pCols.isEmpty && meta.sortScope != "NO_SORT")
+        // ZORDER_SORT keeps its scope under preservesOrder: the input is
+        // narrow ops over already-z-clustered files — a lexicographic
+        // local re-sort would DESTROY the interleaved clustering
+        if (preservesOrder && pCols.isEmpty && meta.sortScope != "NO_SORT" &&
+            meta.sortScope != "ZORDER_SORT")
           "LOCAL_SORT"
         else meta.sortScope
     }
@@ -91,6 +95,20 @@ object SegmentWriter {
           // doesn't fan every task out into every partition dir
           if (pCols.isEmpty) df else df.repartition(pCols.map(col): _*)
         case ("LOCAL_SORT", cs) => df.sortWithinPartitions(cs.map(col): _*)
+        case ("ZORDER_SORT", _) if preservesOrder =>
+          // copy-on-write rewrite of z-clustered files: narrow ops keep
+          // the clustering; per-file footer stats are re-lifted below
+          df
+        case ("ZORDER_SORT", _) =>
+          // multi-dimensional clustering: range-shuffle + sort on the
+          // interleaved z-value so every file is a value-space
+          // hyper-rectangle — see [[ZOrderSort]]
+          val parts = meta.properties.get("global_sort_partitions").map(_.toInt)
+            .getOrElse(spark.sessionState.conf.numShufflePartitions)
+          df.withColumn("__z", ZOrderSort.zvalue(df, sortCols))
+            .repartitionByRange(parts, (pCols.map(col) :+ col("__z")): _*)
+            .sortWithinPartitions((pCols.map(col) :+ col("__z")): _*)
+            .drop("__z")
         case _ => // GLOBAL_SORT default
           val parts = meta.properties.get("global_sort_partitions").map(_.toInt)
             .getOrElse(spark.sessionState.conf.numShufflePartitions)
@@ -177,8 +195,12 @@ object SegmentWriter {
       stats = stats,
       // what the files actually contain: a NO_SORT write stores nothing
       // sorted, so recording the declared sortColumns would let
-      // outputOrdering claim an order the data does not have
-      sortColumns = if (effScope == "NO_SORT") Nil else sortCols,
+      // outputOrdering claim an order the data does not have. Z-ordered
+      // files are clustered but NOT lexically sorted by any single
+      // column — same rule (their fileMeta stats above still power
+      // multi-dimensional pruning, which is the point of the layout)
+      sortColumns =
+        if (effScope == "NO_SORT" || effScope == "ZORDER_SORT") Nil else sortCols,
       createdAt = System.currentTimeMillis(),
       fileMeta = fileMeta)
   }

@@ -379,6 +379,34 @@ object LifecycleQueries {
     }
   }
 
+  /** orders Z-ORDERED on (o_custkey, o_totalprice) — SORT_SCOPE =
+    * 'ZORDER_SORT' interleaves the two columns' bits so per-file footer
+    * stats prune on EITHER dimension (see [[graft.engine.format
+    * .ZOrderSort]]; a lexicographic sort clusters only its leading
+    * column). The row filters on the SECOND dimension and must match
+    * the relational oracle exactly — the layout rewrite is invisible
+    * to values; ZOrderSpec asserts the pruning side. */
+  private def ordersZordered(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_zorder")
+    val l = layoutOf(s, p)
+    val ok = l.exists && {
+      try l.readStatus().visible.nonEmpty &&
+        l.readTableMeta().sortScope == "ZORDER_SORT"
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema,
+        sortColumns = Seq("o_custkey", "o_totalprice"),
+        sortScope = "ZORDER_SORT",
+        properties = Map("global_sort_partitions" -> "8"))
+      tbl.insert(src)
+      tbl
+    }
+  }
+
   /** COMPLEX-TYPE lifecycle (reference complexType suite over
     * `Array.csv`/`Struct.csv` fixtures + COMPLEX_DELIMITER_LEVEL_1/2
     * contract, docs/dml-of-carbondata.md:161-184): customer expanded
@@ -542,6 +570,12 @@ object LifecycleQueries {
     "q_alter_sort" -> ((s, d) =>
       ordersResorted(s, d).read.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))),
+    "q_zorder_prune" -> ((s, d) =>
+      ordersZordered(s, d).read
+        .filter(col("o_totalprice") >= 200000.0 && col("o_totalprice") < 260000.0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
           sum(col("o_custkey")).cast("long").as("sum_cust")))
   )
 
@@ -634,6 +668,13 @@ object LifecycleQueries {
       s"""SELECT o_orderstatus, count(*) AS cnt,
           ${oDsum("o_totalprice")} AS sum_price,
           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-          FROM orders GROUP BY o_orderstatus"""
+          FROM orders GROUP BY o_orderstatus""",
+    "q_zorder_prune" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders
+          WHERE o_totalprice >= 200000.0 AND o_totalprice < 260000.0
+          GROUP BY o_orderstatus"""
   )
 }
