@@ -32,9 +32,12 @@ object Failpoints {
     try body finally handler = null
   }
 
-  /** Every instrumented point, with the operation that owns it — the
-    * fuzz spec enumerates this registry so an uncovered point is a
-    * test failure, not a blind spot. */
+  /** Every instrumented CRASH point, with the operation that owns it —
+    * the fuzz spec enumerates this registry so an uncovered point is a
+    * test failure, not a blind spot. (Non-crash scheduling hooks —
+    * "lock.heartbeat", fired per heartbeat tick so a spec can inject a
+    * slow metadata store — are deliberately NOT here: a kill inside
+    * them leaves no on-disk state to fuzz.) */
   val registry: Map[String, String] = Map(
     // TableLayout.writeJsonAtomic: metadata tmp file written, rename
     // pending — EVERY commit's torn window (status, tablemeta)

@@ -125,7 +125,15 @@ case class TableStatus(
       * manifest built on it — the incremental read path's guard against
       * a drop-and-recreate at the same table path reaching the same
       * (ckptV, version) coordinates with different content */
-    ckptId: String = "") {
+    ckptId: String = "",
+    /** persisted segment-id high-water mark (r17, advisor r16): grows
+      * monotonically at every publish (TableLayout.withHwm), so
+      * [[nextSegmentId]] never re-mints an id CLEAN FILES dropped —
+      * a concurrent clean's unlocked sweep could otherwise mistake a
+      * FRESH segment for the dead one it decided on and delete
+      * committed data. -1 = pre-r17 log (the max over live entries is
+      * the best available floor; the first commit persists it). */
+    maxSegmentId: Long = -1L) {
   /** Memoized on the snapshot instance: MetaCache serves ONE TableStatus
     * per (table, stamp), so every scan of an unchanged table shares this
     * Seq (and [[visibleById]]) instead of re-filtering 1M entries per
@@ -138,8 +146,11 @@ case class TableStatus(
   @com.fasterxml.jackson.annotation.JsonIgnore
   lazy val visibleById: Map[Long, SegmentMeta] =
     visible.iterator.map(s => s.id -> s).toMap
-  def nextSegmentId: Long =
-    if (segments.isEmpty) 0L else segments.map(_.id).max + 1L
+  def nextSegmentId: Long = {
+    var hwm = maxSegmentId
+    segments.foreach(s => if (s.id > hwm) hwm = s.id)
+    hwm + 1L
+  }
 }
 
 /** One commit's change set in the checkpointed form: entries new or

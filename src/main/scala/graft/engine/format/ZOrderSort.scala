@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * makes every file a small hyper-rectangle in the value space, so
   * per-file min/max footer stats prune well on ANY of the z columns —
   * the lakehouse layout answer (Delta/Iceberg OPTIMIZE ZORDER) built
-  * Spark-first: one range-normalization aggregate, a pure-Column bit
-  * interleave (whole-stage codegen, no UDF), and the existing
-  * repartitionByRange + sortWithinPartitions write path. The engine's
+  * Spark-first: one quantile-sketch aggregate (rank normalization — see
+  * [[zvalue]]), a pure-Column bit interleave (whole-stage codegen, no
+  * UDF), and the existing repartitionByRange + sortWithinPartitions
+  * write path. The engine's
   * pruning ladder needs NO changes — segment stats and per-file footer
   * stats already cover every stat-supported column.
   *
@@ -44,9 +45,26 @@ object ZOrderSort {
     case _ => false // strings/complex: no monotone double mapping
   }
 
+  /** Quantile intervals per column for the rank normalization — 64
+    * rank bands resolve far below per-file granularity at any write
+    * size, and keep the per-column bucket Expression a few hundred
+    * codegen nodes. */
+  private val RankIntervals = 64
+
   /** The z-value Column for `df` over `cols`. Runs ONE extra
-    * range-normalization aggregate over `df` (marginal next to the
-    * write's own shuffle + sort); an empty input yields a constant. */
+    * quantile-sketch aggregate over `df` (marginal next to the write's
+    * own shuffle + sort); an empty input yields a constant.
+    *
+    * RANK-normalized (r17, VERDICT r16 #5): the r16 form normalized by
+    * global min/max, so a single 6-sigma outlier stretched the range
+    * and collapsed the real data into a handful of buckets — the
+    * clustering (and its pruning win) degraded SILENTLY. Buckets now
+    * come from a piecewise-linear map over ~64 approx-quantile
+    * boundaries (the same rank-based idea as repartitionByRange's
+    * sampler): equal POPULATION per band, so outliers own their tail
+    * band and the bulk keeps its full bucket resolution. The sketch is
+    * a driver-side KB (QuantileSummaries), never a table-sized
+    * collect. */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.size >= 2 && cols.size <= 4,
       s"ZORDER_SORT interleaves 2-4 sort columns, got ${cols.size} " +
@@ -58,23 +76,35 @@ object ZOrderSort {
     }
     val bits = bitsFor(cols.size)
     val scale = (1L << bits) - 1
-    val aggCols = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("double")).as(s"lo$i"),
-        max(col(c).cast("double")).as(s"hi$i"))
-    }
-    val ranges = df.agg(aggCols.head, aggCols.tail: _*).collect().head
+    val probs = (0 to RankIntervals).map(_.toDouble / RankIntervals).toArray
+    val asDouble = df.select(cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"c$i")
+    }: _*)
+    val quantiles = asDouble.stat.approxQuantile(
+      cols.indices.map(i => s"c$i").toArray, probs, 0.001)
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val lo = Option(ranges.get(ranges.fieldIndex(s"lo$i")))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val hi = Option(ranges.get(ranges.fieldIndex(s"hi$i")))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val span = if (hi > lo) hi - lo else 1.0
-      val b = floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale.toDouble))
-        .cast("long")
-      // nulls sort to bucket 0 (nulls-first, same as the sorted scopes);
-      // clamp covers both rounding at the top edge and skew vs the range
-      when(col(c).isNull, lit(0L))
-        .otherwise(least(greatest(b, lit(0L)), lit(scale)))
+      // collapse tied boundaries (heavy duplicates); the piecewise map
+      // needs strictly increasing knots
+      val d = quantiles(i).distinct.sorted
+      val v = col(c).cast("double")
+      if (d.length < 2) lit(0L) // empty input or a constant column
+      else {
+        val w = scale.toDouble / (d.length - 1)
+        // rank band j covers [d(j), d(j+1)) → buckets [j*w, (j+1)*w);
+        // linear within the band keeps the map monotone in the value
+        val pieces = (0 until d.length - 1).foldRight(lit((d.length - 1) * w): Column) {
+          (j, rest) =>
+            when(v < lit(d(j + 1)),
+              lit(j * w) + (v - lit(d(j))) / lit(d(j + 1) - d(j)) * lit(w))
+              .otherwise(rest)
+        }
+        val b = floor(when(v <= lit(d.head), lit(0.0)).otherwise(pieces)).cast("long")
+        // nulls sort to bucket 0 (nulls-first, same as the sorted
+        // scopes); clamp covers rounding at the top edge and values
+        // outside the sketch's (approximate) extremes
+        when(v.isNull, lit(0L))
+          .otherwise(least(greatest(b, lit(0L)), lit(scale)))
+      }
     }
     interleave(buckets, bits)
   }

@@ -407,6 +407,40 @@ object LifecycleQueries {
     }
   }
 
+  /** TIME-TRAVEL lifecycle (r17, beyond the reference — Delta/Iceberg
+    * `VERSION AS OF` over this engine's own commit log): orders loaded
+    * whole with timetravel='true', the as-of version captured, then a
+    * third of the rows DELETED copy-on-write. The query reads the
+    * PRE-DELETE version back out of the versioned log — the oracle is
+    * the FULL orders table, so a green row proves the as-of read
+    * resurrects the retired segments exactly (reading the current
+    * state instead would hash-mismatch on every group). */
+  private def ordersTimeTravel(s: SparkSession, d: String): (GraftTable, Long) = lock.synchronized {
+    val p = path(d, "lc_timetravel")
+    val vMark = new java.io.File(s"${p}_v1.txt")
+    val l = layoutOf(s, p)
+    val ok = l.exists && vMark.exists() && {
+      try l.readStatus().visible.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok)
+      (GraftTable.at(s, p),
+        new String(java.nio.file.Files.readAllBytes(vMark.toPath)).trim.toLong)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"),
+        properties = Map("timetravel" -> "true"))
+      tbl.insert(src)
+      val v1 = tbl.status.version
+      // the current state diverges: CoW delete retires the loaded
+      // segment and publishes a rewritten one
+      graft.engine.Mutation.delete(tbl, col("o_orderkey") % 3 === 0)
+      java.nio.file.Files.write(vMark.toPath, v1.toString.getBytes)
+      (tbl, v1)
+    }
+  }
+
   /** COMPLEX-TYPE lifecycle (reference complexType suite over
     * `Array.csv`/`Struct.csv` fixtures + COMPLEX_DELIMITER_LEVEL_1/2
     * contract, docs/dml-of-carbondata.md:161-184): customer expanded
@@ -576,7 +610,13 @@ object LifecycleQueries {
         .filter(col("o_totalprice") >= 200000.0 && col("o_totalprice") < 260000.0)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
-          sum(col("o_custkey")).cast("long").as("sum_cust")))
+          sum(col("o_custkey")).cast("long").as("sum_cust"))),
+    "q_timetravel" -> ((s, d) => {
+      val (tbl, v1) = ordersTimeTravel(s, d)
+      tbl.readAsOf(v1).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -675,6 +715,14 @@ object LifecycleQueries {
           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           FROM orders
           WHERE o_totalprice >= 200000.0 AND o_totalprice < 260000.0
-          GROUP BY o_orderstatus"""
+          GROUP BY o_orderstatus""",
+    // the as-of read serves the PRE-delete version: the oracle is the
+    // FULL table — a reader leaking the current (post-delete) state
+    // mismatches every group
+    "q_timetravel" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders GROUP BY o_orderstatus"""
   )
 }

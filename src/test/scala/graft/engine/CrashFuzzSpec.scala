@@ -334,6 +334,29 @@ class CrashFuzzSpec extends AnyFunSuite {
       assert(st.ckptV >= 0 && t2.read.count() == 3450L)
       graft.engine.format.MetaCache.drop(Some(t2.layout.root.toString))
       assert(t2.read.count() == 3450L, "cold reassembly diverged")
+
+      // rollover kill (r17 — the snapshot now writes OUTSIDE the lock,
+      // after the triggering commit published): a kill between the
+      // staged ckpt-v and the manifest flip must leave the COMMIT
+      // visible (it was already durable), the old manifest serving, and
+      // the orphan snapshot reclaimable by the post-grace clean
+      var guard = 0
+      while (t2.layout.readStatus().version - t2.layout.readStatus().ckptV < 3
+          && guard < 10) {
+        t2.insert(spark.range(8000L + guard * 100, 8000L + guard * 100 + 50)
+          .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+        guard += 1
+      }
+      val preN = t2.read.count()
+      val snapR = killAt("meta.checkpointWritten", t2) {
+        t2.insert(spark.range(9000, 9050)
+          .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+      }
+      // the rollover can trigger on either of the insert's two commits
+      // (IN_PROGRESS reserve or the data publish) — both leave a staged
+      // ckpt-v with the manifest flip pending; pre-op and post-op counts
+      // are both legal, an orphan snapshot never is (post-grace clean)
+      assertRecovers(snapR, allowedCounts = Set(preN, preN + 50L))
     } finally {
       System.clearProperty("graft.status.inline.max")
       System.clearProperty("graft.status.checkpoint.every")

@@ -279,6 +279,170 @@ class MultiWriterSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(lock)
   }
 
+  test("a paused holder's aborted CLEAN FILES appends ZERO history entries (fenced ledger)") {
+    // VERDICT r16 #1: pre-r17 the history append ran BEFORE the status
+    // publish, so a holder that lost its lock to takeover recorded
+    // retirements its aborted commit never made. Now the append is
+    // fenced and ordered after the publish — the same takeover scenario
+    // must leave the ledger untouched.
+    val dir = Files.createTempDirectory("graft_histfence_").toString + "/t"
+    val seed = spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, seed.schema,
+      properties = Map("stale_inprogress_timeout_ms" -> "1"))
+    t.insert(seed)
+    // a crashed load's stale IN_PROGRESS reservation — CLEAN FILES will
+    // decide to reclaim it (and would have appended it to history)
+    t.layout.commit { st =>
+      st.copy(segments = st.segments :+ graft.engine.format.SegmentMeta(
+        st.nextSegmentId, graft.engine.format.SegmentStatus.InProgress,
+        "parquet", Nil, 0, 0, Map.empty, Nil,
+        createdAt = System.currentTimeMillis() - 60000))
+    }
+    val lock = java.nio.file.Paths.get(dir, "_meta", ".lock")
+    val statusP = java.nio.file.Paths.get(dir, "_meta", "tablestatus.json")
+    val fired = new AtomicInteger(0)
+    var thrown: Throwable = null
+    Failpoints.withHandler((point, path) => {
+      if (point == "meta.tmpWritten" && path == dir && fired.incrementAndGet() == 1) {
+        java.nio.file.Files.deleteIfExists(lock)
+        java.nio.file.Files.write(lock, "foreign-token".getBytes)
+        val st = new String(java.nio.file.Files.readAllBytes(statusP))
+        java.nio.file.Files.write(statusP,
+          st.replaceFirst(""""version"\s*:\s*(\d+)""", "\"version\" : 9999").getBytes)
+      }
+    }) {
+      try t.cleanFiles()
+      catch { case e: Throwable => thrown = e }
+    }
+    assert(fired.get() >= 1, "failpoint never fired")
+    assert(thrown.isInstanceOf[ConcurrentMutationException],
+      s"paused clean must abort loudly on the fence, got $thrown")
+    assert(t.layout.readHistory().isEmpty,
+      "the ABORTED clean appended history entries it never committed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_meta", "history.jsonl")),
+      "no ledger file may exist after an aborted clean")
+    java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  test("readHistory skips a torn line instead of breaking SHOW HISTORY") {
+    val dir = Files.createTempDirectory("graft_histtorn_").toString + "/t"
+    val seed = spark.range(0, 10).selectExpr("id AS k")
+    val t = GraftTable.create(spark, dir, seed.schema)
+    t.insert(seed)
+    val entry = (i: Long) => graft.engine.format.SegmentMeta(
+      i, graft.engine.format.SegmentStatus.MarkedForDelete,
+      "parquet", Seq(s"p$i.parquet"), 1, 10, Map.empty, Nil,
+      createdAt = 1700000000000L + i)
+    t.layout.appendHistory(Seq(entry(1), entry(2)))
+    // a writer killed mid-append leaves a torn trailing line; an older
+    // interleaved append can also tear a MIDDLE line — inject both
+    val hist = java.nio.file.Paths.get(dir, "_meta", "history.jsonl")
+    java.nio.file.Files.write(hist,
+      "{\"id\":77,\"status\":\"MARKED_FOR ".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    java.nio.file.Files.write(hist, "\n".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    t.layout.appendHistory(Seq(entry(3)))
+    val got = t.layout.readHistory()
+    assert(got.map(_.id).sorted == Seq(1L, 2L, 3L),
+      s"torn line must be skipped, intact entries kept — got ids ${got.map(_.id)}")
+  }
+
+  test("heartbeat lease: a wedged holder stops renewing and its late publish aborts") {
+    // advisor r16: an unbounded heartbeat kept a wedged-but-alive
+    // holder's lock fresh forever — no takeover could ever fire. The
+    // lease bounds renewals; past it the lock ages like a crashed
+    // holder's and the fence turns the eventual late publish into a
+    // loud abort instead of a lost update.
+    System.setProperty("graft.lock.heartbeat.ms", "50")
+    System.setProperty("graft.lock.lease.max.ms", "200")
+    try {
+      val dir = Files.createTempDirectory("graft_lease_").toString + "/t"
+      val seed = spark.range(0, 10)
+        .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v")
+      val t = GraftTable.create(spark, dir, seed.schema)
+      t.insert(seed)
+      val lock = java.nio.file.Paths.get(dir, "_meta", ".lock")
+      @volatile var thrown: Throwable = null
+      val holder = new Thread(() => {
+        try t.layout.commit { st =>
+          Thread.sleep(1600) // "wedged" long past the 200ms lease
+          st.copy(segments = st.segments.map(s => s.copy(createdAt = s.createdAt + 1)))
+        } catch { case e: Throwable => thrown = e }
+      })
+      holder.start()
+      // the lock must go stale-looking once the lease is spent
+      var maxAge = 0L
+      val t0 = System.currentTimeMillis()
+      while (holder.isAlive && maxAge < 600 &&
+          System.currentTimeMillis() - t0 < 1400) {
+        if (java.nio.file.Files.exists(lock)) {
+          try maxAge = math.max(maxAge, System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(lock).toMillis)
+          catch { case _: java.io.IOException => }
+        }
+        Thread.sleep(25)
+      }
+      assert(maxAge >= 600,
+        s"lock never aged past the lease (max age $maxAge ms) — renewals unbounded?")
+      // ...so a foreign waiter's takeover can now fire; simulate it
+      java.nio.file.Files.write(lock, "foreign-token".getBytes)
+      holder.join(10000)
+      assert(!holder.isAlive)
+      assert(thrown.isInstanceOf[ConcurrentMutationException],
+        s"the lease-expired holder must abort its publish, got $thrown")
+      java.nio.file.Files.deleteIfExists(lock)
+    } finally {
+      System.clearProperty("graft.lock.heartbeat.ms")
+      System.clearProperty("graft.lock.lease.max.ms")
+    }
+  }
+
+  test("a slow heartbeat target on one table cannot starve another table's heartbeat") {
+    // VERDICT r16 #6: the heartbeat scheduler is shared — a single
+    // setTimes stalling on a slow metadata store must not delay every
+    // other table's renewals past the stale horizon. The pool is sized
+    // 4; this pins the independence with an injected 400ms stall.
+    System.setProperty("graft.lock.heartbeat.ms", "100")
+    try {
+      val root = Files.createTempDirectory("graft_hbpool_")
+      val seed = spark.range(0, 10).selectExpr("id AS k")
+      val ta = GraftTable.create(spark, s"$root/a", seed.schema)
+      val tb = GraftTable.create(spark, s"$root/b", seed.schema)
+      ta.insert(seed); tb.insert(seed)
+      val lockB = java.nio.file.Paths.get(s"$root/b", "_meta", ".lock")
+      var maxAgeB = 0L
+      var samples = 0
+      Failpoints.withHandler((point, path) => {
+        if (point == "lock.heartbeat" && path == s"$root/a")
+          Thread.sleep(400) // table A's metadata store is molasses
+      }) {
+        val holderA = new Thread(() =>
+          ta.layout.commit { st => Thread.sleep(2000); st })
+        val holderB = new Thread(() =>
+          tb.layout.commit { st => Thread.sleep(2000); st })
+        holderA.start(); holderB.start()
+        while (holderB.isAlive) {
+          if (java.nio.file.Files.exists(lockB)) {
+            try {
+              maxAgeB = math.max(maxAgeB, System.currentTimeMillis() -
+                java.nio.file.Files.getLastModifiedTime(lockB).toMillis)
+              samples += 1
+            } catch { case _: java.io.IOException => }
+          }
+          Thread.sleep(40)
+        }
+        holderA.join(10000); holderB.join(10000)
+      }
+      assert(samples > 10, "never observed table B's held lock")
+      assert(maxAgeB < 1000,
+        s"table B's lock went ${maxAgeB}ms unrenewed while table A's " +
+          "heartbeat target stalled — shared-scheduler starvation")
+    } finally System.clearProperty("graft.lock.heartbeat.ms")
+  }
+
   test("heartbeat keeps a slow LIVE holder's lock fresh (never reclaimable)") {
     System.setProperty("graft.lock.heartbeat.ms", "100")
     try {

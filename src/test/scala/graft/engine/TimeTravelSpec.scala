@@ -1,0 +1,133 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** TIME TRAVEL — `readAsOf(version)` / `readAsOfTimestamp(ts)` (r17,
+  * beyond the reference; the Delta/Iceberg `VERSION AS OF` capability
+  * built on this engine's own commit-log retention).
+  *
+  * Two retention paths, both spec'd here:
+  *  - INLINE tables with TBLPROPERTY timetravel='true' stage a
+  *    versioned snapshot per commit; retention is
+  *    graft.timetravel.retain versions, reclaimed by CLEAN FILES.
+  *  - CHECKPOINTED tables replay ckpt + delta tail — horizon
+  *    [prevCkptV, version], zero extra write cost.
+  *
+  * Contracts: an as-of read is byte-identical to what a reader saw at
+  * that version (copy-on-write rewrites resurrect the retired inputs;
+  * merge-on-read masks exactly the deltas that existed THEN); versions
+  * past the horizon fail loudly, never serve wrong data.
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("inline table with timetravel='true': every version readable, CoW past resurrected") {
+    val dir = Files.createTempDirectory("graft_tt_").toString + "/t"
+    val a = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, a.schema, sortColumns = Seq("k"),
+      properties = Map("timetravel" -> "true", "global_sort_partitions" -> "2"))
+    t.insert(a)
+    val v1 = t.status.version
+    t.insert(spark.range(1000, 1500).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    val v2 = t.status.version
+    val ts2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    // copy-on-write delete rewrites the touched segment and retires the
+    // input — the as-of read must resurrect the retired segment
+    assert(Mutation.delete(t, col("k") < 100L) == 100L)
+    val v3 = t.status.version
+
+    assert(t.read.count() == 1400L)
+    assert(t.readAsOf(v3).count() == 1400L, "as-of current == current")
+    assert(t.readAsOf(v2).count() == 1500L, "pre-delete version must see deleted rows")
+    assert(t.readAsOf(v1).count() == 1000L, "first-insert version")
+    assert(t.readAsOf(v1).agg(sum("k")).head.getLong(0) == 999L * 1000L / 2)
+    // version between: the reserve commit of insert #2 (IN_PROGRESS is
+    // invisible) — consistent with what a reader saw at that instant
+    assert(t.readAsOf(v1 + 1).count() == 1000L)
+    // timestamp resolution picks the newest commit at or before ts
+    assert(t.readAsOfTimestamp(ts2).count() == 1500L)
+    assert(t.readAsOfTimestamp(System.currentTimeMillis()).count() == 1400L)
+    intercept[IllegalArgumentException] { t.readAsOf(v3 + 10) }
+    GraftTable.drop(spark, dir)
+  }
+
+  test("checkpointed table: ckpt+delta replay serves the horizon, MoR deltas as-of, loud past it") {
+    System.setProperty("graft.status.inline.max", "0")
+    System.setProperty("graft.status.checkpoint.every", "6")
+    try {
+      val dir = Files.createTempDirectory("graft_ttc_").toString + "/t"
+      val a = spark.range(0, 600).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      val t = GraftTable.create(spark, dir, a.schema, sortColumns = Seq("k"),
+        properties = Map("iud_mode" -> "mor", "global_sort_partitions" -> "1"))
+      t.insert(a) // crosses the inline threshold → checkpointed
+      assert(t.status.ckptV >= 0, "fixture must be checkpointed")
+      val v1 = t.status.version
+      // a MoR delete adds a delta to the SAME segment: the as-of read
+      // must serve the segment WITHOUT the later delta
+      assert(Mutation.delete(t, col("k") < 50L) == 50L)
+      val v2 = t.status.version
+      assert(t.read.count() == 550L)
+      assert(t.readAsOf(v1).count() == 600L, "pre-MoR-delete rows must be visible as-of")
+      assert(t.readAsOf(v2).count() == 550L)
+
+      // push the horizon: enough commits to roll the checkpoint twice —
+      // versions below prevCkptV age out and must fail LOUDLY
+      (0 until 14).foreach(i => t.insert(
+        spark.range(1000L + i * 10, 1000L + i * 10 + 10)
+          .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")))
+      val st = t.status
+      assert(st.prevCkptV > v1,
+        s"fixture must have rolled past v1 (prevCkptV=${st.prevCkptV}, v1=$v1)")
+      val e = intercept[IllegalStateException] { t.readAsOf(v1) }
+      assert(e.getMessage.contains("horizon"))
+      // versions inside [prevCkptV, version] still replay exactly
+      assert(t.readAsOf(st.prevCkptV).count() >= 550L)
+      GraftTable.drop(spark, dir)
+    } finally {
+      System.clearProperty("graft.status.inline.max")
+      System.clearProperty("graft.status.checkpoint.every")
+    }
+  }
+
+  test("inline table WITHOUT the property: only the current version is reachable") {
+    val dir = Files.createTempDirectory("graft_ttoff_").toString + "/t"
+    val a = spark.range(0, 100).selectExpr("id AS k")
+    val t = GraftTable.create(spark, dir, a.schema)
+    t.insert(a)
+    val v1 = t.status.version
+    t.insert(spark.range(100, 150).selectExpr("id AS k"))
+    assert(t.readAsOf(t.status.version).count() == 150L)
+    intercept[IllegalStateException] { t.readAsOf(v1) }
+    GraftTable.drop(spark, dir)
+  }
+
+  test("retention: CLEAN FILES reclaims v-snapshots past graft.timetravel.retain") {
+    System.setProperty("graft.timetravel.retain", "3")
+    try {
+      val dir = Files.createTempDirectory("graft_ttgc_").toString + "/t"
+      val a = spark.range(0, 100).selectExpr("id AS k")
+      val t = GraftTable.create(spark, dir, a.schema,
+        properties = Map("timetravel" -> "true"))
+      t.insert(a)
+      val vOld = t.status.version
+      (0 until 3).foreach(i =>
+        t.insert(spark.range(100L + i * 10, 100L + i * 10 + 10).selectExpr("id AS k")))
+      val vNew = t.status.version
+      assert(t.readAsOf(vOld).count() == 100L, "inside retention before the clean")
+      // age the log files past the 1h sweep grace, then clean
+      val logDir = java.nio.file.Paths.get(dir, "_meta", "log")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000)
+      java.nio.file.Files.list(logDir).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, old))
+      t.cleanFiles()
+      intercept[IllegalStateException] { t.readAsOf(vOld) }
+      // versions inside the retention window survive the clean
+      assert(t.readAsOf(vNew - 1).count() >= 100L)
+      GraftTable.drop(spark, dir)
+    } finally System.clearProperty("graft.timetravel.retain")
+  }
+}

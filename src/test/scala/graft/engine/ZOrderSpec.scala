@@ -95,6 +95,36 @@ class ZOrderSpec extends AnyFunSuite {
     GraftTable.drop(spark, s"$root/z"); GraftTable.drop(spark, s"$root/g")
   }
 
+  test("rank normalization: a 6-sigma outlier does not collapse the clustering (VERDICT r16 #5)") {
+    // min/max normalization dies here: one y = 10^9 stretches the range
+    // so every real y lands in bucket ~0 and the z layout silently
+    // degrades to x-only clustering. Rank (quantile) normalization
+    // gives the outlier its own tail band and keeps full resolution on
+    // the bulk — the y-band prune must hold as if the outlier weren't
+    // there.
+    val root = Files.createTempDirectory("graft_zoutlier_").toString
+    val src = spark.range(0, 65536).selectExpr(
+      "id % 256 AS x",
+      "CASE WHEN id = 0 THEN CAST(1000000000 AS BIGINT) ELSE id DIV 256 END AS y",
+      "id AS v")
+    val tz = GraftTable.create(spark, s"$root/z", src.schema,
+      sortColumns = Seq("x", "y"), sortScope = "ZORDER_SORT",
+      properties = Map("global_sort_partitions" -> "16"))
+    tz.insert(src)
+    assert(tz.read.count() == 65536L)
+    val total = tz.status.visible.map(_.files.size).sum
+    assert(total >= 8, s"fixture needs enough files to show pruning (got $total)")
+    val yBand = col("y") >= 100L && col("y") < 116L // 16/256 of the REAL y-range
+    val zKeptY = keptFiles(tz, yBand)
+    info(s"y-band with outlier: z-ordered kept $zKeptY/$total files")
+    assert(zKeptY * 2 <= total,
+      s"outlier collapsed the z clustering: y band kept $zKeptY/$total files")
+    // id=0 (the outlier) had y=0 pre-rewrite — not in the band, so the
+    // band still holds exactly 16 y-values x 256 rows
+    assert(tz.read.filter(yBand).count() == 16L * 256L)
+    GraftTable.drop(spark, s"$root/z")
+  }
+
   test("interleave round-trip: z-neighborhoods are value-neighborhoods") {
     import graft.engine.format.ZOrderSort
     // 3-column fold path: the z of (a,b,c) grids must order buckets so
