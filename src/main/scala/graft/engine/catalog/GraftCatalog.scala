@@ -96,6 +96,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new CarbonishTable(p.toString, schema)
   }
 
+  /** `SELECT … FROM graft.ns.t VERSION AS OF <v>` — Spark's own time-
+    * travel grammar lands here (r17): the returned table pins every
+    * scan to [[TableLayout.statusAt]]'s reconstruction of commit
+    * version `v`. Served under the current schema; horizon bounds per
+    * statusAt. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = resolvedPath(tablePath(ident))
+    if (!fs.exists(new Path(p, "_meta/tablemeta.json")))
+      throw new NoSuchTableException(ident)
+    val layout = new TableLayout(p.toString, conf)
+    val schema = DataType.fromJson(layout.readTableMeta().schemaJson).asInstanceOf[StructType]
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"carbonish versions are commit-log numbers, got '$version'") }
+    layout.statusAt(v) // fail at resolution time, not first scan
+    new CarbonishTable(p.toString, schema, asOfVersion = Some(v))
+  }
+
+  /** `… TIMESTAMP AS OF <ts>` — Spark hands MICROSECONDS since epoch;
+    * resolved to the newest commit at or before it from the log files'
+    * own mtimes. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = resolvedPath(tablePath(ident))
+    if (!fs.exists(new Path(p, "_meta/tablemeta.json")))
+      throw new NoSuchTableException(ident)
+    val layout = new TableLayout(p.toString, conf)
+    loadTable(ident, layout.versionAtTimestamp(timestamp / 1000L).toString)
+  }
+
   override def createTable(
       ident: Identifier,
       columns: Array[Column],

@@ -94,13 +94,19 @@ class CarbonishSource extends TableProvider with DataSourceRegister
     new CarbonishTable(tablePath(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-class CarbonishTable(path: String, tableSchema: StructType)
+class CarbonishTable(path: String, tableSchema: StructType,
+    /** TIME TRAVEL (r17): Some(v) pins every scan to the commit-log
+      * reconstruction of version v (GraftCatalog.loadTable's `VERSION
+      * AS OF` / `TIMESTAMP AS OF` hand-off). Writes are unaffected —
+      * Spark never routes DML through a time-travel relation. */
+    asOfVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   def tablePath: String = path
-  override def name(): String = s"carbonish.`$path`"
+  override def name(): String =
+    s"carbonish.`$path`" + asOfVersion.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType = tableSchema
   // append/truncate/filter-overwrite run through the V1 write (the
   // planner dispatches per Write instance); BATCH_WRITE+OVERWRITE_DYNAMIC
@@ -229,7 +235,7 @@ class CarbonishTable(path: String, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val layout = new TableLayout(path, spark.sessionState.newHadoopConf())
-    val status = layout.readStatus()
+    val status = asOfVersion.map(layout.statusAt).getOrElse(layout.readStatus())
     // `insegment('0,2')`-style pinned reads (reference CarbonEnv.scala:100)
     val pinned = Option(options.get("segments")).map(_.split(",").map(_.trim.toLong).toSet)
     // A pinned read (insegment / readSegments / readFiles / SI) names

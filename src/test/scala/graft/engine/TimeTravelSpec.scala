@@ -104,6 +104,37 @@ class TimeTravelSpec extends AnyFunSuite {
     GraftTable.drop(spark, dir)
   }
 
+  test("SQL surface: SELECT ... VERSION AS OF / TIMESTAMP AS OF through the catalog") {
+    // Spark's own time-travel grammar lands on TableCatalog.loadTable
+    // (ident, version) — GraftCatalog resolves it to a scan pinned to
+    // statusAt(v)
+    val wh = Files.createTempDirectory("graft_ttsql_").toString
+    spark.conf.set("spark.sql.catalog.gtt", "graft.engine.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtt.ns")
+    spark.sql("CREATE TABLE gtt.ns.t (k BIGINT, v DOUBLE) USING carbonish " +
+      "TBLPROPERTIES ('timetravel'='true')")
+    spark.sql("INSERT INTO gtt.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val t = GraftTable.at(spark, s"$wh/ns/t")
+    val v1 = t.status.version
+    Thread.sleep(20)
+    val ts1 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    spark.sql("INSERT INTO gtt.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(100, 150)")
+    assert(spark.sql("SELECT count(*) FROM gtt.ns.t").head.getLong(0) == 150L)
+    assert(spark.sql(s"SELECT count(*) FROM gtt.ns.t VERSION AS OF $v1")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT sum(k) FROM gtt.ns.t VERSION AS OF $v1")
+      .head.getLong(0) == 99L * 100L / 2)
+    assert(spark.sql(s"SELECT count(*) FROM gtt.ns.t TIMESTAMP AS OF '$ts1'")
+      .head.getLong(0) == 100L)
+    // out-of-range / aged-out versions fail at RESOLUTION, loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM gtt.ns.t VERSION AS OF 99999").collect()
+    }
+    assert(e.getMessage.contains("out of range") || e.getMessage.contains("99999"))
+  }
+
   test("retention: CLEAN FILES reclaims v-snapshots past graft.timetravel.retain") {
     System.setProperty("graft.timetravel.retain", "3")
     try {
