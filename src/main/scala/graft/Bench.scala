@@ -127,9 +127,13 @@ object Bench {
     // r16 adjudication (4 "breaches", all 17-43x their same-tree local
     // values, all at host loadavg 36-84/32) needed a judge re-run to
     // settle; this channel settles it in the JSON.
+    // sized to ~300-400ms at local[4]: a ~100ms probe doubles on plain
+    // scheduler jitter and flags quiet windows (observed: base 99ms,
+    // re-runs 230-340ms on a loadavg-2.6/32 host) — the channel must
+    // separate the 17-43x degradations it exists for, not 2x jitter
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 150000000L, 1L, cpus.toInt)
+      spark.range(0L, 500000000L, 1L, cpus.toInt)
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("id") % 7)).collect()
       (System.nanoTime() - t0) / 1e9
@@ -328,9 +332,11 @@ object Bench {
     // (r17, VERDICT r16 #3) — "env" when at least half the row's
     // samples show starvation (host loadavg ≥ 0.8x host cores while the
     // sample's process-CPU is under half its wall, on a >0.5s sample)
-    // or the nearest calibration sample ran >2x this window's baseline;
-    // "ok" otherwise; "err" for failed rows. A breach on an "env" row
-    // is the machine, not the tree — no cross-referencing by hand.
+    // or the nearest calibration sample ran >3x this window's baseline
+    // (the r16 gate degradations measured 17-43x; 3x stays far above
+    // quiet-window jitter); "ok" otherwise; "err" for failed rows. A
+    // breach on an "env" row is the machine, not the tree — no
+    // cross-referencing by hand.
     val nearestCalib: Int => Double = i =>
       if (calibRuns.isEmpty) -1.0 else calibRuns.minBy(c => math.abs(c._1 - i))._2
     val noiseByRow: Seq[(String, String)] = fullResults.zipWithIndex
@@ -342,7 +348,7 @@ object Bench {
           val wallMs = s._1 * 1000
           s._3 >= 0.8 * hostCores && s._2 >= 0 && s._2 * 2 < wallMs && wallMs > 500
         }
-        val env = (valid.nonEmpty && starvedN * 2 >= valid.size) || calibRatio > 2.0
+        val env = (valid.nonEmpty && starvedN * 2 >= valid.size) || calibRatio > 3.0
         name -> (if (t < 0) "err" else if (env) "env" else "ok")
       }
     val noisyN = noiseByRow.count(_._2 == "env")

@@ -169,6 +169,10 @@ object GraftSql {
     val ShowSummary = """(?is)^\s*SHOW\s+SUMMARY\s+FOR\s+TABLE\s+(\S+)\s*$""".r
     // CarbonCli's other half: per-file scan timings (ScanBenchmark.java)
     val ShowBenchmark = """(?is)^\s*SHOW\s+BENCHMARK\s+FOR\s+TABLE\s+(\S+)(?:\s+LIMIT\s+(\d+))?\s*$""".r
+    // time-travel observability (r17): the retained AS-OF coordinates
+    // — version, commit time, and which log artifact serves it
+    val ShowVersions =
+      """(?is)^\s*SHOW\s+VERSIONS\s+(?:FOR\s+TABLE|ON)\s+(\S+)(?:\s+LIMIT\s+(\d+))?\s*$""".r
     // driver metadata cache observability (reference
     // CarbonShowCacheCommand.scala, parser :613-619)
     val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
@@ -232,6 +236,12 @@ object GraftSql {
       case Explain(ext, inner) =>
         val text = GraftExplain.explain(spark, spark.sql(inner), ext != null)
         Some(localSeqToDatasetHolder(Seq(Tuple1(text))).toDF("plan"))
+      case ShowVersions(tRef, lim) =>
+        val rows = table(tRef).layout.retainedVersions()
+          .map { case (v, ts, src) =>
+            (v, new java.sql.Timestamp(ts).toString, src) }
+        val limited = Option(lim).map(n => rows.take(n.toInt)).getOrElse(rows)
+        Some(limited.toDF("version", "commit_time", "source"))
       case ShowMetacache(tRef) =>
         val key = Option(tRef).map(r => table(r).path)
         Some(graft.engine.format.MetaCache.entries(key)

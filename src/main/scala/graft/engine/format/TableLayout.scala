@@ -498,6 +498,36 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     ok.map(_._1).max
   }
 
+  /** Retained time-travel coordinates for SHOW VERSIONS: (version,
+    * commit stamp millis, source), newest first — "current" (the
+    * manifest), "delta"/"snapshot" (checkpointed-log replay points),
+    * "v" (inline versioned snapshots). Driver-side listing of the
+    * bounded log dir; each version appears once. */
+  def retainedVersions(): Seq[(Long, Long, String)] = {
+    val cur = readStatus()
+    val out = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, String)]
+    val (sm, _) = statusStamp()
+    out(cur.version) = (sm, "current")
+    if (fs.exists(logDir)) {
+      val Name = """(ckpt|delta|v)-(\d+)\.jsonl?""".r
+      val floor = if (cur.ckptV >= 0) math.max(cur.prevCkptV, 0L) else 0L
+      fs.listStatus(logDir).foreach { f =>
+        f.getPath.getName match {
+          case Name(kind, n0) =>
+            val n = n0.toLong
+            val reachable =
+              if (kind == "v") n <= cur.version
+              else cur.ckptV >= 0 && n >= floor && n <= cur.version
+            if (reachable && !out.contains(n))
+              out(n) = (f.getModificationTime,
+                if (kind == "ckpt") "snapshot" else kind)
+          case _ =>
+        }
+      }
+    }
+    out.toSeq.map { case (v, (ts, k)) => (v, ts, k) }.sortBy(-_._1)
+  }
+
   /** Stage a full snapshot of `full` at log version `v` — JSONL past
     * [[TableLayout.ckptJsonlMinSegments]] (parallel cold read), plain
     * JSON below. The OTHER format's sibling at this version is deleted

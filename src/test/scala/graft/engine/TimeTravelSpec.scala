@@ -135,6 +135,24 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out of range") || e.getMessage.contains("99999"))
   }
 
+  test("SHOW VERSIONS lists the retained as-of coordinates") {
+    val dir = Files.createTempDirectory("graft_ttshow_").toString + "/t"
+    val a = spark.range(0, 50).selectExpr("id AS k")
+    val t = GraftTable.create(spark, dir, a.schema,
+      properties = Map("timetravel" -> "true"))
+    t.insert(a)
+    t.insert(spark.range(50, 80).selectExpr("id AS k"))
+    val rows = GraftSql.command(spark, s"SHOW VERSIONS FOR TABLE $dir").get.collect()
+    val versions = rows.map(_.getLong(0))
+    assert(versions.head == t.status.version, "newest first, current on top")
+    assert(rows.head.getString(2) == "current")
+    assert(versions.length >= 4, s"every commit retained, got ${versions.toSeq}")
+    assert(versions.toSeq == versions.toSeq.sorted.reverse)
+    // every listed non-current version is actually readable
+    versions.tail.foreach(v => assert(t.readAsOf(v).count() >= 0))
+    GraftTable.drop(spark, dir)
+  }
+
   test("retention: CLEAN FILES reclaims v-snapshots past graft.timetravel.retain") {
     System.setProperty("graft.timetravel.retain", "3")
     try {
