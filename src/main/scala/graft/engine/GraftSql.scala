@@ -173,6 +173,12 @@ object GraftSql {
     // — version, commit time, and which log artifact serves it
     val ShowVersions =
       """(?is)^\s*SHOW\s+VERSIONS\s+(?:FOR\s+TABLE|ON)\s+(\S+)(?:\s+LIMIT\s+(\d+))?\s*$""".r
+    // rollback (r17, Delta RESTORE analog): metadata-only commit back
+    // to a retained version; the mis-step stays in the log
+    val RestoreVersion =
+      """(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+    val RestoreTimestamp =
+      """(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$""".r
     // driver metadata cache observability (reference
     // CarbonShowCacheCommand.scala, parser :613-619)
     val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
@@ -236,6 +242,19 @@ object GraftSql {
       case Explain(ext, inner) =>
         val text = GraftExplain.explain(spark, spark.sql(inner), ext != null)
         Some(localSeqToDatasetHolder(Seq(Tuple1(text))).toDF("plan"))
+      case RestoreVersion(tRef, v) =>
+        val newV = table(tRef).restoreTo(v.toLong)
+        Some(localSeqToDatasetHolder(Seq((v.toLong, newV)))
+          .toDF("restored_version", "new_version"))
+      case RestoreTimestamp(tRef, ts) =>
+        val t0 = table(tRef)
+        val millis =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        val v = t0.layout.versionAtTimestamp(millis)
+        val newV = t0.restoreTo(v)
+        Some(localSeqToDatasetHolder(Seq((v, newV)))
+          .toDF("restored_version", "new_version"))
       case ShowVersions(tRef, lim) =>
         val rows = table(tRef).layout.retainedVersions()
           .map { case (v, ts, src) =>

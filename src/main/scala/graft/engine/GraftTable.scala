@@ -180,6 +180,48 @@ class GraftTable private (val spark: SparkSession, val path: String)
   def readAsOfTimestamp(tsMillis: Long): DataFrame =
     readAsOf(layout.versionAtTimestamp(tsMillis))
 
+  /** RESTORE TABLE … TO VERSION AS OF (r17, beyond the reference —
+    * Delta's RESTORE): one locked commit that sets the segment list
+    * back to [[TableLayout.statusAt]]'s reconstruction of `version` —
+    * a bad load/delete/merge is undone by a METADATA-ONLY operation,
+    * no data rewrite at any table size. The restore itself is a new
+    * commit (version moves FORWARD; the mis-step stays in the log and
+    * in SHOW VERSIONS — an audit trail, not an erasure), so a restore
+    * can itself be restored. Segments the restore RESURRECTS (present
+    * at `version`, absent or invisible now) are verified on disk first
+    * — data files already vacuumed by CLEAN FILES' retention fail the
+    * restore loudly BEFORE any metadata moves (Delta's own
+    * vacuumed-version contract). The segment-id high-water mark is
+    * monotone across restores, so ids minted after `version` are never
+    * re-minted. */
+  def restoreTo(version: Long): Long = {
+    val target = layout.statusAt(version)
+    layout.commit { st =>
+      if (st.segments == target.segments) st
+      else {
+        // resurrection check under the lock (no clean can interleave):
+        // only segments not CURRENTLY visible need their files verified
+        // — bounded by the restore's change set, never O(table)
+        val nowVisible = st.visibleById
+        target.visible.filterNot(s => nowVisible.get(s.id).contains(s)).foreach { s =>
+          val missing = layout.segmentFilePaths(s).filterNot(p =>
+            layout.fs.exists(new org.apache.hadoop.fs.Path(p))) ++
+            s.deltas.values.flatten.filterNot(d => layout.fs.exists(
+              new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), d)))
+          require(missing.isEmpty,
+            s"cannot restore to version $version: segment ${s.id} data was " +
+              s"physically reclaimed (${missing.take(3).mkString(", ")}…) — " +
+              "raise clean_files_retention_ms to keep restore targets readable")
+        }
+        st.copy(segments = target.segments)
+      }
+    }.version
+  }
+
+  /** Timestamp form of [[restoreTo]]. */
+  def restoreToTimestamp(tsMillis: Long): Long =
+    restoreTo(layout.versionAtTimestamp(tsMillis))
+
   /** Paged read: rows [offset, offset+limit) of committed table order
     * (PaginationCarbonReader analog — see [[Pagination]]): only the
     * covering files are opened, located from footer live row counts. */

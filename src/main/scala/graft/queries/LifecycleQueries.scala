@@ -441,6 +441,30 @@ object LifecycleQueries {
     }
   }
 
+  /** RESTORE lifecycle (r17): load orders whole, CoW-delete a third
+    * (the "mis-step"), then RESTORE TO VERSION AS OF the pre-delete
+    * commit — a metadata-only rollback. The query reads the CURRENT
+    * table after the restore; the oracle is the FULL orders table, so
+    * a green row proves the rollback resurrected the data exactly. */
+  private def ordersRestored(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_restore")
+    val mark = new java.io.File(s"${p}_restored")
+    val l = layoutOf(s, p)
+    if (l.exists && mark.exists()) GraftTable.at(s, p)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"),
+        properties = Map("timetravel" -> "true"))
+      tbl.insert(src)
+      val vGood = tbl.status.version
+      graft.engine.Mutation.delete(tbl, col("o_orderkey") % 3 === 1)
+      tbl.restoreTo(vGood)
+      java.nio.file.Files.write(mark.toPath, vGood.toString.getBytes)
+      tbl
+    }
+  }
+
   /** COMPLEX-TYPE lifecycle (reference complexType suite over
     * `Array.csv`/`Struct.csv` fixtures + COMPLEX_DELIMITER_LEVEL_1/2
     * contract, docs/dml-of-carbondata.md:161-184): customer expanded
@@ -616,7 +640,11 @@ object LifecycleQueries {
       tbl.readAsOf(v1).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
           sum(col("o_custkey")).cast("long").as("sum_cust"))
-    })
+    }),
+    "q_restore" -> ((s, d) =>
+      ordersRestored(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -720,6 +748,13 @@ object LifecycleQueries {
     // FULL table — a reader leaking the current (post-delete) state
     // mismatches every group
     "q_timetravel" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders GROUP BY o_orderstatus""",
+    // RESTORE rolled the CoW delete back — the CURRENT read equals the
+    // full table again
+    "q_restore" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
           ${oDsum("o_totalprice")} AS sum_price,
           CAST(sum(o_custkey) AS BIGINT) AS sum_cust

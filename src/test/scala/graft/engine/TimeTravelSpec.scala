@@ -153,6 +153,63 @@ class TimeTravelSpec extends AnyFunSuite {
     GraftTable.drop(spark, dir)
   }
 
+  test("RESTORE: metadata-only rollback; forward version; restorable restore; vacuumed target fails loudly") {
+    val dir = Files.createTempDirectory("graft_ttrestore_").toString + "/t"
+    val a = spark.range(0, 500).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, a.schema, sortColumns = Seq("k"),
+      properties = Map("timetravel" -> "true", "global_sort_partitions" -> "2"))
+    t.insert(a)
+    val vGood = t.status.version
+    // the mis-step: a bad CoW delete wipes 40% of the table
+    assert(Mutation.delete(t, col("k") % 5 < 2) == 200L)
+    assert(t.read.count() == 300L)
+    // rollback — one metadata commit, no data rewrite
+    val vAfterRestore = t.restoreTo(vGood)
+    assert(t.read.count() == 500L, "restore must resurrect the pre-delete data")
+    assert(t.read.agg(sum("k")).head.getLong(0) == 499L * 500L / 2)
+    assert(vAfterRestore > vGood, "restore moves the version FORWARD (audit, not erasure)")
+    // the mis-step stays readable as history
+    assert(t.readAsOf(vAfterRestore - 1).count() == 300L,
+      "the restored-over state must remain time-travel readable")
+    // a restore can itself be restored (back to the bad state)
+    t.restoreTo(vAfterRestore - 1)
+    assert(t.read.count() == 300L)
+    t.restoreTo(vGood)
+    assert(t.read.count() == 500L)
+    // SQL surface
+    val res = GraftSql.command(spark,
+      s"RESTORE TABLE $dir TO VERSION AS OF $vGood")
+    assert(res.isDefined)
+    assert(t.read.count() == 500L)
+    // new ids minted after vGood are never re-minted post-restore
+    val idsBefore = t.status.segments.map(_.id).toSet
+    t.insert(spark.range(9000, 9010).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    val newId = t.status.segments.map(_.id).max
+    assert(!idsBefore.contains(newId))
+    assert(newId > idsBefore.max, "id high-water mark must survive the restore")
+
+    // vacuumed restore target: physically reclaim the retired rewrite
+    // inputs, then the restore must fail BEFORE touching metadata
+    val t2dir = Files.createTempDirectory("graft_ttrestore2_").toString + "/t"
+    val t2 = GraftTable.create(spark, t2dir, a.schema,
+      properties = Map("timetravel" -> "true"))
+    t2.insert(a)
+    val v2 = t2.status.version
+    Mutation.delete(t2, col("k") < 100L)
+    // age + clean: retention 0 reclaims the retired segment's files
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(t2dir)).forEach(p =>
+      try java.nio.file.Files.setLastModifiedTime(p, old)
+      catch { case scala.util.control.NonFatal(_) => () })
+    t2.cleanFiles()
+    val before = t2.read.count()
+    val e = intercept[IllegalArgumentException] { t2.restoreTo(v2) }
+    assert(e.getMessage.contains("physically reclaimed"))
+    assert(t2.read.count() == before, "failed restore must not touch metadata")
+    GraftTable.drop(spark, dir); GraftTable.drop(spark, t2dir)
+  }
+
   test("retention: CLEAN FILES reclaims v-snapshots past graft.timetravel.retain") {
     System.setProperty("graft.timetravel.retain", "3")
     try {
