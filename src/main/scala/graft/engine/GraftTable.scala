@@ -820,7 +820,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // still-running load publish files we're deleting.
     var deadTerminal = Seq.empty[SegmentMeta]
     var deadStaleIds = Seq.empty[Long]
-    var tombstones = Map.empty[Long, Seq[String]]
+    var tombstones = Map.empty[(Long, Long), Seq[String]]
     // history rides commitWithHistory (r17, VERDICT r16 #1): the ledger
     // append is fenced and ordered AFTER the status publish succeeds —
     // a paused holder whose publish aborts on the fence appends nothing
@@ -832,7 +832,7 @@ class GraftTable private (val spark: SparkSession, val path: String)
       deadStaleIds = stale.map(_.id)
       tombstones = live.collect {
         case s if s.removedFiles.nonEmpty && s.externalPath.isEmpty =>
-          s.id -> s.removedFiles
+          (s.id, s.createdAt) -> s.removedFiles
       }.toMap
       stale.filter(_.externalPath.isEmpty)
         .foreach(s => fs.delete(layout.segmentDir(s.id), true))
@@ -842,6 +842,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
       else (st.copy(segments =
         st.segments.filterNot(s => deadStaleIds.contains(s.id))), stale)
     }
+    // scheduling hook (not a crash point — a kill here is a kill after
+    // a plain commit, covered by clean.midSweep's recovery contract):
+    // lets a spec interleave a RESTORE between the decision and the
+    // sweeps, the widest real window (phase B walks object storage)
+    Failpoints.hit("clean.decided", path)
 
     // ---- Phase B: UNLOCKED physical sweeps --------------------------
     val now = System.currentTimeMillis()
@@ -871,9 +876,15 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // in phase C. All sweeps below are 1-hour-grace-protected, which is
     // what makes them safe OUTSIDE the lock: anything a concurrent
     // writer is staging right now is fresh and untouchable.
-    val deadKeys = deadTerminal.map(s => (s.id, s.createdAt)).toSet
+    // identity key includes STATUS (r17): a RESTORE between the phases
+    // resurrects the exact same (id, createdAt) entry with its status
+    // flipped back to SUCCESS — phase B/C must treat that as a
+    // DIFFERENT entry and leave it alone, else the clean drops a live
+    // restored segment from the log (committed data loss)
+    val deadKeys = deadTerminal.map(s => (s.id, s.createdAt, s.status)).toSet
     val live = layout.readStatus().segments
-      .filterNot(s => deadKeys((s.id, s.createdAt)) || cleanDoomed(s, now, horizons))
+      .filterNot(s => deadKeys((s.id, s.createdAt, s.status)) ||
+        cleanDoomed(s, now, horizons))
     val foldSweepIds = live
       .filter(s => s.deltas.nonEmpty || s.removedFiles.nonEmpty)
       .map(_.id).toSet
@@ -940,13 +951,25 @@ class GraftTable private (val spark: SparkSession, val path: String)
     }
     // tombstoned-file deletes: physical here, the metadata reset in
     // phase C subtracts EXACTLY this set — tombstones a concurrent
-    // writer adds between the phases survive untouched
+    // writer adds between the phases survive untouched. RE-VERIFIED
+    // against a fresh snapshot (r17): a RESTORE interleaving after the
+    // phase-A decision can resurrect a tombstoned file as LIVE data —
+    // only files still tombstoned on the (id, createdAt)-matched entry
+    // RIGHT NOW are deleted. The residual is the microseconds between
+    // this read and the unlink (a restore committing inside it loses
+    // the file; its own under-lock existence check makes any LATER
+    // restore abort loudly) — the same irreducible window class as the
+    // publish fence, documented there.
+    val freshTomb = layout.readStatus().segments
+      .map(s => (s.id, s.createdAt) -> s.removedFiles.toSet).toMap
     val deletedTombstones: Map[Long, Set[String]] = tombstones.collect {
-      case (id, rels) if !sparedFoldDebris(id) =>
-        rels.foreach(f =>
+      case ((id, cAt), rels) if !sparedFoldDebris(id) =>
+        val still = freshTomb.getOrElse((id, cAt), Set.empty)
+        val doomed = rels.filter(still)
+        doomed.foreach(f =>
           fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(id), f), false))
-        id -> rels.toSet
-    }
+        id -> doomed.toSet
+    }.filter(_._2.nonEmpty)
     // stale metadata tmp files from crashed commits: writeJsonAtomic
     // stages `.tablestatus.json.tmp-*` / `.tablemeta.json.tmp-*` in
     // _meta before its atomic rename — a kill in that window leaves
@@ -1026,7 +1049,8 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // concurrent writer may have added new tombstones between the
     // phases). The history append is fenced + post-publish.
     layout.commitWithHistory { st =>
-      val (gone, kept) = st.segments.partition(s => deadKeys((s.id, s.createdAt)))
+      val (gone, kept) = st.segments.partition(s =>
+        deadKeys((s.id, s.createdAt, s.status)))
       val cleaned = kept.map { s =>
         deletedTombstones.get(s.id) match {
           case Some(rels) if s.removedFiles.exists(rels) =>

@@ -210,6 +210,39 @@ class TimeTravelSpec extends AnyFunSuite {
     GraftTable.drop(spark, dir); GraftTable.drop(spark, t2dir)
   }
 
+  test("RESTORE racing CLEAN FILES: a resurrected segment survives the clean's stale dead-set") {
+    // the widest real window: CLEAN FILES decided its dead set (phase
+    // A) and is about to walk object storage (phase B can take
+    // minutes); a RESTORE lands in between and resurrects one of the
+    // decided-dead entries — same (id, createdAt), status back to
+    // SUCCESS. The clean must neither delete its files (phase B
+    // re-verifies identity INCLUDING status) nor drop the live entry
+    // (phase C matches on (id, createdAt, status)).
+    val dir = Files.createTempDirectory("graft_ttrace_").toString + "/t"
+    val a = spark.range(0, 300).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, a.schema,
+      properties = Map("timetravel" -> "true"))
+    t.insert(a)
+    val vGood = t.status.version
+    assert(Mutation.delete(t, col("k") < 50L) == 50L) // retires segment 0
+    var restored = false
+    Failpoints.withHandler((point, path) => {
+      if (point == "clean.decided" && path == dir && !restored) {
+        restored = true
+        t.restoreTo(vGood) // resurrects the decided-dead entry
+      }
+    }) { t.cleanFiles() }
+    assert(restored, "failpoint never fired")
+    assert(t.read.count() == 300L,
+      "the clean deleted/dropped the segment a concurrent RESTORE resurrected")
+    assert(t.read.agg(sum("k")).head.getLong(0) == 299L * 300L / 2)
+    // and a later clean with no interleaving still reclaims the now-
+    // retired rewrite output normally (idempotent convergence)
+    t.cleanFiles()
+    assert(t.read.count() == 300L)
+    GraftTable.drop(spark, dir)
+  }
+
   test("retention: CLEAN FILES reclaims v-snapshots past graft.timetravel.retain") {
     System.setProperty("graft.timetravel.retain", "3")
     try {
