@@ -176,7 +176,8 @@ class GraftTable private (val spark: SparkSession, val path: String)
   }
 
   /** `TIMESTAMP AS OF` form: largest retained version committed at or
-    * before `tsMillis` (resolved from the log files' own mtimes). */
+    * before `tsMillis` (resolved from the per-commit wall-clock the
+    * log entries persist — r18; file mtimes only for pre-r18 logs). */
   def readAsOfTimestamp(tsMillis: Long): DataFrame =
     readAsOf(layout.versionAtTimestamp(tsMillis))
 
@@ -196,26 +197,82 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * re-minted. */
   def restoreTo(version: Long): Long = {
     val target = layout.statusAt(version)
+    // ---- resurrection check, UNLOCKED (r18, VERDICT r17 #1) --------
+    // The verification walk is O(restore change set) driver-side
+    // file-existence probes — a MASS restore (the operation's core use
+    // case) is O(table) RPCs, minutes on object storage, and must not
+    // ride inside the table lock (the same stall class r17 moved out
+    // of checkpoint rollover). Decide-unlocked / confirm-locked, like
+    // rolloverCheckpoint and CLEAN FILES phase B: probe everything
+    // against a pre-lock snapshot IN PARALLEL, then under the lock
+    // re-verify only entries whose log record drifted since (a foreign
+    // clean / compaction / writer landed in the window) — normally
+    // zero. A clean's unlocked sweep racing the gap is covered from
+    // the other side: its per-entry re-verify skips entries a
+    // committed restore resurrected, and its phase-C conflict check
+    // fails loudly on the residual window (see cleanFiles).
+    val pre = layout.readStatus()
+    val preById = pre.segments.iterator.map(s => s.id -> s).toMap
+    verifyResurrected(version,
+      target.visible.filterNot(s => pre.visibleById.get(s.id).contains(s)))
+    Failpoints.hit("restore.preVerified", path)
     layout.commit { st =>
       if (st.segments == target.segments) st
       else {
-        // resurrection check under the lock (no clean can interleave):
-        // only segments not CURRENTLY visible need their files verified
-        // — bounded by the restore's change set, never O(table)
-        val nowVisible = st.visibleById
-        target.visible.filterNot(s => nowVisible.get(s.id).contains(s)).foreach { s =>
-          val missing = layout.segmentFilePaths(s).filterNot(p =>
-            layout.fs.exists(new org.apache.hadoop.fs.Path(p))) ++
-            s.deltas.values.flatten.filterNot(d => layout.fs.exists(
-              new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), d)))
-          require(missing.isEmpty,
-            s"cannot restore to version $version: segment ${s.id} data was " +
-              s"physically reclaimed (${missing.take(3).mkString(", ")}…) — " +
-              "raise clean_files_retention_ms to keep restore targets readable")
-        }
+        val stById = st.segments.iterator.map(s => s.id -> s).toMap
+        val drifted = target.visible.filterNot(s =>
+            st.visibleById.get(s.id).contains(s))
+          .filter(s => stById.get(s.id) != preById.get(s.id))
+        require(drifted.size <= 4096,
+          s"cannot restore to version $version: ${drifted.size} segment " +
+            "records changed under a concurrent writer between the restore's " +
+            "pre-verification and its commit — retry the RESTORE")
+        verifyResurrected(version, drifted)
         st.copy(segments = target.segments)
       }
     }.version
+  }
+
+  /** Driver-side existence probes for segments a restore would
+    * resurrect (data files + MoR delete deltas), fanned out over a
+    * bounded thread pool like the commit log's JSONL cold parse —
+    * object-storage stat latency must not serialize a mass restore.
+    * Throws (message spec-pinned) when CLEAN FILES' retention already
+    * reclaimed a target, BEFORE any metadata moves. */
+  private def verifyResurrected(
+      version: Long, segs: Seq[graft.engine.format.SegmentMeta]): Unit = {
+    if (segs.isEmpty) return
+    val paths: IndexedSeq[(Long, String)] = segs.iterator.flatMap { s =>
+      layout.segmentFilePaths(s).iterator.map(p => s.id -> p) ++
+        s.deltas.values.iterator.flatten.map(d => s.id ->
+          new org.apache.hadoop.fs.Path(layout.segmentDir(s.id), d).toString)
+    }.toIndexedSeq
+    val fs = layout.fs
+    def exists(p: String) = {
+      // scheduling hook (per probe): lets a spec inject object-storage
+      // stat latency and prove the walk never rides the table lock
+      Failpoints.hit("restore.verifyProbe", path)
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    }
+    val nThreads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), 16))
+    val missing: Seq[(Long, String)] =
+      if (paths.size < 64 || nThreads == 1) paths.filterNot(p => exists(p._2))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+        try {
+          val chunk = (paths.size + nThreads - 1) / nThreads
+          paths.grouped(chunk).map(g =>
+            pool.submit(new java.util.concurrent.Callable[Seq[(Long, String)]] {
+              override def call(): Seq[(Long, String)] =
+                g.filterNot(p => exists(p._2))
+            })).toIndexedSeq.flatMap(_.get())
+        } finally pool.shutdown()
+      }
+    require(missing.isEmpty,
+      s"cannot restore to version $version: segment ${missing.head._1} data was " +
+        s"physically reclaimed (${missing.map(_._2).take(3).mkString(", ")}…) — " +
+        "raise clean_files_retention_ms to keep restore targets readable")
   }
 
   /** Timestamp form of [[restoreTo]]. */
@@ -853,18 +910,39 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // terminal dead segments: delete-then-drop is safe (terminal never
     // resurrects; a crash here leaves the entries for the next clean to
     // re-delete idempotently — the same recovery contract the crash
-    // fuzz asserts at clean.midSweep). IDENTITY-VERIFIED (r17, advisor
-    // r16): each entry is re-checked against a fresh snapshot by
-    // (id, createdAt, status) right before its directory delete — if a
-    // concurrent clean's phase C already dropped it, the id slot must
-    // not be touched (belt to the persisted id high-water mark's
-    // braces: even if an id WERE re-minted, the fresh entry's createdAt
-    // differs and the delete is skipped).
-    val freshB = layout.readStatus().segments
-      .map(s => (s.id, s.createdAt) -> s.status).toMap
-    deadTerminal.filter(s => s.externalPath.isEmpty &&
-        freshB.get((s.id, s.createdAt)).contains(s.status))
-      .foreach(s => fs.delete(layout.segmentDir(s.id), true))
+    // fuzz asserts at clean.midSweep). IDENTITY-VERIFIED PER ENTRY
+    // (r18, advisor r17 — r17's one-shot phase snapshot left a RESTORE
+    // committing mid-sweep exposed for the REST of the sweep, minutes
+    // on object storage): the fresh snapshot is re-validated
+    // immediately before EACH unlink. readStatus is stat-validated and
+    // identity-stable (one getFileStatus RPC per entry while nothing
+    // commits; a re-parse only after a real commit), so the per-entry
+    // key map below rebuilds only when the manifest actually moved —
+    // the sweep stays O(dead) stats + O(dead) unlinks, never
+    // O(dead × table) scans. The residual window is ONE entry's
+    // stat-to-unlink instants; a restore landing inside it is caught
+    // LOUDLY by phase C's resurrection-conflict check (belt to the
+    // persisted id high-water mark's braces: even if an id WERE
+    // re-minted, the fresh entry's createdAt differs and the delete is
+    // skipped).
+    var snapB = layout.readStatus()
+    var snapByKey: Map[(Long, Long), SegmentMeta] =
+      snapB.segments.map(s => (s.id, s.createdAt) -> s).toMap
+    def freshEntry(id: Long, cAt: Long): Option[SegmentMeta] = {
+      val cur = layout.readStatus()
+      if (!(cur eq snapB)) {
+        snapB = cur
+        snapByKey = cur.segments.map(s => (s.id, s.createdAt) -> s).toMap
+      }
+      snapByKey.get((id, cAt))
+    }
+    val deletedDirs = scala.collection.mutable.Set.empty[(Long, Long)]
+    deadTerminal.filter(_.externalPath.isEmpty).foreach { s =>
+      if (freshEntry(s.id, s.createdAt).exists(_.status == s.status)) {
+        fs.delete(layout.segmentDir(s.id), true)
+        deletedDirs += ((s.id, s.createdAt))
+      }
+    }
     // stale tmp dirs from crashed writes (same detector as the dry run)
     staleTmpDirs(now).foreach(p => fs.delete(p, true))
     // metadata-only DROP PARTITION leaves the dropped files on disk
@@ -952,22 +1030,32 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // tombstoned-file deletes: physical here, the metadata reset in
     // phase C subtracts EXACTLY this set — tombstones a concurrent
     // writer adds between the phases survive untouched. RE-VERIFIED
-    // against a fresh snapshot (r17): a RESTORE interleaving after the
+    // PER FILE (r18, advisor r17): a RESTORE interleaving after the
     // phase-A decision can resurrect a tombstoned file as LIVE data —
-    // only files still tombstoned on the (id, createdAt)-matched entry
-    // RIGHT NOW are deleted. The residual is the microseconds between
-    // this read and the unlink (a restore committing inside it loses
-    // the file; its own under-lock existence check makes any LATER
-    // restore abort loudly) — the same irreducible window class as the
-    // publish fence, documented there.
-    val freshTomb = layout.readStatus().segments
-      .map(s => (s.id, s.createdAt) -> s.removedFiles.toSet).toMap
+    // the entry's tombstone set is re-validated (same stat-cached
+    // freshEntry as the terminal sweep) immediately before EACH
+    // unlink, not once per phase, so a restore committing mid-sweep
+    // flips the remaining files' check within one unlink. The residual
+    // single-file stat-to-unlink window is caught loudly by phase C's
+    // resurrection-conflict check below.
     val deletedTombstones: Map[Long, Set[String]] = tombstones.collect {
       case ((id, cAt), rels) if !sparedFoldDebris(id) =>
-        val still = freshTomb.getOrElse((id, cAt), Set.empty)
-        val doomed = rels.filter(still)
-        doomed.foreach(f =>
-          fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(id), f), false))
+        // tombstone SET memoized per entry INSTANCE (identity-stable
+        // while nothing commits) — a mass DROP PARTITION entry must
+        // not pay O(tombstones²) contains scans
+        var cachedEntry: SegmentMeta = null
+        var cachedSet: Set[String] = Set.empty
+        val doomed = rels.filter { f =>
+          val e = freshEntry(id, cAt).orNull
+          if (e ne cachedEntry) {
+            cachedEntry = e
+            cachedSet = if (e == null) Set.empty else e.removedFiles.toSet
+          }
+          val still = cachedSet(f)
+          if (still)
+            fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(id), f), false)
+          still
+        }
         id -> doomed.toSet
     }.filter(_._2.nonEmpty)
     // stale metadata tmp files from crashed commits: writeJsonAtomic
@@ -1049,6 +1137,32 @@ class GraftTable private (val spark: SparkSession, val path: String)
     // concurrent writer may have added new tombstones between the
     // phases). The history append is fenced + post-publish.
     layout.commitWithHistory { st =>
+      // RESURRECTION-CONFLICT detection (r18, advisor r17): the
+      // per-entry re-verify above leaves exactly one irreducible
+      // window — a RESTORE publishing between an entry's final stat
+      // and its unlink. If that race fired, the locked view now shows
+      // a VISIBLE segment whose dir (or whose no-longer-tombstoned
+      // file) this sweep just physically deleted: a committed table
+      // referencing missing data. That must never be silent — abort
+      // the clean's result commit LOUDLY (the decision entries stay
+      // for the next clean; the operator restores from an older
+      // version or re-loads, and sets clean_files_retention_ms above
+      // the restore horizon to keep the race structurally closed).
+      val dirConflicts = st.segments.filter(s =>
+        s.isVisible && deletedDirs((s.id, s.createdAt)))
+      val tombConflicts = st.segments.filter { s =>
+        s.isVisible && tombstones.contains((s.id, s.createdAt)) &&
+          deletedTombstones.get(s.id).exists(rels => s.files.exists(rels))
+      }
+      if (dirConflicts.nonEmpty || tombConflicts.nonEmpty)
+        throw new IllegalStateException(
+          "CLEAN FILES lost a race with a concurrent RESTORE in the final " +
+            "pre-unlink window: physically reclaimed data is now referenced " +
+            "by live segment(s) " +
+            (dirConflicts ++ tombConflicts).map(_.id).distinct.sorted.mkString(",") +
+            s" of $path — restore again from an older version or re-load the " +
+            "affected segments, and set clean_files_retention_ms above the " +
+            "restore horizon to close the race structurally")
       val (gone, kept) = st.segments.partition(s =>
         deadKeys((s.id, s.createdAt, s.status)))
       val cleaned = kept.map { s =>

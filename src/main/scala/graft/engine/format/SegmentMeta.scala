@@ -110,6 +110,7 @@ case class SegmentMeta(
   * IN MEMORY `segments` is always the fully-assembled list, whichever
   * form the disk holds — [[TableLayout]] assembles on read and strips
   * on manifest write; nothing outside it sees the split. */
+@com.fasterxml.jackson.annotation.JsonPropertyOrder(Array("version", "committedAt"))
 case class TableStatus(
     version: Long,
     segments: Seq[SegmentMeta],
@@ -133,7 +134,17 @@ case class TableStatus(
       * FRESH segment for the dead one it decided on and delete
       * committed data. -1 = pre-r17 log (the max over live entries is
       * the best available floor; the first commit persists it). */
-    maxSegmentId: Long = -1L) {
+    maxSegmentId: Long = -1L,
+    /** Commit wall-clock millis, stamped at publish (r18, advisor r17):
+      * `TIMESTAMP AS OF` resolves from THIS field, not file mtimes —
+      * mtimes do not survive a table copied/restored by backup tooling,
+      * and a checkpoint ROLLED minutes after its version's commit would
+      * mis-stamp that version by the staging delay. Serialized right
+      * after `version` (JsonPropertyOrder) so log readers can lift it
+      * from the first bytes without parsing a possibly-table-sized
+      * file. -1 = pre-r18 log entry (resolution falls back to mtime,
+      * the historical behavior). */
+    committedAt: Long = -1L) {
   /** Memoized on the snapshot instance: MetaCache serves ONE TableStatus
     * per (table, stamp), so every scan of an unchanged table shares this
     * Seq (and [[visibleById]]) instead of re-filtering 1M entries per
@@ -160,10 +171,16 @@ case class TableStatus(
   * byte-for-byte — the committer VERIFIES that before publishing and
   * falls back to a fresh checkpoint for any commit the delta form
   * cannot represent (e.g. a reorder). */
+@com.fasterxml.jackson.annotation.JsonPropertyOrder(Array("version", "committedAt"))
 case class StatusDelta(
     version: Long,
     upserts: Seq[SegmentMeta],
-    removes: Seq[Long])
+    removes: Seq[Long],
+    /** commit wall-clock millis (r18) — serialized second (see
+      * [[TableStatus.committedAt]]) so `TIMESTAMP AS OF` resolution
+      * reads 512 header bytes per candidate, never a bulk-commit's
+      * table-sized upsert list. -1 = pre-r18 delta. */
+    committedAt: Long = -1L)
 
 /** Table-level metadata: schema, sort columns, user properties. */
 case class TableMeta(

@@ -451,12 +451,15 @@ class TableLayout(val tablePath: String, conf: Configuration) {
           if (metaFs.exists(ckptJsonlPath(from))) readCkptJsonl(from)
           else readJson(ckptPath(from), classOf[TableStatus])
         var segs = base.segments
+        var ts = base.committedAt // ckpt header carries v=from's stamp
         var i = from
         while (i < v) {
           i += 1
-          segs = TableLayout.applyDelta(segs, readJson(deltaPath(i), classOf[StatusDelta]))
+          val d = readJson(deltaPath(i), classOf[StatusDelta])
+          segs = TableLayout.applyDelta(segs, d)
+          ts = d.committedAt
         }
-        return cur.copy(version = v, segments = segs)
+        return cur.copy(version = v, segments = segs, committedAt = ts)
       }
     }
     if (metaFs.exists(vPath(v))) return readJson(vPath(v), classOf[TableStatus])
@@ -469,16 +472,38 @@ class TableLayout(val tablePath: String, conf: Configuration) {
             "timetravel='true', bounded by graft.timetravel.retain") + ")")
   }
 
+  /** Persisted commit wall-clock from a log file's first bytes (r18,
+    * advisor r17): `committedAt` serializes right after `version`
+    * (JsonPropertyOrder on [[TableStatus]]/[[StatusDelta]]), so one
+    * 512-byte read resolves it without parsing a possibly-table-sized
+    * delta/snapshot. None = pre-r18 file or unreadable → caller falls
+    * back to the file mtime (the historical resolution). */
+  private def readCommittedAtHeader(p: Path): Option[Long] =
+    try {
+      val in = metaFs.open(p)
+      try {
+        val buf = new Array[Byte](512)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else TableLayout.CommittedAtHeaderRe
+          .findFirstMatchIn(new String(buf, 0, n, StandardCharsets.UTF_8))
+          .map(_.group(1).toLong).filter(_ > 0)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Resolve `TIMESTAMP AS OF`-style reads: the largest retained
     * version whose commit completed at or before `tsMillis`, from the
-    * log files' own mtimes (delta-v / v-v stamp at publish; the current
-    * version rides the manifest mtime). Driver-side listing of the
-    * bounded log dir only. */
+    * PERSISTED per-commit wall-clock (r18; file mtimes only as the
+    * pre-r18 fallback — mtimes do not survive a table dir copied or
+    * restored by backup tooling, and a rolled checkpoint's mtime lags
+    * its version's commit by the staging delay). Driver-side listing
+    * of the bounded log dir only. */
   def versionAtTimestamp(tsMillis: Long): Long = {
     val cur = readStatus()
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val (sm, _) = statusStamp()
-    if (sm > 0) cand += ((cur.version, sm))
+    if (sm > 0 || cur.committedAt > 0)
+      cand += ((cur.version, if (cur.committedAt > 0) cur.committedAt else sm))
     if (fs.exists(logDir)) {
       // ckpt files cover the rare snapshot-form commits (transition /
       // unreplayable) that write no delta at their own version
@@ -486,7 +511,8 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       fs.listStatus(logDir).foreach { f =>
         f.getPath.getName match {
           case Name(_, n) if n.toLong <= cur.version =>
-            cand += ((n.toLong, f.getModificationTime))
+            cand += ((n.toLong,
+              readCommittedAtHeader(f.getPath).getOrElse(f.getModificationTime)))
           case _ =>
         }
       }
@@ -507,7 +533,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     val cur = readStatus()
     val out = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, String)]
     val (sm, _) = statusStamp()
-    out(cur.version) = (sm, "current")
+    out(cur.version) = (if (cur.committedAt > 0) cur.committedAt else sm, "current")
     if (fs.exists(logDir)) {
       val Name = """(ckpt|delta|v)-(\d+)\.jsonl?""".r
       val floor = if (cur.ckptV >= 0) math.max(cur.prevCkptV, 0L) else 0L
@@ -519,7 +545,8 @@ class TableLayout(val tablePath: String, conf: Configuration) {
               if (kind == "v") n <= cur.version
               else cur.ckptV >= 0 && n >= floor && n <= cur.version
             if (reachable && !out.contains(n))
-              out(n) = (f.getModificationTime,
+              out(n) = (readCommittedAtHeader(f.getPath)
+                  .getOrElse(f.getModificationTime),
                 if (kind == "ckpt") "snapshot" else kind)
           case _ =>
         }
@@ -570,7 +597,11 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * whether the caller should roll a checkpoint after releasing the
     * lock. */
   private def publishStatus(
-      next: TableStatus, base: TableStatus): (TableStatus, Boolean) = {
+      next0: TableStatus, base: TableStatus): (TableStatus, Boolean) = {
+    // Commit wall-clock, persisted in every log form this publish
+    // writes (r18, advisor r17): TIMESTAMP AS OF must survive a table
+    // whose file mtimes were rewritten by copy/backup tooling.
+    val next = next0.copy(committedAt = System.currentTimeMillis())
     var rollAfter = false
     val canonical: TableStatus =
       if (base.ckptV < 0 && next.segments.size <= TableLayout.inlineMaxSegments) {
@@ -593,7 +624,8 @@ class TableLayout(val tablePath: String, conf: Configuration) {
           if (base.ckptV < 0) None // transition: no delta base exists yet
           else TableLayout.computeDelta(base.segments, next.segments, next.version)
         delta match {
-          case Some(d) =>
+          case Some(d0) =>
+            val d = d0.copy(committedAt = next.committedAt)
             writeJsonAtomic(deltaPath(next.version), d)
             graft.engine.Failpoints.hit("meta.deltaWritten", tablePath)
             // roll a fresh checkpoint (outside the lock) when the tail
@@ -640,11 +672,43 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * threshold crossing. */
   private def rolloverCheckpoint(canonical: TableStatus): Unit = try {
     val v = canonical.version
-    writeSnapshotFiles(v, canonical)
+    // cheap incarnation/progress pre-check BEFORE the O(table)
+    // serialize (r18, advisor r17): a drop/recreate (or a foreign
+    // rollover) racing this one must not get a whole table-sized
+    // snapshot staged against a dead incarnation — the stat-validated
+    // readStatus makes this one getFileStatus on the warm path.
+    val pre = readStatus()
+    if (!(pre.ckptV >= 0 && pre.ckptId == canonical.ckptId &&
+        pre.ckptV < v && v <= pre.version)) return
+    // Stage under a UNIQUIFIED name owned by this rollover (r18,
+    // advisor r17): the final `ckpt-<v>` name is claimed only by an
+    // atomic rename under the lock AFTER the incarnation re-check — a
+    // recreate reaching the same version coordinates can never have
+    // its live checkpoint overwritten by (or deleted as) this
+    // rollover's staging, and the stale branch deletes only the file
+    // THIS rollover wrote. The `.tmp-` infix keeps a crashed staging
+    // inside the log GC's existing orphan sweep.
+    val jsonl = canonical.segments.size >= TableLayout.ckptJsonlMinSegments
+    val finalPath = if (jsonl) ckptJsonlPath(v) else ckptPath(v)
+    val staged = new Path(finalPath.getParent,
+      s".${finalPath.getName}.tmp-roll-${UUID.randomUUID().toString.take(8)}")
+    if (jsonl) writeCkptJsonl(staged, canonical)
+    else writeJsonAtomic(staged,
+      canonical.copy(ckptV = -1L, prevCkptV = -1L, ckptId = ""))
     withLock {
       val cur = commitBaseStatus()
       if (cur.ckptV >= 0 && cur.ckptId == canonical.ckptId &&
           cur.ckptV < v && v <= cur.version) {
+        // flip the staged snapshot live: sibling-format and inline-era
+        // orphans at v die first (the collision discipline
+        // writeSnapshotFiles documents), then one atomic rename + the
+        // KB manifest write — all ms-scale metadata ops under the lock
+        metaFs.delete(if (jsonl) ckptPath(v) else ckptJsonlPath(v), false)
+        metaFs.delete(vPath(v), false)
+        metaFs.delete(finalPath, false)
+        require(metaFs.rename(staged, finalPath),
+          s"checkpoint rollover rename $staged -> $finalPath failed")
+        graft.engine.Failpoints.hit("meta.checkpointWritten", tablePath)
         val flipped = cur.copy(ckptV = v, prevCkptV = cur.ckptV,
           ckptId = UUID.randomUUID().toString.take(12))
         writeJsonAtomic(statusPath, flipped.copy(segments = Nil))
@@ -652,9 +716,9 @@ class TableLayout(val tablePath: String, conf: Configuration) {
         catch { case scala.util.control.NonFatal(_) => MetaCache.drop(Some(root.toString)) }
       } else {
         // stale rollover (foreign checkpoint won, or a new table
-        // incarnation): drop the orphan snapshot now rather than
-        // waiting out the log-GC grace
-        try { metaFs.delete(ckptJsonlPath(v), false); metaFs.delete(ckptPath(v), false) }
+        // incarnation): drop only OUR staged file — never a bare
+        // versioned name another incarnation may own
+        try metaFs.delete(staged, false)
         catch { case scala.util.control.NonFatal(_) => }
       }
     }
@@ -990,6 +1054,7 @@ object TableLayout {
     new java.util.concurrent.atomic.AtomicLong(System.nanoTime() & 0xff)
   /** First-bytes probe for the commit log's leading version field. */
   private[format] val VersionHeaderRe = """"version"\s*:\s*(\d+)""".r
+  private[format] val CommittedAtHeaderRe = """"committedAt"\s*:\s*(\d+)""".r
 
   /** Segment count past which the commit log switches from the inline
     * full-rewrite form to checkpoint + delta files (~4.5 MB of JSON at

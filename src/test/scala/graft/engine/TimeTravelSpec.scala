@@ -269,4 +269,166 @@ class TimeTravelSpec extends AnyFunSuite {
       GraftTable.drop(spark, dir)
     } finally System.clearProperty("graft.timetravel.retain")
   }
+
+  test("TIMESTAMP AS OF resolves from the PERSISTED commit wall-clock, surviving a full mtime rewrite (r18)") {
+    // Advisor r17: mtime-based resolution silently shifts to wrong
+    // versions when a table dir is copied/restored by backup tooling
+    // (every mtime becomes copy time), and lingering pre-checkpoint
+    // deltas resolved-then-rejected spuriously. r18 persists the
+    // commit wall-clock INSIDE every log form (manifest, delta, ckpt
+    // header, v-snapshot) — this test simulates the migrated table by
+    // rewriting EVERY file mtime to a year ago and asserts resolution
+    // and SHOW VERSIONS still use the true commit times.
+    System.setProperty("graft.status.inline.max", "0")
+    try {
+      val dir = Files.createTempDirectory("graft_ttwall_").toString + "/t"
+      val a = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      val t0 = System.currentTimeMillis()
+      val t = GraftTable.create(spark, dir, a.schema)
+      t.insert(a)
+      assert(t.status.ckptV >= 0, "fixture must be checkpointed")
+      val v1 = t.status.version
+      Thread.sleep(30)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(30)
+      t.insert(spark.range(200, 260).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+      val v2 = t.status.version
+
+      // the migrated/copied table: every mtime rewritten
+      val bogus = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 365L * 24 * 3600 * 1000)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(p =>
+        try java.nio.file.Files.setLastModifiedTime(p, bogus)
+        catch { case scala.util.control.NonFatal(_) => () })
+
+      assert(t.layout.versionAtTimestamp(mid) == v1,
+        "TIMESTAMP AS OF must resolve from the persisted stamp, not mtimes")
+      assert(t.readAsOfTimestamp(mid).count() == 200L)
+      assert(t.layout.versionAtTimestamp(System.currentTimeMillis()) == v2)
+      // every version a pre-checkpoint delta still covers resolves too
+      // (advisor r17: these used to resolve by mtime then reject)
+      assert(t.readAsOfTimestamp(System.currentTimeMillis()).count() == 260L)
+      // SHOW VERSIONS surfaces the true commit times, not the rewrite
+      val now = System.currentTimeMillis()
+      val rows = t.layout.retainedVersions()
+      assert(rows.nonEmpty)
+      rows.foreach { case (v, ts, kind) =>
+        assert(ts >= t0 - 1000 && ts <= now + 1000,
+          s"version $v ($kind) shows stamp $ts outside the test's run " +
+            s"window [$t0, $now] — mtime leaked into SHOW VERSIONS")
+      }
+      GraftTable.drop(spark, dir)
+    } finally System.clearProperty("graft.status.inline.max")
+  }
+
+  test("mass RESTORE: the resurrection walk (10k file probes) never rides the table lock (r18)") {
+    // VERDICT r17 #1: the r17 resurrection verification ran per-file
+    // driver-side existence probes INSIDE the locked commit — a mass
+    // restore (the operation's core use case) is O(table) RPCs holding
+    // the table lock for minutes on object storage. r18 pre-verifies
+    // UNLOCKED (parallel probes) and re-verifies only drifted entries
+    // under the lock. Local-fs stats are too fast to discriminate, so
+    // the spec injects per-probe latency through the scheduling hook
+    // and asserts the injected time shows up in the restore WALL but
+    // not in the LOCK HOLD.
+    System.setProperty("graft.status.inline.max", "0")
+    try {
+      val dir = Files.createTempDirectory("graft_ttmass_").toString + "/t"
+      val a = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      val t = GraftTable.create(spark, dir, a.schema)
+      t.insert(a)
+      // 20 synthetic segments × 500 physically-present files = 10k
+      // probe targets, injected through the normal locked commit
+      val SegN = 20; val FilesPer = 500
+      val base = t.status.nextSegmentId
+      (0 until SegN).foreach { i =>
+        val sd = java.nio.file.Paths.get(t.layout.segmentDir(base + i).toString)
+        java.nio.file.Files.createDirectories(sd)
+        (0 until FilesPer).foreach(j =>
+          java.nio.file.Files.createFile(sd.resolve(s"part-$j.parquet")))
+      }
+      t.layout.commit { st =>
+        val fakes = (0 until SegN).map { i =>
+          graft.engine.format.SegmentMeta(
+            id = base + i, status = graft.engine.format.SegmentStatus.Success,
+            format = "parquet",
+            files = (0 until FilesPer).map(j => s"part-$j.parquet"),
+            rowCount = 0, sizeBytes = 0, stats = Map.empty,
+            sortColumns = Nil, createdAt = System.currentTimeMillis())
+        }
+        st.copy(segments = st.segments ++ fakes)
+      }
+      val vFull = t.status.version
+      // the mis-step: retire every synthetic segment (metadata-only)
+      t.layout.commit { st =>
+        st.copy(segments = st.segments.map(s =>
+          if (s.id >= base) s.retire(graft.engine.format.SegmentStatus.MarkedForDelete)
+          else s))
+      }
+      assert(t.status.visible.size == 1)
+
+      var probes = 0
+      val probeCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+      graft.engine.format.TableLayout.resetLockHold()
+      val tr = System.nanoTime()
+      Failpoints.withHandler((point, p) => {
+        if (point == "restore.verifyProbe" && p == dir) {
+          probeCounter.incrementAndGet()
+          Thread.sleep(0, 100000) // 0.1 ms of injected stat latency
+        }
+      }) { t.restoreTo(vFull) }
+      val wallMs = (System.nanoTime() - tr) / 1e6
+      probes = probeCounter.get
+      val holdMs = graft.engine.format.TableLayout.lockHoldMaxNanos / 1e6
+      info(f"mass restore: $probes probes, wall $wallMs%.0f ms, max lock hold $holdMs%.0f ms")
+      assert(probes >= SegN * FilesPer, s"expected >= ${SegN * FilesPer} probes, saw $probes")
+      assert(t.status.visible.size == SegN + 1, "restore must resurrect every segment")
+      // the injected ~1s of probe latency must be visible in the wall…
+      assert(wallMs >= 250, f"injected latency missing from wall ($wallMs%.0f ms) — hook dead?")
+      // …and ABSENT from the lock hold: ms-scale flip only
+      assert(holdMs < math.max(250, wallMs / 4),
+        f"restore held the table lock $holdMs%.0f ms of a $wallMs%.0f ms walk — " +
+          "the resurrection verification is back under the lock")
+      GraftTable.drop(spark, dir)
+    } finally System.clearProperty("graft.status.inline.max")
+  }
+
+  test("RESTORE aborts loudly when a vacuum lands between pre-verification and its commit (r18)") {
+    // the decide-unlocked/confirm-locked race: pre-verification passed
+    // (files existed), then a CLEAN FILES physically reclaimed the
+    // restore target before the locked commit — the drifted-entry
+    // re-verify under the lock must abort, never publish a table that
+    // references missing data
+    val dir = Files.createTempDirectory("graft_ttvrace_").toString + "/t"
+    val a = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, a.schema, sortColumns = Seq("k"),
+      properties = Map("timetravel" -> "true", "global_sort_partitions" -> "2"))
+    t.insert(a)
+    val vGood = t.status.version
+    assert(Mutation.delete(t, col("k") < 100L) == 100L)
+    val postDelete = t.read.count()
+    val vBefore = t.status.version
+    var vacuumed = false
+    val e = intercept[IllegalArgumentException] {
+      Failpoints.withHandler((point, p) => {
+        if (point == "restore.preVerified" && p == dir && !vacuumed) {
+          vacuumed = true
+          // age everything past the sweep graces, then reclaim — the
+          // CoW inputs the restore wants back are physically deleted
+          val old = java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 2 * 3600 * 1000)
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(q =>
+            try java.nio.file.Files.setLastModifiedTime(q, old)
+            catch { case scala.util.control.NonFatal(_) => () })
+          t.cleanFiles()
+        }
+      }) { t.restoreTo(vGood) }
+    }
+    assert(vacuumed, "failpoint never fired")
+    assert(e.getMessage.contains("physically reclaimed"))
+    assert(t.read.count() == postDelete, "aborted restore must not touch metadata")
+    assert(t.status.version == t.layout.readStatusUncached().version)
+    assert(t.status.version >= vBefore)
+    GraftTable.drop(spark, dir)
+  }
 }
