@@ -441,6 +441,48 @@ object LifecycleQueries {
     }
   }
 
+  /** MIXED-FORMAT TIME TRAVEL (r18, VERDICT r17 #7): supplier split
+    * across a managed parquet segment plus ADD SEGMENT csv and json
+    * foreigns (the [[supplierMixed]] shape) with timetravel='true',
+    * the as-of version captured, then the CSV FOREIGN segment retired
+    * (the mis-step). The query reads the pre-retire version — the
+    * oracle is the FULL supplier table, so a green row proves the
+    * as-of read resurrects a foreign-format segment through the same
+    * parquet+foreign union the live read uses (readAsOf partitions
+    * resurrected segments by format), not just parquet. */
+  private def supplierMixedTravel(s: SparkSession, d: String): (GraftTable, Long) = lock.synchronized {
+    val p = path(d, "lc_ttmixed")
+    val vMark = new java.io.File(s"${p}_v1.txt")
+    val l = layoutOf(s, p)
+    val ok = l.exists && vMark.exists() && {
+      try l.readStatus().visible.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok)
+      (GraftTable.at(s, p),
+        new String(java.nio.file.Files.readAllBytes(vMark.toPath)).trim.toLong)
+    else {
+      if (l.exists) GraftTable.drop(s, p)
+      val src = t(s, d, "supplier")
+      val tbl = GraftTable.createAsSelect(s, p,
+        src.filter(col("s_suppkey") % 3 === 0), Seq("s_suppkey"),
+        properties = Map("timetravel" -> "true"))
+      val csvDir = s"${p}_csv"
+      src.filter(col("s_suppkey") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      tbl.addSegment(csvDir, "csv")
+      val jsonDir = s"${p}_json"
+      src.filter(col("s_suppkey") % 3 === 2).coalesce(1)
+        .write.mode("overwrite").json(jsonDir)
+      tbl.addSegment(jsonDir, "json")
+      val v1 = tbl.status.version
+      val csvSeg = tbl.status.visible.find(_.format == "csv").get.id
+      tbl.deleteSegmentsById(Seq(csvSeg))
+      java.nio.file.Files.write(vMark.toPath, v1.toString.getBytes)
+      (tbl, v1)
+    }
+  }
+
   /** RESTORE lifecycle (r17): load orders whole, CoW-delete a third
     * (the "mis-step"), then RESTORE TO VERSION AS OF the pre-delete
     * commit — a metadata-only rollback. The query reads the CURRENT
@@ -644,7 +686,13 @@ object LifecycleQueries {
     "q_restore" -> ((s, d) =>
       ordersRestored(s, d).read.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
-          sum(col("o_custkey")).cast("long").as("sum_cust")))
+          sum(col("o_custkey")).cast("long").as("sum_cust"))),
+    "q_timetravel_mixed" -> ((s, d) => {
+      val (tbl, v1) = supplierMixedTravel(s, d)
+      tbl.readAsOf(v1).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("sum_bal"),
+          sum(col("s_suppkey")).cast("long").as("sum_supp"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -758,6 +806,15 @@ object LifecycleQueries {
       s"""SELECT o_orderstatus, count(*) AS cnt,
           ${oDsum("o_totalprice")} AS sum_price,
           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-          FROM orders GROUP BY o_orderstatus"""
+          FROM orders GROUP BY o_orderstatus""",
+    // the as-of read over a MIXED-format history: current state is
+    // missing the retired csv foreign — only a reader that resurrects
+    // it (and unions it with the parquet base) reproduces the full
+    // table
+    "q_timetravel_mixed" ->
+      s"""SELECT s_nationkey, count(*) AS cnt,
+          ${oDsum("s_acctbal")} AS sum_bal,
+          CAST(sum(s_suppkey) AS BIGINT) AS sum_supp
+          FROM supplier GROUP BY s_nationkey"""
   )
 }
