@@ -939,6 +939,10 @@ class GraftTable private (val spark: SparkSession, val path: String)
     val deletedDirs = scala.collection.mutable.Set.empty[(Long, Long)]
     deadTerminal.filter(_.externalPath.isEmpty).foreach { s =>
       if (freshEntry(s.id, s.createdAt).exists(_.status == s.status)) {
+        // scheduling hook: the ONE residual window (entry re-verified,
+        // unlink pending) — the race spec drives a RESTORE into it and
+        // asserts phase C's conflict check turns it into a loud abort
+        Failpoints.hit("clean.preUnlink", path)
         fs.delete(layout.segmentDir(s.id), true)
         deletedDirs += ((s.id, s.createdAt))
       }
@@ -1052,8 +1056,10 @@ class GraftTable private (val spark: SparkSession, val path: String)
             cachedSet = if (e == null) Set.empty else e.removedFiles.toSet
           }
           val still = cachedSet(f)
-          if (still)
+          if (still) {
+            Failpoints.hit("clean.preUnlink", path) // same residual window
             fs.delete(new org.apache.hadoop.fs.Path(layout.segmentDir(id), f), false)
+          }
           still
         }
         id -> doomed.toSet

@@ -393,6 +393,37 @@ class TimeTravelSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.status.inline.max")
   }
 
+  test("RESTORE inside the single-entry unlink window: CLEAN FILES aborts LOUDLY, never silently (r18)") {
+    // the irreducible residual after per-entry re-verification: an
+    // entry passed its final identity check and a RESTORE publishes
+    // before the unlink lands. The bytes are unrecoverable at that
+    // point — the contract is DETECTION: phase C's resurrection-
+    // conflict check must fail the clean loudly, naming the segment,
+    // instead of committing its result over a live table that now
+    // references missing data.
+    val dir = Files.createTempDirectory("graft_ttloud_").toString + "/t"
+    val a = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val t = GraftTable.create(spark, dir, a.schema,
+      properties = Map("timetravel" -> "true"))
+    t.insert(a)
+    val vGood = t.status.version
+    val seg = t.status.visible.map(_.id).max
+    t.deleteSegmentsById(Seq(seg))
+    var fired = false
+    val e = intercept[IllegalStateException] {
+      Failpoints.withHandler((point, p) => {
+        if (point == "clean.preUnlink" && p == dir && !fired) {
+          fired = true
+          t.restoreTo(vGood) // lands between the entry's re-verify and its unlink
+        }
+      }) { t.cleanFiles() }
+    }
+    assert(fired, "failpoint never fired")
+    assert(e.getMessage.contains("RESTORE") && e.getMessage.contains(seg.toString),
+      s"conflict must be loud and name the segment, got: ${e.getMessage}")
+    GraftTable.drop(spark, dir)
+  }
+
   test("RESTORE aborts loudly when a vacuum lands between pre-verification and its commit (r18)") {
     // the decide-unlocked/confirm-locked race: pre-verification passed
     // (files existed), then a CLEAN FILES physically reclaimed the
