@@ -19,27 +19,27 @@ import sys
 
 
 def bench(tree, sfdir, rows):
+    # per-row ms medians come from the FULL artifact (the stdout line
+    # is family-compact — that bit r17's first attempt too)
+    full = "/tmp/ab_full_scratch.json"
+    if os.path.exists(full):
+        os.remove(full)
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sfdir,
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_ONLY=rows,
-        SPARK_GRAFT_BENCH_FULL="/tmp/ab_full_scratch.json",
+        SPARK_GRAFT_BENCH_FULL=full,
     )
     p = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd=tree, env=env, capture_output=True, text=True, timeout=3600)
-    line = None
-    for l in p.stdout.splitlines():
-        m = re.match(r"^(\[info\] )?(\{\"metric\".*)$", l)
-        if m:
-            line = m.group(2)
-    if line is None:
+    if not os.path.exists(full):
         sys.stderr.write(p.stdout[-3000:])
         sys.stderr.write(p.stderr[-2000:])
-        raise RuntimeError(f"no bench json line from {tree}")
-    q = json.loads(line)["queries"]
-    return {k: round(v * 1000) for k, v in q.items()}
+        raise RuntimeError(f"no full bench artifact from {tree}")
+    with open(full) as f:
+        return json.load(f)["queries"]  # name -> ms median
 
 
 def main():
