@@ -179,6 +179,11 @@ object GraftSql {
       """(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
     val RestoreTimestamp =
       """(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$""".r
+    // SHALLOW CLONE (r18, Delta CLONE analog): a new table whose
+    // segments reference the source's files in place — one metadata
+    // commit, zero data movement; optionally AS OF a retained version
+    val ShallowClone =
+      """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$""".r
     // driver metadata cache observability (reference
     // CarbonShowCacheCommand.scala, parser :613-619)
     val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
@@ -242,6 +247,17 @@ object GraftSql {
       case Explain(ext, inner) =>
         val text = GraftExplain.explain(spark, spark.sql(inner), ext != null)
         Some(localSeqToDatasetHolder(Seq(Tuple1(text))).toDF("plan"))
+      case ShallowClone(dest, src, v, ts) =>
+        val t0 = table(src)
+        val ver =
+          if (v != null) Some(v.toLong)
+          else if (ts != null) Some(t0.layout.versionAtTimestamp(
+            if (ts.forall(_.isDigit)) ts.toLong
+            else java.sql.Timestamp.valueOf(ts).getTime))
+          else None
+        val c = t0.shallowCloneTo(dest.stripPrefix("`").stripSuffix("`"), ver)
+        Some(localSeqToDatasetHolder(Seq((c.path, c.status.visible.size.toLong)))
+          .toDF("cloned_to", "segments"))
       case RestoreVersion(tRef, v) =>
         val newV = table(tRef).restoreTo(v.toLong)
         Some(localSeqToDatasetHolder(Seq((v.toLong, newV)))

@@ -240,6 +240,11 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * Throws (message spec-pinned) when CLEAN FILES' retention already
     * reclaimed a target, BEFORE any metadata moves. */
   private def verifyResurrected(
+      version: Long, segs: Seq[graft.engine.format.SegmentMeta]): Unit =
+    verifyFilesExist("restore", version, segs)
+
+  /** Shared by RESTORE and SHALLOW CLONE: see [[verifyResurrected]]. */
+  private def verifyFilesExist(op: String,
       version: Long, segs: Seq[graft.engine.format.SegmentMeta]): Unit = {
     if (segs.isEmpty) return
     val paths: IndexedSeq[(Long, String)] = segs.iterator.flatMap { s =>
@@ -270,9 +275,80 @@ class GraftTable private (val spark: SparkSession, val path: String)
         } finally pool.shutdown()
       }
     require(missing.isEmpty,
-      s"cannot restore to version $version: segment ${missing.head._1} data was " +
+      s"cannot $op to version $version: segment ${missing.head._1} data was " +
         s"physically reclaimed (${missing.map(_._2).take(3).mkString(", ")}…) — " +
         "raise clean_files_retention_ms to keep restore targets readable")
+  }
+
+  /** SHALLOW CLONE (r18, beyond the reference — the Delta `CLONE`
+    * capability): a NEW independent table at `destPath` whose segment
+    * list REFERENCES this table's data files in place — one metadata
+    * commit, ZERO data movement at any table size (a 100 TB clone is a
+    * few MB of metadata). `version` clones the table AS OF a retained
+    * commit-log version (composes with time travel: clone the
+    * pre-mis-step state aside, inspect both).
+    *
+    * Mechanics: every source-visible segment becomes an EXTERNAL
+    * segment of the clone (`externalPath` → the source segment dir;
+    * ADD SEGMENT foreigns keep their own path), carrying the source's
+    * per-file footer stats so the whole pruning ladder works on the
+    * clone unchanged. The external-segment machinery supplies the
+    * isolation for free: DML on the clone is copy-on-write into the
+    * clone's OWN managed segments (external files are MoR-ineligible
+    * by design and never rewritten in place), and the clone's CLEAN
+    * FILES never unlinks external files — the source is physically
+    * read-only to the clone.
+    *
+    * Contracts: segments carrying outstanding merge-on-read delete
+    * deltas are REFUSED (delta positions resolve against the source
+    * layout; fold them first — horizontal compaction); open STREAMING
+    * segments are refused (their file set is still growing); every
+    * referenced file is existence-probed (parallel, unlocked) BEFORE
+    * any metadata is written. Like Delta's shallow clones, a later
+    * DELETE + CLEAN FILES on the SOURCE can reclaim files the clone
+    * references — scans then fail loudly on the missing file; set
+    * `clean_files_retention_ms` on the source, or deep-copy via CTAS,
+    * when clones must outlive source rewrites. */
+  def shallowCloneTo(destPath: String, version: Option[Long] = None): GraftTable = {
+    val st = version.map(layout.statusAt).getOrElse(layout.readStatus())
+    val vis = st.visible
+    val withDeltas = vis.filter(_.deltas.nonEmpty)
+    require(withDeltas.isEmpty,
+      s"cannot shallow-clone version ${st.version} of $path: segment(s) " +
+        s"${withDeltas.map(_.id).mkString(",")} carry outstanding merge-on-read " +
+        "delete deltas, whose positions resolve against the SOURCE layout — " +
+        "fold them first (horizontal compaction) or clone a delta-free version")
+    val streaming = vis.filter(_.status == SegmentStatus.Streaming)
+    require(streaming.isEmpty,
+      s"cannot shallow-clone $path: open streaming segment(s) " +
+        s"${streaming.map(_.id).mkString(",")} are still being appended — " +
+        "FINISH STREAMING (handoff) first")
+    verifyFilesExist("shallow-clone", st.version, vis)
+    val m = meta
+    // derived-object registrations must NOT follow the clone: SI/text/
+    // vector index tables belong to the SOURCE path — a REFRESH from
+    // the clone would overwrite the source's index. The clone starts
+    // index-free; recreate indexes against it if needed.
+    val props = m.properties.filterNot { case (k, _) =>
+      k.startsWith("si.") || k.startsWith("textindex.") ||
+        k.startsWith("vector.") || k.startsWith("sqlindex.")
+    }
+    val dest = GraftTable.create(spark, destPath, schema)
+    // carry the source's table meta verbatim (schema json, sort spec,
+    // partition columns, filtered properties) — create() re-derives
+    // some of these from properties (e.g. SPATIAL_INDEX appends its
+    // generated column), which must not run twice on an
+    // already-derived schema
+    dest.layout.updateTableMeta(_ => m.copy(properties = props))
+    val entries = vis.map { s =>
+      s.copy(
+        externalPath = Some(s.externalPath.getOrElse(layout.segmentDir(s.id).toString)),
+        removedFiles = Nil, // tombstoned files are the source's to reclaim
+        retiredAt = 0L,
+        lastBatchId = -1L)
+    }
+    dest.layout.commit(st0 => st0.copy(segments = st0.segments ++ entries))
+    dest
   }
 
   /** Timestamp form of [[restoreTo]]. */

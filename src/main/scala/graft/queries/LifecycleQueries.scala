@@ -441,6 +441,37 @@ object LifecycleQueries {
     }
   }
 
+  /** SHALLOW CLONE AS OF lifecycle (r18, beyond the reference —
+    * Delta's CLONE capability): orders loaded whole with
+    * timetravel='true', a third CoW-deleted (the mis-step), then the
+    * PRE-delete version shallow-cloned aside — ONE metadata commit,
+    * zero data movement (the clone's segments reference the source's
+    * files in place as externals). The query reads the CLONE; the
+    * oracle is the FULL orders table, so a green row proves the clone
+    * pins the as-of version's files exactly while the live table stays
+    * post-delete. */
+  private def ordersClonedAsOf(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_clone")
+    val cp = s"${p}_c"
+    val lc = layoutOf(s, cp)
+    val ok = layoutOf(s, p).exists && lc.exists && {
+      try lc.readStatus().visible.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, cp)
+    else {
+      if (layoutOf(s, p).exists) GraftTable.drop(s, p)
+      if (lc.exists) GraftTable.drop(s, cp)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"),
+        properties = Map("timetravel" -> "true"))
+      tbl.insert(src)
+      val v1 = tbl.status.version
+      graft.engine.Mutation.delete(tbl, col("o_orderkey") % 3 === 2)
+      tbl.shallowCloneTo(cp, Some(v1))
+    }
+  }
+
   /** MIXED-FORMAT TIME TRAVEL (r18, VERDICT r17 #7): supplier split
     * across a managed parquet segment plus ADD SEGMENT csv and json
     * foreigns (the [[supplierMixed]] shape) with timetravel='true',
@@ -692,7 +723,11 @@ object LifecycleQueries {
       tbl.readAsOf(v1).groupBy("s_nationkey")
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("sum_bal"),
           sum(col("s_suppkey")).cast("long").as("sum_supp"))
-    })
+    }),
+    "q_clone_asof" -> ((s, d) =>
+      ordersClonedAsOf(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -815,6 +850,13 @@ object LifecycleQueries {
       s"""SELECT s_nationkey, count(*) AS cnt,
           ${oDsum("s_acctbal")} AS sum_bal,
           CAST(sum(s_suppkey) AS BIGINT) AS sum_supp
-          FROM supplier GROUP BY s_nationkey"""
+          FROM supplier GROUP BY s_nationkey""",
+    // the shallow clone pins the PRE-delete version: the clone read
+    // equals the full table while the source stays post-delete
+    "q_clone_asof" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders GROUP BY o_orderstatus"""
   )
 }
