@@ -16,14 +16,18 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 
 
 def bench(tree, sfdir, rows):
     # per-row ms medians come from the FULL artifact (the stdout line
-    # is family-compact — that bit r17's first attempt too)
-    full = "/tmp/ab_full_scratch.json"
-    if os.path.exists(full):
-        os.remove(full)
+    # is family-compact — that bit r17's first attempt too).
+    # Per-invocation scratch (advisor r18): a shared /tmp path let two
+    # concurrent A/B invocations clobber each other's artifacts and
+    # attribute one tree's medians to the other.
+    fd, full = tempfile.mkstemp(prefix="ab_full_scratch_", suffix=".json")
+    os.close(fd)
+    os.remove(full)
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sfdir,
@@ -38,8 +42,11 @@ def bench(tree, sfdir, rows):
         sys.stderr.write(p.stdout[-3000:])
         sys.stderr.write(p.stderr[-2000:])
         raise RuntimeError(f"no full bench artifact from {tree}")
-    with open(full) as f:
-        return json.load(f)["queries"]  # name -> ms median
+    try:
+        with open(full) as f:
+            return json.load(f)["queries"]  # name -> ms median
+    finally:
+        os.remove(full)
 
 
 def main():

@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions.expr
   */
 object GraftSql {
 
+  /** Resolve a `TIMESTAMP AS OF '…'` / `SEGMENT.STARTTIME BEFORE '…'`
+    * string to epoch millis in the SESSION time zone
+    * (`spark.sql.session.timeZone`) — the same resolution Spark applies
+    * to the timestamp literal on the catalog path (which hands
+    * [[catalog.GraftCatalog.loadTable]] an absolute instant), so the
+    * regex SQL surface and the Spark-catalog surface always name the
+    * SAME instant. r19, VERDICT r18 #1: these sites previously used
+    * `java.sql.Timestamp.valueOf`, which parses in the JVM default
+    * zone — on a cluster whose JVMs run local time with the session
+    * pinned to UTC the two surfaces disagreed by the zone offset and a
+    * RESTORE/CLONE could silently resolve hours off. All-digit strings
+    * are epoch millis verbatim (both surfaces zone-independent). */
+  private[engine] def sessionTsMillis(spark: SparkSession, ts: String): Long =
+    if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+    else {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      val zone = DateTimeUtils.getZoneId(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse timestamp '$ts' (expected yyyy-MM-dd HH:mm:ss[.f…] " +
+            "[zone], resolved in spark.sql.session.timeZone)"))
+    }
+
   private val HeadRe =
     """(?is)^\s*MERGE\s+INTO\s+(\S+)(?:\s+AS\s+(\w+))?\s+USING\s+(\S+)(?:\s+AS\s+(\w+))?\s+ON\s+(.+)$""".r
 
@@ -184,6 +210,10 @@ object GraftSql {
     // commit, zero data movement; optionally AS OF a retained version
     val ShallowClone =
       """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$""".r
+    // DEEP CLONE (r19): full-copy form — the clone owns every byte and
+    // survives source rewrites/CLEAN FILES (shallow's documented hazard)
+    val DeepClone =
+      """(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+DEEP\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$""".r
     // driver metadata cache observability (reference
     // CarbonShowCacheCommand.scala, parser :613-619)
     val ShowMetacache = """(?is)^\s*SHOW\s+METACACHE(?:\s+FOR\s+TABLE\s+(\S+))?\s*$""".r
@@ -251,30 +281,42 @@ object GraftSql {
         val t0 = table(src)
         val ver =
           if (v != null) Some(v.toLong)
-          else if (ts != null) Some(t0.layout.versionAtTimestamp(
-            if (ts.forall(_.isDigit)) ts.toLong
-            else java.sql.Timestamp.valueOf(ts).getTime))
+          else if (ts != null)
+            Some(t0.layout.versionAtTimestamp(sessionTsMillis(spark, ts)))
           else None
         val c = t0.shallowCloneTo(dest.stripPrefix("`").stripSuffix("`"), ver)
         Some(localSeqToDatasetHolder(Seq((c.path, c.status.visible.size.toLong)))
           .toDF("cloned_to", "segments"))
+      case DeepClone(dest, src, v, ts) =>
+        val t0 = table(src)
+        val ver =
+          if (v != null) Some(v.toLong)
+          else if (ts != null)
+            Some(t0.layout.versionAtTimestamp(sessionTsMillis(spark, ts)))
+          else None
+        val c = t0.deepCloneTo(dest.stripPrefix("`").stripSuffix("`"), ver)
+        Some(localSeqToDatasetHolder(Seq((c.path, c.countStar)))
+          .toDF("cloned_to", "rows"))
       case RestoreVersion(tRef, v) =>
         val newV = table(tRef).restoreTo(v.toLong)
         Some(localSeqToDatasetHolder(Seq((v.toLong, newV)))
           .toDF("restored_version", "new_version"))
       case RestoreTimestamp(tRef, ts) =>
         val t0 = table(tRef)
-        val millis =
-          if (ts.forall(_.isDigit)) ts.toLong
-          else java.sql.Timestamp.valueOf(ts).getTime
-        val v = t0.layout.versionAtTimestamp(millis)
+        val v = t0.layout.versionAtTimestamp(sessionTsMillis(spark, ts))
         val newV = t0.restoreTo(v)
         Some(localSeqToDatasetHolder(Seq((v, newV)))
           .toDF("restored_version", "new_version"))
       case ShowVersions(tRef, lim) =>
+        // rendered in the SESSION zone so the strings round-trip through
+        // TIMESTAMP AS OF '…' (both surfaces session-TZ as of r19)
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
         val rows = table(tRef).layout.retainedVersions()
           .map { case (v, ts, src) =>
-            (v, new java.sql.Timestamp(ts).toString, src) }
+            (v, java.time.Instant.ofEpochMilli(ts).atZone(zone).format(fmt), src) }
         val limited = Option(lim).map(n => rows.take(n.toInt)).getOrElse(rows)
         Some(limited.toDF("version", "commit_time", "source"))
       case ShowMetacache(tRef) =>
@@ -628,10 +670,7 @@ object GraftSql {
       case DelSegIds(t, idList) =>
         table(t).deleteSegmentsById(ids(idList)); Some(done)
       case DelSegBefore(t, ts) =>
-        val millis =
-          if (ts.forall(_.isDigit)) ts.toLong
-          else java.sql.Timestamp.valueOf(ts).getTime
-        table(t).deleteSegmentsBefore(millis); Some(done)
+        table(t).deleteSegmentsBefore(sessionTsMillis(spark, ts)); Some(done)
       case FinishStreaming(t) =>
         graft.engine.streaming.StreamManager.finishStreaming(table(t)); Some(done)
       case SetTblProps(t, propStr) =>

@@ -267,11 +267,27 @@ class GraftTable private (val spark: SparkSession, val path: String)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
         try {
           val chunk = (paths.size + nThreads - 1) / nThreads
-          paths.grouped(chunk).map(g =>
+          val futs = paths.grouped(chunk).map(g =>
             pool.submit(new java.util.concurrent.Callable[Seq[(Long, String)]] {
               override def call(): Seq[(Long, String)] =
                 g.filterNot(p => exists(p._2))
-            })).toIndexedSeq.flatMap(_.get())
+            })).toIndexedSeq
+          try futs.flatMap(_.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              // advisor r18: a probe IOException must surface with the
+              // OPERATION'S context (which op, which version, why it
+              // matters), not as a raw ExecutionException — and the
+              // sibling probe threads stop immediately (shutdownNow
+              // interrupts them) instead of finishing a doomed walk
+              pool.shutdownNow()
+              val cause = Option(e.getCause).getOrElse(e)
+              throw new IllegalStateException(
+                s"cannot $op to version $version: file existence probe " +
+                  s"failed (${cause.getClass.getSimpleName}: ${cause.getMessage}) — " +
+                  "storage error, not a reclaimed file; retry when the " +
+                  "filesystem recovers", cause)
+          }
         } finally pool.shutdown()
       }
     require(missing.isEmpty,
@@ -348,6 +364,43 @@ class GraftTable private (val spark: SparkSession, val path: String)
         lastBatchId = -1L)
     }
     dest.layout.commit(st0 => st0.copy(segments = st0.segments ++ entries))
+    dest
+  }
+
+  /** DEEP CLONE (r19, VERDICT r18 Next #6): a full COPY of this
+    * table's rows as of `version` into a new independent table at
+    * `destPath`, preserving sort spec, partition columns, and table
+    * properties (index registrations excluded, like
+    * [[shallowCloneTo]] — recreate them against the clone). One
+    * distributed CTAS-style write: the clone owns every byte, so it
+    * SURVIVES any later source rewrite or CLEAN FILES — the
+    * documented escape hatch for the shallow-clone shared-file
+    * hazard. Unlike shallow, MoR deltas are fine (the read
+    * materializes delta-applied rows) — only open streaming segments
+    * are refused (their file set is still growing; FINISH STREAMING
+    * first). Choose shallow for instant metadata-only forks, deep
+    * when the clone must outlive source rewrites; at 100 TB the cost
+    * difference (a few MB of metadata vs a full read+rewrite) IS the
+    * decision. */
+  def deepCloneTo(destPath: String, version: Option[Long] = None): GraftTable = {
+    val st = version.map(layout.statusAt).getOrElse(layout.readStatus())
+    val streaming = st.visible.filter(_.status == SegmentStatus.Streaming)
+    require(streaming.isEmpty,
+      s"cannot deep-clone $path: open streaming segment(s) " +
+        s"${streaming.map(_.id).mkString(",")} are still being appended — " +
+        "FINISH STREAMING (handoff) first")
+    val m = meta
+    val df = version.map(readAsOf).getOrElse(read)
+    val props = m.properties.filterNot { case (k, _) =>
+      k.startsWith("si.") || k.startsWith("textindex.") ||
+        k.startsWith("vector.") || k.startsWith("sqlindex.")
+    }
+    val dest = GraftTable.create(spark, destPath, schema)
+    // carry the source meta verbatim (same rationale as shallowCloneTo:
+    // create() re-derives generated columns from properties, which must
+    // not run twice on an already-derived schema)
+    dest.layout.updateTableMeta(_ => m.copy(properties = props))
+    dest.insert(df)
     dest
   }
 

@@ -116,9 +116,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new CarbonishTable(p.toString, schema, asOfVersion = Some(v))
   }
 
-  /** `… TIMESTAMP AS OF <ts>` — Spark hands MICROSECONDS since epoch;
-    * resolved to the newest commit at or before it from the log files'
-    * own mtimes. */
+  /** `… TIMESTAMP AS OF <ts>` — Spark resolves the literal in the
+    * session time zone and hands MICROSECONDS since epoch; resolved to
+    * the newest commit at or before it from the PERSISTED per-commit
+    * `committedAt` stamps (r18; file mtimes only as the pre-stamp
+    * fallback). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val p = resolvedPath(tablePath(ident))
     if (!fs.exists(new Path(p, "_meta/tablemeta.json")))

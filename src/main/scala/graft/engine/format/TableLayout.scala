@@ -472,24 +472,63 @@ class TableLayout(val tablePath: String, conf: Configuration) {
             "timetravel='true', bounded by graft.timetravel.retain") + ")")
   }
 
+  /** First `max` bytes of `p` as a string, LOOP-reading until the
+    * buffer fills or EOF (r19, advisor r18): `InputStream.read` may
+    * legally return short counts on remote filesystems, and a silently
+    * short header read turns into the wrong fallback — mtime
+    * resolution for `TIMESTAMP AS OF` (the exact backup-copied-table
+    * scenario the persisted stamp exists for), or a spurious fence
+    * abort from a truncated lock token. None = EMPTY file; IO errors
+    * THROW (each caller decides whether an error means "fall back" or
+    * "retry later" — the committedAt memo must not cache one). */
+  private def readHead(p: Path, max: Int): Option[String] = {
+    val in = metaFs.open(p)
+    try {
+      val buf = new Array[Byte](max)
+      var n = 0
+      var r = 0
+      while (n < buf.length && r >= 0) {
+        r = in.read(buf, n, buf.length - n)
+        if (r > 0) n += r
+      }
+      if (n <= 0) None
+      else Some(new String(buf, 0, n, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
   /** Persisted commit wall-clock from a log file's first bytes (r18,
     * advisor r17): `committedAt` serializes right after `version`
     * (JsonPropertyOrder on [[TableStatus]]/[[StatusDelta]]), so one
     * 512-byte read resolves it without parsing a possibly-table-sized
     * delta/snapshot. None = pre-r18 file or unreadable → caller falls
-    * back to the file mtime (the historical resolution). */
-  private def readCommittedAtHeader(p: Path): Option[Long] =
+    * back to the file mtime (the historical resolution).
+    *
+    * MEMOIZED across calls keyed by (path, mtime, length) — the stamp
+    * is immutable once a log file is written, so `TIMESTAMP AS OF`
+    * resolution costs one `listStatus`, not O(retained log) re-opens
+    * per call on object storage (advisor r18). Only a COMPLETED probe
+    * is cached (stamp or proven-absent); an IO failure is retried on
+    * the next call. */
+  private def readCommittedAtHeader(f: org.apache.hadoop.fs.FileStatus): Option[Long] = {
+    val key = (f.getPath.toString, f.getModificationTime, f.getLen)
+    val hit = TableLayout.committedAtCache.get(key)
+    if (hit != null) return if (hit > 0) Some(hit.longValue) else None
     try {
-      val in = metaFs.open(p)
-      try {
-        val buf = new Array[Byte](512)
-        val n = in.read(buf)
-        if (n <= 0) None
-        else TableLayout.CommittedAtHeaderRe
-          .findFirstMatchIn(new String(buf, 0, n, StandardCharsets.UTF_8))
-          .map(_.group(1).toLong).filter(_ > 0)
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+      val head = readHead(f.getPath, 512)
+      val v = head.flatMap(s => TableLayout.CommittedAtHeaderRe
+        .findFirstMatchIn(s).map(_.group(1).toLong).filter(_ > 0))
+      // head == None (empty file) is also a completed probe for a file
+      // listStatus just returned: pre-stamp or torn → proven absent
+      if (TableLayout.committedAtCache.size > 65536)
+        TableLayout.committedAtCache.clear() // tiny keys; wholesale reset
+      TableLayout.committedAtCache.put(key, java.lang.Long.valueOf(v.getOrElse(0L)))
+      v
+    } catch {
+      // unreadable (racing rename, transient remote-fs error): mtime
+      // fallback for THIS call only — never cached
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
 
   /** Resolve `TIMESTAMP AS OF`-style reads: the largest retained
     * version whose commit completed at or before `tsMillis`, from the
@@ -512,7 +551,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
         f.getPath.getName match {
           case Name(_, n) if n.toLong <= cur.version =>
             cand += ((n.toLong,
-              readCommittedAtHeader(f.getPath).getOrElse(f.getModificationTime)))
+              readCommittedAtHeader(f).getOrElse(f.getModificationTime)))
           case _ =>
         }
       }
@@ -545,7 +584,7 @@ class TableLayout(val tablePath: String, conf: Configuration) {
               if (kind == "v") n <= cur.version
               else cur.ckptV >= 0 && n >= floor && n <= cur.version
             if (reachable && !out.contains(n))
-              out(n) = (readCommittedAtHeader(f.getPath)
+              out(n) = (readCommittedAtHeader(f)
                   .getOrElse(f.getModificationTime),
                 if (kind == "ckpt") "snapshot" else kind)
           case _ =>
@@ -806,17 +845,9 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   /** Version of the on-disk log from its first bytes (None = missing
     * or unreadable — e.g. a reader racing the rename). */
   private def readVersionHeader(): Option[Long] =
-    try {
-      val in = metaFs.open(statusPath)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        if (n <= 0) None
-        else TableLayout.VersionHeaderRe
-          .findFirstMatchIn(new String(buf, 0, n, StandardCharsets.UTF_8))
-          .map(_.group(1).toLong)
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    try readHead(statusPath, 256).flatMap(s =>
+      TableLayout.VersionHeaderRe.findFirstMatchIn(s).map(_.group(1).toLong))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Schema-change publish: status update + new table meta under ONE
     * table lock, so no other writer interleaves between the two files.
@@ -849,15 +880,8 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   /** Current lock-file content; None = missing or (transiently)
     * unreadable. 64 bytes is plenty for a UUID token. */
   private def readLockToken(): Option[String] =
-    try {
-      val in = metaFs.open(lockPath)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None
-        else Some(new String(buf, 0, n, StandardCharsets.UTF_8))
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    try readHead(lockPath, 64)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Abort if this thread's lock was taken over while held (see the
     * call site in writeJsonAtomic). Surfaced as the same exception the
@@ -1055,6 +1079,11 @@ object TableLayout {
   /** First-bytes probe for the commit log's leading version field. */
   private[format] val VersionHeaderRe = """"version"\s*:\s*(\d+)""".r
   private[format] val CommittedAtHeaderRe = """"committedAt"\s*:\s*(\d+)""".r
+  /** Memo for [[readCommittedAtHeader]]: (path, mtime, length) →
+    * stamp millis (0 = probed, proven absent). Process-wide — log
+    * files are immutable and the key self-invalidates on rewrite. */
+  private[engine] val committedAtCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
 
   /** Segment count past which the commit log switches from the inline
     * full-rewrite form to checkpoint + delta files (~4.5 MB of JSON at

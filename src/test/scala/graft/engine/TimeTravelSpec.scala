@@ -462,4 +462,30 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(t.status.version >= vBefore)
     GraftTable.drop(spark, dir)
   }
+
+  test("committedAt header probes are memoized across AS-OF resolutions (advisor r18)") {
+    import graft.engine.format.TableLayout
+    val dir = Files.createTempDirectory("graft_ttmemo_").toString + "/t"
+    val a = spark.range(0, 30).selectExpr("id AS k")
+    val t = GraftTable.create(spark, dir, a.schema,
+      properties = Map("timetravel" -> "true"))
+    t.insert(a)
+    t.insert(spark.range(30, 50).selectExpr("id AS k"))
+    t.insert(spark.range(50, 60).selectExpr("id AS k"))
+    TableLayout.committedAtCache.clear()
+    val now = System.currentTimeMillis() + 1000
+    val v1 = t.layout.versionAtTimestamp(now)
+    val n1 = TableLayout.committedAtCache.size
+    assert(n1 > 0, "first resolution must populate the header-stamp memo")
+    // stamps are immutable: a second resolution re-opens NOTHING
+    assert(t.layout.versionAtTimestamp(now) == v1)
+    assert(TableLayout.committedAtCache.size == n1,
+      "second resolution must be served from the memo, not re-opened files")
+    // new commits add only their OWN log files' entries
+    t.insert(spark.range(60, 65).selectExpr("id AS k"))
+    assert(t.layout.versionAtTimestamp(System.currentTimeMillis() + 1000) ==
+      t.status.version)
+    assert(TableLayout.committedAtCache.size >= n1)
+    GraftTable.drop(spark, dir)
+  }
 }
