@@ -412,6 +412,52 @@ object Bench {
   }
 }
 
+/** Shared machine-state instrumentation for the non-serial bench
+  * mains (r19, VERDICT r18 Next #1): the serial bench's
+  * calibration + starvation channels, packaged so the load /
+  * concurrent / mixed artifacts carry the SAME in-artifact noise
+  * verdict. The load anchor decayed 103 → 33.6 → 26.1 MB/s across
+  * three rounds on a code-unchanged path with NO way to adjudicate
+  * machine vs tree from the artifact — this closes that. */
+private[graft] object BenchEnv {
+  /** Fixed pure-Spark probe (zero engine code, zero IO, steady
+    * codegen'd CPU): runtime moves ONLY with the machine. Same shape
+    * and size rationale as the serial bench's calibOnce. */
+  def calibOnce(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 500000000L, 1L, cpus)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("id") % 7)).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  def procCpuMs: Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1000000L
+    case _ => -1L
+  }
+  def load1: Double = osBean.getSystemLoadAverage
+  def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  def ms(v: Double): String =
+    if (v < 0) "-1" else Math.round(v * 1000).toString
+  /** Per-run verdict, decided FROM THE ARTIFACT (same thresholds as
+    * the serial bench): "env" when the run's nearest calibration
+    * sample blew past 3x the window baseline, or the run was starved
+    * (host loadavg ≥ 0.8x host cores while the process CPU stayed
+    * under half the wall on a >0.5 s run); "ok" otherwise. */
+  def verdict(wallS: Double, cpuMsUsed: Long, loadAtStart: Double,
+      calibRatio: Double): String = {
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val starved = loadAtStart >= 0.8 * hostCores && cpuMsUsed >= 0 &&
+      cpuMsUsed * 2 < wallS * 1000 && wallS > 0.5
+    if (calibRatio > 3.0 || starved) "env" else "ok"
+  }
+}
+
 /** The reference's LOAD-throughput anchor — "40 MB/s per node"
   * (telecom, docs/usecases.md:103) and "45 MB/s per node" (smart-city,
   * docs/usecases.md:161), both through the CSV load pipeline into a
@@ -421,7 +467,14 @@ object Bench {
   * and (b) the INSERT path from an in-memory frame (the parquet-source
   * analog). Reports MB/s over the CSV byte size (the reference's
   * denominator: raw input bytes per wall second per node). One JSON
-  * line; committed as BENCH_r{N}_load.json. */
+  * line; committed as BENCH_r{N}_load.json.
+  *
+  * r19 (VERDICT r18 #2 / Next #1): carries the serial bench's
+  * calibration + noise channel — a calib sample before/between/after
+  * the runs, per-run process-CPU / loadavg / GC ms, and a per-run
+  * "ok"/"env" verdict, so a degraded window is adjudicable from the
+  * artifact alone ("noisy_n" > 0 ⇒ discard and re-run, the committed
+  * protocol). */
 object BenchLoad {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
@@ -447,28 +500,42 @@ object BenchLoad {
       new org.apache.hadoop.fs.Path(s"$root/csv")).getLength
     val rows = src.count()
 
-    def timed(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val calibBase = (1 to 3).map(_ => BenchEnv.calibOnce(spark, cpus.toInt)).min
+    val calibRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // (wall s, cpu ms, loadavg at start, gc ms, nearest-calib ratio)
+    case class Run(wall: Double, cpu: Long, load: Double, gc: Long, calib: Double)
+    def timed(body: => Unit): Run = {
+      val l0 = BenchEnv.load1; val c0 = BenchEnv.procCpuMs; val g0 = BenchEnv.gcMs
+      val t0 = System.nanoTime(); body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val calib = BenchEnv.calibOnce(spark, cpus.toInt)
+      calibRuns += calib
+      Run(wall, BenchEnv.procCpuMs - c0, l0, BenchEnv.gcMs - g0,
+        if (calibBase > 0) calib / calibBase else 1.0)
+    }
 
     // (a) LOAD DATA: csv → sorted segment, 3 runs, best (steady state)
-    val loadSecs = (1 to 3).map { i =>
+    val loadRuns = (1 to 3).map { i =>
       val t = GraftTable.create(spark, s"$root/t_load$i", src.schema,
         sortColumns = Seq("l_shipdate", "l_orderkey"))
       timed { t.loadCsv(s"$root/csv", badRecordsAction = "FORCE") }
     }
     // (b) INSERT from a cached frame (parquet-source load analog)
     val cached = src.cache(); cached.count()
-    val insertSecs = (1 to 3).map { i =>
+    val insertRuns = (1 to 3).map { i =>
       val t = GraftTable.create(spark, s"$root/t_ins$i", src.schema,
         sortColumns = Seq("l_shipdate", "l_orderkey"))
       timed { t.insert(cached) }
     }
-    val loadS = loadSecs.min; val insS = insertSecs.min
+    val all = loadRuns ++ insertRuns
+    val verdicts = all.map(r => BenchEnv.verdict(r.wall, r.cpu, r.load, r.calib))
+    val noisyN = verdicts.count(_ == "env")
+    val loadS = loadRuns.map(_.wall).min; val insS = insertRuns.map(_.wall).min
     val mb = csvBytes / 1e6
-    println(s"""{"metric":"load_mb_per_s","value":${f(mb / loadS)},"unit":"MB/s","csv_mb":${f(mb)},"rows":$rows,"load_best_s":${f(loadS)},"load_runs":[${loadSecs.map(f).mkString(",")}],"insert_mb_per_s":${f(mb / insS)},"insert_best_s":${f(insS)},"baseline_mb_per_s":45.0,"sf":"${new java.io.File(sfDir).getName}"}""")
+    def arr(xs: Seq[String]) = xs.mkString("[", ",", "]")
+    println(s"""{"metric":"load_mb_per_s","value":${f(mb / loadS)},"unit":"MB/s","csv_mb":${f(mb)},"rows":$rows,"load_best_s":${f(loadS)},"load_runs":[${loadRuns.map(r => f(r.wall)).mkString(",")}],"insert_mb_per_s":${f(mb / insS)},"insert_best_s":${f(insS)},"insert_runs":[${insertRuns.map(r => f(r.wall)).mkString(",")}],"baseline_mb_per_s":45.0,"calib":{"base":${BenchEnv.ms(calibBase)},"runs":${arr(calibRuns.map(BenchEnv.ms).toSeq)}},"cpums":${arr(all.map(_.cpu.toString))},"load1":${arr(all.map(r => Math.round(r.load * 10).toString))},"gcms":${arr(all.map(_.gc.toString))},"noise":${arr(verdicts.map("\"" + _ + "\""))},"noisy_n":$noisyN,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }
@@ -516,7 +583,6 @@ object BenchConcurrent {
     }
     val latencies = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
-    val wall0 = System.nanoTime()
     // Per-client shuffle sizing: with 20 tenants sharing the cores, a
     // query's fair share is cores/20 — giving each query `cpus`-wide
     // shuffle stages just multiplies task-scheduling contention. Size
@@ -549,8 +615,27 @@ object BenchConcurrent {
         }
       }, s"bench-client-$i")
     }
+    // r19 (VERDICT r18 Next #1): window calibration BEFORE and AFTER
+    // the concurrent pass (during it, contention is the measurement) —
+    // a blown post-calib or a starved window shows in the artifact
+    val calibBase = (1 to 3).map(_ => BenchEnv.calibOnce(spark, cpus.toInt)).min
+    val loadPre = BenchEnv.load1
+    val cpu0 = BenchEnv.procCpuMs
+    val gc0 = BenchEnv.gcMs
+    val wall0 = System.nanoTime()
     pool.foreach(_.start()); pool.foreach(_.join())
     val wall = (System.nanoTime() - wall0) / 1e9
+    val cpuUsed = BenchEnv.procCpuMs - cpu0
+    val gcUsed = BenchEnv.gcMs - gc0
+    val loadPost = BenchEnv.load1
+    val calibPost = BenchEnv.calibOnce(spark, cpus.toInt)
+    val calibRatio = if (calibBase > 0) calibPost / calibBase else 1.0
+    // 20 clients on `cpus` cores: the window is degraded when the
+    // post-calib blew up, or when external load was ALREADY high
+    // before our own threads started (loadPre is pre-contention)
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val windowVerdict =
+      if (calibRatio > 3.0 || loadPre >= 0.8 * hostCores) "env" else "ok"
     import scala.jdk.CollectionConverters._
     val lats = latencies.asScala.map(_._2).toSeq.sorted
     def pct(p: Double): Double =
@@ -562,7 +647,13 @@ object BenchConcurrent {
         val s = xs.map(_._2).toSeq.sorted
         "\"" + n + "\":" + f(s(s.size / 2))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"concurrent_p95","value":${f(pct(0.95))},"unit":"sec","threads":$threads,"runs":${lats.size},"failed":${failures.size},"p50":${f(pct(0.50))},"p95":${f(pct(0.95))},"max":${f(if (lats.isEmpty) -1.0 else lats.last)},"wall":${f(wall)},"qps":${f(if (wall > 0) lats.size / wall else -1.0)},"median_by_query":$perQ,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // r19 (VERDICT r18 Next #4): ATTRIBUTE THE TAIL — the worst-N
+    // individual runs by (shape, seconds), so a 120 s max is a named
+    // query in the artifact, not an unexplained number
+    val worst = latencies.asScala.toSeq.sortBy(-_._2).take(5)
+      .map { case (n, s) => "[\"" + n + "\"," + f(s) + "]" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"concurrent_p95","value":${f(pct(0.95))},"unit":"sec","threads":$threads,"runs":${lats.size},"failed":${failures.size},"p50":${f(pct(0.50))},"p95":${f(pct(0.95))},"max":${f(if (lats.isEmpty) -1.0 else lats.last)},"wall":${f(wall)},"qps":${f(if (wall > 0) lats.size / wall else -1.0)},"worst":$worst,"median_by_query":$perQ,"calib":{"base":${BenchEnv.ms(calibBase)},"post":${BenchEnv.ms(calibPost)}},"cpums":$cpuUsed,"gcms":$gcUsed,"load1_pre":${Math.round(loadPre * 10)},"load1_post":${Math.round(loadPost * 10)},"noise":"$windowVerdict","sf":"${new java.io.File(sfDir).getName}"}""")
     failures.asScala.take(5).foreach { case (n, e) => System.err.println(s"FAIL $n: $e") }
     spark.stop()
   }
@@ -663,17 +754,35 @@ object BenchConcurrentMixed {
         }
       }, s"mixed-reader-$i")
     }
+    // r19 (VERDICT r18 Next #1): same pre/post calibration + noise
+    // verdict as BenchConcurrent — see the rationale there
+    val calibBase = (1 to 3).map(_ => BenchEnv.calibOnce(spark, cpus.toInt)).min
+    val loadPre = BenchEnv.load1
+    val cpu0 = BenchEnv.procCpuMs
+    val gc0 = BenchEnv.gcMs
     val wall0 = System.nanoTime()
     writer.start(); pool.foreach(_.start()); pool.foreach(_.join())
     stop.set(true); writer.join()
     val wall = (System.nanoTime() - wall0) / 1e9
+    val cpuUsed = BenchEnv.procCpuMs - cpu0
+    val gcUsed = BenchEnv.gcMs - gc0
+    val loadPost = BenchEnv.load1
+    val calibPost = BenchEnv.calibOnce(spark, cpus.toInt)
+    val calibRatio = if (calibBase > 0) calibPost / calibBase else 1.0
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val windowVerdict =
+      if (calibRatio > 3.0 || loadPre >= 0.8 * hostCores) "env" else "ok"
     import scala.jdk.CollectionConverters._
     val lats = latencies.asScala.map(_._2).toSeq.sorted
     def pct(p: Double): Double =
       if (lats.isEmpty) -1.0 else lats(math.min(lats.size - 1, (p * lats.size).toInt))
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"concurrent_mixed_p95","value":${f(pct(0.95))},"unit":"sec","readers":$readers,"runs":${lats.size},"failed":${failures.size},"torn_snapshots":${torn.get},"writer_commits":${commits.get},"p50":${f(pct(0.50))},"p95":${f(pct(0.95))},"max":${f(if (lats.isEmpty) -1.0 else lats.last)},"wall":${f(wall)},"sf":"${new java.io.File(sfDir).getName}"}""")
+    // r19 (VERDICT r18 Next #4): worst-N (shape, seconds) attribution
+    val worst = latencies.asScala.toSeq.sortBy(-_._2).take(5)
+      .map { case (n, s) => "[\"" + n + "\"," + f(s) + "]" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"concurrent_mixed_p95","value":${f(pct(0.95))},"unit":"sec","readers":$readers,"runs":${lats.size},"failed":${failures.size},"torn_snapshots":${torn.get},"writer_commits":${commits.get},"p50":${f(pct(0.50))},"p95":${f(pct(0.95))},"max":${f(if (lats.isEmpty) -1.0 else lats.last)},"wall":${f(wall)},"worst":$worst,"calib":{"base":${BenchEnv.ms(calibBase)},"post":${BenchEnv.ms(calibPost)}},"cpums":$cpuUsed,"gcms":$gcUsed,"load1_pre":${Math.round(loadPre * 10)},"load1_post":${Math.round(loadPost * 10)},"noise":"$windowVerdict","sf":"${new java.io.File(sfDir).getName}"}""")
     failures.asScala.take(5).foreach { case (n, e) => System.err.println(s"FAIL $n: $e") }
     graft.engine.mv.Mv.drop(spark, "mv_mixed")
     spark.stop()

@@ -139,6 +139,10 @@ object GraftSql {
     * DROP MATERIALIZED VIEW <name>
     * SHOW MATERIALIZED VIEWS [ON TABLE <t>]  -- status/refresh-mode/trigger
     * CREATE TABLE <t> LIKE <src>   -- empty clone of schema/sort/partitions/props
+    * CREATE TABLE <t> SHALLOW CLONE <src> [VERSION AS OF v | TIMESTAMP AS OF 'ts']
+    * CREATE TABLE <t> DEEP CLONE <src> [VERSION AS OF v | TIMESTAMP AS OF 'ts']
+    * RESTORE TABLE <t> TO VERSION AS OF v | TO TIMESTAMP AS OF 'ts'
+    * SHOW VERSIONS FOR TABLE <t> [LIMIT n]
     * SHOW SUMMARY FOR TABLE <t>    -- CarbonCli-style per-file metadata
     * SHOW BENCHMARK FOR TABLE <t> [LIMIT n] -- CarbonCli-style per-file scan timings
     * }}}

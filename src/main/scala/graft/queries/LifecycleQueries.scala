@@ -472,6 +472,79 @@ object LifecycleQueries {
     }
   }
 
+  /** SHALLOW CLONE of a PARTITIONED + BUCKETED source (r19, VERDICT
+    * r18 Next #3a): orders partitioned by o_orderstatus and
+    * hash-bucketed by o_custkey, shallow-cloned whole. The query reads
+    * the CLONE with a partition filter, so a green row proves
+    * partition-dir RELATIVE paths (`__p_…/__bkt_…/file`) resolve
+    * through `externalPath` and the partition-pruning ladder runs on
+    * external segments unchanged. */
+  private def ordersClonedPartitioned(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_clonepart")
+    val cp = s"${p}_c"
+    val lc = layoutOf(s, cp)
+    val ok = layoutOf(s, p).exists && lc.exists && {
+      try lc.readStatus().visible.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, cp)
+    else {
+      if (layoutOf(s, p).exists) GraftTable.drop(s, p)
+      if (lc.exists) GraftTable.drop(s, cp)
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"),
+        properties = Map("bucket_columns" -> "o_custkey", "bucket_count" -> "4"),
+        partitionColumns = Seq("o_orderstatus"))
+      tbl.insert(src)
+      tbl.shallowCloneTo(cp)
+    }
+  }
+
+  /** DEEP CLONE surviving a source vacuum (r19, VERDICT r18 Next #6):
+    * orders with timetravel, a third CoW-deleted (the mis-step), the
+    * PRE-delete version DEEP-cloned via the SQL surface (full copy —
+    * the clone owns every byte), then the SOURCE aged and CLEAN FILES
+    * run so the pre-delete files a SHALLOW clone would still reference
+    * are PHYSICALLY RECLAIMED. The query reads the clone; the oracle
+    * is the FULL orders table — a green row proves the deep clone
+    * outlives source reclamation (the documented shallow-clone
+    * hazard's escape hatch). */
+  private def ordersClonedDeep(s: SparkSession, d: String): GraftTable = lock.synchronized {
+    val p = path(d, "lc_clonedeep")
+    val cp = s"${p}_c"
+    val mark = new java.io.File(s"${p}_cleaned")
+    val lc = layoutOf(s, cp)
+    val ok = layoutOf(s, p).exists && lc.exists && mark.exists() && {
+      try lc.readStatus().visible.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (ok) GraftTable.at(s, cp)
+    else {
+      if (layoutOf(s, p).exists) GraftTable.drop(s, p)
+      if (lc.exists) GraftTable.drop(s, cp)
+      if (mark.exists()) mark.delete()
+      val src = t(s, d, "orders")
+      val tbl = GraftTable.create(s, p, src.schema, Seq("o_orderkey"),
+        properties = Map("timetravel" -> "true"))
+      tbl.insert(src)
+      val v1 = tbl.status.version
+      graft.engine.Mutation.delete(tbl, col("o_orderkey") % 3 === 2)
+      graft.engine.GraftSql.command(s,
+        s"CREATE TABLE $cp DEEP CLONE $p VERSION AS OF $v1")
+      // vacuum the source: age every mtime past the sweep graces, then
+      // CLEAN FILES — reclaims the pre-delete files a shallow clone
+      // would still point at
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(q =>
+        try java.nio.file.Files.setLastModifiedTime(q, old)
+        catch { case scala.util.control.NonFatal(_) => () })
+      tbl.cleanFiles()
+      java.nio.file.Files.write(mark.toPath, "1".getBytes)
+      GraftTable.at(s, cp)
+    }
+  }
+
   /** MIXED-FORMAT TIME TRAVEL (r18, VERDICT r17 #7): supplier split
     * across a managed parquet segment plus ADD SEGMENT csv and json
     * foreigns (the [[supplierMixed]] shape) with timetravel='true',
@@ -727,6 +800,16 @@ object LifecycleQueries {
     "q_clone_asof" -> ((s, d) =>
       ordersClonedAsOf(s, d).read.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))),
+    "q_clone_partitioned" -> ((s, d) =>
+      ordersClonedPartitioned(s, d).read
+        .filter(col("o_orderstatus") =!= "O")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))),
+    "q_clone_deep" -> ((s, d) =>
+      ordersClonedDeep(s, d).read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
           sum(col("o_custkey")).cast("long").as("sum_cust")))
   )
 
@@ -854,6 +937,23 @@ object LifecycleQueries {
     // the shallow clone pins the PRE-delete version: the clone read
     // equals the full table while the source stays post-delete
     "q_clone_asof" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders GROUP BY o_orderstatus""",
+    // the clone of a partitioned+bucketed source serves a
+    // partition-filtered read through externalPath-resolved relative
+    // paths — any dir-resolution slip drops whole partitions
+    "q_clone_partitioned" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM orders WHERE o_orderstatus <> 'O'
+          GROUP BY o_orderstatus""",
+    // the deep clone pins the PRE-delete version AND owns its bytes:
+    // the source was vacuumed (CLEAN FILES reclaimed the pre-delete
+    // files), so only a true full copy reproduces the full table
+    "q_clone_deep" ->
       s"""SELECT o_orderstatus, count(*) AS cnt,
           ${oDsum("o_totalprice")} AS sum_price,
           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
