@@ -444,6 +444,44 @@ private[graft] object BenchEnv {
   }
   def ms(v: Double): String =
     if (v < 0) "-1" else Math.round(v * 1000).toString
+  /** IO calibration (r19): raw sequential write+read of `mb` MB
+    * through the same filesystem the bench writes to — the CPU calib
+    * probe cannot see a contended/throttled disk, and the LOAD anchor
+    * is IO-bound, so a decayed MB/s with steady CPU calib needs THIS
+    * channel to separate "slow disk today" from "slow tree". Returns
+    * (write MB/s, read MB/s). */
+  def ioCalib(dir: String, mb: Int = 256): (Double, Double) = {
+    val p = java.nio.file.Paths.get(dir, s"iocalib-${System.nanoTime()}.bin")
+    val buf = new Array[Byte](1 << 20)
+    new java.util.Random(42).nextBytes(buf) // incompressible-ish
+    try {
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        (0 until mb).foreach { _ =>
+          val bb = java.nio.ByteBuffer.wrap(buf)
+          while (bb.hasRemaining) ch.write(bb)
+        }
+        ch.force(false) // one fsync at the end, like a parquet close
+      } finally ch.close()
+      val wSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val in = java.nio.file.Files.newByteChannel(p,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val bb = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 0
+        while (n >= 0) { bb.clear(); n = in.read(bb) }
+      } finally in.close()
+      val rSec = (System.nanoTime() - t1) / 1e9
+      (mb / wSec, mb / rSec)
+    } finally {
+      try java.nio.file.Files.deleteIfExists(p)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
   /** Per-run verdict, decided FROM THE ARTIFACT (same thresholds as
     * the serial bench): "env" when the run's nearest calibration
     * sample blew past 3x the window baseline, or the run was starved
@@ -503,6 +541,12 @@ object BenchLoad {
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val calibBase = (1 to 3).map(_ => BenchEnv.calibOnce(spark, cpus.toInt)).min
+    // IO channel (r19): raw sequential write+read MB/s on the SAME
+    // filesystem, before and after the timed runs — the CPU calib
+    // cannot see a contended disk, and LOAD is IO-bound (read MB/s is
+    // page-cache-served at this size; the fsync'd write is the honest
+    // disk signal)
+    val (ioPreW, ioPreR) = BenchEnv.ioCalib(root)
     val calibRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     // (wall s, cpu ms, loadavg at start, gc ms, nearest-calib ratio)
     case class Run(wall: Double, cpu: Long, load: Double, gc: Long, calib: Double)
@@ -530,12 +574,13 @@ object BenchLoad {
       timed { t.insert(cached) }
     }
     val all = loadRuns ++ insertRuns
+    val (ioPostW, ioPostR) = BenchEnv.ioCalib(root)
     val verdicts = all.map(r => BenchEnv.verdict(r.wall, r.cpu, r.load, r.calib))
     val noisyN = verdicts.count(_ == "env")
     val loadS = loadRuns.map(_.wall).min; val insS = insertRuns.map(_.wall).min
     val mb = csvBytes / 1e6
     def arr(xs: Seq[String]) = xs.mkString("[", ",", "]")
-    println(s"""{"metric":"load_mb_per_s","value":${f(mb / loadS)},"unit":"MB/s","csv_mb":${f(mb)},"rows":$rows,"load_best_s":${f(loadS)},"load_runs":[${loadRuns.map(r => f(r.wall)).mkString(",")}],"insert_mb_per_s":${f(mb / insS)},"insert_best_s":${f(insS)},"insert_runs":[${insertRuns.map(r => f(r.wall)).mkString(",")}],"baseline_mb_per_s":45.0,"calib":{"base":${BenchEnv.ms(calibBase)},"runs":${arr(calibRuns.map(BenchEnv.ms).toSeq)}},"cpums":${arr(all.map(_.cpu.toString))},"load1":${arr(all.map(r => Math.round(r.load * 10).toString))},"gcms":${arr(all.map(_.gc.toString))},"noise":${arr(verdicts.map("\"" + _ + "\""))},"noisy_n":$noisyN,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"load_mb_per_s","value":${f(mb / loadS)},"unit":"MB/s","csv_mb":${f(mb)},"rows":$rows,"load_best_s":${f(loadS)},"load_runs":[${loadRuns.map(r => f(r.wall)).mkString(",")}],"insert_mb_per_s":${f(mb / insS)},"insert_best_s":${f(insS)},"insert_runs":[${insertRuns.map(r => f(r.wall)).mkString(",")}],"baseline_mb_per_s":45.0,"calib":{"base":${BenchEnv.ms(calibBase)},"runs":${arr(calibRuns.map(BenchEnv.ms).toSeq)}},"iocalib":{"pre_w":${f(ioPreW)},"pre_r":${f(ioPreR)},"post_w":${f(ioPostW)},"post_r":${f(ioPostR)}},"cpums":${arr(all.map(_.cpu.toString))},"load1":${arr(all.map(r => Math.round(r.load * 10).toString))},"gcms":${arr(all.map(_.gc.toString))},"noise":${arr(verdicts.map("\"" + _ + "\""))},"noisy_n":$noisyN,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }
