@@ -152,13 +152,20 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * Fails loudly past the log horizon; segments physically reclaimed
     * by CLEAN FILES (clean_files_retention_ms) fail at scan time —
     * retention bounds the readable past, exactly like Delta VACUUM. */
-  def readAsOf(version: Long): DataFrame = {
-    val st = layout.statusAt(version)
-    val vis = st.visible
-    if (vis.isEmpty)
+  def readAsOf(version: Long): DataFrame =
+    readSegmentSubset(layout.statusAt(version).visible)
+
+  /** Historical read restricted to an explicit segment subset — the
+    * shared machinery behind [[readAsOf]] (subset = everything
+    * visible) and [[readChanges]] (subset = only the segments the
+    * metadata diff says CHANGED). MoR delete deltas are applied
+    * per-segment like the live read; foreign formats read through
+    * their own readers; current-schema projection. */
+  private def readSegmentSubset(segs: Seq[graft.engine.format.SegmentMeta]): DataFrame = {
+    if (segs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      val (parquetSegs, foreign) = vis.partition(_.format == "parquet")
+      val (parquetSegs, foreign) = segs.partition(_.format == "parquet")
       val base =
         if (parquetSegs.isEmpty) None
         else Some {
@@ -173,6 +180,52 @@ class GraftTable private (val spark: SparkSession, val path: String)
       (base.toSeq ++ foreign.map(readForeignSegment)).reduce(_ unionByName _)
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
+  }
+
+  /** CHANGE DATA FEED (r19, beyond the reference — Delta's
+    * `table_changes` without stored change files): the row-level NET
+    * changes between two retained versions, derived from the commit
+    * log alone. Result = this table's columns plus `_change_type`
+    * ('insert' | 'delete'), `_from_version`, `_to_version`.
+    *
+    * Semantics are NET MULTISET diff: a row counts as inserted
+    * (deleted) once per copy that exists at `toVersion` but not
+    * `fromVersion` (vice versa) — a row rewritten UNCHANGED by
+    * copy-on-write cancels exactly; updates surface as a
+    * delete+insert pair, like Delta CDF's update_preimage/postimage
+    * without the stored files.
+    *
+    * The 100 TB design point: a METADATA diff of the two segment
+    * lists runs first — segments whose identity (files, deltas,
+    * external path, format) is byte-identical at both versions cannot
+    * contribute to a multiset difference ((U+A) −ₘ (U+B) = A −ₘ B),
+    * so only CHURNED segments are scanned, and the `exceptAll` pair
+    * shuffles only churned rows. A 100 TB table with 1% churn diffs
+    * ~1% of its bytes; the common per-commit feed (`v`, `v+1`) scans
+    * exactly the segments that commit touched. */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val a = layout.statusAt(fromVersion)
+    val b = layout.statusAt(toVersion)
+    // segment identity: everything that determines the rows a segment
+    // serves (delta map included — a MoR delete changes served rows
+    // without touching the data files)
+    def fp(s: graft.engine.format.SegmentMeta) =
+      (s.id, s.files, s.deltas, s.externalPath, s.format)
+    val af = a.visible.map(fp).toSet
+    val bf = b.visible.map(fp).toSet
+    val aOnly = a.visible.filterNot(s => bf(fp(s)))
+    val bOnly = b.visible.filterNot(s => af(fp(s)))
+    val oldRows = readSegmentSubset(aOnly)
+    val newRows = readSegmentSubset(bOnly)
+    val ins = newRows.exceptAll(oldRows)
+      .withColumn("_change_type", lit("insert"))
+    val del = oldRows.exceptAll(newRows)
+      .withColumn("_change_type", lit("delete"))
+    ins.unionByName(del)
+      .withColumn("_from_version", lit(fromVersion))
+      .withColumn("_to_version", lit(toVersion))
   }
 
   /** `TIMESTAMP AS OF` form: largest retained version committed at or

@@ -490,6 +490,30 @@ class SegmentFileIndex(
   override def sizeInBytes: Long = visible.map(_.sizeBytes).sum
 
   override def refresh(): Unit = ()
+
+  // Identity (r19): InMemoryFileIndex.equals/hashCode compare the
+  // rootPaths SETS — and this index passes NO roots, so every
+  // SegmentFileIndex compared EQUAL regardless of which segments it
+  // serves. Downstream, HadoopFsRelation is a case class over the
+  // location, so two scans over DIFFERENT segment subsets of the same
+  // table canonicalized equal and AQE's exchange reuse silently served
+  // one subset's rows for both (readChanges' two exceptAll legs came
+  // back identical → empty diff). Identity here = table + the exact
+  // served-rows fingerprint per segment + runtime filters; two indexes
+  // over the SAME subset still compare equal, so legitimate stage
+  // reuse (the same as-of read appearing twice in one plan) keeps
+  // working.
+  private val servedFingerprint: (String, Seq[(Long, Seq[String], Map[String, Seq[String]], Option[String], String)], Seq[String]) =
+    (layout.tablePath,
+      visible.map(s => (s.id, s.files, s.deltas, s.externalPath, s.format)),
+      runtimeFilters.map(_.toString))
+
+  override def equals(other: Any): Boolean = other match {
+    case o: SegmentFileIndex => servedFingerprint == o.servedFingerprint
+    case _ => false
+  }
+
+  override def hashCode(): Int = servedFingerprint.hashCode()
 }
 
 /** ParquetScanBuilder (delegated) + metadata-only count(*).
