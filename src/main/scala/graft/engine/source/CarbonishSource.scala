@@ -507,13 +507,19 @@ class SegmentFileIndex(
     (layout.tablePath,
       visible.map(s => (s.id, s.files, s.deltas, s.externalPath, s.format)),
       runtimeFilters.map(_.toString))
+  // hashCode is probed on every plan-canonicalization equality check —
+  // precompute once (the tuple walk is O(files)) and let equals bail
+  // on the hash before comparing fingerprints structurally
+  private val servedFingerprintHash: Int = servedFingerprint.hashCode()
 
   override def equals(other: Any): Boolean = other match {
-    case o: SegmentFileIndex => servedFingerprint == o.servedFingerprint
+    case o: SegmentFileIndex =>
+      servedFingerprintHash == o.servedFingerprintHash &&
+        servedFingerprint == o.servedFingerprint
     case _ => false
   }
 
-  override def hashCode(): Int = servedFingerprint.hashCode()
+  override def hashCode(): Int = servedFingerprintHash
 }
 
 /** ParquetScanBuilder (delegated) + metadata-only count(*).
