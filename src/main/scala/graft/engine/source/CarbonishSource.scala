@@ -503,23 +503,35 @@ class SegmentFileIndex(
   // over the SAME subset still compare equal, so legitimate stage
   // reuse (the same as-of read appearing twice in one plan) keeps
   // working.
-  private val servedFingerprint: (String, Seq[(Long, Seq[String], Map[String, Seq[String]], Option[String], String)], Seq[String]) =
-    (layout.tablePath,
-      visible.map(s => (s.id, s.files, s.deltas, s.externalPath, s.format)),
-      runtimeFilters.map(_.toString))
-  // hashCode is probed on every plan-canonicalization equality check —
-  // precompute once (the tuple walk is O(files)) and let equals bail
-  // on the hash before comparing fingerprints structurally
-  private val servedFingerprintHash: Int = servedFingerprint.hashCode()
+  // The fingerprint is folded ONCE into a 128-bit digest at index
+  // construction: equality probes run on every plan-canonicalization
+  // check, and in a 20-client serving mix every client scans the SAME
+  // snapshot — equal indexes are the COMMON case, so a structural
+  // compare would walk O(files) on every probe. (tablePath, digest)
+  // comparison is O(1); MD5 over the served-rows identity makes an
+  // accidental collision between two DIFFERENT subsets of one table
+  // a non-concern at 2^-64 scale.
+  private val servedFingerprintDigest: (String, java.math.BigInteger) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def upd(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
+    visible.foreach { s =>
+      upd(s.id.toString)
+      s.files.foreach(upd)
+      s.deltas.toSeq.sortBy(_._1).foreach { case (k, vs) => upd(k); vs.foreach(upd) }
+      s.externalPath.foreach(upd)
+      upd(s.format)
+      md.update(1.toByte)
+    }
+    runtimeFilters.foreach(f => upd(f.toString))
+    (layout.tablePath, new java.math.BigInteger(1, md.digest()))
+  }
 
   override def equals(other: Any): Boolean = other match {
-    case o: SegmentFileIndex =>
-      servedFingerprintHash == o.servedFingerprintHash &&
-        servedFingerprint == o.servedFingerprint
+    case o: SegmentFileIndex => servedFingerprintDigest == o.servedFingerprintDigest
     case _ => false
   }
 
-  override def hashCode(): Int = servedFingerprintHash
+  override def hashCode(): Int = servedFingerprintDigest.hashCode()
 }
 
 /** ParquetScanBuilder (delegated) + metadata-only count(*).
