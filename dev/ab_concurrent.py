@@ -31,7 +31,14 @@ def bench(tree, sfdir):
         sys.stderr.write(p.stderr[-2000:])
         raise RuntimeError(f"no bench json line from {tree}")
     j = json.loads(line)
-    return {k: j.get(k) for k in ("p50", "p95", "max", "wall", "runs", "failed", "qps")}
+    # r20 (VERDICT r19 #2): keep the per-run noise channel IN the A/B
+    # artifact — calib base/post, process CPU/GC, pre/post load and the
+    # window verdict adjudicate a drifting host in place, and "worst"
+    # names the tail shapes
+    keys = ("p50", "p95", "max", "wall", "runs", "failed", "qps",
+            "calib", "cpums", "gcms", "load1_pre", "load1_post",
+            "noise", "worst")
+    return {k: j.get(k) for k in keys}
 
 
 def main():

@@ -218,9 +218,17 @@ object GraftSql {
     // CHANGE DATA FEED (r19, Delta table_changes analog): row-level
     // net changes between two retained versions/timestamps, computed
     // from the commit log (no stored change files) — each bound is a
-    // version number or a session-TZ timestamp string
+    // version number or a session-TZ timestamp string. The one-bound
+    // form (r20) is the per-commit feed: TABLE_CHANGES('<t>', v) =
+    // exactly what commit v changed (bounds v-1 → v).
     val TableChanges =
-      """(?is)^\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*(?:(\d+)|'([^']+)')\s*,\s*(?:(\d+)|'([^']+)')\s*\)\s*$""".r
+      """(?is)^\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*(?:(\d+)|'([^']+)')\s*(?:,\s*(?:(\d+)|'([^']+)')\s*)?\)\s*$""".r
+    // anything else mentioning TABLE_CHANGES would otherwise fall
+    // through to Spark's parser and die on an unrelated
+    // unresolved-function error (r20, advisor r19) — catch it and
+    // point at the supported grammar instead
+    val TableChangesMisuse =
+      """(?is)^.*\bTABLE_CHANGES\s*\(.*$""".r
     // DEEP CLONE (r19): full-copy form — the clone owns every byte and
     // survives source rewrites/CLEAN FILES (shallow's documented hazard)
     val DeepClone =
@@ -303,7 +311,19 @@ object GraftSql {
         def bound(v: String, ts: String): Long =
           if (v != null) v.toLong
           else t0.layout.versionAtTimestamp(sessionTsMillis(spark, ts))
-        Some(t0.readChanges(bound(v1, ts1), bound(v2, ts2)))
+        val from = bound(v1, ts1)
+        Some(
+          if (v2 == null && ts2 == null) t0.readChanges(from) // one commit's feed
+          else t0.readChanges(from, bound(v2, ts2)))
+      case TableChangesMisuse() =>
+        throw new IllegalArgumentException(
+          "TABLE_CHANGES supports exactly: SELECT * FROM TABLE_CHANGES(" +
+            "'<table path>', <version|'timestamp'> [, <version|'timestamp'>]) " +
+            "— no projection, WHERE, alias, or join around it (wrap it in a " +
+            "temp view for that: CREATE TEMP VIEW cdf AS SELECT * FROM " +
+            "TABLE_CHANGES(...) is not supported either; collect the feed " +
+            "via GraftTable.readChanges and register it instead). The " +
+            "one-bound form is the per-commit feed of that version.")
       case DeepClone(dest, src, v, ts) =>
         val t0 = table(src)
         val ver =

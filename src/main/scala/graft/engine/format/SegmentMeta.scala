@@ -83,11 +83,56 @@ case class SegmentMeta(
       * resolved its snapshot just before the retirement can still be
       * scanning these files. 0 = unknown (legacy entries): reclaimed
       * immediately once retention is on. */
-    retiredAt: Long = 0L) {
+    retiredAt: Long = 0L,
+    /** REWRITE PROVENANCE (r20, VERDICT r19 #1 — Delta's
+      * `dataChange=false` analog): set by rewrite-only commits
+      * (compaction/z-order re-cluster, horizontal delta merge, delta
+      * fold), whose output serves EXACTLY the live rows of some prior
+      * state(s). `rewriteOf` holds the content fingerprints
+      * ([[SegmentMeta.contentFp]]) of those source STATES and
+      * `rewriteFp` the fingerprint of the state this rewrite produced.
+      * Together they record the eternal fact "state rewriteFp's row
+      * multiset == Σ rewriteOf states' row multisets" — keyed by
+      * immutable state fingerprints, so a LATER mutation of this
+      * segment (new fp, different rows) never invalidates the edge and
+      * no mutation path has to clear these fields. The change-data
+      * feed composes segment identity through these edges: a
+      * compaction between its bounds cancels symbolically instead of
+      * scanning O(table) to net zero. Empty on pre-r20 log entries →
+      * readers degrade to the conservative scan (back-compat). */
+    rewriteOf: Seq[String] = Nil,
+    rewriteFp: String = "") {
   def isVisible: Boolean = SegmentStatus.visible(status)
   /** Retire with the timestamp CLEAN FILES' retention keys on. */
   def retire(newStatus: String): SegmentMeta =
     copy(status = newStatus, retiredAt = System.currentTimeMillis())
+}
+
+object SegmentMeta {
+  /** Content fingerprint of one segment STATE — a 32-hex-char token
+    * over everything that determines the rows the state serves:
+    * (table path, id, format, external path, data files in order,
+    * delta map). Two states with equal fingerprints serve equal row
+    * multisets; the change-data feed diffs and composes on these
+    * tokens ([[SegmentMeta.rewriteOf]]). Salted with the TABLE path
+    * so a provenance token inherited across a SHALLOW CLONE (the
+    * clone copies entries verbatim) can never collide with a
+    * fingerprint computed in the clone's own log — segment ids and
+    * deterministic part-file names repeat across tables.
+    *
+    * PERSISTED in the commit log: fold order and [[Fp128]] constants
+    * are frozen (see Fp128's stability contract). */
+  def contentFp(tablePath: String, s: SegmentMeta): String = {
+    val h = new Fp128
+    h.add(tablePath).add(s.id.toString).add(s.format)
+      .add(s.externalPath.getOrElse("")).mark(1)
+    s.files.foreach(h.add)
+    h.mark(2)
+    s.deltas.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+      h.add(k); vs.foreach(h.add); h.mark(3)
+    }
+    h.hex
+  }
 }
 
 /** The atomic commit log: full list of segments ever created (until

@@ -472,6 +472,44 @@ class TableLayout(val tablePath: String, conf: Configuration) {
             "timetravel='true', bounded by graft.timetravel.retain") + ")")
   }
 
+  /** Rewrite-provenance edges observable in the log over
+    * `(a.version, b.version]` plus both endpoint snapshots:
+    * `rewriteFp → rewriteOf` facts ([[SegmentMeta.rewriteOf]]) the
+    * change-data feed composes segment identity through. Metadata-only
+    * — checkpointed logs read the O(range) delta tail (the same files
+    * a statusAt replay reads), inline logs read whatever versioned
+    * snapshots are retained. Intermediate versions matter for CHAINED
+    * in-place rewrites (horizontal delta merge at v, delta fold at
+    * v+1: the middle state's edge lives only in v's upsert); a missing
+    * intermediate (aged-out snapshot, checkpoint boundary) just drops
+    * that edge — the reader degrades to a conservative scan, never to
+    * wrong rows. Ranges past `maxWalk` commits skip the intermediate
+    * walk entirely for the same reason. */
+  def rewriteEdges(a: TableStatus, b: TableStatus,
+      maxWalk: Long = 4096L): Map[String, Seq[String]] = {
+    val out = scala.collection.mutable.Map[String, Seq[String]]()
+    def collect(ss: Seq[SegmentMeta]): Unit = ss.foreach { s =>
+      if (s.rewriteFp.nonEmpty && s.rewriteOf.nonEmpty) out(s.rewriteFp) = s.rewriteOf
+    }
+    collect(a.segments)
+    collect(b.segments)
+    if (b.version - a.version <= maxWalk) {
+      val cur = readStatus()
+      var v = a.version + 1
+      while (v < b.version) {
+        if (cur.ckptV >= 0) {
+          val p = deltaPath(v)
+          if (metaFs.exists(p)) collect(readJson(p, classOf[StatusDelta]).upserts)
+        } else {
+          val p = vPath(v)
+          if (metaFs.exists(p)) collect(readJson(p, classOf[TableStatus]).segments)
+        }
+        v += 1
+      }
+    }
+    out.toMap
+  }
+
   /** First `max` bytes of `p` as a string, LOOP-reading until the
     * buffer fills or EOF (r19, advisor r18): `InputStream.read` may
     * legally return short counts on remote filesystems, and a silently

@@ -508,24 +508,44 @@ class SegmentFileIndex(
   // check, and in a 20-client serving mix every client scans the SAME
   // snapshot — equal indexes are the COMMON case, so a structural
   // compare would walk O(files) on every probe. (tablePath, digest)
-  // comparison is O(1); MD5 over the served-rows identity makes an
-  // accidental collision between two DIFFERENT subsets of one table
-  // a non-concern at 2^-64 scale.
-  private val servedFingerprintDigest: (String, java.math.BigInteger) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def upd(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
+  // comparison is O(1); [[graft.engine.format.Fp128]] (r20, advisor
+  // r19: MessageDigest MD5 throws on FIPS-hardened JVMs, failing every
+  // scan for a non-cryptographic token) keeps an accidental collision
+  // between two DIFFERENT subsets of one table a non-concern at 2^-64
+  // scale.
+  private val servedFingerprintDigest: (String, (Long, Long)) = {
+    val h = new graft.engine.format.Fp128
     visible.foreach { s =>
-      upd(s.id.toString)
-      s.files.foreach(upd)
-      s.deltas.toSeq.sortBy(_._1).foreach { case (k, vs) => upd(k); vs.foreach(upd) }
-      s.externalPath.foreach(upd)
-      upd(s.format)
-      md.update(1.toByte)
+      h.add(s.id.toString)
+      s.files.foreach(h.add)
+      s.deltas.toSeq.sortBy(_._1).foreach { case (k, vs) => h.add(k); vs.foreach(h.add) }
+      s.externalPath.foreach(h.add)
+      h.add(s.format)
+      h.mark(1)
     }
-    runtimeFilters.foreach(f => upd(f.toString))
-    (layout.tablePath, new java.math.BigInteger(1, md.digest()))
+    runtimeFilters.foreach(f => h.add(f.toString))
+    (layout.tablePath, h.result)
   }
 
+  // KNOWN ASYMMETRY (r20, advisor r19 — documented constraint): the
+  // equals below is one-directional. A PLAIN InMemoryFileIndex
+  // compares rootPaths SETS, and this index passes Nil roots (the
+  // zero-plan-time-IO design above) — so while
+  // SegmentFileIndex.equals(vanilla) is always false, a vanilla index
+  // that itself carried ZERO rootPaths would compare equal to every
+  // SegmentFileIndex in the reverse direction. Direction-proofing was
+  // evaluated and rejected: rootPaths is a concrete `val` in
+  // InMemoryFileIndex (not overridable with a guarded def/lazy val in
+  // Scala), a real override val is read by the superclass constructor
+  // before subclass init (NPE), and passing a synthetic marker root to
+  // the super constructor re-triggers the eager listing this class
+  // exists to avoid (FileNotFoundException on a fake root,
+  // or a recursive _meta/log walk on a real one). The exposure is
+  // theoretical: Spark never constructs an InMemoryFileIndex over an
+  // EMPTY path list (DataSource errors on zero paths before reaching
+  // the index), so a no-root vanilla index cannot appear in a plan to
+  // alias against. If one ever does, its relation serves zero files
+  // and the aliasing direction is vanilla→ours only.
   override def equals(other: Any): Boolean = other match {
     case o: SegmentFileIndex => servedFingerprintDigest == o.servedFingerprintDigest
     case _ => false

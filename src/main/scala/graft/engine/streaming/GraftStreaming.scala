@@ -178,6 +178,22 @@ object GraftStreaming {
     t.status.segments
       .find(s => s.status == SegmentStatus.Streaming && s.sizeBytes >= maxBytes)
       .flatMap(_ => handoff(t))
+
+  /** Streaming CHANGE DATA FEED (r20): an unbounded DataFrame of
+    * [[GraftTable.readChanges]] batches keyed on the commit-log
+    * version — see [[ChangeFeedSource]]. `startingVersion` rewinds
+    * into the retained log; default = changes after the stream
+    * starts. */
+  def readChangesStream(
+      spark: SparkSession,
+      path: String,
+      startingVersion: Option[Long] = None): DataFrame = {
+    var r = spark.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", path)
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    r.load()
+  }
 }
 
 /** CREATE/DROP/SHOW STREAM + FINISH STREAMING — thin job registry over

@@ -859,6 +859,26 @@ object LifecycleQueries {
         .groupBy("change_type", "o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
           sum(col("o_custkey")).cast("long").as("sum_cust"))
+    }),
+    // STREAMING change feed (r20): the same fixture consumed through
+    // the version-keyed micro-batch source — whether the engine slices
+    // the two commits into one batch or two, the union equals the
+    // batch feed (the delete touches only pre-start rows and the
+    // re-insert batch arrives after it), so the q_table_changes oracle
+    // certifies the streaming path row-for-row
+    "q_changes_stream" -> ((s, d) => {
+      val (tbl, v1, _) = ordersChanged(s, d)
+      val feed = graft.engine.streaming.GraftStreaming
+        .readChangesStream(s, tbl.path, Some(v1))
+      val qn = s"q_changes_stream_${System.nanoTime()}"
+      val q = feed.writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .withColumnRenamed("_change_type", "change_type")
+        .groupBy("change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))
     })
   )
 
@@ -1011,6 +1031,21 @@ object LifecycleQueries {
     // CoW-deleted third at ORIGINAL values, inserts = the re-inserted
     // doubled-price batch — rewritten survivors must cancel exactly
     "q_table_changes" ->
+      s"""SELECT change_type, o_orderstatus, count(*) AS cnt,
+          ${oDsum("o_totalprice")} AS sum_price,
+          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          FROM (
+            SELECT 'delete' AS change_type, o_orderstatus, o_totalprice,
+                   o_custkey
+            FROM orders WHERE o_orderkey % 3 = 2
+            UNION ALL
+            SELECT 'insert' AS change_type, o_orderstatus,
+                   o_totalprice * 2 AS o_totalprice, o_custkey
+            FROM orders WHERE o_orderkey % 10 = 5)
+          GROUP BY change_type, o_orderstatus""",
+    // identical reconstruction: the streaming consumption of the same
+    // commits must union to the same net feed
+    "q_changes_stream" ->
       s"""SELECT change_type, o_orderstatus, count(*) AS cnt,
           ${oDsum("o_totalprice")} AS sum_price,
           CAST(sum(o_custkey) AS BIGINT) AS sum_cust

@@ -111,4 +111,17 @@ object Shims {
         r.rdd.unpersist(blocking = false)
       case _ => () // not a checkpointed frame: nothing pinned here
     }
+
+  /** Wrap an InternalRow RDD as a DataFrame, optionally tagged
+    * `isStreaming=true` — MicroBatchExecution asserts that tag on every
+    * v1 `Source.getBatch` result, and the change-feed source computes
+    * each batch as a regular BATCH query (a metadata diff + exceptAll
+    * pair) whose lazy `toRdd` is re-wrapped through here. */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
 }
