@@ -20,6 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic:
   *   a = prefix >>> 32          ≡ CONV(SUBSTRING(md5(x), 1, 8), 16, 10)
   *   b = prefix & 0xFFFFFFFF    ≡ CONV(SUBSTRING(md5(x), 9, 8), 16, 10)
+  *
+  * MD5 here is SEMANTIC, not an equality token: the value must match
+  * the SQL `md5()` the oracle reproduces, so it cannot move to
+  * [[graft.engine.format.Fp128]] (the FIPS-safe replacement used where
+  * only equality matters). On a FIPS-hardened JVM this expression fails
+  * exactly as Spark's own `md5()` builtin does — per-query, never at
+  * scan construction.
   */
 case class Md5Prefix64(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
