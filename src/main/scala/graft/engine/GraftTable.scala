@@ -193,7 +193,9 @@ class GraftTable private (val spark: SparkSession, val path: String)
     * `table_changes` without stored change files): the row-level NET
     * changes between two retained versions, derived from the commit
     * log alone. Result = this table's columns plus `_change_type`
-    * ('insert' | 'delete'), `_from_version`, `_to_version`.
+    * ('insert' | 'delete'), `_from_version`, `_to_version`, and
+    * `_commit_timestamp` (the span-end commit's persisted wall-clock;
+    * see the column comment at the end of this method).
     *
     * Semantics are NET MULTISET diff: a row counts as inserted
     * (deleted) once per copy that exists at `toVersion` but not
@@ -246,8 +248,9 @@ class GraftTable private (val spark: SparkSession, val path: String)
       s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
     // reserved-column guard (r20, advisor r19): withColumn REPLACES a
     // same-named user column, which would silently corrupt the feed
-    val reserved = Seq("_change_type", "_from_version", "_to_version")
-      .filter(schema.fieldNames.contains)
+    val reserved =
+      Seq("_change_type", "_from_version", "_to_version", "_commit_timestamp")
+        .filter(schema.fieldNames.contains)
     require(reserved.isEmpty,
       s"readChanges: table schema already contains reserved change-feed " +
         s"column(s) ${reserved.mkString(", ")} — rename them first " +
@@ -329,6 +332,17 @@ class GraftTable private (val spark: SparkSession, val path: String)
     ins.unionByName(del)
       .withColumn("_from_version", lit(fromVersion))
       .withColumn("_to_version", lit(toVersion))
+      // _commit_timestamp (r20, Delta parity): the wall-clock the log
+      // persisted for `_to_version`'s commit — on the per-commit form
+      // this IS Delta's per-row commit attribution; on a multi-commit
+      // span (incl. streaming batches that coalesce commits) it is the
+      // span-END commit time, i.e. the instant the net change became
+      // fully visible (per-commit attribution inside a net multiset
+      // diff would be fiction — slice with readChanges(v) for it).
+      // NULL only for pre-r18 logs that carry no commit stamps.
+      .withColumn("_commit_timestamp",
+        if (b.committedAt > 0) lit(new java.sql.Timestamp(b.committedAt))
+        else lit(null).cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** UPDATE pre/post-image pairing (r20, VERDICT r19 #5 — Delta's

@@ -432,6 +432,39 @@ class ChangesSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](t.readChanges(v - 1, v))
     assert(e.getMessage.contains("_change_type"))
     GraftTable.drop(spark, dir)
+    val dir2 = Files.createTempDirectory("graft_cdfres2_").toString + "/t"
+    val t2 = GraftTable.create(spark, dir2,
+      spark.range(0, 1).selectExpr("id AS k", "id AS _commit_timestamp").schema,
+      properties = Map("timetravel" -> "true"))
+    t2.insert(spark.range(0, 5).selectExpr("id AS k", "id AS _commit_timestamp"))
+    val v2 = t2.status.version
+    val e2 = intercept[IllegalArgumentException](t2.readChanges(v2 - 1, v2))
+    assert(e2.getMessage.contains("_commit_timestamp"))
+    GraftTable.drop(spark, dir2)
+  }
+
+  test("_commit_timestamp carries the span-end commit's persisted wall-clock") {
+    val dir = Files.createTempDirectory("graft_cdfts_").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 1).selectExpr("id AS k").schema,
+      properties = Map("timetravel" -> "true"))
+    t.insert(spark.range(0, 10).selectExpr("id AS k"))
+    t.insert(spark.range(10, 25).selectExpr("id AS k"))
+    val v2 = t.status.version
+    // per-commit form: every row is attributed to commit v2 — Delta's
+    // table_changes semantics exactly
+    val stampMs = t.layout.statusAt(v2).committedAt
+    assert(stampMs > 0, "timetravel logs persist commit stamps since r18")
+    val one = t.readChanges(v2).collect()
+    assert(one.nonEmpty)
+    assert(one.forall(_.getAs[java.sql.Timestamp]("_commit_timestamp")
+      .getTime == stampMs))
+    // span form: the END commit's stamp (the instant the net change
+    // became fully visible), not the first bound's
+    val span = t.readChanges(v2 - 2, v2).collect()
+    assert(span.forall(_.getAs[java.sql.Timestamp]("_commit_timestamp")
+      .getTime == stampMs))
+    GraftTable.drop(spark, dir)
   }
 
   // ---- streaming form (r20, VERDICT r19 #4) ---------------------------
