@@ -44,7 +44,16 @@ def bench(tree, sfdir, rows):
         raise RuntimeError(f"no full bench artifact from {tree}")
     try:
         with open(full) as f:
-            return json.load(f)["queries"]  # name -> ms median
+            j = json.load(f)
+        # r20 (after VERDICT r19 #2 asked the same of the concurrent
+        # A/B): keep each run's calibration + noise channel in the
+        # artifact so a drifting window adjudicates itself in place
+        noise = j.get("noise", {})
+        env = {
+            "calib": j.get("calib"),
+            "noisy_n": sum(1 for v in noise.values() if v != "ok"),
+        }
+        return j["queries"], env  # name -> ms median, run noise channel
     finally:
         os.remove(full)
 
@@ -55,6 +64,7 @@ def main():
     label_b = sys.argv[8] if len(sys.argv) > 8 else "B"
     pairs = int(pairs)
     runs = {label_a: [], label_b: []}
+    envs = {label_a: [], label_b: []}
     order = []
     for i in range(pairs):
         seq = [(label_a, tree_a), (label_b, tree_b)]
@@ -62,7 +72,9 @@ def main():
             seq.reverse()
         for tag, tree in seq:
             print(f"[ab] pair {i} run {tag} ...", flush=True)
-            runs[tag].append(bench(tree, sfdir, rows))
+            qs, env = bench(tree, sfdir, rows)
+            runs[tag].append(qs)
+            envs[tag].append(env)
             order.append(tag)
     row_names = rows.split(",")
     per_row = {}
@@ -82,6 +94,7 @@ def main():
             "ignored) + the pure-Spark control"),
         "order": order,
         "rows": per_row,
+        "envs": envs,
     }
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
