@@ -498,6 +498,44 @@ class ChangesSpec extends AnyFunSuite {
     GraftTable.drop(spark, dir)
   }
 
+  test("readChangesStream across a rewrite-only commit: the batch nets empty " +
+      "(the CDC-consumer-during-OPTIMIZE serving shape)") {
+    val dir = Files.createTempDirectory("graft_cdfstreamrw_").toString + "/t"
+    val t = GraftTable.create(spark, dir,
+      spark.range(0, 1).selectExpr("id AS k").schema,
+      sortColumns = Seq("k"), properties = Map("timetravel" -> "true"))
+    t.insert(spark.range(0, 40).selectExpr("id AS k"))
+    t.insert(spark.range(40, 80).selectExpr("id AS k"))
+    val v0 = t.status.version
+    // the only commit after the stream's start is a MAJOR compaction —
+    // the consumer's next batch spans a rewrite and nothing else
+    assert(t.compact("MAJOR").nonEmpty)
+    assert(t.status.version > v0, "compaction must commit")
+    val feed = graft.engine.streaming.GraftStreaming
+      .readChangesStream(spark, dir, Some(v0))
+    val qn = s"cdf_streamrw_${System.nanoTime()}"
+    val q = feed.writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the version offset advances past the compaction, but the served
+    // batch cancels symbolically — zero rows delivered downstream
+    assert(spark.table(qn).count() == 0,
+      "a rewrite-only commit must deliver an empty micro-batch")
+    // and a real commit AFTER the rewrite still flows through a fresh
+    // stream whose span crosses the compaction: only the insert emits
+    t.insert(spark.range(500, 510).selectExpr("id AS k"))
+    val feed2 = graft.engine.streaming.GraftStreaming
+      .readChangesStream(spark, dir, Some(v0))
+    val qn2 = s"cdf_streamrw2_${System.nanoTime()}"
+    val q2 = feed2.writeStream.format("memory").queryName(qn2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rows2 = spark.table(qn2).collect()
+    assert(rows2.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(rows2.map(_.getLong(0)).toSet == (500L until 510L).toSet)
+    GraftTable.drop(spark, dir)
+  }
+
   test("SQL surface: SELECT * FROM TABLE_CHANGES('<t>', v1, v2) and timestamp bounds") {
     val dir = Files.createTempDirectory("graft_cdfsql_").toString + "/t"
     val t = GraftTable.create(spark, dir,
