@@ -81,15 +81,14 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   def exists: Boolean = fs.exists(tableMetaPath)
 
   // ---- JSON (jackson-scala ships with Spark) ----
-  private def mapper = {
-    val m = new ObjectMapper()
-    m.registerModule(DefaultScalaModule)
-    // derived defs (isVisible, nextSegmentId, …) serialize as extra
-    // properties; tolerate them (and future schema additions) on read
-    m.configure(
-      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
-    m
-  }
+  // Per-thread cached mapper (r20 optimization): the previous per-call
+  // `def` rebuilt the mapper and re-introspected SegmentMeta/TableStatus
+  // reflectively on EVERY metadata read/write, which dominated commit
+  // latency and the 1M-segment cold read (MetadataScaleSpec measured
+  // 36 s; see OPTIMIZATION_r20.md). Thread-LOCAL rather than shared:
+  // jackson's internal caches are synchronized and parallel checkpoint
+  // parse threads would serialize on them.
+  private def mapper = TableLayout.MapperTL.get()
 
   private def readJson[T](p: Path, clazz: Class[T]): T = {
     var attempts = 0
@@ -110,14 +109,50 @@ class TableLayout(val tablePath: String, conf: Configuration) {
   }
 
   private def readJsonOnce[T](p: Path, clazz: Class[T]): T = {
+    // Fast path (r20): hand-rolled jackson-core token readers for the
+    // two commit-log model classes — the databind+scala-module path is
+    // a huge bytecode surface that runs interpreted for its first
+    // ~100k values in a JVM (a 23 s vs 0.8 s JIT cliff on the same
+    // cold read, measured) and stays slower compiled. Any hand-parse
+    // error falls back to databind below, so a format change degrades
+    // to the slow path, never to a wrong read.
+    if (clazz == classOf[TableStatus] || clazz == classOf[StatusDelta]) {
+      try {
+        // whole file into one array, parse from the array: the byte[]
+        // parser variant is the one the checkpoint path (and the JIT
+        // warm-up) keeps hot — the stream-fed variant measured a 12x
+        // first-use cliff on a 122 MB delta; metadata files are bounded
+        // (manifest KB, delta ≤ a bulk commit) so one array is fine
+        val len = metaFs.getFileStatus(p).getLen
+        if (len <= Int.MaxValue - 8) {
+          val bytes = new Array[Byte](len.toInt)
+          val in = metaFs.open(p)
+          try in.readFully(0L, bytes) finally in.close()
+          return (if (clazz == classOf[TableStatus]) MetaJson.tableStatusOf(bytes, 0, bytes.length)
+                  else MetaJson.statusDeltaOf(bytes, 0, bytes.length)).asInstanceOf[T]
+        }
+        val in = metaFs.open(p)
+        try {
+          val buf = new java.io.BufferedInputStream(in, 1 << 20)
+          return (if (clazz == classOf[TableStatus]) MetaJson.tableStatusOf(buf)
+                  else MetaJson.statusDeltaOf(buf)).asInstanceOf[T]
+        } finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException => throw e // readJson retries
+        case scala.util.control.NonFatal(e) => // databind fallback below
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"[graft] hand-parse of $p fell back to databind: $e")
+      }
+    }
+    // Stream straight into jackson's byte-level parser (r20): the old
+    // form accumulated the whole file into a String first — on a
+    // 122 MB bulk-commit delta that tripled the memory traffic (char
+    // buffer + String copy + parse) for zero benefit. Trailing pad
+    // spaces (writeJsonAtomic) are legal JSON whitespace either way.
     val in = metaFs.open(p)
-    try {
-      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-      val sb = new StringBuilder
-      var line = r.readLine()
-      while (line != null) { sb.append(line).append('\n'); line = r.readLine() }
-      mapper.readValue(sb.toString, clazz)
-    } finally in.close()
+    try mapper.readValue(
+      new java.io.BufferedInputStream(in, 1 << 20): java.io.InputStream, clazz)
+    finally in.close()
   }
 
   /** Readers validate their [[MetaCache]] snapshot by (mtime, length)
@@ -323,21 +358,28 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * the deltas beyond it — guarded by the checkpoint's random id so a
     * drop-and-recreate at the same path can never splice incarnations. */
   private def readStatusAssembled(prior: Option[TableStatus]): TableStatus = {
-    val m = readJson(statusPath, classOf[TableStatus])
+    val probe = java.lang.Boolean.getBoolean("graft.meta.probe")
+    def ph[T](l: String)(b: => T): T =
+      if (!probe) b else {
+        val t0 = System.nanoTime(); val r = b
+        System.err.println(f"[asm-probe] $l: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+    val m = ph("manifest")(readJson(statusPath, classOf[TableStatus]))
     if (m.ckptV < 0) m
     else {
       val base = prior match {
         case Some(p) if p.ckptId == m.ckptId && p.ckptV == m.ckptV &&
           p.version <= m.version => p
         case _ =>
-          if (metaFs.exists(ckptJsonlPath(m.ckptV))) readCkptJsonl(m.ckptV)
-          else readJson(ckptPath(m.ckptV), classOf[TableStatus])
+          if (metaFs.exists(ckptJsonlPath(m.ckptV))) ph("ckpt-jsonl")(readCkptJsonl(m.ckptV))
+          else ph("ckpt-json")(readJson(ckptPath(m.ckptV), classOf[TableStatus]))
       }
       var segs = base.segments
       var v = base.version
       while (v < m.version) {
         v += 1
-        segs = TableLayout.applyDelta(segs, readJson(deltaPath(v), classOf[StatusDelta]))
+        val d = ph(s"delta-$v read")(readJson(deltaPath(v), classOf[StatusDelta]))
+        segs = ph(s"delta-$v apply")(TableLayout.applyDelta(segs, d))
       }
       m.copy(segments = segs)
     }
@@ -352,8 +394,39 @@ class TableLayout(val tablePath: String, conf: Configuration) {
       out.write(m.writeValueAsBytes(
         full.copy(segments = Nil, ckptV = -1L, prevCkptV = -1L, ckptId = "")))
       out.write('\n')
-      full.segments.foreach { s =>
-        out.write(m.writeValueAsBytes(s)); out.write('\n')
+      val segs = full.segments.toIndexedSeq
+      val nThreads = TableLayout.metaPoolThreads
+      if (segs.size < 50000 || nThreads == 1) {
+        val w = m.writerFor(classOf[SegmentMeta])
+        val buffered = new java.io.BufferedOutputStream(out, 1 << 20)
+        segs.foreach { s => buffered.write(w.writeValueAsBytes(s)); buffered.write('\n') }
+        buffered.flush()
+      } else {
+        // parallel chunk serialization (r20): jackson databind of 1M
+        // SegmentMeta lines was the single-threaded wall of every bulk
+        // rollover (O(table) serialize ~20 s at 1M entries). Chunks
+        // serialize concurrently into byte buffers (each worker on its
+        // own thread-local mapper — jackson caches are synchronized,
+        // sharing one across threads serializes them) and are written
+        // in order — the file bytes are identical to the serial form.
+        val chunk = (segs.size + nThreads - 1) / nThreads
+        val futures = (0 until nThreads).map { t =>
+          TableLayout.metaPool.submit(new java.util.concurrent.Callable[Array[Byte]] {
+            override def call(): Array[Byte] = {
+              val w = TableLayout.MapperTL.get().writerFor(classOf[SegmentMeta])
+              val bos = new java.io.ByteArrayOutputStream(1 << 20)
+              val from = t * chunk
+              val until = math.min(from + chunk, segs.size)
+              var i = from
+              while (i < until) {
+                bos.write(w.writeValueAsBytes(segs(i))); bos.write('\n')
+                i += 1
+              }
+              bos.toByteArray
+            }
+          })
+        }
+        futures.foreach(f => out.write(f.get()))
       }
     }
 
@@ -361,11 +434,105 @@ class TableLayout(val tablePath: String, conf: Configuration) {
     * single-threaded IO, the per-line jackson parse fans out over the
     * cores (it dominated the 1M-entry cold read at ~9 s on one). */
   private def readCkptJsonl(v: Long): TableStatus = {
+    // r20: the old form materialized every line as a java String
+    // (~2-3x the file size in char data, 1M allocations) before the
+    // parallel parse. Now the file is read ONCE into a byte array,
+    // line boundaries are found with a single byte scan, and the
+    // chunks databind in parallel straight from the byte slices —
+    // no intermediate Strings. Falls back to the streaming line
+    // reader only for checkpoints too large for one array (>1.5 GB,
+    // ~4M segments — far past the rollover sizing).
     val p = ckptJsonlPath(v)
-    val lines = {
-      val in = metaFs.open(p)
+    val probe = java.lang.Boolean.getBoolean("graft.meta.probe")
+    def ph[T](l: String)(b: => T): T =
+      if (!probe) b else {
+        val t0 = System.nanoTime(); val r = b
+        System.err.println(f"[ckpt-probe] $l: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+    val len = metaFs.getFileStatus(p).getLen
+    if (len > (1L << 30) + (1L << 29)) return readCkptJsonlStreaming(p)
+    val bytes = new Array[Byte](len.toInt)
+    val in = metaFs.open(p)
+    try ph("readFully")(in.readFully(0L, bytes)) finally in.close()
+    // line offsets: (start, end) pairs of non-empty lines
+    val starts = new java.util.ArrayList[Int](1 << 16)
+    val ends = new java.util.ArrayList[Int](1 << 16)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      var j = i
+      while (j < n && bytes(j) != '\n') j += 1
+      if (j > i) { starts.add(i); ends.add(j) }
+      i = j + 1
+    }
+    require(starts.size > 0, s"empty checkpoint $p")
+    try ph("parse") {
+      val header = MetaJson.tableStatusOf(new java.io.ByteArrayInputStream(
+        bytes, starts.get(0), ends.get(0) - starts.get(0)))
+      val bodyN = starts.size - 1
+      val nThreads = TableLayout.metaPoolThreads
+      val segs: IndexedSeq[SegmentMeta] =
+        if (bodyN < Integer.getInteger("graft.meta.serial.below", 20000) || nThreads == 1) {
+          (1 to bodyN).map(k =>
+            MetaJson.segmentMetaOf(bytes, starts.get(k), ends.get(k) - starts.get(k)))
+        } else {
+          val chunk = (bodyN + nThreads - 1) / nThreads
+          val futures = (0 until nThreads).map { t =>
+            TableLayout.metaPool.submit(new java.util.concurrent.Callable[Array[SegmentMeta]] {
+              override def call(): Array[SegmentMeta] = {
+                val from = 1 + t * chunk
+                val until = math.min(from + chunk, bodyN + 1)
+                val out = new Array[SegmentMeta](math.max(0, until - from))
+                var k = from
+                while (k < until) {
+                  out(k - from) = MetaJson.segmentMetaOf(
+                    bytes, starts.get(k), ends.get(k) - starts.get(k))
+                  k += 1
+                }
+                out
+              }
+            })
+          }
+          futures.flatMap(_.get()).toIndexedSeq
+        }
+      header.copy(segments = segs)
+    } catch {
+      // hand-parse failure (format drift): redo the whole read with
+      // databind — slow path, never a wrong read
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft] hand-parse of $p fell back to databind: $e")
+        readCkptJsonlDatabind(bytes)
+    }
+  }
+
+  /** Databind fallback over the already-read checkpoint bytes (kept
+    * semantically identical to the hand-parse path). */
+  private def readCkptJsonlDatabind(bytes: Array[Byte]): TableStatus = {
+    val m = mapper
+    val starts = new java.util.ArrayList[Int](1 << 16)
+    val ends = new java.util.ArrayList[Int](1 << 16)
+    var i = 0
+    while (i < bytes.length) {
+      var j = i
+      while (j < bytes.length && bytes(j) != '\n') j += 1
+      if (j > i) { starts.add(i); ends.add(j) }
+      i = j + 1
+    }
+    val header = m.readValue(bytes, starts.get(0), ends.get(0) - starts.get(0),
+      classOf[TableStatus])
+    val reader = m.readerFor(classOf[SegmentMeta])
+    header.copy(segments = (1 until starts.size).map(k =>
+      reader.readValue[SegmentMeta](bytes, starts.get(k), ends.get(k) - starts.get(k))))
+  }
+
+  /** Fallback line-streaming form of [[readCkptJsonl]] for checkpoints
+    * past the single-array bound (kept byte-for-byte equivalent). */
+  private def readCkptJsonlStreaming(p: Path): TableStatus = {
+    val in = metaFs.open(p)
+    val lines =
       try {
-        val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+        val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8), 1 << 20)
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         var line = r.readLine()
         while (line != null) {
@@ -374,40 +541,12 @@ class TableLayout(val tablePath: String, conf: Configuration) {
         }
         buf
       } finally in.close()
-    }
     require(lines.nonEmpty, s"empty checkpoint $p")
-    val header = mapper.readValue(lines.head, classOf[TableStatus])
-    val body = lines.view.slice(1, lines.size).toIndexedSeq
-    val nThreads = math.max(1, math.min(
-      Runtime.getRuntime.availableProcessors(), 16))
-    val segs: IndexedSeq[SegmentMeta] =
-      if (body.size < 50000 || nThreads == 1) {
-        val m = mapper
-        body.map(l => m.readValue(l, classOf[SegmentMeta]))
-      } else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-        try {
-          val chunk = (body.size + nThreads - 1) / nThreads
-          val futures = (0 until nThreads).map { t =>
-            pool.submit(new java.util.concurrent.Callable[Array[SegmentMeta]] {
-              override def call(): Array[SegmentMeta] = {
-                val m = mapper // per-thread ObjectMapper
-                val from = t * chunk
-                val until = math.min(from + chunk, body.size)
-                val out = new Array[SegmentMeta](math.max(0, until - from))
-                var i = from
-                while (i < until) {
-                  out(i - from) = m.readValue(body(i), classOf[SegmentMeta])
-                  i += 1
-                }
-                out
-              }
-            })
-          }
-          futures.flatMap(_.get()).toIndexedSeq
-        } finally pool.shutdown()
-      }
-    header.copy(segments = segs)
+    val m = mapper
+    val header = m.readValue(lines.head, classOf[TableStatus])
+    val reader = m.readerFor(classOf[SegmentMeta])
+    header.copy(segments =
+      lines.view.slice(1, lines.size).map(l => reader.readValue[SegmentMeta](l)).toIndexedSeq)
   }
 
   /** Whether this table opted into inline-form versioned snapshots
@@ -1111,6 +1250,36 @@ object TableLayout {
     maxLockHoldNanos.accumulateAndGet(nanos, math.max)
   def lockHoldMaxNanos: Long = maxLockHoldNanos.get
   def resetLockHold(): Unit = maxLockHoldNanos.set(0)
+  private def buildMapper(): ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    // derived defs (isVisible, nextSegmentId, …) serialize as extra
+    // properties; tolerate them (and future schema additions) on read
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  /** Per-THREAD jackson mappers (r20): one mapper per thread keeps its
+    * (de)serializer caches warm across calls — the old per-call `def`
+    * re-introspected the model classes on every metadata read/write —
+    * while keeping the caches UNSHARED across threads: jackson's
+    * DeserializerCache/SerializerCache and the scala module's
+    * reflection caches are synchronized, so 16 parse threads hammering
+    * ONE mapper serialize on those locks (measured: a shared mapper
+    * made the 100k cold parse 25x SLOWER than per-thread mappers). */
+  private[format] val MapperTL: ThreadLocal[ObjectMapper] =
+    ThreadLocal.withInitial(() => buildMapper())
+  /** Shared daemon pool for parallel checkpoint (de)serialization —
+    * fixed threads so each worker's thread-local mapper (and its warm
+    * jackson caches) survives across checkpoint reads/writes. */
+  private[format] lazy val metaPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
+    java.util.concurrent.Executors.newFixedThreadPool(n, (r: Runnable) => {
+      val t = new Thread(r, "graft-meta-json"); t.setDaemon(true); t
+    })
+  }
+  private[format] def metaPoolThreads: Int =
+    math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
   /** Sequence behind writeJsonAtomic's length-uniquifying pad. */
   private[format] val padSeq =
     new java.util.concurrent.atomic.AtomicLong(System.nanoTime() & 0xff)
