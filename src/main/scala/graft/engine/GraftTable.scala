@@ -323,13 +323,41 @@ class GraftTable private (val spark: SparkSession, val path: String)
           (aOnly.map(_._2), bOnly.map(_._2))
       }
 
+    // ---- single-pass NET diff (r20 optimization) -------------------
+    // Semantics identical to the previous
+    // `new.exceptAll(old) ∪ old.exceptAll(new)` pair — for each
+    // distinct row r with net = count_new(r) − count_old(r), emit r
+    // net times as 'insert' when positive and |net| times as 'delete'
+    // when negative — but computed with ONE aggregation over a ±1
+    // tagged union. The exceptAll pair planned each leg TWICE and
+    // shuffled twice (4 leg scans, 2 exchanges; the bench measured
+    // 530k rows scanned for a 150k-row table); this shape scans each
+    // leg once and shuffles once, replicating multiplicities with the
+    // same ReplicateRows generator Spark's own RewriteExceptAll rule
+    // emits, so the result multiset matches by construction (grouping
+    // equality == set-op equality: both normalize NaN/−0.0 through the
+    // Aggregate keys; map-typed columns are rejected by both shapes).
     val oldRows = readSegmentSubset(scanA)
     val newRows = readSegmentSubset(scanB)
-    val ins = newRows.exceptAll(oldRows)
-      .withColumn("_change_type", lit("insert"))
-    val del = oldRows.exceptAll(newRows)
-      .withColumn("_change_type", lit("delete"))
-    ins.unionByName(del)
+    val dataCols = newRows.columns.toSeq
+    def freshName(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !dataCols.contains(n)).get
+    val wCol = freshName("__cdf_w")
+    val tagged = newRows.withColumn(wCol, lit(1L))
+      .unionByName(oldRows.withColumn(wCol, lit(-1L)))
+    val net = tagged.groupBy(dataCols.map(col): _*)
+      .agg(sum(col(wCol)).as(wCol))
+      .filter(col(wCol) =!= 0L)
+      .withColumn("_change_type",
+        when(col(wCol) > 0, lit("insert")).otherwise(lit("delete")))
+    val outCols = dataCols :+ "_change_type"
+    val shims = org.apache.spark.sql.graft.Shims
+    val replicated = net.select(shims.column(
+      org.apache.spark.sql.catalyst.expressions.ReplicateRows(
+        shims.expression(abs(col(wCol))) +:
+          outCols.map(n => shims.expression(net(n))))).as(outCols))
+    replicated
       .withColumn("_from_version", lit(fromVersion))
       .withColumn("_to_version", lit(toVersion))
       // _commit_timestamp (r20, Delta parity): the wall-clock the log
