@@ -174,8 +174,14 @@ object Dedup {
         explode(shingles(col("toks"), shingleN)).as("s"))
       .select(col("id"), md5p64(col("s")).as("gh"))
       .distinct()
-    val freq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-    grams.join(freq, "gh")
+    // document frequency as a WINDOW count over the distinct gram table
+    // (r20 optimization round): the previous groupBy(gh)+join-back shape
+    // re-shuffled the gram table a second time to attach df; one
+    // gh-partitioned window serves the same exact counts in a single
+    // exchange (the q_text_lm_score shape). Skew-safe like the groupBy:
+    // a hot gram's partition holds its (id, gh) rows either way.
+    val freq = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    grams.withColumn("df", count(lit(1)).over(freq))
       .groupBy("id").agg(
         sort_array(collect_list(col("gh"))).as("ghs"),
         transform(sort_array(collect_list(struct(col("df"), col("gh")))),
